@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query time excludes session startup (one shared session, like the
+reference's one in-process DuckDB connection — BASELINE.md notes).
+Each query is executed to completion with a count()-free collect-less
+materialization: we use df.write.format("noop") semantics via
+foreach-free `_jdf` free fallback → simply collect() since results are
+small aggregates, except row-heavy queries which are counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dl_datalake_spark.queries import QUERIES  # noqa: E402
+from dl_datalake_spark.session import get_spark  # noqa: E402
+
+# headline set: scan-agg, join-heavy, window-heavy, dedup/LSH, similarity
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_rollup",
+    "window_rank_topn",
+    "window_moving_frames",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_keep_last",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "docs_quality_score",
+    "emb_cosine_topk",
+    "emb_knn_join",
+]
+
+# queries whose result set is large: count() instead of collect() so the
+# measurement is engine time, not driver serialization
+COUNT_ONLY = {
+    "window_moving_frames",
+    "events_keep_last",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "docs_quality_score",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dl-datalake-spark-bench")
+    # warm the JVM + parquet footers once
+    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

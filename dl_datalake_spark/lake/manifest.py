@@ -1,0 +1,179 @@
+"""Manifest catalog: one row per dataset write, path-keyed upsert.
+
+Reference: SQLite via SQLAlchemy (`metadata/manifest.py:22-173`) — one
+row per physical file with time_from/time_to for watermark resume.
+Spark-native equivalent: a small Parquet-backed `_manifest` table with
+the same columns, path-keyed keep-last upsert, written atomically
+(tmp dir + rename) since the manifest is tiny, driver-local metadata —
+NOT the data plane. On a shared deployment this would be a Delta table
+with MERGE; the API here is storage-agnostic.
+
+Fixes the reference's semver bug (`manifest.py:111` int-casts version →
+crashes on "1.0.0", observed in test_11): get_latest_version sorts by
+numeric components.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("exchange", T.StringType()),
+        T.StructField("market", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("data_type", T.StringType()),
+        T.StructField("time_from", T.LongType()),
+        T.StructField("time_to", T.LongType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("script_git_hash", T.StringType()),
+        T.StructField("metadata_json", T.StringType()),
+    ]
+)
+
+
+def _version_sort_key(v: str) -> tuple:
+    parts = []
+    for p in str(v).replace("-", ".").split("."):
+        parts.append((0, int(p)) if p.isdigit() else (1, p))
+    return tuple(parts)
+
+
+class ManifestManager:
+    def __init__(self, spark: SparkSession, manifest_path: str):
+        self.spark = spark
+        self.path = manifest_path.rstrip("/")
+        self._next_id = None
+
+    # -- storage ------------------------------------------------------------
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def load(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+
+    def _store(self, df: DataFrame) -> None:
+        """Atomic replace: write to tmp, swap directories."""
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"_manifest_tmp_{uuid.uuid4().hex}"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.path + f".old.{uuid.uuid4().hex}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        shutil.move(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- API (reference manifest.py:42-173 parity) --------------------------
+
+    def add_entry(
+        self,
+        exchange: str,
+        market: str,
+        symbol: str,
+        path: str,
+        data_type: str = "raw",
+        time_from: int | None = None,
+        time_to: int | None = None,
+        version: str = "1.0.0",
+        checksum: str | None = None,
+        script_git_hash: str | None = None,
+        metadata: dict[str, Any] | None = None,
+    ) -> None:
+        current = self.load()
+        max_id = current.agg(F.max("id")).collect()[0][0] or 0
+        row = [
+            (
+                max_id + 1,
+                exchange.upper(),
+                market.upper(),
+                symbol.upper(),
+                path,
+                data_type,
+                time_from,
+                time_to,
+                version,
+                checksum,
+                datetime.now(timezone.utc).replace(tzinfo=None),
+                script_git_hash,
+                json.dumps(metadata or {}),
+            )
+        ]
+        new = self.spark.createDataFrame(row, MANIFEST_SCHEMA)
+        # path-keyed upsert: new row wins (manifest.py:63-99 semantics)
+        w = Window.partitionBy("path").orderBy(F.desc("_src"))
+        merged = (
+            current.withColumn("_src", F.lit(0))
+            .unionByName(new.withColumn("_src", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        self._store(merged)
+
+    def list_entries(
+        self,
+        symbol: str | None = None,
+        data_type: str | None = None,
+        exchange: str | None = None,
+        market: str | None = None,
+    ) -> DataFrame:
+        df = self.load()
+        if symbol is not None:
+            df = df.where(F.col("symbol") == symbol.upper())
+        if data_type is not None:
+            df = df.where(F.col("data_type") == data_type)
+        if exchange is not None:
+            df = df.where(F.col("exchange") == exchange.upper())
+        if market is not None:
+            df = df.where(F.col("market") == market.upper())
+        return df.orderBy("id")
+
+    def delete_entries(self, **filters) -> int:
+        keep = self.load()
+        drop = self.list_entries(**filters)
+        n = drop.count()
+        if n:
+            remaining = keep.join(drop.select("path"), "path", "left_anti")
+            self._store(remaining.select(*[f.name for f in MANIFEST_SCHEMA.fields]))
+        return n
+
+    def get_latest_version(self, symbol: str, data_type: str) -> str | None:
+        rows = (
+            self.list_entries(symbol=symbol, data_type=data_type)
+            .select("version")
+            .distinct()
+            .collect()
+        )
+        if not rows:
+            return None
+        return max((r["version"] for r in rows), key=_version_sort_key)
+
+    def watermark(self, exchange: str, symbol: str, data_type: str = "raw") -> int | None:
+        """Resume cursor = max(time_to) (exchange_connector.py:89-105)."""
+        row = (
+            self.list_entries(symbol=symbol, data_type=data_type, exchange=exchange)
+            .agg(F.max("time_to"))
+            .collect()[0]
+        )
+        return row[0]

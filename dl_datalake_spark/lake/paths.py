@@ -1,0 +1,43 @@
+"""Dataset addressing: (exchange, market, symbol, type, period) → lake layout.
+
+The reference builds paths by hand
+(`dl-datalake/src/dl_datalake/storage/writer.py:21-46`) and prunes by
+constructing a glob (`storage/reader.py:41-48`). Here the same tuple
+becomes Hive-style partition columns, so Catalyst prunes every level —
+including year/month, which the reference's `**` glob cannot prune.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_SANITIZE = re.compile(r"[/: ]")
+
+# Hive partition columns, in directory order. `type` from the reference
+# (raw/ticks/agg/alt/feature-set) is stored as `data_type` to avoid the
+# SQL keyword.
+PARTITION_COLS = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
+
+
+def sanitize_symbol(symbol: str) -> str:
+    """BTC/USDT → BTC_USDT, upper-cased (writer.py:31-33 semantics)."""
+    return _SANITIZE.sub("_", symbol.upper())
+
+
+@dataclass(frozen=True)
+class DatasetKey:
+    exchange: str
+    market: str
+    symbol: str
+    data_type: str = "raw"
+    period: str = "1m"
+
+    def normalized(self) -> "DatasetKey":
+        return DatasetKey(
+            exchange=self.exchange.upper(),
+            market=self.market.upper(),
+            symbol=sanitize_symbol(self.symbol),
+            data_type=self.data_type,
+            period=self.period,
+        )

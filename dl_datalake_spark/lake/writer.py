@@ -1,0 +1,186 @@
+"""Lake writer: partitioned-Parquet sink with keep-last upsert semantics.
+
+Reference behavior being re-expressed (not ported):
+- monthly partition fan-out from an epoch-ms `ts` column
+  (`storage/writer.py:137-187` derives a month key then loops
+  `partition_by("month")` in Python — here it is ONE Spark job with
+  `partitionBy(...)`, executors write all partitions in parallel);
+- upsert: re-written rows win over existing rows at the same `ts`
+  (`storage/writer.py:83-92` concats existing-then-new and relies on
+  Polars `unique(keep="last")` — implicit row order does not exist in
+  Spark, so precedence is an explicit `_src` column + window);
+- atomic writes (`writer.py:103-106` tmp+rename — Spark's commit
+  protocol plus dynamic partition overwrite already gives this);
+- extra columns pass through untouched; schema evolution handled at
+  read time with mergeSchema (union-by-name semantics).
+
+Scale notes: partitions are (dataset key)/year/month so a 100 TB lake
+prunes to the touched months; the upsert reads ONLY the months present
+in the incoming batch (partition-pruned anti-overlap read), never the
+whole dataset; `sortWithinPartitions(ts)` preserves the sorted-file
+invariant the reference maintains so downstream range scans get
+row-group min/max pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.lake.manifest import ManifestManager
+from dl_datalake_spark.lake.paths import PARTITION_COLS, DatasetKey
+
+
+@dataclass
+class WriteResult:
+    path: str
+    time_from: int | None
+    time_to: int | None
+    rows: int
+
+
+def _require_ts(df: DataFrame, ts_col: str) -> str:
+    if ts_col in df.columns:
+        return ts_col
+    if "timestamp" in df.columns:  # writer.py:89 fallback
+        return "timestamp"
+    raise ValueError(f"DataFrame must contain a '{ts_col}' (or 'timestamp') column")
+
+
+class LakeWriter:
+    """Writes time-series batches into the partitioned lake with upsert."""
+
+    def __init__(self, spark: SparkSession, base_path: str, manifest: ManifestManager | None = None):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.manifest = manifest
+
+    # -- public API (reference: write_ohlc / write_ticks / write_table) ----
+
+    def write_ohlc(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
+        return self._write(df, key.normalized(), mode=mode)
+
+    def write_ticks(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
+        k = key.normalized()
+        k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
+        return self._write(df, k, mode=mode)
+
+    # -- core ---------------------------------------------------------------
+
+    def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
+        t = F.timestamp_millis(F.col(ts_col).cast("long"))
+        return (
+            df.withColumn("exchange", F.lit(key.exchange))
+            .withColumn("market", F.lit(key.market))
+            .withColumn("symbol", F.lit(key.symbol))
+            .withColumn("data_type", F.lit(key.data_type))
+            .withColumn("period", F.lit(key.period))
+            .withColumn("year", F.year(t))
+            .withColumn("month", F.month(t))
+        )
+
+    def _write(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
+        ts_col = _require_ts(df, "ts")
+        batch = self._partitioned(df, key, ts_col)
+
+        if mode == "upsert":
+            merged = self._merge_keep_last(batch, key, ts_col)
+        elif mode in ("append", "overwrite"):
+            merged = batch
+        else:
+            raise ValueError(f"unknown write mode: {mode}")
+
+        # Stats must be computed BEFORE the overwrite commits: the merged
+        # plan reads the existing files that the overwrite will replace.
+        # persist() pins the merged rows so the subsequent write does not
+        # re-scan inputs that no longer exist.
+        merged = merged.persist()
+        stats = merged.agg(
+            F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+
+        out = merged.sortWithinPartitions(ts_col)
+        writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
+        try:
+            if mode == "append":
+                writer.mode("append").parquet(self.base_path)
+            else:
+                # dynamic partitionOverwriteMode: only partitions present in
+                # `out` are replaced — Spark's commit protocol stages to a
+                # temp location first (the analogue of tmp+rename per file)
+                writer.mode("overwrite").parquet(self.base_path)
+        finally:
+            merged.unpersist()
+        result = WriteResult(
+            path=self.dataset_path(key),
+            time_from=stats["t0"],
+            time_to=stats["t1"],
+            rows=stats["n"],
+        )
+        if self.manifest is not None:
+            self.manifest.add_entry(
+                exchange=key.exchange,
+                market=key.market,
+                symbol=key.symbol,
+                path=result.path,
+                data_type=key.data_type,
+                time_from=result.time_from,
+                time_to=result.time_to,
+                metadata={"timeframe": key.period, "rows": result.rows},
+            )
+        return result
+
+    def _merge_keep_last(self, batch: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
+        """Union existing+new for the touched months, keep-last per ts.
+
+        Precedence is explicit: _src=1 (new) beats _src=0 (existing).
+        Only the year/month partitions present in the incoming batch are
+        read back — partition-pruned, so upsert cost is O(batch months),
+        not O(dataset) even on a 100 TB lake.
+        """
+        existing = self._read_existing(key)
+        if existing is None:
+            return batch
+        months = [(r["year"], r["month"]) for r in batch.select("year", "month").distinct().collect()]
+        if not months:
+            return batch
+        month_pred = F.lit(False)
+        for y, m in months:
+            month_pred = month_pred | ((F.col("year") == y) & (F.col("month") == m))
+        existing = existing.where(month_pred)
+
+        old = existing.withColumn("_src", F.lit(0))
+        new = batch.withColumn("_src", F.lit(1))
+        unioned = old.unionByName(new, allowMissingColumns=True)
+        w = Window.partitionBy("symbol", "data_type", "period", ts_col).orderBy(F.desc("_src"))
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+
+    def _read_existing(self, key: DatasetKey) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.base_path)
+                .parquet(self.base_path)
+                .where(
+                    (F.col("exchange") == key.exchange)
+                    & (F.col("market") == key.market)
+                    & (F.col("symbol") == key.symbol)
+                    & (F.col("data_type") == key.data_type)
+                    & (F.col("period") == key.period)
+                )
+            )
+        except Exception:
+            return None  # first write: base path does not exist yet
+
+    def dataset_path(self, key: DatasetKey) -> str:
+        k = key.normalized()
+        return (
+            f"{self.base_path}/exchange={k.exchange}/market={k.market}/symbol={k.symbol}"
+            f"/data_type={k.data_type}/period={k.period}"
+        )

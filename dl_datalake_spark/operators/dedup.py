@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+table — the operators a 100 TB pretraining-data pipeline needs. The
+reference lake's only dedup is keep-last-per-ts upsert
+(`storage/writer.py:92`); these generalize to content-level near-dup at
+scale.
+
+Design constraints honored throughout:
+- Everything is hash-agg + equi-join — shapes Catalyst/AQE optimize;
+  no crossJoin anywhere (pair generation is always bucket-join on a
+  band/shingle key, the LSH trick that keeps candidate generation
+  near-linear at 100 TB).
+- Hashing is md5 (JVM built-in, whole-stage codegen) rather than
+  murmur3 so a DuckDB oracle can reproduce results bit-for-bit;
+  min() over md5 hex strings is the "min-hash" (lexicographic min is a
+  valid uniform order statistic on the hash space).
+- High-document-frequency shingles are dropped before the pair join
+  (stop-shingle cap) — the standard skew guard: without it one common
+  shingle joins quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), TOKEN_SPLIT)
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Array-native (sequence → transform → explode): no Python in the
+    loop, one narrow projection then explode.
+    """
+    w = tokens(text_col)
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5; keeper = min id per group."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """num_hashes salted min-hashes per doc, one hash-agg pass."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"mh{b}")
+        for b in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band.
+
+    shingle → salted min-hash per band → melt to (band, sig) →
+    self-equi-join on (band, sig). Join key cardinality ≈ #docs×bands,
+    so the shuffle is linear in corpus size; band agreement is the LSH
+    bucket join (r=1 rows/band).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_shingle_df), "shingle", "inner").select(
+            id_col, "shingle"
+        )
+    sig = minhash_signatures(sh, id_col, num_bands)
+    melted = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, inverted-index join.
+
+    |A∩B| comes from the shingle self-join (only docs sharing a shingle
+    ever meet — near-linear with the stop-shingle cap), |A|/|B| from a
+    per-doc count, Jaccard = inter/(|A|+|B|-inter).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_shingle_df), "shingle", "inner").select(
+            id_col, "shingle"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def _hex_val(hash_col, j: int):
+    """Value 0..15 of hex digit j (1-based) of an md5 string column."""
+    return F.conv(F.substring(hash_col, j, 1), 16, 10).cast("int")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash over whitespace tokens (occurrence-weighted).
+
+    Each hex digit of md5(token) contributes 4 bits; per bit we sum
+    ±1 votes across tokens, sign gives the fingerprint bit. One explode
+    + one hash-agg; builds to a single BIGINT column.
+    """
+    assert bits % 4 == 0 and bits <= 64
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    vote_aggs = []
+    for i in range(bits):
+        j = i // 4 + 1  # hex digit index, 1-based
+        k = i % 4
+        bit = F.shiftright(_hex_val(h, j), k).bitwiseAND(F.lit(1))
+        vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    votes = tok.groupBy(id_col).agg(*vote_aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded bucket join + hamming filter.
+
+    With `bands` bands over `bits` bits, any pair within hamming
+    distance < bands shares ≥1 exact band (pigeonhole) — so the
+    bucket join finds all pairs with distance ≤ bands-1 without a
+    cross join.
+    """
+    assert bits % bands == 0
+    width = bits // bands
+    fp = simhash(df, id_col, text_col, bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    melted = fp.select(id_col, "simhash", F.explode(band_arr).alias("bs")).select(
+        id_col, "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,103 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs: at 100 TB these run inside the scan stage at parquet speed, and a
+DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.dedup import tokens
+
+# tiny per-language stopword signatures for the n-gram heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(text_col)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics → quality in [0,1].
+
+    Mirrors the shape of published pretraining-quality filters
+    (length bounds, symbol ratio, stopword presence) with a
+    deterministic closed-form score.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    mean_tok_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*LANG_STOPWORDS["en"]))
+    )
+    score = (
+        F.when(n_tokens < 5, F.lit(0.0))
+        .otherwise(
+            F.round(
+                0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+                + 0.3 * (F.lit(1.0) - F.least(punct / F.greatest(n_chars, F.lit(1)), F.lit(1.0)))
+                + 0.3 * F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 10, F.lit(1.0)),
+                6,
+            )
+        )
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_count", punct)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language hit counts.
+
+    Ties break alphabetically (deterministic). greatest() over the
+    per-language struct(score, lang) does the argmax in one expression.
+    """
+    toks = tokens(text_col)
+
+    def hits_for(words: list[str]):
+        # NB: a plain `lambda w, lang=lang: ...` breaks here — Spark
+        # treats a 2-arg lambda as (element, index) and would bind the
+        # index Column to the default arg. Use a closure factory.
+        return F.size(F.filter(toks, lambda w: F.lower(w).isin(*words)))
+
+    scored = []
+    for lang in sorted(LANG_STOPWORDS):
+        hits = hits_for(LANG_STOPWORDS[lang])
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # greatest over structs compares hits first, then lang string;
+    # invert lang for ties by choosing max hits then MIN lang:
+    arr = F.array(*scored)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    pred = F.array_min(
+        F.transform(F.filter(arr, lambda s: s["hits"] == max_hits), lambda s: s["lang"])
+    )
+    return df.withColumn("pred_lang", pred).withColumn("lang_score", max_hits)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-invariant document fingerprint: md5 of
+    lower-cased, whitespace-collapsed, punctuation-stripped text."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), PUNCT_CLASS, ""),
+        r"\s+",
+        " ",
+    )
+    return df.withColumn("fingerprint", F.md5(norm))

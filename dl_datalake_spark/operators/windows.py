@@ -1,0 +1,54 @@
+"""Event-stream window operators: sessionization, gap scan, keep-last dedup.
+
+These generalize the reference's lag-diff machinery
+(`ingest/pipeline.py:180-196`, `writer.py:92`) to arbitrary keyed
+streams. All timestamps here are INTEGER epoch values (ms or ns) — the
+driver testdata's events.ts is int64 nanoseconds, and 1.7e18 does not
+fit double's mantissa, so arithmetic stays in longs throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_MIN = 60 * 1_000_000_000
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: int = 30 * NS_PER_MIN,
+) -> DataFrame:
+    """Assign session ids: a session breaks when the per-user gap > `gap`.
+
+    Two windows over the SAME (user, ts) ordering → one shuffle + one
+    sort total; Spark reuses the sorted partition for both.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    is_new = F.when(
+        (F.col(ts_col) - F.lag(ts_col).over(w)).isNull()
+        | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        "session_seq", F.sum("_new_session").over(w)
+    ).drop("_new_session")
+
+
+def keep_last(df: DataFrame, keys: list[str], ts_col: str = "ts", tiebreak: str | None = None) -> DataFrame:
+    """Keep the newest row per key (reference upsert semantics, W3)."""
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def lag_gaps(df: DataFrame, keys: list[str], ts_col: str = "ts", threshold: int = 0) -> DataFrame:
+    """Per-key ts deltas; rows whose delta exceeds `threshold`."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    return (
+        df.withColumn("prev_ts", F.lag(ts_col).over(w))
+        .withColumn("delta", F.col(ts_col) - F.col("prev_ts"))
+        .where(F.col("delta") > threshold)
+    )

@@ -1,0 +1,16 @@
+"""Query registry: every operator from SURVEY.md §2 (and the
+LLM-pipeline extensions) exposed as a named (spark_fn, oracle_sql) pair.
+
+The driver's correctness harness runs each Spark callable at sf=0.01
+and hash-compares against the DuckDB oracle SQL — column names, types
+and (rounded) values must match exactly.
+"""
+
+from dl_datalake_spark.queries.registry import ORACLE_SQL, QUERIES, register  # noqa: F401
+
+# importing the modules populates the registry
+from dl_datalake_spark.queries import relational  # noqa: F401, E402
+from dl_datalake_spark.queries import events  # noqa: F401, E402
+from dl_datalake_spark.queries import textops  # noqa: F401, E402
+from dl_datalake_spark.queries import dedupq  # noqa: F401, E402
+from dl_datalake_spark.queries import simq  # noqa: F401, E402

@@ -1,0 +1,181 @@
+"""Deduplication queries over `documents` with DuckDB oracles:
+exact hash dedup, MinHash+LSH candidate pairs, n-gram Jaccard pairs,
+SimHash banded near-dup pairs.
+
+Shared SQL fragments mirror the operators in operators/dedup.py exactly
+(same shingling, same salted-md5 min-hash, same banding) so both engines
+produce identical pair sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+NUM_BANDS = 8
+SHINGLE_N = 3
+JACCARD_N = 2
+JACCARD_THRESHOLD = 0.05
+MAX_SHINGLE_DF = 1000
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 2
+
+# shingle CTE shared by minhash/jaccard oracles (n parameterized)
+def _shingle_cte(n: int) -> str:
+    concat = "||' '||".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
+    return rf"""
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-{n - 1}, 0)),
+                               i -> {concat})) AS shingle
+  FROM w
+),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+sh AS (SELECT s.doc_id, s.shingle FROM sh_all s JOIN freq f ON s.shingle = f.shingle
+       WHERE f.df <= {MAX_SHINGLE_DF})
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup stats
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    sql="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_redundant
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup(docs)
+    return groups.agg(
+        F.sum("group_size").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("group_size") - F.count(F.lit(1))).alias("n_redundant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{b}:' || shingle)) AS mh{b}" for b in range(NUM_BANDS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(NUM_BANDS)
+    )
+    return rf"""
+WITH {_shingle_cte(SHINGLE_N)},
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands})
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_lsh", sql=_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        shingle_n=SHINGLE_N,
+        num_bands=NUM_BANDS,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity pairs
+# ---------------------------------------------------------------------------
+def _jaccard_sql() -> str:
+    return rf"""
+WITH {_shingle_cte(JACCARD_N)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", sql=_jaccard_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs,
+        shingle_n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    votes = []
+    for i in range(SIMHASH_BITS):
+        j = i // 4 + 1
+        k = i % 4
+        votes.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hh, {j}, 1)) - 1) >> {k}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS v{i}"
+        )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bval FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes),
+bands AS ({bands})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+GROUP BY 1, 2, 3
+HAVING CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", sql=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )

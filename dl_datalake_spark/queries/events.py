@@ -1,0 +1,212 @@
+"""Event-stream queries: tumbling windows, sessionization, gap scan,
+keep-last dedup, JSON extraction, min_by/max_by — SURVEY §2.4-§2.5/§2.9
+semantics over the `events` table.
+
+Timestamp discipline: events.ts is int64 epoch-NANOSECONDS on the Spark
+side (nanosAsLong conf) but DuckDB's parquet reader truncates
+TIMESTAMP_NANOS to microsecond TIMESTAMP — so every query here works in
+the µs domain (`ts DIV 1000` ↔ `epoch_us(ts)`), where ts values are
+globally unique at all scale factors. All bucket/gap arithmetic is
+integer (`DIV` / `//`) because epoch-µs ~1.7e15 is near double's 2^53
+mantissa limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.windows import sessionize
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+US_PER_HOUR = 3_600_000_000
+US_30MIN = 1_800_000_000
+
+_TSU = "ts DIV 1000"  # spark-side epoch-µs
+
+
+def _with_tsu(df):
+    return df.withColumn("tsu", F.expr(_TSU))
+
+
+# ---------------------------------------------------------------------------
+# tumbling hourly aggregation (T8 / A1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_hourly",
+    sql=f"""
+SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"tsu DIV {US_PER_HOUR}"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample of the value stream (A1: deterministic first/last via
+# min_by/max_by keyed on ts — arg_min/arg_max in DuckDB)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ohlc_resample",
+    sql=f"""
+SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+       event_type,
+       arg_min(value, epoch_us(ts)) AS open,
+       MAX(value)                   AS high,
+       MIN(value)                   AS low,
+       arg_max(value, epoch_us(ts)) AS close,
+       ROUND(SUM(value), 4)         AS volume
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"tsu DIV {US_PER_HOUR}"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.min_by("value", "tsu").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "tsu").alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap > 30 min per user)
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    sql=f"""
+WITH t AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+d AS (
+  SELECT user_id, tsu, value,
+         CASE WHEN LAG(tsu) OVER w IS NULL
+                OR tsu - LAG(tsu) OVER w > {US_30MIN} THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+),
+s AS (
+  SELECT user_id, tsu, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM d
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MAX(tsu) - MIN(tsu) AS span_us,
+       ROUND(SUM(value), 4) AS session_value
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    sess = sessionize(ev, user_col="user_id", ts_col="tsu", gap=US_30MIN)
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("tsu") - F.min("tsu")).alias("span_us"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap scan (W1 generalization: per-user deltas above threshold)
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_scan",
+    sql=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS delta
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE delta > {US_PER_HOUR}) AS n_gaps,
+       MAX(delta) AS max_delta
+FROM t GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE delta > {US_PER_HOUR}) > 0
+""",
+)
+def events_gap_scan(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    return (
+        ev.withColumn("delta", F.col("tsu") - F.lag("tsu").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("delta") > US_PER_HOUR, 1)).alias("n_gaps"),
+            F.max("delta").alias("max_delta"),
+        )
+        .where(F.col("n_gaps") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# keep-last dedup (W3 / upsert semantics on a keyed stream)
+# ---------------------------------------------------------------------------
+@register(
+    "events_keep_last",
+    sql="""
+SELECT user_id, event_type, tsu, value FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_keep_last(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("tsu"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "tsu", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from props (F8)
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    sql="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

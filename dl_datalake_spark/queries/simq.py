@@ -1,0 +1,142 @@
+"""Similarity-search queries over `embeddings` (array<float>, dim 64):
+brute-force cosine top-k, k-NN join, per-label centroids, and an
+LSH-bucketed ANN variant (rows-only check — approximate by design).
+
+Cross-engine float discipline: every element is cast to DOUBLE before
+arithmetic, accumulation is in-list sequential (F.aggregate ↔
+list_sum over a list comprehension), and similarities are rounded to 6
+digits before any ordering that feeds a LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.similarity import ann_lsh_topk, cosine
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+_COS_SQL = """ROUND(
+  list_sum([cv[i]*qv[i] for i in generate_series(1, len(cv))]) /
+  (sqrt(list_sum([cv[i]*cv[i] for i in generate_series(1, len(cv))])) *
+   sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1, len(qv))]))), 6)"""
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against the vec_id=0 query vector
+# ---------------------------------------------------------------------------
+@register(
+    "emb_cosine_topk",
+    sql=f"""
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, {_COS_SQL} AS cos_sim
+FROM c, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact k-NN join: top-5 neighbors for each of the first 20 vectors
+# ---------------------------------------------------------------------------
+@register(
+    "emb_knn_join",
+    sql=f"""
+WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings)
+SELECT q_id, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, c_id, {_COS_SQL} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY {_COS_SQL} DESC, c_id) AS rank
+  FROM q JOIN c ON q_id <> c_id
+) WHERE rank <= 5
+""",
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    scored = q.join(F.broadcast(c), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids via posexplode (fully relational — no UDF)
+# ---------------------------------------------------------------------------
+@register(
+    "emb_label_centroids",
+    sql="""
+WITH e AS (
+  SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+d AS (SELECT label, i, AVG(v) AS mean_v FROM e GROUP BY label, i)
+SELECT label,
+       ROUND(SQRT(SUM(mean_v * mean_v)), 6) AS centroid_norm,
+       CAST(COUNT(*) AS INTEGER) AS dim
+FROM d GROUP BY label
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "v_raw")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("v_raw").cast("double").alias("v"))
+    dims = exploded.groupBy("label", "i").agg(F.avg("v").alias("mean_v"))
+    return dims.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN via random-hyperplane LSH buckets (approximate → rows-only check)
+# ---------------------------------------------------------------------------
+def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed LCG — no RNG state, fully
+    reproducible across engines/runs."""
+    planes = []
+    state = 42
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 20) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+@register("emb_ann_lsh")  # approximate — no SQL oracle, rows-only check
+def emb_ann_lsh(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _deterministic_planes(num_planes=6, dim=64)
+    q = emb.where(F.col("vec_id") < 20)
+    return ann_lsh_topk(q, emb, planes, k=5)

@@ -1,0 +1,129 @@
+"""Text-analysis queries over `documents`: token counting, quality
+scoring, language ID, fingerprinting — all pure Column expressions
+(JVM-side codegen, no UDFs) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+_STOP_EN = "('the','a','of','and','to')"
+
+
+# ---------------------------------------------------------------------------
+# token stats per language
+# ---------------------------------------------------------------------------
+@register(
+    "docs_token_stats",
+    sql=r"""
+WITH t AS (
+  SELECT lang, n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM t GROUP BY lang
+""",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str):
+    docs = with_token_count(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document quality score
+# ---------------------------------------------------------------------------
+@register(
+    "docs_quality_score",
+    sql=rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS punct_count,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> lower(w) IN {_STOP_EN})) AS INTEGER) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, punct_count,
+       ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+       CASE WHEN n_tokens < 5 THEN 0.0
+            ELSE ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - LEAST(punct_count / GREATEST(n_chars, 1), 1.0))
+                     + 0.3 * LEAST(stop_hits / GREATEST(n_tokens, 1) * 10, 1.0), 6)
+       END AS quality
+FROM t
+""",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str):
+    docs = with_quality_score(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "n_tokens", "punct_count", "mean_token_len", "quality")
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (stopword-vote heuristic)
+# ---------------------------------------------------------------------------
+def _duckdb_lang_sql() -> str:
+    from dl_datalake_spark.operators.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"CAST(len(list_filter(toks, w -> lower(w) IN ({lst}))) AS INTEGER) AS h_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    mx = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in langs) + " END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+h AS (SELECT doc_id, lang, {", ".join(hit_cols)} FROM t),
+p AS (SELECT doc_id, lang, {mx} AS mx, {case} AS pred_lang FROM h)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM p GROUP BY lang, pred_lang
+"""
+
+
+@register("docs_lang_id", sql=_duckdb_lang_sql())
+def docs_lang_id(spark: SparkSession, sf_dir: str):
+    docs = with_lang_id(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# normalization-invariant fingerprint per document
+# ---------------------------------------------------------------------------
+@register(
+    "docs_fingerprint",
+    sql=r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
+                          '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str):
+    return with_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )

@@ -1,0 +1,41 @@
+"""CSV ingest with the reference's header-fallback semantics.
+
+Reference: `ingest/pipeline.py:33-118` — read CSV; if the expected
+OHLCV columns are absent but there are exactly 6 columns, assume
+headerless OHLCV order and rename; otherwise reject. Ticks variant
+requires `ts` plus arbitrary extra columns (pass-through).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OHLCV_COLS = ["ts", "open", "high", "low", "close", "volume"]
+
+
+class CsvIngestError(ValueError):
+    pass
+
+
+def read_ohlcv_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if set(OHLCV_COLS) <= set(df.columns):
+        out = df
+    elif len(df.columns) == 6:
+        # headerless file: first row was consumed as a header — re-read
+        # without header and apply the canonical schema
+        out = spark.read.csv(path, header=False, inferSchema=True).toDF(*OHLCV_COLS)
+    else:
+        raise CsvIngestError(
+            f"CSV must contain columns {OHLCV_COLS} or be headerless with exactly 6 columns; "
+            f"got {df.columns}"
+        )
+    return out.withColumn("ts", F.col("ts").cast("long"))
+
+
+def read_ticks_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if "ts" not in df.columns:
+        raise CsvIngestError(f"ticks CSV must contain a 'ts' column; got {df.columns}")
+    return df.withColumn("ts", F.col("ts").cast("long"))

@@ -1,0 +1,127 @@
+"""Lake writer behavior: partition fan-out, upsert keep-last, sorted
+invariant, missing-ts rejection, schema evolution — mirrors the
+reference test intents in tests/storage/test_writer.py and
+tests/integration/test_07/_08 (see SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.lake import LakeReader, LakeWriter, ManifestManager
+from dl_datalake_spark.lake.paths import DatasetKey
+
+KEY = DatasetKey("binance", "spot", "BTC/USDT", "raw", "1m")
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    base = str(tmp_path / "base")
+    manifest = ManifestManager(spark, str(tmp_path / "manifest"))
+    return LakeWriter(spark, base, manifest), LakeReader(spark, base), manifest
+
+
+def test_partition_fanout_and_symbol_sanitization(lake, ohlc_df, spark):
+    writer, reader, _ = lake
+    res = writer.write_ohlc(ohlc_df, KEY)
+    assert res.rows == 100
+    # hive layout with sanitized symbol
+    assert os.path.isdir(
+        os.path.join(
+            writer.base_path,
+            "exchange=BINANCE",
+            "market=SPOT",
+            "symbol=BTC_USDT",
+            "data_type=raw",
+            "period=1m",
+            "year=2023",
+            "month=1",
+        )
+    )
+    got = reader.read_dataset(KEY)
+    assert got.count() == 100
+
+
+def test_month_boundary_fanout(lake, spark):
+    writer, reader, _ = lake
+    # 20 one-minute candles crossing a month boundary (2023-01-31T23:50Z;
+    # 2023-02-01T00:00:00Z = 1675209600000)
+    start = 1675209600000 - 10 * 60_000
+    rows = [(start + i * 60_000, 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "ts long, open double, high double, low double, close double, volume double"
+    )
+    writer.write_ohlc(df, KEY)
+    months = {
+        (r["year"], r["month"])
+        for r in reader.read_dataset(KEY).select("year", "month").distinct().collect()
+    }
+    assert months == {(2023, 1), (2023, 2)}
+
+
+def test_upsert_keep_last(lake, spark):
+    writer, reader, _ = lake
+    schema = "ts long, open double, high double, low double, close double, volume double"
+    b1 = spark.createDataFrame(
+        [(1672574400000, 1.0, 1.0, 1.0, 1.0, 1.0), (1672574460000, 2.0, 2.0, 2.0, 2.0, 2.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1672574460000, 99.0, 99.0, 99.0, 99.0, 99.0), (1672574520000, 3.0, 3.0, 3.0, 3.0, 3.0)],
+        schema,
+    )
+    writer.write_ohlc(b1, KEY)
+    writer.write_ohlc(b2, KEY)
+    rows = reader.read_dataset(KEY).orderBy("ts").collect()
+    assert [r["ts"] for r in rows] == [1672574400000, 1672574460000, 1672574520000]
+    assert rows[1]["close"] == 99.0  # new batch won
+    # sorted invariant
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_idempotent_reingest(lake, ohlc_df):
+    writer, reader, manifest = lake
+    writer.write_ohlc(ohlc_df, KEY)
+    writer.write_ohlc(ohlc_df, KEY)  # double ingest
+    assert reader.read_dataset(KEY).count() == 100
+    # manifest upserted by path — still a single entry
+    assert manifest.list_entries(symbol="BTC_USDT").count() == 1
+
+
+def test_missing_ts_raises(lake, spark):
+    writer, _, _ = lake
+    df = spark.createDataFrame([(1.0,)], "open double")
+    with pytest.raises(ValueError, match="ts"):
+        writer.write_ohlc(df, KEY)
+
+
+def test_schema_evolution_union_by_name(lake, spark):
+    writer, reader, _ = lake
+    schema6 = "ts long, open double, high double, low double, close double, volume double"
+    b1 = spark.createDataFrame([(1672574400000 + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(10)], schema6)
+    b2 = (
+        spark.createDataFrame(
+            [(1672575600000 + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0, 100.0) for i in range(10)],
+            schema6 + ", vwap double",
+        )
+    )
+    writer.write_ohlc(b1, KEY)
+    writer.write_ohlc(b2, KEY)
+    got = reader.read_dataset(KEY)
+    assert got.count() == 20
+    assert got.where(F.col("vwap").isNull()).count() == 10
+
+
+def test_extra_columns_pass_through_ticks(lake, spark):
+    writer, reader, _ = lake
+    df = spark.createDataFrame(
+        [(1672574400000, 10.0, 0.5, "x"), (1672574400500, 10.1, 0.7, "y")],
+        "ts long, price double, qty double, note string",
+    )
+    writer.write_ticks(df, DatasetKey("binance", "spot", "BTCUSDT", period="tick"))
+    got = reader.read_range("binance", "BTCUSDT", data_type="ticks")
+    assert set(got.columns) >= {"ts", "price", "qty", "note"}
+    assert got.count() == 2

@@ -1,0 +1,133 @@
+"""Operator unit tests: resample, gap detection, sessionize, keep-last,
+dedup family, text analysis, similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.lake.maintenance import find_gaps, modal_interval, verify_integrity, with_ts_diff
+from dl_datalake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from dl_datalake_spark.operators.resample import resample_ohlcv
+from dl_datalake_spark.operators.similarity import cosine_topk
+from dl_datalake_spark.operators.text import with_lang_id, with_quality_score, with_token_count
+from dl_datalake_spark.operators.windows import keep_last, sessionize
+
+
+def test_resample_deterministic_first_last(spark):
+    # two 1m candles per 15m bucket, values chosen so first/last matter
+    rows = [
+        (0, 10.0, 12.0, 9.0, 11.0, 1.0),
+        (60_000, 11.0, 15.0, 10.0, 14.0, 2.0),
+        (900_000, 20.0, 22.0, 19.0, 21.0, 3.0),
+        (960_000, 21.0, 30.0, 18.0, 25.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, open double, high double, low double, close double, volume double"
+    ).repartition(4)  # scramble physical order: results must not change
+    out = {r["ts"]: r for r in resample_ohlcv(df, "15m").collect()}
+    assert out[0]["open"] == 10.0 and out[0]["close"] == 14.0
+    assert out[0]["high"] == 15.0 and out[0]["low"] == 9.0 and out[0]["volume"] == 3.0
+    assert out[900_000]["open"] == 20.0 and out[900_000]["close"] == 25.0
+
+
+def test_gap_detection_modal_interval(spark):
+    # 1m series with a 5-minute hole and one duplicate ts
+    ts = [0, 60_000, 120_000, 420_000, 480_000, 480_000]
+    df = spark.createDataFrame([(t, 1.0) for t in ts], "ts long, v double")
+    d = with_ts_diff(df, partition_cols=[])
+    assert modal_interval(d) == 60_000
+    gaps = find_gaps(df)
+    assert gaps.count() == 1  # the 300k jump
+    rep = verify_integrity(df)
+    assert rep.gap_count == 1
+    assert rep.overlap_count == 1  # duplicate ts → diff == 0
+    assert rep.rows == 6
+
+
+def test_sessionize_and_keep_last(spark):
+    rows = [
+        (1, 0, "a"),
+        (1, 1_000, "b"),
+        (1, 10_000_000_000, "c"),  # new session after big gap
+        (2, 500, "d"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, tag string")
+    sess = sessionize(df, gap=1_000_000)
+    got = {(r["user_id"], r["ts"]): r["session_seq"] for r in sess.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 1_000)] == 1 and got[(1, 10_000_000_000)] == 2
+    assert got[(2, 500)] == 1
+
+    kl = keep_last(df, keys=["user_id"])
+    assert {(r["user_id"], r["ts"]) for r in kl.collect()} == {(1, 10_000_000_000), (2, 500)}
+
+
+def test_exact_dedup_and_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    groups = exact_dedup(df)
+    assert groups.count() == 2
+    dup = groups.where(F.col("group_size") == 2).collect()[0]
+    assert dup["keep_id"] == 1
+
+    sh = word_shingles(df, n=3).where(F.col("doc_id") == 1).collect()
+    assert {r["shingle"] for r in sh} == {"a b c", "b c d"}
+    # doc shorter than n → no shingles
+    short = spark.createDataFrame([(9, "one two")], "doc_id long, text string")
+    assert word_shingles(short, n=3).count() == 0
+
+
+def test_minhash_and_jaccard_find_near_dups(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words appear in this sentence about spark engines"
+    df = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+    j = ngram_jaccard_pairs(df, shingle_n=2, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in j} == {(1, 2)}
+    assert all(0 < r["jaccard"] <= 1 for r in j)
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham_ab = bin(fp[1] ^ fp[2]).count("1")
+    ham_ac = bin(fp[1] ^ fp[3]).count("1")
+    assert ham_ab < ham_ac  # near-dups closer in hamming space
+
+
+def test_text_analysis(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park, happily!"), (2, "uno dos")],
+        "doc_id long, text string",
+    )
+    t = with_token_count(df).collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in t} == {1: 10, 2: 2}
+
+    q = {r["doc_id"]: r for r in with_quality_score(df).collect()}
+    assert q[2]["quality"] == 0.0  # too short
+    assert 0 < q[1]["quality"] <= 1
+    assert q[1]["punct_count"] == 2
+
+    lang = {r["doc_id"]: r["pred_lang"] for r in with_lang_id(df).collect()}
+    assert lang[1] == "en"
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cos_sim"] == 1.0
