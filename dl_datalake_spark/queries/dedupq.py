@@ -23,9 +23,9 @@ from dl_datalake_spark.tables import load_table
 
 NUM_BANDS = 8
 SHINGLE_N = 3
-JACCARD_N = 2
-JACCARD_THRESHOLD = 0.05
-MAX_SHINGLE_DF = 1000
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.1
+MAX_DF_FRAC = 0.2  # stop-shingle cap: fraction of corpus, scale-adaptive
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 2
@@ -43,7 +43,7 @@ sh_all AS (
 ),
 freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
 sh AS (SELECT s.doc_id, s.shingle FROM sh_all s JOIN freq f ON s.shingle = f.shingle
-       WHERE f.df <= {MAX_SHINGLE_DF})
+       WHERE f.df <= (SELECT COUNT(*) FROM documents) * {MAX_DF_FRAC})
 """
 
 
@@ -96,7 +96,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
         docs,
         shingle_n=SHINGLE_N,
         num_bands=NUM_BANDS,
-        max_shingle_df=MAX_SHINGLE_DF,
+        max_df_frac=MAX_DF_FRAC,
     )
 
 
@@ -127,7 +127,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
         docs,
         shingle_n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,
-        max_shingle_df=MAX_SHINGLE_DF,
+        max_df_frac=MAX_DF_FRAC,
     )
 
 
