@@ -1,0 +1,109 @@
+"""CLI over DataLakeClient — the reference's Typer surface
+(`cli.py:13-217`) re-expressed with argparse (stdlib-only).
+
+Commands: init, ingest, ingest-ticks, read, symbols, aggregate,
+verify, audit, delete, export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dl_datalake_spark.client import DataLakeClient
+from dl_datalake_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dl-datalake-spark")
+    p.add_argument("--base", required=True, help="lake base path")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("init")
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("source")
+    ing.add_argument("--exchange", required=True)
+    ing.add_argument("--market", default="SPOT")
+    ing.add_argument("--symbol", required=True)
+    ing.add_argument("--period", default="1m")
+
+    tick = sub.add_parser("ingest-ticks")
+    tick.add_argument("source")
+    tick.add_argument("--exchange", required=True)
+    tick.add_argument("--market", default="SPOT")
+    tick.add_argument("--symbol", required=True)
+
+    rd = sub.add_parser("read")
+    rd.add_argument("--exchange", required=True)
+    rd.add_argument("--symbol", required=True)
+    rd.add_argument("--start")
+    rd.add_argument("--end")
+    rd.add_argument("--limit", type=int, default=5)
+
+    sub.add_parser("symbols")
+
+    agg = sub.add_parser("aggregate")
+    agg.add_argument("--exchange", required=True)
+    agg.add_argument("--market", default="SPOT")
+    agg.add_argument("--symbol", required=True)
+    agg.add_argument("--source-period", default="1m")
+    agg.add_argument("--target-period", default="15m")
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--exchange", required=True)
+    ver.add_argument("--symbol", required=True)
+
+    sub.add_parser("audit")
+
+    dele = sub.add_parser("delete")
+    dele.add_argument("--symbol", required=True)
+
+    exp = sub.add_parser("export")
+    exp.add_argument("--exchange", required=True)
+    exp.add_argument("--symbol", required=True)
+    exp.add_argument("--out", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("dl-datalake-spark-cli")
+    client = DataLakeClient(spark, args.base)
+
+    if args.cmd == "init":
+        client.manifest.load()  # materializes an empty catalog
+        print(f"initialized lake at {args.base}")
+    elif args.cmd == "ingest":
+        res = client.ingest_csv(args.source, args.exchange, args.market, args.symbol, args.period)
+        print(json.dumps({"path": res.path, "rows": res.rows, "time_from": res.time_from, "time_to": res.time_to}))
+    elif args.cmd == "ingest-ticks":
+        res = client.ingest_ticks_csv(args.source, args.exchange, args.market, args.symbol)
+        print(json.dumps({"path": res.path, "rows": res.rows}))
+    elif args.cmd == "read":
+        df = client.read_ohlc(args.exchange, args.symbol, args.start, args.end)
+        df.show(args.limit, truncate=False)
+    elif args.cmd == "symbols":
+        print(json.dumps(client.list_symbols()))
+    elif args.cmd == "aggregate":
+        res = client.aggregate_ohlc(
+            args.exchange, args.market, args.symbol, args.source_period, args.target_period
+        )
+        print(json.dumps({"path": res.path, "rows": res.rows}))
+    elif args.cmd == "verify":
+        rep = client.verify(args.exchange, args.symbol)
+        print(json.dumps(rep.__dict__))
+    elif args.cmd == "audit":
+        print(json.dumps(client.audit()))
+    elif args.cmd == "delete":
+        print(json.dumps({"deleted": client.delete_dataset(symbol=args.symbol)}))
+    elif args.cmd == "export":
+        df = client.read_ohlc(args.exchange, args.symbol)
+        df.coalesce(1).write.mode("overwrite").csv(args.out, header=True)
+        print(json.dumps({"out": args.out, "rows": df.count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

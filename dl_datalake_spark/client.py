@@ -1,0 +1,74 @@
+"""DataLakeClient: the thin facade the reference exposes over HTTP/CLI
+(`client/dl_client.py`, `client/api_server.py`) — one object wiring
+reader/writer/manifest/features/maintenance together.
+
+Everything here is delegation; the engine lives in lake/ and
+operators/. Serving this over FastAPI/Typer is a deployment concern —
+the reference's own docs call the orchestration swappable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dl_datalake_spark.lake.features import FeatureStore
+from dl_datalake_spark.lake.maintenance import IntegrityReport, audit, verify_integrity
+from dl_datalake_spark.lake.manifest import ManifestManager
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.lake.reader import LakeReader
+from dl_datalake_spark.lake.writer import LakeWriter
+from dl_datalake_spark.operators.resample import resample_ohlcv
+from dl_datalake_spark.sources.csv_source import read_ohlcv_csv, read_ticks_csv
+
+
+class DataLakeClient:
+    def __init__(self, spark: SparkSession, base_path: str, manifest_path: str | None = None):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.manifest = ManifestManager(spark, manifest_path or f"{self.base_path}_manifest")
+        self.writer = LakeWriter(spark, self.base_path, self.manifest)
+        self.reader = LakeReader(spark, self.base_path)
+        self.features = FeatureStore(spark, self.base_path, self.manifest)
+
+    # -- read (api_server.py:58-82) ----------------------------------------
+    def read_ohlc(
+        self,
+        exchange: str,
+        symbol: str,
+        start: str | None = None,
+        end: str | None = None,
+        data_type: str = "raw",
+    ) -> DataFrame:
+        return self.reader.read_range(exchange, symbol, data_type, start, end)
+
+    def list_symbols(self, exchange: str | None = None) -> list[str]:
+        return self.reader.list_symbols(exchange)
+
+    # -- ingest (cli.py:138-160) -------------------------------------------
+    def ingest_csv(self, path: str, exchange: str, market: str, symbol: str, period: str = "1m"):
+        df = read_ohlcv_csv(self.spark, path)
+        return self.writer.write_ohlc(df, DatasetKey(exchange, market, symbol, "raw", period))
+
+    def ingest_ticks_csv(self, path: str, exchange: str, market: str, symbol: str):
+        df = read_ticks_csv(self.spark, path)
+        return self.writer.write_ticks(df, DatasetKey(exchange, market, symbol, "ticks", "tick"))
+
+    # -- aggregate (orchestration/flows.py:31-104) ---------------------------
+    def aggregate_ohlc(
+        self, exchange: str, market: str, symbol: str, source_period: str, target_period: str
+    ):
+        src = self.reader.read_dataset(DatasetKey(exchange, market, symbol, "raw", source_period))
+        agg = resample_ohlcv(src, target_period)
+        return self.writer.write_ohlc(
+            agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)
+        )
+
+    # -- maintenance ---------------------------------------------------------
+    def verify(self, exchange: str, symbol: str, data_type: str = "raw") -> IntegrityReport:
+        return verify_integrity(self.reader.read_range(exchange, symbol, data_type))
+
+    def audit(self) -> dict[str, list[str]]:
+        return audit(self.spark, self.base_path, self.manifest)
+
+    def delete_dataset(self, **filters) -> int:
+        return self.manifest.delete_entries(**filters)

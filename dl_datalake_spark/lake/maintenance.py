@@ -86,13 +86,23 @@ def find_gaps(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return d.where(F.col("diff") > mode)
 
 
+def _dataset_prefix(leaf_dir: str) -> str:
+    """Strip the year=/month= partition levels: audit compares at the
+    dataset granularity the manifest catalogs (one row per dataset)."""
+    parts = leaf_dir.split("/")
+    kept = [p for p in parts if not (p.startswith("year=") or p.startswith("month="))]
+    return "/".join(kept)
+
+
 def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dict[str, list[str]]:
-    """Orphans (on disk, not cataloged) and dead links (cataloged, gone)."""
-    disk = []
+    """Orphans (on disk, not cataloged) and dead links (cataloged, gone)
+    — the reference's set-difference fsck (test_09_audit.py:26-53) as
+    anti-joins over (tiny) metadata."""
+    disk = set()
     for root, _dirs, files in os.walk(base_path):
         if any(f.endswith(".parquet") for f in files):
-            disk.append(root)
-    disk_df = spark.createDataFrame([(p,) for p in disk] or [("",)], ["path"]).where(
+            disk.add(_dataset_prefix(root))
+    disk_df = spark.createDataFrame([(p,) for p in sorted(disk)] or [("",)], ["path"]).where(
         F.col("path") != ""
     )
     man_df = manifest.load().select("path").distinct()

@@ -3,19 +3,29 @@
 Reference: `storage/reader.py:21-72` builds a glob
 `base/EX/*/SYM/type/**/*.parquet` and runs DuckDB
 `SELECT * WHERE ts BETWEEN ? AND ? ORDER BY ts`. Here the same query is
-declared against Hive partition columns, so Catalyst prunes
-exchange/market/symbol/type/period AND year/month directories (the
-reference's `**` cannot prune dates — reader.py:44 also wildcards the
-market level, silently merging dual-listed symbols; we make market an
-explicit filter).
+declared against Hive partition columns with the scan rooted at the
+dataset's own subtree:
+
+- directory-level pruning happens BEFORE any file listing (we build the
+  `exchange=…/market=…/…` prefix ourselves), so reading one dataset
+  never lists the whole lake — at 100 TB, listing is the first
+  bottleneck;
+- year/month partitions inside the dataset are pruned by Catalyst from
+  ts predicates (the reference's `**` glob could not prune dates);
+- mergeSchema applies only within a dataset (schema evolution support)
+  — never across datasets with unrelated schemas;
+- the reference wildcards the market level and silently merges
+  dual-listed symbols (reader.py:44, SURVEY §7.5.4); here market is
+  explicit, with an opt-in all-markets listing.
 
 All date→epoch conversion is UTC (the reference's reader used the
-machine-local timezone — `reader.py:53` — while its connector used UTC;
-we standardize on UTC, see SURVEY §7.1).
+machine-local timezone — reader.py:53 — while its connector used UTC;
+standardized per SURVEY §7.1).
 """
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,12 +46,48 @@ class LakeReader:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
 
-    def _scan(self) -> DataFrame:
+    # -- path helpers (driver-side dir listing = the reference's glob; on
+    # cloud storage swap os.listdir for the Hadoop FS listStatus API) ----
+
+    def _level_values(self, prefix: str, level: str) -> list[str]:
+        if not os.path.isdir(prefix):
+            return []
+        out = []
+        for d in os.listdir(prefix):
+            if d.startswith(f"{level}="):
+                out.append(d.split("=", 1)[1])
+        return sorted(out)
+
+    def _dataset_paths(
+        self,
+        exchange: str,
+        symbol: str,
+        data_type: str,
+        market: str | None,
+        period: str | None,
+    ) -> list[str]:
+        ex_dir = f"{self.base_path}/exchange={exchange}"
+        markets = [market] if market else self._level_values(ex_dir, "market")
+        paths = []
+        for m in markets:
+            sym_dir = f"{ex_dir}/market={m}/symbol={symbol}/data_type={data_type}"
+            periods = [period] if period else self._level_values(sym_dir, "period")
+            for p in periods:
+                d = f"{sym_dir}/period={p}"
+                if os.path.isdir(d):
+                    paths.append(d)
+        return paths
+
+    def _scan_paths(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
         return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
-            .parquet(self.base_path)
+            .parquet(*paths)
         )
+
+    # -- public API ---------------------------------------------------------
 
     def read_range(
         self,
@@ -54,42 +100,48 @@ class LakeReader:
         period: str | None = None,
     ) -> DataFrame:
         """Time-range scan, inclusive on both ends (reader.py:57-62)."""
-        df = self._scan().where(
-            (F.col("exchange") == exchange.upper())
-            & (F.col("symbol") == sanitize_symbol(symbol))
-            & (F.col("data_type") == data_type)
+        df = self._scan_paths(
+            self._dataset_paths(
+                exchange.upper(),
+                sanitize_symbol(symbol),
+                data_type,
+                market.upper() if market else None,
+                period,
+            )
         )
-        if market is not None:
-            df = df.where(F.col("market") == market.upper())
-        if period is not None:
-            df = df.where(F.col("period") == period)
+        if df is None:
+            return self.spark.createDataFrame([], "ts long")
         ts = F.col("ts").cast("long")
         if start_date is not None:
-            lo = iso_to_epoch_ms(start_date)
-            # prune year/month partitions too — conservative month-level
-            # bound so partial months at the range edges are kept
-            df = df.where(ts >= lo)
+            df = df.where(ts >= iso_to_epoch_ms(start_date))
         if end_date is not None:
-            hi = iso_to_epoch_ms(end_date)
-            df = df.where(ts <= hi)
+            df = df.where(ts <= iso_to_epoch_ms(end_date))
         return df.orderBy("ts")
 
     def read_dataset(self, key: DatasetKey) -> DataFrame:
         k = key.normalized()
-        return self._scan().where(
-            (F.col("exchange") == k.exchange)
-            & (F.col("market") == k.market)
-            & (F.col("symbol") == k.symbol)
-            & (F.col("data_type") == k.data_type)
-            & (F.col("period") == k.period)
+        df = self._scan_paths(
+            self._dataset_paths(k.exchange, k.symbol, k.data_type, k.market, k.period)
         )
+        if df is None:
+            return self.spark.createDataFrame([], "ts long")
+        return df
 
     def list_symbols(self, exchange: str | None = None) -> list[str]:
-        """Distinct symbols in the lake (reader.py:81-94 walked dirs)."""
-        df = self._scan()
-        if exchange is not None:
-            df = df.where(F.col("exchange") == exchange.upper())
-        return [r["symbol"] for r in df.select("symbol").distinct().orderBy("symbol").collect()]
+        """Distinct symbols from the directory tree (reader.py:81-94) —
+        no data scan at all."""
+        exchanges = (
+            [exchange.upper()]
+            if exchange
+            else self._level_values(self.base_path, "exchange")
+        )
+        symbols: set[str] = set()
+        for ex in exchanges:
+            for m in self._level_values(f"{self.base_path}/exchange={ex}", "market"):
+                symbols.update(
+                    self._level_values(f"{self.base_path}/exchange={ex}/market={m}", "symbol")
+                )
+        return sorted(symbols)
 
     def preview(self, df: DataFrame, offset: int, limit: int) -> tuple[int, DataFrame]:
         """Paginate without materializing (reference data.py:135-142)."""

@@ -24,6 +24,7 @@ row-group min/max pruning.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -162,21 +163,17 @@ class LakeWriter:
         )
 
     def _read_existing(self, key: DatasetKey) -> DataFrame | None:
-        try:
-            return (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", self.base_path)
-                .parquet(self.base_path)
-                .where(
-                    (F.col("exchange") == key.exchange)
-                    & (F.col("market") == key.market)
-                    & (F.col("symbol") == key.symbol)
-                    & (F.col("data_type") == key.data_type)
-                    & (F.col("period") == key.period)
-                )
-            )
-        except Exception:
-            return None  # first write: base path does not exist yet
+        """Scan ONLY this dataset's subtree: no whole-lake listing, no
+        cross-dataset schema merging — upsert cost is bounded by the
+        dataset, not the lake."""
+        path = self.dataset_path(key)
+        if not os.path.isdir(path):
+            return None  # first write for this dataset
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(path)
+        )
 
     def dataset_path(self, key: DatasetKey) -> str:
         k = key.normalized()

@@ -81,14 +81,16 @@ def drop_stop_shingles(
 
     The threshold is computed from the corpus itself (broadcast
     single-row count — no driver round-trip), so the same operator is
-    correct at sf0.01 and at 100 TB.
+    correct at sf0.01 and at 100 TB. An absolute floor of 5 documents
+    keeps tiny corpora intact (0.2×3 docs would otherwise drop every
+    shingle).
     """
     total = df.agg(F.count(F.lit(1)).alias("_n"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     return (
         sh.join(freq, "shingle")
         .crossJoin(F.broadcast(total))
-        .where(F.col("_df") <= F.col("_n") * max_df_frac)
+        .where(F.col("_df") <= F.greatest(F.lit(5.0), F.col("_n") * max_df_frac))
         .select(id_col, "shingle")
     )
 

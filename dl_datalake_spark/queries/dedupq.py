@@ -43,7 +43,7 @@ sh_all AS (
 ),
 freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
 sh AS (SELECT s.doc_id, s.shingle FROM sh_all s JOIN freq f ON s.shingle = f.shingle
-       WHERE f.df <= (SELECT COUNT(*) FROM documents) * {MAX_DF_FRAC})
+       WHERE f.df <= GREATEST(5.0, (SELECT COUNT(*) FROM documents) * {MAX_DF_FRAC}))
 """
 
 

@@ -31,7 +31,14 @@ def read_ohlcv_csv(spark: SparkSession, path: str) -> DataFrame:
             f"CSV must contain columns {OHLCV_COLS} or be headerless with exactly 6 columns; "
             f"got {df.columns}"
         )
-    return out.withColumn("ts", F.col("ts").cast("long"))
+    # canonical schema: epoch-ms long + doubles (the CCXT ingest schema,
+    # exchange_connector.py:323-327). Without the cast, integer-looking
+    # CSVs infer LongType and later conflict with double-typed datasets
+    # at schema-merge time.
+    out = out.withColumn("ts", F.col("ts").cast("long"))
+    for c in OHLCV_COLS[1:]:
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
 
 
 def read_ticks_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -144,8 +144,13 @@ class ExchangeConnector:
         return total
 
     def _flush(self, rows: list[Sequence], key: DatasetKey) -> int:
+        if not rows:
+            return 0
         df = self.spark.createDataFrame(
             [(int(r[0]), float(r[1]), float(r[2]), float(r[3]), float(r[4]), float(r[5])) for r in rows],
             OHLCV_SCHEMA,
         )
-        return self.writer.write_ohlc(df, key).rows if rows else 0
+        self.writer.write_ohlc(df, key)
+        # WriteResult.rows counts the MERGED dataset (existing ∪ batch);
+        # the download total is the number of fetched candles
+        return len(rows)

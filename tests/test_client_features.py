@@ -1,0 +1,76 @@
+"""Client facade round-trip + feature store versioning — mirrors
+reference tests/client/* and tests/features/* intents."""
+
+from __future__ import annotations
+
+import pytest
+
+from dl_datalake_spark.client import DataLakeClient
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return DataLakeClient(spark, str(tmp_path / "lake"))
+
+
+def _csv(tmp_path, n=30, start=1672574400000):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{start + i*60000},1,2,0.5,1.5,10" for i in range(n))
+    )
+    return str(p)
+
+
+def test_ingest_read_roundtrip(client, tmp_path):
+    res = client.ingest_csv(_csv(tmp_path), "binance", "spot", "BTCUSDT")
+    assert res.rows == 30
+    df = client.read_ohlc("binance", "BTCUSDT", "2023-01-01", "2023-01-02")
+    assert df.count() == 30
+    assert client.list_symbols() == ["BTCUSDT"]
+    rep = client.verify("binance", "BTCUSDT")
+    assert rep.monotonic and rep.gap_count == 0
+
+
+def test_aggregate_writes_agg_dataset(client, tmp_path):
+    client.ingest_csv(_csv(tmp_path, n=45), "binance", "spot", "BTCUSDT")
+    res = client.aggregate_ohlc("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert res.rows == 3  # 45 minutes → 3 buckets
+    entries = client.manifest.list_entries(data_type="agg")
+    assert entries.count() == 1
+
+
+def test_feature_store_versions(client, tmp_path):
+    f = tmp_path / "feat.bin"
+    f.write_bytes(b"weights-v1")
+    p1 = client.features.upload_feature(str(f), "binance", "spot", "BTCUSDT", "momentum", "1.0.0")
+    f.write_bytes(b"weights-v2")
+    client.features.upload_feature(str(f), "binance", "spot", "BTCUSDT", "momentum", "1.1.0")
+    assert "momentum/1.0.0" in p1
+    assert client.features.latest_version("BTCUSDT", "momentum") == "1.1.0"
+    sets = client.features.list_feature_sets()
+    assert sets == {"momentum": ["1.1.0", "1.0.0"]}
+    # checksum recorded
+    e = client.manifest.list_entries(data_type="momentum").collect()[0]
+    assert len(e["checksum"]) == 64
+
+
+def test_feature_missing_source_raises(client):
+    with pytest.raises(FileNotFoundError):
+        client.features.upload_feature("/nope/missing.bin", "b", "s", "X", "fs")
+
+
+def test_audit_detects_orphans_and_dead_links(client, tmp_path):
+    import os
+
+    client.ingest_csv(_csv(tmp_path), "binance", "spot", "BTCUSDT")
+    # orphan: a parquet dir on disk not in the manifest
+    orphan = os.path.join(client.base_path, "exchange=FAKE")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "x.parquet"), "wb") as fh:
+        fh.write(b"")
+    # dead link: manifest row whose path is gone
+    client.manifest.add_entry("gone", "spot", "GONE", "/nonexistent/path", "raw")
+    rep = client.audit()
+    assert any("FAKE" in p for p in rep["orphan_files"])
+    assert "/nonexistent/path" in rep["dead_links"]

@@ -1,0 +1,142 @@
+"""CSV source fallback semantics + REST connector loop mechanics
+(paged fetch, chunked flush, watermark resume, rate-limit retry,
+empty-page gap jump) — mirrors reference tests/ingest/* intents with a
+fake exchange client."""
+
+from __future__ import annotations
+
+import pytest
+
+from dl_datalake_spark.lake import LakeReader, LakeWriter, ManifestManager
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.sources.csv_source import CsvIngestError, read_ohlcv_csv, read_ticks_csv
+from dl_datalake_spark.sources.rest_connector import (
+    ConnectorConfig,
+    ExchangeConnector,
+    RateLimitError,
+)
+
+KEY = DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m")
+MIN_MS = 60_000
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def test_csv_with_header(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "ok.csv",
+        ["ts,open,high,low,close,volume", "1000,1,2,0.5,1.5,10", "61000,1.5,2.5,1,2,11"],
+    )
+    df = read_ohlcv_csv(spark, path)
+    assert df.count() == 2
+    assert df.schema["ts"].dataType.typeName() == "long"
+
+
+def test_csv_headerless_six_columns(spark, tmp_path):
+    path = _write(tmp_path, "nohdr.csv", ["1000,1,2,0.5,1.5,10", "61000,1.5,2.5,1,2,11"])
+    df = read_ohlcv_csv(spark, path)
+    assert df.columns == ["ts", "open", "high", "low", "close", "volume"]
+    assert df.count() == 2
+
+
+def test_csv_invalid_columns_rejected(spark, tmp_path):
+    path = _write(tmp_path, "bad.csv", ["open,high,low,close,volume", "1,2,0.5,1.5,10"])
+    with pytest.raises(CsvIngestError):
+        read_ohlcv_csv(spark, path)
+
+
+def test_ticks_csv_requires_ts(spark, tmp_path):
+    ok = _write(tmp_path, "t.csv", ["ts,price,qty", "1000,10.0,0.5"])
+    assert read_ticks_csv(spark, ok).count() == 1
+    bad = _write(tmp_path, "t2.csv", ["price,qty", "10.0,0.5"])
+    with pytest.raises(CsvIngestError):
+        read_ticks_csv(spark, bad)
+
+
+class FakeExchange:
+    """Serves `candles` in pages; optionally rate-limits first N calls."""
+
+    def __init__(self, candles, rate_limit_first: int = 0):
+        self.candles = candles
+        self.calls = 0
+        self.rate_limit_first = rate_limit_first
+
+    def fetch_ohlcv(self, symbol, timeframe_ms, since, limit):
+        self.calls += 1
+        if self.calls <= self.rate_limit_first:
+            raise RateLimitError("429")
+        page = [c for c in self.candles if c[0] >= since][:limit]
+        return page
+
+
+def _mk_candles(n, start=0):
+    return [[start + i * MIN_MS, 1.0, 2.0, 0.5, 1.5, 10.0] for i in range(n)]
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    manifest = ManifestManager(spark, str(tmp_path / "m"))
+    writer = LakeWriter(spark, str(tmp_path / "base"), manifest)
+    return writer, LakeReader(spark, str(tmp_path / "base")), manifest
+
+
+def test_paged_download_with_chunked_flush(spark, lake):
+    writer, reader, _ = lake
+    client = FakeExchange(_mk_candles(2500))
+    cfg = ConnectorConfig(page_limit=1000, flush_chunk=1000, sleep=lambda s: None)
+    conn = ExchangeConnector(spark, writer, client, cfg)
+    total = conn.download_ohlcv(KEY, MIN_MS, since=0, until=2500 * MIN_MS)
+    assert total == 2500
+    assert reader.read_dataset(KEY).count() == 2500
+    assert client.calls >= 3  # 3 pages
+
+
+def test_watermark_resume(spark, lake):
+    writer, reader, manifest = lake
+    client = FakeExchange(_mk_candles(100))
+    cfg = ConnectorConfig(sleep=lambda s: None)
+    conn = ExchangeConnector(spark, writer, client, cfg)
+    conn.download_ohlcv(KEY, MIN_MS, since=0, until=100 * MIN_MS)
+    assert manifest.watermark("BINANCE", "BTCUSDT") == 99 * MIN_MS
+
+    # second run resumes from watermark+1: only new candles fetched
+    client2 = FakeExchange(_mk_candles(150))
+    conn2 = ExchangeConnector(spark, writer, client2, cfg)
+    n = conn2.download_ohlcv(KEY, MIN_MS, until=150 * MIN_MS)
+    assert n == 50
+    assert reader.read_dataset(KEY).count() == 150
+
+
+def test_rate_limit_retry(spark, lake):
+    writer, reader, _ = lake
+    sleeps = []
+    client = FakeExchange(_mk_candles(10), rate_limit_first=2)
+    cfg = ConnectorConfig(rate_limit_sleep=30.0, sleep=sleeps.append)
+    conn = ExchangeConnector(spark, writer, client, cfg)
+    total = conn.download_ohlcv(KEY, MIN_MS, since=0, until=10 * MIN_MS)
+    assert total == 10
+    assert sleeps == [30.0, 30.0]  # two 429s → two sleeps, then success
+
+
+def test_rate_limit_gives_up_after_max_retries(spark, lake):
+    writer, _, _ = lake
+    client = FakeExchange(_mk_candles(10), rate_limit_first=99)
+    cfg = ConnectorConfig(max_rate_retries=3, sleep=lambda s: None)
+    conn = ExchangeConnector(spark, writer, client, cfg)
+    assert conn.download_ohlcv(KEY, MIN_MS, since=0, until=10 * MIN_MS) == 0
+
+
+def test_empty_page_gap_jump(spark, lake):
+    writer, reader, _ = lake
+    # candles exist only after a long empty region
+    late_start = 5_000 * MIN_MS
+    client = FakeExchange(_mk_candles(10, start=late_start))
+    cfg = ConnectorConfig(page_limit=1000, max_empty_jumps=10, sleep=lambda s: None)
+    conn = ExchangeConnector(spark, writer, client, cfg)
+    total = conn.download_ohlcv(KEY, MIN_MS, since=0, until=late_start + 10 * MIN_MS)
+    assert total == 10  # cursor jumped over the empty region

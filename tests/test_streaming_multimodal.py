@@ -1,0 +1,75 @@
+"""Structured-streaming ingest (availableNow file source → foreachBatch
+upsert) and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+from dl_datalake_spark.lake import LakeReader, LakeWriter, ManifestManager
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.operators.multimodal import (
+    attach_binary_column,
+    extract_features,
+    frame_sample,
+)
+from dl_datalake_spark.streaming.ingest import stream_ohlcv_ingest, streaming_resample
+
+KEY = DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m")
+
+
+def test_stream_file_ingest_upserts_lake(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(10))
+    )
+    writer = LakeWriter(spark, str(tmp_path / "base"), ManifestManager(spark, str(tmp_path / "m")))
+    q = stream_ohlcv_ingest(
+        spark, str(landing), writer, KEY, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    reader = LakeReader(spark, str(tmp_path / "base"))
+    assert reader.read_dataset(KEY).count() == 10
+
+    # drop a second file with 5 overlapping + 5 new rows → upsert keeps 15
+    (landing / "b2.csv").write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},9,9,9,9,9" for i in range(5, 15))
+    )
+    q2 = stream_ohlcv_ingest(
+        spark, str(landing), writer, KEY, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    rows = {r["ts"]: r["close"] for r in reader.read_dataset(KEY).collect()}
+    assert len(rows) == 15
+    assert rows[1672574400000 + 7 * 60000] == 9.0  # overlapped row upserted
+
+
+def test_streaming_resample_batch_parity(spark, ohlc_df):
+    out = streaming_resample(ohlc_df, every="15 minutes")
+    rows = out.orderBy("ts").collect()
+    assert len(rows) == 7  # 100 minutes → 7 fifteen-minute buckets
+    assert rows[0]["ts"] == 1672574400000
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    media = attach_binary_column(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = {r["media_id"]: r for r in extract_features(media, feat_dim=8).collect()}
+    assert feats[1]["byte_len"] == len(b"hello world")
+    assert len(feats[1]["features"]) == 8
+    assert feats[1]["digest"] != feats[2]["digest"]
+    # deterministic fake decoder
+    again = {r["media_id"]: r for r in extract_features(media, feat_dim=8).collect()}
+    assert feats[1]["features"] == again[1]["features"]
+
+
+def test_frame_sample(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"v"), ("video/mp4", None, None, 3500))],
+        "media_id long, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_ts"] for r in frames] == [0, 1000, 2000, 3000]
