@@ -60,7 +60,7 @@ FROM documents
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     groups = exact_dedup(docs)
     return groups.agg(
         F.sum("group_size").alias("n_docs"),
@@ -73,8 +73,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str):
 # MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 def _minhash_sql() -> str:
+    # mirror operators/dedup.minhash_signatures: md5 per salt, four
+    # independent 8-hex-char (32-bit) chunks per md5
     mins = ", ".join(
-        f"MIN(md5('{b}:' || shingle)) AS mh{b}" for b in range(NUM_BANDS)
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(NUM_BANDS)
     )
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(NUM_BANDS)
@@ -91,7 +94,7 @@ GROUP BY 1, 2
 
 @register("dedup_minhash_lsh", sql=_minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(
         docs,
         shingle_n=SHINGLE_N,
@@ -122,7 +125,7 @@ WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
 
 @register("dedup_ngram_jaccard", sql=_jaccard_sql())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(
         docs,
         shingle_n=JACCARD_N,
@@ -172,7 +175,7 @@ HAVING CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= {SIMHASH_MAX_HAM
 
 @register("dedup_simhash", sql=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return simhash_pairs(
         docs,
         bits=SIMHASH_BITS,

@@ -40,7 +40,7 @@ LIMIT 10
 """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
     return (
         emb.where(F.col("vec_id") != 0)
@@ -73,7 +73,7 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 """,
 )
 def emb_knn_join(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -106,7 +106,7 @@ FROM d GROUP BY label
 """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("i0", "v_raw")
     ).select("label", (F.col("i0") + 1).alias("i"), F.col("v_raw").cast("double").alias("v"))
@@ -136,7 +136,7 @@ def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
 
 @register("emb_ann_lsh")  # approximate — no SQL oracle, rows-only check
 def emb_ann_lsh(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     planes = _deterministic_planes(num_planes=6, dim=64)
     q = emb.where(F.col("vec_id") < 20)
     return ann_lsh_topk(q, emb, planes, k=5)

@@ -40,7 +40,7 @@ FROM t GROUP BY lang
 """,
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str):
-    docs = with_token_count(load_table(spark, sf_dir, "documents"))
+    docs = with_token_count(load_table(spark, sf_dir, "documents", spread=True))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -75,7 +75,7 @@ FROM t
 """,
 )
 def docs_quality_score(spark: SparkSession, sf_dir: str):
-    docs = with_quality_score(load_table(spark, sf_dir, "documents"))
+    docs = with_quality_score(load_table(spark, sf_dir, "documents", spread=True))
     return docs.select("doc_id", "n_tokens", "punct_count", "mean_token_len", "quality")
 
 
@@ -107,7 +107,7 @@ FROM p GROUP BY lang, pred_lang
 
 @register("docs_lang_id", sql=_duckdb_lang_sql())
 def docs_lang_id(spark: SparkSession, sf_dir: str):
-    docs = with_lang_id(load_table(spark, sf_dir, "documents"))
+    docs = with_lang_id(load_table(spark, sf_dir, "documents", spread=True))
     return docs.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -124,6 +124,6 @@ FROM documents
 """,
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str):
-    return with_fingerprint(load_table(spark, sf_dir, "documents")).select(
+    return with_fingerprint(load_table(spark, sf_dir, "documents", spread=True)).select(
         "doc_id", "fingerprint"
     )

@@ -33,9 +33,25 @@ NS_PER_SEC = 1_000_000_000
 NS_PER_HOUR = 3_600 * NS_PER_SEC
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table.
+
+    spread=True repartitions a small scan up to the session's default
+    parallelism before CPU-heavy downstream work (shingling, hashing,
+    vector math). A single small parquet file arrives as one input
+    split, which would otherwise serialize the whole pipeline on one
+    core; at real scale the scan has many splits and the repartition is
+    a no-op (we never shrink partitioning here).
+    """
     ensure_runtime_confs(spark)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
