@@ -99,6 +99,97 @@ def hyperplane_buckets(
     return df.withColumn("bucket", sig.cast("int"))
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid vectors via posexplode + hash agg — fully
+    relational (no UDF, no driver collect). Returns (label, cv) where
+    cv is array<double>. These double as IVF coarse-quantizer cells:
+    the centroid table is tiny (one row per label) and broadcastable.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("i", "v_raw")
+    ).select("label", "i", F.col("v_raw").cast("double").alias("v"))
+    dims = exploded.groupBy("label", "i").agg(F.avg("v").alias("mean_v"))
+    return dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mean_v"))), lambda s: s.mean_v
+        ).alias("cv")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest coarse cell
+    (per-label centroid, nprobe=1), then exact-rerank only within that
+    cell. At scale the cell id is the shuffle key — candidate
+    generation is O(n/cells) per query instead of O(n) — and the
+    centroid table stays broadcast. Deterministic: ties broken on
+    (rounded cosine, label/id), so the result is oracle-checkable.
+    """
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    aw = Window.partitionBy("q_id").orderBy(
+        F.desc("cent_sim"), F.asc("label")
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("q_id", "qv", F.col("label").alias("cell"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("cv2"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = assigned.join(
+        c, (F.col("cell") == F.col("c_label")) & (F.col("q_id") != F.col("c_id"))
+    ).select(
+        "q_id",
+        "cell",
+        "c_id",
+        F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) >= threshold.
+
+    This is the exact baseline — an all-pairs join. It stays JVM-side
+    (zip_with/aggregate) and Spark executes it as a broadcast
+    nested-loop over the smaller side; at 100 TB you run the LSH
+    bucket prefilter (ann_lsh_topk's hyperplane_buckets) to generate
+    candidates and this exact check only within buckets.
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.operators.similarity import ann_lsh_topk, cosine
+from dl_datalake_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
 from dl_datalake_spark.queries.registry import register
 from dl_datalake_spark.tables import load_table
 
@@ -140,3 +145,69 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str):
     planes = _deterministic_planes(num_planes=6, dim=64)
     q = emb.where(F.col("vec_id") < 20)
     return ann_lsh_topk(q, emb, planes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (exact all-pairs baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_emb_cosine",
+    sql=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_COS_SQL.replace("cv", "a.v").replace("qv", "b.v")} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE cos_sim >= 0.4
+""",
+)
+def dedup_emb_cosine(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: nearest per-label centroid cell (nprobe=1), exact rerank inside
+# ---------------------------------------------------------------------------
+@register(
+    "emb_ivf_topk",
+    sql=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(mean_v ORDER BY i) AS cv FROM (
+    SELECT label, i, AVG(v) AS mean_v FROM (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+    GROUP BY label, i)
+  GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+assigned AS (
+  SELECT q_id, qv, label AS cell FROM (
+    SELECT q.q_id, q.qv, cent.label,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {_COS_SQL} DESC, cent.label) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn = 1
+),
+c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv FROM e)
+SELECT q_id, cell, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT a.q_id, a.cell, c.c_id,
+         {_COS_SQL.replace("qv", "a.qv").replace("cv", "c.cv")} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.q_id
+           ORDER BY {_COS_SQL.replace("qv", "a.qv").replace("cv", "c.cv")} DESC,
+                    c.c_id) AS rank
+  FROM assigned a JOIN c ON c.c_label = a.cell AND c.c_id <> a.q_id)
+WHERE rank <= 5
+""",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(q, emb, k=5)

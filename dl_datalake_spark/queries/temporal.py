@@ -1,0 +1,120 @@
+"""Temporal joins over `events`: backward as-of join (click → latest
+prior purchase) and a banded range join (errors within 60 s after each
+click). The reference associates feature rows to raw rows by (symbol,
+ts) convention without ever joining (SURVEY §2.3, J3 —
+features/manager.py:72-81); these queries make that association a real
+operator.
+
+Oracle notes: DuckDB reads the events parquet's TIMESTAMP_NS as µs
+TIMESTAMP, Spark reads it as int64 ns (nanosAsLong) — both sides
+therefore work in the µs domain (`ts DIV 1000` ↔ `epoch_us(ts)`), and
+all range arithmetic is integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.joins import asof_join, range_count_join
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+US_MINUTE = 60_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "tsu", F.expr("ts DIV 1000")
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each click picks up the latest prior purchase per user
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_join",
+    sql="""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.tsu AS click_tsu,
+       p.tsu AS purchase_tsu,
+       ROUND(p.purchase_value, 6) AS purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.tsu >= p.tsu
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str):
+    ev = _events_us(spark, sf_dir)
+    # pre-aggregate purchases per (user, tsu): as-of tie-breaks among
+    # equal timestamps are engine-defined, so make the key unique first
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "tsu", "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="tsu",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+        right_on_alias="purchase_tsu",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("tsu").alias("click_tsu"),
+        "purchase_tsu",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# banded range join: errors within [click, click+60s) per user
+# ---------------------------------------------------------------------------
+@register(
+    "events_range_join",
+    sql=f"""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, c.tsu AS click_tsu,
+       COUNT(e.tsu) AS error_cnt
+FROM c LEFT JOIN e
+  ON c.user_id = e.user_id
+ AND e.tsu >= c.tsu AND e.tsu < c.tsu + {US_MINUTE}
+GROUP BY 1, 2, 3
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str):
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tsu"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "tsu")
+    counted = range_count_join(
+        clicks,
+        errors,
+        on="tsu",
+        by=["user_id"],
+        lower=0,
+        upper=US_MINUTE,
+        count_alias="error_cnt",
+    )
+    return counted.select(
+        "event_id", "user_id", F.col("tsu").alias("click_tsu"), "error_cnt"
+    )
