@@ -1,0 +1,82 @@
+"""Unit tests for the temporal join operators (as-of, banded range
+count) and the IVF / near-dup similarity additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.joins import asof_join, range_count_join
+from dl_datalake_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    ivf_topk,
+    label_centroids,
+)
+
+
+def test_asof_join_backward(spark):
+    clicks = spark.createDataFrame(
+        [(1, 100, "c1"), (1, 250, "c2"), (2, 50, "c3"), (1, 200, "c4")],
+        "user_id long, ts long, click string",
+    ).repartition(3)
+    purchases = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 200, 20.0), (2, 60, 30.0)],
+        "user_id long, ts long, amount double",
+    ).repartition(2)
+    out = {
+        r["click"]: r
+        for r in asof_join(
+            clicks, purchases, on="ts", by=["user_id"], value_cols=["amount"]
+        ).collect()
+    }
+    assert out["c1"]["amount"] == 10.0 and out["c1"]["ts_right"] == 90
+    # exact-timestamp match counts (>= semantics)
+    assert out["c4"]["amount"] == 20.0 and out["c4"]["ts_right"] == 200
+    assert out["c2"]["amount"] == 20.0
+    # no purchase at or before ts=50 for user 2
+    assert out["c3"]["amount"] is None and out["c3"]["ts_right"] is None
+
+
+def test_range_count_join_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, 0, "a"), (1, 95, "b"), (2, 0, "c")], "user_id long, ts long, k string"
+    )
+    right = spark.createDataFrame(
+        # for window width 100: "a" sees 0,50,99 (3); "b" sees 99,100,150 (3)
+        [(1, 0), (1, 50), (1, 99), (1, 100), (1, 150), (1, 400), (2, 101)],
+        "user_id long, ts long",
+    )
+    out = {
+        r["k"]: r["match_count"]
+        for r in range_count_join(
+            left, right, on="ts", by=["user_id"], lower=0, upper=100
+        ).collect()
+    }
+    assert out == {"a": 3, "b": 3, "c": 0}
+
+
+def test_label_centroids_and_ivf(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.8, 0.2], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = {r["label"]: r["cv"] for r in label_centroids(emb).collect()}
+    assert abs(cents[0][0] - 0.9) < 1e-6 and abs(cents[1][1] - 0.95) < 1e-6
+
+    q = emb.where(F.col("vec_id") == 0)
+    hits = ivf_topk(q, emb, k=2).collect()
+    # query 0 lands in cell 0 and only sees its cell-mates (vec 1)
+    assert [(r["q_id"], r["c_id"], r["cell"]) for r in hits] == [(0, 1, 0)]
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),
+        (2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(0, 1)]
