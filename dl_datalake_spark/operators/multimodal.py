@@ -98,6 +98,47 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over the binary column.
+
+    `resizer(payload, w, h) -> payload` is the real codec hook
+    (PIL/opencv — not in this container). Without one, the payload
+    passes through unchanged and only the metadata is rewritten, which
+    keeps the plumbing (schema, batch shape, narrow no-shuffle map)
+    real and testable; a production caller injects the actual codec.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if resizer is not None:
+                payloads = payloads.map(
+                    lambda p: resizer(bytes(p) if p is not None else b"", width, height)
+                )
+            meta = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": meta}
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_ts) rows from duration metadata; the actual frame decode is

@@ -6,6 +6,7 @@ from __future__ import annotations
 from dl_datalake_spark.lake import LakeReader, LakeWriter, ManifestManager
 from dl_datalake_spark.lake.paths import DatasetKey
 from dl_datalake_spark.operators.multimodal import (
+    resize_images,
     attach_binary_column,
     extract_features,
     frame_sample,
@@ -73,3 +74,53 @@ def test_frame_sample(spark):
     )
     frames = frame_sample(media, every_ms=1000).collect()
     assert [r["frame_ts"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images(spark):
+    docs = spark.createDataFrame([(1, "img-bytes")], "doc_id long, text string")
+    media = attach_binary_column(docs)
+    out = resize_images(media, width=64, height=48).collect()
+    assert out[0]["meta"]["width"] == 64 and out[0]["meta"]["height"] == 48
+    assert bytes(out[0]["payload"]) == b"img-bytes"  # passthrough without codec
+
+    def fake_resizer(payload, w, h):
+        return payload[: w // 32]  # pretend-resize: truncate
+
+    out2 = resize_images(media, width=64, height=48, resizer=fake_resizer).collect()
+    assert bytes(out2[0]["payload"]) == b"im"
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    from dl_datalake_spark.streaming.stateful import running_user_stats
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        "user_id,ts,value\n1,100,1.5\n1,200,2.5\n2,100,10.0\n"
+    )
+    (landing / "b2.csv").write_text("user_id,ts,value\n1,300,3.0\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(landing), header=True)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from user_stats").collect()
+    # state accumulates across micro-batches: user 1's final row covers
+    # all three events even though they arrived in two files
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    assert final[1]["n_events"] == 3 and abs(final[1]["sum_value"] - 7.0) < 1e-9
+    assert final[1]["last_ts"] == 300
+    assert final[2]["n_events"] == 1 and final[2]["sum_value"] == 10.0
