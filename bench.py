@@ -28,19 +28,25 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_nation_volume",
+    "q18_large_volume_orders",
     "agg_rollup",
     "window_rank_topn",
     "window_moving_frames",
     "events_tumbling_hourly",
     "events_sessionize",
     "events_keep_last",
+    "events_asof_join",
+    "events_range_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_emb_cosine",
     "docs_quality_score",
     "emb_cosine_topk",
     "emb_knn_join",
+    "emb_ivf_topk",
 ]
 
 # queries whose result set is large: count() instead of collect() so the
@@ -48,8 +54,11 @@ HEADLINE = [
 COUNT_ONLY = {
     "window_moving_frames",
     "events_keep_last",
+    "events_asof_join",
+    "events_range_join",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_emb_cosine",
     "docs_quality_score",
 }
 

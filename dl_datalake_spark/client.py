@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dl_datalake_spark.lake.export import export_terminal_csv
 from dl_datalake_spark.lake.features import FeatureStore
 from dl_datalake_spark.lake.maintenance import IntegrityReport, audit, verify_integrity
 from dl_datalake_spark.lake.manifest import ManifestManager
@@ -61,6 +62,24 @@ class DataLakeClient:
         agg = resample_ohlcv(src, target_period)
         return self.writer.write_ohlc(
             agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)
+        )
+
+    # -- export (UI data.py:154-359) -----------------------------------------
+    def export_ohlc(
+        self,
+        path: str,
+        exchange: str,
+        symbol: str,
+        start: str | None = None,
+        end: str | None = None,
+        period: str = "1m",
+        resample_to: str | None = None,
+        single_file: bool = True,
+    ) -> None:
+        df = self.reader.read_range(exchange, symbol, "raw", start, end)
+        export_terminal_csv(
+            df, path, ticker=symbol.upper(), period=period,
+            resample_to=resample_to, single_file=single_file,
         )
 
     # -- maintenance ---------------------------------------------------------

@@ -35,6 +35,21 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Precompute the vector norm once per row. Higher-order array
+    functions are interpreted (not codegen'd), so folds are the cost
+    unit of every similarity op: computing each side's norm once per
+    VECTOR instead of once per PAIR cuts an all-pairs scoring from 3
+    folds/pair to 1 with bit-identical results (the norm is the same
+    double either way)."""
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
+def cosine_scored(a_vec, b_vec, a_norm, b_norm):
+    """cosine() with both norms precomputed via _with_norm."""
+    return _dot(a_vec, b_vec) / (F.col(a_norm) * F.col(b_norm))
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -68,12 +83,18 @@ def pairwise_topk_join(
     Broadcast the smaller side; rank per query with a window. Exact —
     the oracle-checkable baseline for ANN variants.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = _with_norm(queries, vec_col, "_qn").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("_qn").alias("q_nrm")
+    )
+    c = _with_norm(corpus, vec_col, "_cn").select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("_cn").alias("c_nrm")
+    )
     scored = q.join(F.broadcast(c), F.col("q_id") != F.col("c_id")).select(
         "q_id",
         "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            cosine_scored(F.col("q_vec"), F.col("c_vec"), "q_nrm", "c_nrm"), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -145,18 +166,23 @@ def ivf_topk(
         .where(F.col("rn") == 1)
         .select("q_id", "qv", F.col("label").alias("cell"))
     )
-    c = corpus.select(
+    c = _with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("cv2"),
         F.col(label_col).alias("c_label"),
+        F.col("_cn").alias("c_nrm"),
     )
-    scored = assigned.join(
-        c, (F.col("cell") == F.col("c_label")) & (F.col("q_id") != F.col("c_id"))
-    ).select(
-        "q_id",
-        "cell",
-        "c_id",
-        F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+    scored = (
+        _with_norm(assigned, "qv", "q_nrm")
+        .join(c, (F.col("cell") == F.col("c_label")) & (F.col("q_id") != F.col("c_id")))
+        .select(
+            "q_id",
+            "cell",
+            "c_id",
+            F.round(
+                cosine_scored(F.col("qv"), F.col("cv2"), "q_nrm", "c_nrm"), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -177,14 +203,21 @@ def cosine_near_dup_pairs(
     bucket prefilter (ann_lsh_topk's hyperplane_buckets) to generate
     candidates and this exact check only within buckets.
     """
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    base = _with_norm(df, vec_col, "_nrm")
+    a = base.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), F.col("_nrm").alias("a_nrm")
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), F.col("_nrm").alias("b_nrm")
+    )
     return (
         a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_scored(F.col("a_vec"), F.col("b_vec"), "a_nrm", "b_nrm"), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -74,3 +74,32 @@ def test_audit_detects_orphans_and_dead_links(client, tmp_path):
     rep = client.audit()
     assert any("FAKE" in p for p in rep["orphan_files"])
     assert "/nonexistent/path" in rep["dead_links"]
+
+
+def test_export_terminal_csv(spark, tmp_path, ohlc_df):
+    import csv as csvmod
+    import glob
+
+    from dl_datalake_spark.lake.export import export_terminal_csv
+
+    out_dir = tmp_path / "export"
+    export_terminal_csv(ohlc_df, str(out_dir), ticker="BTCUSDT", period="1m")
+    files = glob.glob(str(out_dir / "part-*.csv"))
+    assert len(files) == 1  # single_file default coalesces
+    with open(files[0]) as fh:
+        rows = list(csvmod.reader(fh))
+    assert rows[0] == [
+        "<TICKER>", "<PER>", "<DATE>", "<TIME>",
+        "<OPEN>", "<HIGH>", "<LOW>", "<CLOSE>", "<VOL>",
+    ]
+    # first candle: 2023-01-01T12:00:00Z
+    assert rows[1][0] == "BTCUSDT" and rows[1][1] == "1m"
+    assert rows[1][2] == "20230101" and rows[1][3] == "120000"
+    assert len(rows) == 1 + ohlc_df.count()
+
+    # aggregated variant: 100 one-minute candles -> 7 fifteen-minute rows
+    out2 = tmp_path / "export15"
+    export_terminal_csv(ohlc_df, str(out2), ticker="BTCUSDT", period="1m", resample_to="15m")
+    with open(glob.glob(str(out2 / "part-*.csv"))[0]) as fh:
+        rows15 = list(csvmod.reader(fh))
+    assert len(rows15) == 1 + 7 and rows15[1][1] == "15m"
