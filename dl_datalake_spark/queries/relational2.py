@@ -531,3 +531,86 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (SURVEY §2.4 "absent from reference, free in Spark")
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via the SQL entry point (temp-view + spark.sql path)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT (completes the set-op family: union/except already covered)
+# ---------------------------------------------------------------------------
+@register(
+    "set_intersect",
+    sql="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY custkey
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.intersect(building).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct (HLL) vs exact — approximate by design, rows-only
+# ---------------------------------------------------------------------------
+@register("agg_approx_distinct")  # no SQL oracle: HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
