@@ -64,8 +64,13 @@ class LakeWriter:
         return self._write(df, key.normalized(), mode=mode)
 
     def write_ticks(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
+        """Free-schema (ts + arbitrary columns) write. A key still
+        carrying the default "raw" data_type is coerced to "ticks"
+        (writer.py:190-232 semantics); an explicit type — e.g.
+        "funding" (exchange_connector.py:414-433) — is respected."""
         k = key.normalized()
-        k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
+        if k.data_type == "raw":
+            k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
         return self._write(df, k, mode=mode)
 
     # -- core ---------------------------------------------------------------

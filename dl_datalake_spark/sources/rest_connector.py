@@ -143,6 +143,70 @@ class ExchangeConnector:
                 progress(total)
         return total
 
+    def download_funding(
+        self,
+        key: DatasetKey,
+        since: int | None = None,
+        until: int | None = None,
+        page_ms: int = 8 * 3_600_000 * 1000,
+    ) -> int:
+        """Funding-rate history ingest (exchange_connector.py:355-446).
+
+        `client.fetch_funding_rate_history(symbol, since, limit)` →
+        list of {"timestamp": ms, "fundingRate": f, "symbol": s} dicts
+        (the CCXT shape). Watermark resume is per data_type — funding
+        and raw cursors never mix (reference bug class avoided by
+        keying the manifest on data_type, not on metadata substring
+        matching). Rows land via write_ticks (ts + arbitrary columns).
+        """
+        cfg = self.cfg
+        manifest = self.writer.manifest
+        if since is None and manifest is not None:
+            wm = manifest.watermark(key.exchange, key.symbol, key.data_type)
+            since = (wm + 1) if wm is not None else 0
+        since = since or 0
+        until = until if until is not None else int(time.time() * 1000)
+
+        total = 0
+        rate_retries = 0
+        buffer: list[dict] = []
+        while since < until:
+            try:
+                page = self.client.fetch_funding_rate_history(
+                    key.symbol, since=since, limit=cfg.page_limit
+                )
+            except RateLimitError:
+                rate_retries += 1
+                if rate_retries > cfg.max_rate_retries:
+                    break
+                cfg.sleep(cfg.rate_limit_sleep)
+                continue
+            except Exception:
+                cfg.sleep(cfg.generic_backoff)
+                break
+            rate_retries = 0
+            if not page:
+                break
+            buffer.extend(page)
+            since = int(page[-1]["timestamp"]) + 1
+            if len(buffer) >= cfg.flush_chunk:
+                total += self._flush_funding(buffer, key)
+                buffer = []
+        if buffer:
+            total += self._flush_funding(buffer, key)
+        return total
+
+    def _flush_funding(self, rows: list[dict], key: DatasetKey) -> int:
+        df = self.spark.createDataFrame(
+            [
+                (int(r["timestamp"]), float(r["fundingRate"]), str(r.get("symbol", key.symbol)))
+                for r in rows
+            ],
+            "ts long, funding_rate double, symbol string",
+        )
+        self.writer.write_ticks(df, key)
+        return len(rows)
+
     def _flush(self, rows: list[Sequence], key: DatasetKey) -> int:
         if not rows:
             return 0

@@ -140,3 +140,49 @@ def test_empty_page_gap_jump(spark, lake):
     conn = ExchangeConnector(spark, writer, client, cfg)
     total = conn.download_ohlcv(KEY, MIN_MS, since=0, until=late_start + 10 * MIN_MS)
     assert total == 10  # cursor jumped over the empty region
+
+
+class FakeFundingExchange:
+    def __init__(self, rows):
+        self.rows = rows
+
+    def fetch_funding_rate_history(self, symbol, since, limit):
+        return [r for r in self.rows if r["timestamp"] >= since][:limit]
+
+
+def test_funding_download_and_watermark_resume(spark, lake):
+    writer, reader, manifest = lake
+    key = KEY.__class__("binance", "futures", "BTCUSDT", "funding", "8h")
+    rows = [
+        {"timestamp": i * 8 * 3_600_000, "fundingRate": 0.0001 * i, "symbol": "BTCUSDT"}
+        for i in range(1, 6)
+    ]
+    conn = ExchangeConnector(spark, writer, FakeFundingExchange(rows))
+    assert conn.download_funding(key, since=0, until=10**15) == 5
+    df = reader.read_dataset(key)
+    assert df.count() == 5
+    assert "funding_rate" in df.columns
+
+    # resume: watermark skips already-ingested rows; one new row arrives
+    rows.append({"timestamp": 6 * 8 * 3_600_000, "fundingRate": 0.9, "symbol": "BTCUSDT"})
+    conn2 = ExchangeConnector(spark, writer, FakeFundingExchange(rows))
+    assert conn2.download_funding(key, until=10**15) == 1
+    assert reader.read_dataset(key).count() == 6
+
+
+def test_compact_preserves_rows(spark, lake, tmp_path):
+    from dl_datalake_spark.lake.maintenance import compact
+
+    writer, reader, _ = lake
+    # write the same dataset twice (two small files per partition)
+    for start in (0, 10 * MIN_MS):
+        df = spark.createDataFrame(
+            _mk_candles(10, start=start),
+            "ts long, open double, high double, low double, close double, volume double",
+        )
+        writer.write_ohlc(df, KEY)
+    base = writer.base_path
+    before = spark.read.option("basePath", base).parquet(base).count()
+    compact(spark, base)
+    after = spark.read.option("basePath", base + "_compacted").parquet(base + "_compacted")
+    assert after.count() == before
