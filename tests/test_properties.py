@@ -98,3 +98,31 @@ def test_read_range_pushdown_reaches_scan(spark, tmp_path, ohlc_df):
     assert "GreaterThanOrEqual(ts," in plan and "LessThanOrEqual(ts," in plan
     # the filter is pushed into the scan, not applied post-scan only
     assert "PushedFilters: []" not in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Same-bucketed tables join without an Exchange on either side —
+    the write-time pre-shuffle that makes repeated fact-to-fact joins
+    affordable at scale."""
+    from dl_datalake_spark.lake.bucketing import bucketed_join_ready, save_bucketed
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    items = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("o_orderkey"), F.col("id").alias("l_item")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_items_b")
+    save_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    save_bucketed(items, "t_items_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    joined = bucketed_join_ready(spark, "t_orders_b", "t_items_b", "o_orderkey")
+    # force a non-broadcast plan check: disable auto-broadcast for this query
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfied distribution
+        assert joined.count() == 4000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
