@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--exchange", required=True)
     exp.add_argument("--symbol", required=True)
     exp.add_argument("--out", required=True)
+    exp.add_argument("--period", default="1m")
+    exp.add_argument("--resample-to", default=None)
     return p
 
 
@@ -99,9 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         print(json.dumps({"deleted": client.delete_dataset(symbol=args.symbol)}))
     elif args.cmd == "export":
-        df = client.read_ohlc(args.exchange, args.symbol)
-        df.coalesce(1).write.mode("overwrite").csv(args.out, header=True)
-        print(json.dumps({"out": args.out, "rows": df.count()}))
+        client.export_ohlc(
+            args.out,
+            args.exchange,
+            args.symbol,
+            period=args.period,
+            resample_to=args.resample_to,
+        )
+        print(json.dumps({"out": args.out}))
     return 0
 
 

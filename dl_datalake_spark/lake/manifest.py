@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dl_datalake_spark.lake.paths import sanitize_symbol
+
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
@@ -140,7 +142,9 @@ class ManifestManager:
     ) -> DataFrame:
         df = self.load()
         if symbol is not None:
-            df = df.where(F.col("symbol") == symbol.upper())
+            # filters accept raw symbols ("BTC/USDT"); entries store the
+            # sanitized key ("BTC_USDT"), same as the path layout
+            df = df.where(F.col("symbol") == sanitize_symbol(symbol))
         if data_type is not None:
             df = df.where(F.col("data_type") == data_type)
         if exchange is not None:

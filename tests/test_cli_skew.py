@@ -1,0 +1,90 @@
+"""CLI end-to-end (init → ingest → read/symbols → aggregate → export →
+audit → delete) and skew-mitigation operators."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.cli import main
+from dl_datalake_spark.operators.skew import salted_agg, salted_join
+
+
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    base = str(tmp_path / "lake")
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(30))
+    )
+
+    assert main(["--base", base, "init"]) == 0
+    assert main([
+        "--base", base, "ingest", str(csv),
+        "--exchange", "binance", "--symbol", "BTC/USDT",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"rows": 30' in out
+
+    assert main(["--base", base, "symbols"]) == 0
+    assert "BTC_USDT" in capsys.readouterr().out
+
+    assert main([
+        "--base", base, "aggregate",
+        "--exchange", "binance", "--symbol", "BTC/USDT",
+        "--source-period", "1m", "--target-period", "15m",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2  # 30min → 2 buckets
+
+    exp = str(tmp_path / "exp")
+    assert main([
+        "--base", base, "export",
+        "--exchange", "binance", "--symbol", "BTC/USDT", "--out", exp,
+    ]) == 0
+    capsys.readouterr()
+    part = glob.glob(exp + "/part-*.csv")
+    assert part and open(part[0]).readline().startswith("<TICKER>")
+
+    assert main(["--base", base, "audit"]) == 0
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["orphan_files"] == [] and audit["dead_links"] == []
+
+    assert main(["--base", base, "delete", "--symbol", "BTC/USDT"]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted"] >= 1
+
+
+def test_salted_agg_matches_plain(spark):
+    # one hot key (90% of rows) + a long tail
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    salted = {
+        (r["k"],): (r["sum_v"], r["count_v"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"], [("v", "sum"), ("v", "count"), ("v", "max")], salt_buckets=8
+        ).collect()
+    }
+    plain = {
+        (r["k"],): (r["s"], r["c"], r["m"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"), F.max("v").alias("m"))
+        .collect()
+    }
+    assert len(salted) == len(plain)
+    for k, (s, c, m) in plain.items():
+        ss, sc, sm = salted[k]
+        assert abs(ss - s) < 1e-6 and sc == c and sm == m
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 4 != 3, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+    salted = salted_join(left, right, "k", salt_buckets=4).orderBy("lid")
+    plain = left.join(right, "k").orderBy("lid")
+    assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
