@@ -104,6 +104,9 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     """Same-bucketed tables join without an Exchange on either side —
     the write-time pre-shuffle that makes repeated fact-to-fact joins
     affordable at scale."""
+    import shutil
+    import uuid
+
     from dl_datalake_spark.lake.bucketing import bucketed_join_ready, save_bucketed
 
     orders = spark.range(0, 1000).select(
@@ -112,11 +115,16 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     items = spark.range(0, 4000).select(
         (F.col("id") % 1000).alias("o_orderkey"), F.col("id").alias("l_item")
     )
-    spark.sql("DROP TABLE IF EXISTS t_orders_b")
-    spark.sql("DROP TABLE IF EXISTS t_items_b")
-    save_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
-    save_bucketed(items, "t_items_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
-    joined = bucketed_join_ready(spark, "t_orders_b", "t_items_b", "o_orderkey")
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_items = f"t_orders_{suffix}", f"t_items_{suffix}"
+    # a stale warehouse dir (earlier run, fresh metastore) breaks
+    # saveAsTable even after DROP TABLE — clear both layers
+    for t in (t_orders, t_items):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    save_bucketed(orders, t_orders, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    save_bucketed(items, t_items, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    joined = bucketed_join_ready(spark, t_orders, t_items, "o_orderkey")
     # force a non-broadcast plan check: disable auto-broadcast for this query
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
