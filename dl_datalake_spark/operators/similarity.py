@@ -223,6 +223,63 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blas(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs via Arrow-batched BLAS.
+
+    Same result set as cosine_near_dup_pairs, different physical plan:
+    each partition of the left side computes a block matmul
+    (A_norm @ B_norm.T) against the broadcast normalized corpus matrix
+    in numpy — ~100× the throughput of interpreted per-pair folds, and
+    the per-executor memory is one (n × dim) float64 matrix.
+
+    Scale ceiling is the broadcast corpus (n×dim×8 bytes: 1 M vectors
+    × 768 dims ≈ 6 GB — executor-RAM bound). Beyond that, LSH-bucket
+    first (hyperplane_buckets) and run this inside buckets.
+
+    Rounding: half-up at 6 digits (floor(x·1e6 + 0.5)/1e6), matching
+    Spark's HALF_UP and DuckDB's round-half-away for the positive
+    cosines a near-dup threshold selects.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    # corpus → driver once (Arrow path), then one broadcast to every
+    # executor — the same data movement a broadcast-hash-join side pays
+    corpus_pdf = df.select(id_col, vec_col).toPandas()
+    ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(corpus_pdf[vec_col]), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    out_schema = "a_id long, b_id long, cos_sim double"
+
+    def score(batches):
+        all_ids = b_ids.value
+        corpus = b_mat.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0] = 1.0
+            sims = (a / an[:, None]) @ corpus.T
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # half-up, 6 digits
+            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"a_id": a_ids[ai], "b_id": all_ids[bi], "cos_sim": sims[ai, bi]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -80,3 +80,13 @@ def test_cosine_near_dup_pairs(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = cosine_near_dup_pairs(emb, threshold=0.95).collect()
     assert [(r["a_id"], r["b_id"]) for r in pairs] == [(0, 1)]
+
+
+def test_cosine_near_dup_blas_matches_fold(spark):
+    from dl_datalake_spark.operators.similarity import cosine_near_dup_pairs_blas
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fold = sorted(map(tuple, cosine_near_dup_pairs(emb, 0.8).collect()))
+    blas = sorted(map(tuple, cosine_near_dup_pairs_blas(emb, 0.8).collect()))
+    assert fold == blas and len(fold) > 0
