@@ -54,8 +54,14 @@ def word_shingles(
     text_col: str = "text",
     n: int = 3,
     hashed: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document.
+    """Word n-gram shingles per document (distinct by default).
+
+    distinct=False skips the dedup shuffle — correct whenever the
+    consumer is duplicate-insensitive (min-hash: min over a multiset
+    equals min over its set); set consumers (Jaccard intersections)
+    need the default.
 
     Array-native: split once into `w`, then transform indexes with
     element_at + explode — no Python in the loop, one narrow projection
@@ -83,7 +89,9 @@ def word_shingles(
     out = base.select(F.col(id_col), F.explode(shingle).alias("shingle"))
     if hashed:
         out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    return out.distinct()
+    if distinct:
+        out = out.distinct()
+    return out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -125,7 +133,11 @@ def minhash_signatures(
 
 
 def drop_stop_shingles(
-    sh: DataFrame, df: DataFrame, id_col: str, max_df_frac: float
+    sh: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    distinct_input: bool = True,
 ) -> DataFrame:
     """Drop shingles present in more than `max_df_frac` of documents.
 
@@ -144,9 +156,14 @@ def drop_stop_shingles(
     # independent). Broadcasting that set turns the filter into a
     # shuffle-free broadcast anti-join instead of a second full
     # shuffle of the shingle table against a same-sized freq table.
+    # DF = number of DOCUMENTS containing the shingle; over a multiset
+    # input (distinct_input=False) that's a countDistinct
+    df_agg = (
+        F.count(F.lit(1)) if distinct_input else F.countDistinct(F.col(id_col))
+    )
     stop = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(df_agg.alias("_df"))
         .crossJoin(F.broadcast(total))
         .where(F.col("_df") > F.greatest(F.lit(5.0), F.col("_n") * max_df_frac))
         .select("shingle")
@@ -169,9 +186,11 @@ def minhash_lsh_pairs(
     so the shuffle is linear in corpus size; band agreement is the LSH
     bucket join (r=1 rows/band).
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    # multiset shingles: min-hash is duplicate-insensitive, so the
+    # distinct shuffle is pure cost here (jaccard still needs it)
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     if max_df_frac is not None:
-        sh = drop_stop_shingles(sh, df, id_col, max_df_frac)
+        sh = drop_stop_shingles(sh, df, id_col, max_df_frac, distinct_input=False)
     sig = _pin(minhash_signatures(sh, id_col, num_bands))
     melted = sig.select(
         F.col(id_col),
