@@ -182,3 +182,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup group resolution: connected components over minhash pairs
+# ---------------------------------------------------------------------------
+def _components_sql() -> str:
+    # transitive closure by recursive CTE; component = min reachable id.
+    # Fine at oracle scale (closure is |V|·|cluster| rows); the Spark
+    # side uses iterative min-label propagation instead.
+    pairs_body = _minhash_sql().strip()
+    return rf"""
+WITH RECURSIVE
+pairs AS ({pairs_body}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node, MIN(r) AS component
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_groups", sql=_components_sql())
+def dedup_groups(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs)

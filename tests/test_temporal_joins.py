@@ -90,3 +90,15 @@ def test_cosine_near_dup_blas_matches_fold(spark):
     fold = sorted(map(tuple, cosine_near_dup_pairs(emb, 0.8).collect()))
     blas = sorted(map(tuple, cosine_near_dup_pairs_blas(emb, 0.8).collect()))
     assert fold == blas and len(fold) > 0
+
+
+def test_connected_components(spark):
+    from dl_datalake_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        # two chains (1-2-3, 10-11) and an isolated edge pair (20, 21)
+        [(2, 1), (2, 3), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
