@@ -139,8 +139,16 @@ class ManifestManager:
         data_type: str | None = None,
         exchange: str | None = None,
         market: str | None = None,
+        timeframe: str | None = None,
     ) -> DataFrame:
         df = self.load()
+        if timeframe is not None:
+            # JSON-metadata predicate (pipeline.py:147-163 filters the
+            # same field row-at-a-time in Python; here it's an engine
+            # expression, pushable and parallel)
+            df = df.where(
+                F.get_json_object(F.col("metadata_json"), "$.timeframe") == timeframe
+            )
         if symbol is not None:
             # filters accept raw symbols ("BTC/USDT"); entries store the
             # sanitized key ("BTC_USDT"), same as the path layout

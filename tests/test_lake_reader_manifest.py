@@ -91,3 +91,18 @@ def test_manifest_watermark(spark, tmp_path):
     m.add_entry("binance", "spot", "BTCUSDT", "/lake/p2", "raw", 1001, 5000)
     assert m.watermark("binance", "BTCUSDT") == 5000
     assert m.watermark("binance", "NOPE") is None
+
+
+def test_manifest_timeframe_json_filter(spark, tmp_path):
+    m = ManifestManager(spark, str(tmp_path / "m"))
+    m.add_entry(
+        "binance", "spot", "BTCUSDT", "/lake/a", "raw", 0, 1000,
+        metadata={"timeframe": "1m"},
+    )
+    m.add_entry(
+        "binance", "spot", "BTCUSDT", "/lake/b", "agg", 0, 1000,
+        metadata={"timeframe": "15m"},
+    )
+    assert m.list_entries(timeframe="15m").count() == 1
+    assert m.list_entries(timeframe="15m").first()["path"] == "/lake/b"
+    assert m.list_entries(timeframe="1h").count() == 0
