@@ -127,3 +127,52 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str):
     return with_fingerprint(load_table(spark, sf_dir, "documents", spread=True)).select(
         "doc_id", "fingerprint"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal join: per-embedding-cluster document quality
+# ---------------------------------------------------------------------------
+@register(
+    "docs_emb_quality_by_cluster",
+    sql=rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS punct_count,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> lower(w) IN {_STOP_EN})) AS INTEGER) AS stop_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              ELSE ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(punct_count / GREATEST(n_chars, 1), 1.0))
+                       + 0.3 * LEAST(stop_hits / GREATEST(n_tokens, 1) * 10, 1.0), 6)
+         END AS quality
+  FROM t
+)
+SELECT label AS cluster,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(MIN(quality), 6) AS min_quality
+FROM q JOIN embeddings ON doc_id = vec_id
+GROUP BY label
+""",
+)
+def docs_emb_quality_by_cluster(spark: SparkSession, sf_dir: str):
+    """Text quality ⋈ embedding clusters — the curation query a
+    training-data pipeline runs to find low-quality embedding cells.
+    The embedding side is dim-sized per cluster → broadcast."""
+    docs = with_quality_score(load_table(spark, sf_dir, "documents", spread=True))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )
