@@ -614,3 +614,58 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (value-based frame, vs the row-based frames in
+# window_moving_frames)
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frames",
+    sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS spend_90d
+FROM orders
+WHERE o_custkey < 200
+""",
+)
+def window_range_frames(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    # value-based frame over epoch seconds: trailing 90-day spend
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile aggregates (exact interpolated quantiles per group)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_percentiles",
+    sql="""
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_extendedprice), 4) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
