@@ -11,6 +11,7 @@ from dl_datalake_spark.queries.registry import ORACLE_SQL, QUERIES, register  # 
 # importing the modules populates the registry
 from dl_datalake_spark.queries import relational  # noqa: F401, E402
 from dl_datalake_spark.queries import relational2  # noqa: F401, E402
+from dl_datalake_spark.queries import relational3  # noqa: F401, E402
 from dl_datalake_spark.queries import events  # noqa: F401, E402
 from dl_datalake_spark.queries import temporal  # noqa: F401, E402
 from dl_datalake_spark.queries import textops  # noqa: F401, E402
