@@ -143,6 +143,32 @@ class ExchangeConnector:
                 progress(total)
         return total
 
+    def probe_listing_date(self, symbol: str, timeframe_ms: int) -> int | None:
+        """First-available candle timestamp (T6, exchange_connector.py:126-186).
+
+        Primary probe: `fetch_ohlcv(since=0, limit=1)` — most exchanges
+        return the earliest candle. Fallback: probe from 5 years back.
+        Rate-limited probes retry ≤3 times (the reference's tighter
+        probe budget vs the ≤5 of the main loop).
+        """
+        cfg = self.cfg
+        five_years_ago = int(time.time() * 1000) - 5 * 365 * 86_400_000
+        for since in (0, five_years_ago):
+            retries = 0
+            while retries <= 3:
+                try:
+                    page = self.client.fetch_ohlcv(symbol, timeframe_ms, since=since, limit=1)
+                except RateLimitError:
+                    retries += 1
+                    cfg.sleep(cfg.rate_limit_sleep)
+                    continue
+                except Exception:
+                    break
+                if page:
+                    return int(page[0][0])
+                break
+        return None
+
     def download_funding(
         self,
         key: DatasetKey,

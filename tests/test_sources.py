@@ -186,3 +186,52 @@ def test_compact_preserves_rows(spark, lake, tmp_path):
     compact(spark, base)
     after = spark.read.option("basePath", base + "_compacted").parquet(base + "_compacted")
     assert after.count() == before
+
+
+def test_probe_listing_date(spark, lake):
+    writer, _, _ = lake
+    client = FakeExchange(_mk_candles(10, start=5 * MIN_MS))
+    conn = ExchangeConnector(spark, writer, client, ConnectorConfig(sleep=lambda s: None))
+    assert conn.probe_listing_date("BTCUSDT", MIN_MS) == 5 * MIN_MS
+
+
+def test_probe_retries_on_rate_limit_then_succeeds(spark, lake):
+    writer, _, _ = lake
+    client = FakeExchange(_mk_candles(3), rate_limit_first=2)
+    conn = ExchangeConnector(spark, writer, client, ConnectorConfig(sleep=lambda s: None))
+    assert conn.probe_listing_date("BTCUSDT", MIN_MS) == 0
+
+
+def test_download_manager_lifecycle_and_per_exchange_cap():
+    import threading
+    import time as _time
+
+    from dl_datalake_spark.sources.download_manager import DownloadManager
+
+    running = []
+    peak = [0]
+    lock = threading.Lock()
+
+    mgr = DownloadManager(connector_factory=lambda ex: f"conn:{ex}", per_exchange=2)
+
+    def slow_run(conn):
+        with lock:
+            running.append(1)
+            peak[0] = max(peak[0], len(running))
+        _time.sleep(0.05)
+        with lock:
+            running.pop()
+        return 7
+
+    tasks = [mgr.submit("binance", f"S{i}", slow_run) for i in range(5)]
+    for t in tasks:
+        assert t.wait(timeout=10)
+    assert all(t.status == "completed" and t.rows == 7 for t in tasks)
+    assert peak[0] <= 2  # per-exchange semaphore held
+    # connector cache: one instance per exchange
+    assert mgr.connector("binance") is mgr.connector("binance")
+
+    fail = mgr.submit("kraken", "X", lambda conn: (_ for _ in ()).throw(ValueError("boom")))
+    assert fail.wait(timeout=10)
+    assert fail.status == "failed" and "boom" in (fail.error or "")
+    mgr.shutdown()
