@@ -30,6 +30,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q7_nation_volume",
     "q18_large_volume_orders",
+    "q4_order_priority",
+    "q21_sole_late_supplier",
     "agg_rollup",
     "window_rank_topn",
     "window_moving_frames",
