@@ -210,3 +210,85 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
         F.round(F.avg(k), 6).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (T8): 1h windows every 30min via native F.window(slide)
+# — Spark's Expand generates both bucket memberships JVM-side; the oracle
+# reproduces the expansion with UNNEST of the two aligned grid starts
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_windows",
+    sql=f"""
+SELECT wid, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM (SELECT unnest([epoch_us(ts) // {US_30MIN} - 1,
+                     epoch_us(ts) // {US_30MIN}]) AS wid,
+             event_type, value
+      FROM events)
+GROUP BY wid, event_type
+""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.window(F.timestamp_micros(F.col("tsu")), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.expr(f"unix_micros(w.start) DIV {US_30MIN}").alias("wid"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# built-in session windows (T8/streaming-compatible): F.session_window
+# merges events whose gap is < 30min; a new session starts at gap >= 30min
+# (interval end is exclusive), which is exactly the lag-island condition
+# in the oracle
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window_builtin",
+    sql=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS tsu, value,
+         CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                   >= {US_30MIN} OR
+                   LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sessions AS (
+  SELECT user_id, tsu, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsu
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(tsu) AS session_start_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.session_window(F.timestamp_micros(F.col("tsu")), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
