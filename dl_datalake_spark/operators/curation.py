@@ -1,0 +1,84 @@
+"""Training-data curation operators: deterministic sampling, splits,
+and token-budget packing.
+
+What a 100 TB pretraining pipeline needs between "raw documents" and
+"training shards": reproducible per-language mixing ratios, a stable
+train/val/test assignment, and packing documents into fixed token
+budgets — all as pure Column expressions so they run JVM-side at any
+scale with no Python in the loop and no RNG (re-running on new data
+never reshuffles old assignments; the hash IS the random source).
+
+Hash discipline: the sampling/split key is the first hex chars of
+md5(id). Hex strings compare lexicographically identically in every
+engine (0-9 < a-f in ASCII), so a cutoff like `< 'cc'` (= 204/256 ≈
+79.7%) is exact, engine-portable, and needs no integer conversion —
+the same trick the DuckDB oracles replay verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key(id_col: str, nchars: int = 2):
+    """Deterministic uniform [0,16^nchars) bucket as a hex string."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, nchars)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, cutoffs: dict[str, str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep rows whose hash key falls under the stratum's hex cutoff.
+
+    cutoffs maps stratum value → 2-hex-char cutoff ('40' = 25%,
+    'cc' ≈ 80%); missing strata default to keeping nothing ('00').
+    Filter is a pure per-row predicate: fully parallel, no shuffle.
+    """
+    key = hash_key(id_col)
+    cut = F.lit("00")
+    for value, hexcut in cutoffs.items():
+        cut = F.when(F.col(strata_col) == value, F.lit(hexcut)).otherwise(cut)
+    return df.where(key < cut)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_cut: str = "cc",
+    val_cut: str = "e6",
+) -> DataFrame:
+    """Stable train/val/test assignment (~80/10/10 by md5 range)."""
+    key = hash_key(id_col)
+    return df.withColumn(
+        "split",
+        F.when(key < train_cut, "train").when(key < val_cut, "val").otherwise("test"),
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "lang",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training window.
+
+    window_id = floor(cumulative_tokens_before_doc / budget) within a
+    shard, documents in stable `order_col` order. One window function
+    per shard partition — the shuffle is by shard key only, which is
+    how you'd build shards on a cluster anyway (each shard's packing
+    is independent and order-deterministic).
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w).cast("long")
+    # integer DIV, not float division: cumulative token counts at 100 TB
+    # can exceed double's 2^53 mantissa
+    return df.withColumn("_cum_before", cum - F.col(tokens_col)).withColumn(
+        "window_id", F.expr(f"_cum_before DIV {int(budget)}")
+    ).drop("_cum_before")

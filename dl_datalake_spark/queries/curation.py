@@ -1,0 +1,97 @@
+"""Curation queries: deterministic stratified sampling, train/val/test
+split accounting, and token-budget window packing over `documents` —
+the md5-hex-cutoff trick makes every one exactly reproducible in the
+DuckDB oracle (hex strings compare identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.curation import (
+    assign_split,
+    pack_token_budget,
+    stratified_sample,
+)
+from dl_datalake_spark.operators.text import with_token_count
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+# downsample dominant English to 25%, keep 80% of everything else —
+# a typical language-rebalancing mix
+_CUTOFFS = {"en": "40", "de": "cc", "es": "cc", "fr": "cc", "zh": "cc"}
+_CUT_SQL = (
+    "CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN 'cc' WHEN 'es' THEN 'cc' "
+    "WHEN 'fr' THEN 'cc' WHEN 'zh' THEN 'cc' ELSE '00' END"
+)
+_KEY_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+_BUDGET = 8192
+
+
+@register(
+    "docs_stratified_sample",
+    sql=f"""
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {_KEY_SQL} < {_CUT_SQL}
+GROUP BY lang ORDER BY lang
+""",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return (
+        stratified_sample(docs, "lang", _CUTOFFS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_train_split",
+    sql=f"""
+SELECT CASE WHEN {_KEY_SQL} < 'cc' THEN 'train'
+            WHEN {_KEY_SQL} < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY split, lang
+""",
+)
+def docs_train_split(spark: SparkSession, sf_dir: str):
+    docs = assign_split(load_table(spark, sf_dir, "documents", spread=True))
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "docs_pack_windows",
+    sql=rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS cum_before
+  FROM t)
+SELECT lang, cum_before // {_BUDGET} AS window_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY lang, window_id
+""",
+)
+def docs_pack_windows(spark: SparkSession, sf_dir: str):
+    docs = with_token_count(load_table(spark, sf_dir, "documents", spread=True))
+    packed = pack_token_budget(docs, _BUDGET)
+    return packed.groupBy("lang", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )

@@ -131,3 +131,44 @@ def test_cosine_topk(spark):
     top = cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in top] == [1, 2]
     assert top[0]["cos_sim"] == 1.0
+
+
+def test_curation_split_sample_pack(spark):
+    from dl_datalake_spark.operators.curation import (
+        assign_split,
+        pack_token_budget,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de", (i % 7) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+
+    # split: deterministic (same assignment on re-run), full coverage, ~80/10/10
+    s1 = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    assert s1 == s2
+    counts = {v: sum(1 for x in s1.values() if x == v) for v in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 400
+
+    # stratified sample: subset, en rate < de rate under these cutoffs
+    samp = stratified_sample(df, "lang", {"en": "20", "de": "cc"}).collect()
+    by_lang = {"en": 0, "de": 0}
+    for r in samp:
+        by_lang[r["lang"]] += 1
+    assert by_lang["de"] > by_lang["en"]
+    assert all(r["doc_id"] in s1 for r in samp)
+
+    # packing: window token sums stay under budget + max single doc;
+    # windows are contiguous in doc_id order per shard
+    packed = pack_token_budget(df, budget=50).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for r in packed:
+        sums[(r["lang"], r["window_id"])] += r["n_tokens"]
+    assert all(s < 50 + 7 for s in sums.values())
+    for lang in ("en", "de"):
+        seq = sorted((r["doc_id"], r["window_id"]) for r in packed if r["lang"] == lang)
+        wids = [w for _, w in seq]
+        assert wids == sorted(wids)  # monotone windows in pack order
