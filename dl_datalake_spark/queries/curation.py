@@ -95,3 +95,97 @@ def docs_pack_windows(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: flag documents sharing any word-5-gram with a benchmark
+# corpus (here: src0 stands in for the eval set). The benchmark side is
+# tiny by construction, so its shingle set broadcasts — at 100 TB the scan
+# side never shuffles; this is a broadcast semi-join per document.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_decontaminate",
+    sql=r"""
+WITH sh AS (
+  SELECT doc_id, source, lang, unnest(
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 5 THEN
+      [array_to_string(string_split_regex(trim(text), '\s+')[i : i+4], ' ')
+       FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 3)]
+    ELSE [] END) AS shingle
+  FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+flagged AS (
+  SELECT DISTINCT sh.doc_id, sh.lang
+  FROM sh JOIN bench USING (shingle)
+  WHERE sh.source <> 'src0')
+SELECT lang, COUNT(*) AS n_contaminated FROM flagged GROUP BY lang ORDER BY lang
+""",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs.select("doc_id", "text"), n=5, distinct=False)
+    meta = docs.select("doc_id", "source", "lang")
+    sh = sh.join(meta, "doc_id")
+    bench = sh.where(F.col("source") == "src0").select("shingle").distinct()
+    return (
+        sh.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "shingle", "leftsemi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition detection (Gopher-style quality rule): fraction of duplicate
+# word-3-grams within each document; one explode + one two-level hash agg
+# ---------------------------------------------------------------------------
+@register(
+    "docs_repetition_ratio",
+    sql=r"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+      [array_to_string(string_split_regex(trim(text), '\s+')[i : i+2], ' ')
+       FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+    ELSE [] END) AS shingle
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS total,
+         COUNT(DISTINCT shingle) AS n_distinct
+  FROM sh GROUP BY doc_id)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ROUND(1.0 - pd.n_distinct / pd.total, 6) > 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       ROUND(AVG(1.0 - pd.n_distinct / pd.total), 6) AS avg_rep_ratio
+FROM per_doc pd JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct") / F.col("total")
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.round(ratio, 6) > 0.2, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("n_repetitive"),
+            F.round(F.avg(ratio), 6).alias("avg_rep_ratio"),
+        )
+        .orderBy("lang")
+    )
