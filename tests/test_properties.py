@@ -134,3 +134,19 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         assert joined.count() == 4000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Plan hygiene across the whole registry: no unbounded cartesian
+    joins. One-row scalar-subquery broadcasts (BroadcastNestedLoopJoin
+    over a 1-row aggregate) are by-design; CartesianProduct is never
+    acceptable at 100 TB."""
+    from dl_datalake_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian joins in: {offenders}"
