@@ -81,3 +81,29 @@ def streaming_resample(
         )
         .select("ts", "open", "high", "low", "close", "volume")
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Drop duplicate records within the watermark horizon (T3's
+    streaming analogue).
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    watermark instead of growing forever — the only state-safe way to
+    run exactly-once dedup on an unbounded stream. Keys default to
+    [ts]: the reference's per-timestamp idempotency
+    (`storage/writer.py:92`), now enforced in-flight rather than at
+    merge time. Downstream the lake upsert stays idempotent, so the
+    two layers compose: in-flight dedup bounds re-delivery, the
+    keep-last merge handles anything older than the watermark.
+    """
+    keys = keys or [ts_col]
+    with_time = df.withColumn("_event_time", F.timestamp_millis(F.col(ts_col)))
+    out = with_time.withWatermark("_event_time", watermark_delay)
+    if hasattr(out, "dropDuplicatesWithinWatermark"):
+        return out.dropDuplicatesWithinWatermark(keys).drop("_event_time")
+    return out.dropDuplicates(keys).drop("_event_time")

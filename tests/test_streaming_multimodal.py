@@ -124,3 +124,33 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert final[1]["n_events"] == 3 and abs(final[1]["sum_value"] - 7.0) < 1e-9
     assert final[1]["last_ts"] == 300
     assert final[2]["n_events"] == 1 and final[2]["sum_value"] == 10.0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """In-flight dedup on a real stream: duplicate ts rows across
+    micro-batches collapse to one within the watermark horizon."""
+    from dl_datalake_spark.sources.rest_connector import OHLCV_SCHEMA
+    from dl_datalake_spark.streaming.ingest import streaming_dedup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text(
+        "ts,open,high,low,close,volume\n60000,1,2,0.5,1.5,10\n120000,1,2,0.5,1.5,11\n"
+    )
+    (landing / "b.csv").write_text(
+        "ts,open,high,low,close,volume\n60000,9,9,9,9,99\n180000,1,2,0.5,1.5,12\n"
+    )
+    stream = spark.readStream.schema(OHLCV_SCHEMA).option("header", True).csv(str(landing))
+    deduped = streaming_dedup(stream, keys=["ts"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT ts FROM dedup_sink").collect()
+    ts = sorted(r["ts"] for r in rows)
+    assert ts == [60000, 120000, 180000]  # the duplicate 60000 collapsed
