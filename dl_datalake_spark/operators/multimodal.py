@@ -77,12 +77,26 @@ def extract_features(
     feat_dim: int = 8,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column."""
-    decode = decoder or (lambda b: _fake_decode(b, feat_dim))
+    decode = decoder
+    dim = feat_dim
 
+    # NOTE: this closure executes on Python workers, which may not have
+    # this package importable (driver-owned sessions started outside the
+    # repo). Keep it self-contained: stdlib/pandas imports inside, no
+    # module-global references — cloudpickle then ships it by value.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd
+
+        def fake_decode(payload: bytes) -> list[float]:
+            d = hashlib.sha256(payload or b"").digest()
+            return [d[i] / 255.0 for i in range(dim)]
+
+        decode_fn = decode or fake_decode
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [decode(bytes(p) if p is not None else b"") for p in payloads]
+            feats = [decode_fn(bytes(p) if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -90,7 +104,7 @@ def extract_features(
                     "digest": payloads.map(
                         lambda p: hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
                     ),
-                    "feat_dim": feat_dim,
+                    "feat_dim": dim,
                     "features": feats,
                 }
             )
@@ -123,6 +137,9 @@ def resize_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side closure: self-contained imports (see extract_features)
+        import pandas as pd
+
         for pdf in batches:
             payloads = pdf["payload"]
             if resizer is not None:

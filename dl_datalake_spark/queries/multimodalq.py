@@ -1,0 +1,49 @@
+"""Multimodal-pipeline query: binary payload → Arrow-batched feature
+extraction → per-language accounting.
+
+This runs the real `mapInPandas` decode plumbing (the codec itself is
+the deterministic sha256-fake — media libs are out of scope), and the
+oracle reproduces the digest/byte accounting exactly: DuckDB's
+`sha256()` and hashlib agree on lowercase hex over the same UTF-8
+payload bytes, so the value hash verifies that the binary column,
+batch shape, and UDF signature are wired correctly end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.multimodal import attach_binary_column, extract_features
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+
+@register(
+    "media_feature_digest",
+    sql="""
+SELECT lang,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_payloads
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+def media_feature_digest(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = attach_binary_column(docs)
+    feats = extract_features(media)
+    return (
+        feats.join(
+            F.broadcast(docs.select(F.col("doc_id").alias("media_id"), "lang")),
+            "media_id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.countDistinct("digest").alias("n_distinct_payloads"),
+        )
+        .orderBy("lang")
+    )

@@ -51,6 +51,10 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # worker-side closure: keep self-contained (no module globals) so
+        # it runs on sessions whose workers can't import this package
+        import pandas as pd
+
         (user_id,) = key
         if state.exists:
             n, total, last_ts = state.get
