@@ -91,3 +91,25 @@ class DataLakeClient:
 
     def delete_dataset(self, **filters) -> int:
         return self.manifest.delete_entries(**filters)
+
+    # -- SQL surface (reference: DuckDB SQL over parquet, reader.py:57-62) ---
+    def register_view(
+        self,
+        name: str,
+        exchange: str,
+        symbol: str,
+        data_type: str = "raw",
+        start: str | None = None,
+        end: str | None = None,
+    ) -> None:
+        """Expose a dataset (optionally time-bounded) as a temp view for
+        `sql()`. The view is the pruned/pushed-down scan, so SQL over it
+        keeps the same physical plan as the DataFrame path."""
+        self.reader.read_range(exchange, symbol, data_type, start, end).createOrReplaceTempView(
+            name
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL over registered lake views — the engine analogue of
+        the reference's ad-hoc DuckDB SQL over parquet globs."""
+        return self.spark.sql(query)

@@ -103,3 +103,18 @@ def test_export_terminal_csv(spark, tmp_path, ohlc_df):
     with open(glob.glob(str(out2 / "part-*.csv"))[0]) as fh:
         rows15 = list(csvmod.reader(fh))
     assert len(rows15) == 1 + 7 and rows15[1][1] == "15m"
+
+
+def test_client_sql_over_registered_view(spark, tmp_path):
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{i*60000},1,2,0.5,{1.0+i},10" for i in range(10))
+    )
+    client.ingest_csv(str(csv), "binance", "spot", "BTCUSDT")
+    client.register_view("btc", "binance", "BTCUSDT")
+    out = client.sql(
+        "SELECT COUNT(*) AS n, MAX(close) AS mx FROM btc WHERE ts >= 120000"
+    ).collect()[0]
+    assert out["n"] == 8 and out["mx"] == 10.0
