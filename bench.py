@@ -68,6 +68,20 @@ COUNT_ONLY = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        # size shuffle parallelism to the data volume (~64 MB per
+        # partition, floor 8): at sf0.1 the whole dataset is ~50 MB and
+        # 32-way shuffles pay pure task-scheduling overhead; at larger
+        # SFs this scales back up toward the core count. AQE still
+        # coalesces below the chosen number at runtime.
+        total_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        parts = max(8, min(cpus, total_bytes // (64 << 20) + 1))
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
     spark = get_spark("dl-datalake-spark-bench")
     # warm the JVM + parquet footers once; also spin up the Arrow
     # python workers (numpy/pandas import per executor) so the first
