@@ -15,10 +15,13 @@ numeric components.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import tempfile
+import threading
+import time
 import uuid
 from datetime import datetime, timezone
 from typing import Any
@@ -46,6 +49,53 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("metadata_json", T.StringType()),
     ]
 )
+
+
+# Catalog mutations are read-modify-write; without mutual exclusion two
+# concurrent add_entry calls lose one row (the reference serializes the
+# same section behind SQLite's file lock, manifest.py:52-55, 30 s
+# timeout). In-process: one threading.Lock per manifest path. Across
+# processes: an O_EXCL lockfile with the same 30 s timeout. The catalog
+# is driver-local metadata — this never touches the data plane.
+_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+LOCK_TIMEOUT_S = 30.0
+
+
+def _thread_lock(path: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        if path not in _LOCKS:
+            _LOCKS[path] = threading.Lock()
+        return _LOCKS[path]
+
+
+@contextlib.contextmanager
+def _catalog_lock(path: str):
+    lock = _thread_lock(path)
+    if not lock.acquire(timeout=LOCK_TIMEOUT_S):
+        raise TimeoutError(f"manifest lock timeout ({LOCK_TIMEOUT_S}s): {path}")
+    lockfile = path + ".lock"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    deadline = time.monotonic() + LOCK_TIMEOUT_S
+    try:
+        while True:
+            try:
+                fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest lockfile timeout ({LOCK_TIMEOUT_S}s): {lockfile}"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lockfile)
+    finally:
+        lock.release()
 
 
 def _version_sort_key(v: str) -> tuple:
@@ -101,6 +151,26 @@ class ManifestManager:
         checksum: str | None = None,
         script_git_hash: str | None = None,
         metadata: dict[str, Any] | None = None,
+    ) -> None:
+        with _catalog_lock(self.path):
+            self._add_entry_locked(
+                exchange, market, symbol, path, data_type, time_from, time_to,
+                version, checksum, script_git_hash, metadata,
+            )
+
+    def _add_entry_locked(
+        self,
+        exchange: str,
+        market: str,
+        symbol: str,
+        path: str,
+        data_type: str,
+        time_from: int | None,
+        time_to: int | None,
+        version: str,
+        checksum: str | None,
+        script_git_hash: str | None,
+        metadata: dict[str, Any] | None,
     ) -> None:
         current = self.load()
         max_id = current.agg(F.max("id")).collect()[0][0] or 0
@@ -162,13 +232,14 @@ class ManifestManager:
         return df.orderBy("id")
 
     def delete_entries(self, **filters) -> int:
-        keep = self.load()
-        drop = self.list_entries(**filters)
-        n = drop.count()
-        if n:
-            remaining = keep.join(drop.select("path"), "path", "left_anti")
-            self._store(remaining.select(*[f.name for f in MANIFEST_SCHEMA.fields]))
-        return n
+        with _catalog_lock(self.path):
+            keep = self.load()
+            drop = self.list_entries(**filters)
+            n = drop.count()
+            if n:
+                remaining = keep.join(drop.select("path"), "path", "left_anti")
+                self._store(remaining.select(*[f.name for f in MANIFEST_SCHEMA.fields]))
+            return n
 
     def get_latest_version(self, symbol: str, data_type: str) -> str | None:
         rows = (

@@ -1,0 +1,64 @@
+"""Integration-parity tests mirroring the reference's no-mock suite
+(`tests/integration/`, SURVEY §5.2): concurrent ingestion (test_06),
+bad-data rejection leaving no partial catalog state (test_06), and
+manifest cold-start across instances (test_03).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dl_datalake_spark.client import DataLakeClient
+from dl_datalake_spark.lake.manifest import ManifestManager
+from dl_datalake_spark.sources.csv_source import CsvIngestError
+from dl_datalake_spark.sources.download_manager import DownloadManager
+
+
+def _csv(tmp_path, name, n, start=0):
+    p = tmp_path / name
+    p.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{start + i*60000},1,2,0.5,1.5,10" for i in range(n))
+    )
+    return str(p)
+
+
+def test_concurrent_ingest_two_symbols(spark, tmp_path):
+    """Reference test_06: two concurrent ingests land fully and
+    independently; the manifest sees both datasets."""
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    a = _csv(tmp_path, "a.csv", 50)
+    b = _csv(tmp_path, "b.csv", 70)
+
+    mgr = DownloadManager(connector_factory=lambda ex: client, per_exchange=5)
+    ta = mgr.submit("binance", "AAAUSDT", lambda c: c.ingest_csv(a, "binance", "spot", "AAAUSDT").rows)
+    tb = mgr.submit("binance", "BBBUSDT", lambda c: c.ingest_csv(b, "binance", "spot", "BBBUSDT").rows)
+    assert ta.wait(120) and tb.wait(120)
+    assert ta.status == "completed" and tb.status == "completed", (ta.error, tb.error)
+    mgr.shutdown()
+
+    assert client.read_ohlc("binance", "AAAUSDT").count() == 50
+    assert client.read_ohlc("binance", "BBBUSDT").count() == 70
+    assert client.manifest.list_entries(symbol="AAAUSDT").count() >= 1
+    assert client.manifest.list_entries(symbol="BBBUSDT").count() >= 1
+
+
+def test_bad_data_leaves_no_partial_manifest(spark, tmp_path):
+    """Reference test_06: a rejected ingest must not leave catalog rows."""
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    bad = tmp_path / "bad.csv"
+    bad.write_text("open,high\n1,2\n")  # no ts, wrong arity
+    with pytest.raises(CsvIngestError):
+        client.ingest_csv(str(bad), "binance", "spot", "XXXUSDT")
+    assert client.manifest.list_entries(symbol="XXXUSDT").count() == 0
+
+
+def test_manifest_cold_start_across_instances(spark, tmp_path):
+    """Reference test_03: a fresh ManifestManager over the same path
+    sees everything a previous instance wrote."""
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    client.ingest_csv(_csv(tmp_path, "c.csv", 10), "binance", "spot", "BTCUSDT")
+    fresh = ManifestManager(spark, str(tmp_path / "lake") + "_manifest")
+    entries = fresh.list_entries(symbol="BTCUSDT").collect()
+    assert len(entries) >= 1
+    assert all(e["time_from"] is not None and e["time_to"] is not None for e in entries)
