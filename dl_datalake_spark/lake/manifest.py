@@ -15,13 +15,10 @@ numeric components.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import shutil
 import tempfile
-import threading
-import time
 import uuid
 from datetime import datetime, timezone
 from typing import Any
@@ -30,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dl_datalake_spark.lake.locks import path_lock
 from dl_datalake_spark.lake.paths import sanitize_symbol
 
 MANIFEST_SCHEMA = T.StructType(
@@ -53,49 +51,8 @@ MANIFEST_SCHEMA = T.StructType(
 
 # Catalog mutations are read-modify-write; without mutual exclusion two
 # concurrent add_entry calls lose one row (the reference serializes the
-# same section behind SQLite's file lock, manifest.py:52-55, 30 s
-# timeout). In-process: one threading.Lock per manifest path. Across
-# processes: an O_EXCL lockfile with the same 30 s timeout. The catalog
-# is driver-local metadata — this never touches the data plane.
-_LOCKS: dict[str, threading.Lock] = {}
-_LOCKS_GUARD = threading.Lock()
-LOCK_TIMEOUT_S = 30.0
-
-
-def _thread_lock(path: str) -> threading.Lock:
-    with _LOCKS_GUARD:
-        if path not in _LOCKS:
-            _LOCKS[path] = threading.Lock()
-        return _LOCKS[path]
-
-
-@contextlib.contextmanager
-def _catalog_lock(path: str):
-    lock = _thread_lock(path)
-    if not lock.acquire(timeout=LOCK_TIMEOUT_S):
-        raise TimeoutError(f"manifest lock timeout ({LOCK_TIMEOUT_S}s): {path}")
-    lockfile = path + ".lock"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    deadline = time.monotonic() + LOCK_TIMEOUT_S
-    try:
-        while True:
-            try:
-                fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"manifest lockfile timeout ({LOCK_TIMEOUT_S}s): {lockfile}"
-                    ) from None
-                time.sleep(0.05)
-        try:
-            yield
-        finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(lockfile)
-    finally:
-        lock.release()
+# same section behind SQLite's file lock, manifest.py:52-55).
+_catalog_lock = path_lock
 
 
 def _version_sort_key(v: str) -> tuple:

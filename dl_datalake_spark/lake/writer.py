@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dl_datalake_spark.lake.locks import path_lock
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS, DatasetKey
 
@@ -88,6 +89,16 @@ class LakeWriter:
         )
 
     def _write(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
+        # Serialize same-dataset upserts: the merge is read-modify-write
+        # over the dataset's partitions, so two concurrent writers to one
+        # dataset would each read the pre-state and the last overwrite
+        # would drop the other's rows. Lock key = dataset path — writes
+        # to different datasets stay fully parallel. (Delta/Iceberg
+        # would replace this with optimistic commit conflict detection.)
+        with path_lock(self.dataset_path(key)):
+            return self._write_locked(df, key, mode)
+
+    def _write_locked(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
         ts_col = _require_ts(df, "ts")
         batch = self._partitioned(df, key, ts_col)
 

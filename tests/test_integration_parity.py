@@ -62,3 +62,19 @@ def test_manifest_cold_start_across_instances(spark, tmp_path):
     entries = fresh.list_entries(symbol="BTCUSDT").collect()
     assert len(entries) >= 1
     assert all(e["time_from"] is not None and e["time_to"] is not None for e in entries)
+
+
+def test_concurrent_upserts_same_dataset_lose_nothing(spark, tmp_path):
+    """Two concurrent upserts into the SAME dataset (disjoint ts ranges)
+    must both land — the writer serializes same-dataset merges."""
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    a = _csv(tmp_path, "sa.csv", 40, start=0)
+    b = _csv(tmp_path, "sb.csv", 40, start=40 * 60000)
+
+    mgr = DownloadManager(connector_factory=lambda ex: client, per_exchange=5)
+    ta = mgr.submit("binance", "SAME", lambda c: c.ingest_csv(a, "binance", "spot", "SAMEUSDT").rows)
+    tb = mgr.submit("binance", "SAME", lambda c: c.ingest_csv(b, "binance", "spot", "SAMEUSDT").rows)
+    assert ta.wait(120) and tb.wait(120)
+    assert ta.status == "completed" and tb.status == "completed", (ta.error, tb.error)
+    mgr.shutdown()
+    assert client.read_ohlc("binance", "SAMEUSDT").count() == 80
