@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_emb_cosine",
     "docs_quality_score",
+    "docs_decontaminate",
+    "docs_pack_windows",
+    "media_feature_digest",
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_ivf_topk",
