@@ -88,6 +88,10 @@ class ExchangeConnector:
             wm = manifest.watermark(key.exchange, key.symbol, key.data_type)
             since = (wm + 1) if wm is not None else 0
         since = since or 0
+        # T7 (exchange_connector.py:271-273): with no explicit `until`,
+        # track "now" as the download runs — a multi-day backfill would
+        # otherwise stop at the clock reading taken when it started
+        track_now = until is None
         until = until if until is not None else int(time.time() * 1000)
 
         buffer: list[Sequence] = []
@@ -97,6 +101,8 @@ class ExchangeConnector:
         expected_next: int | None = None
 
         while since < until:
+            if track_now:
+                until = int(time.time() * 1000)
             try:
                 page = self.client.fetch_ohlcv(
                     key.symbol, timeframe_ms, since=since, limit=cfg.page_limit
