@@ -189,3 +189,98 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# the full curation pipeline in ONE plan: exact-dedup keeper ∧ quality
+# floor ∧ repetition cap ∧ train split — the
+# "documents in → clean training corpus out" composition. Every stage is
+# the already-oracled operator; composing them exercises Catalyst's
+# ability to fuse four filters into one scan + a handful of hash aggs.
+# ---------------------------------------------------------------------------
+def _pipeline_sql() -> str:
+    return r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         CAST(LENGTH(text) AS INTEGER) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CASE WHEN len(toks) < 5 THEN 0.0
+              ELSE ROUND(0.4 * LEAST(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - LEAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                        / GREATEST(n_chars, 1), 1.0))
+                   + 0.3 * LEAST(CAST(len(list_filter(toks, w -> lower(w) IN ('the','a','of','and','to'))) AS INTEGER)
+                                 / GREATEST(len(toks), 1) * 10, 1.0), 6)
+         END AS quality
+  FROM base),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+      [array_to_string(string_split_regex(trim(text), '\s+')[i : i+2], ' ')
+       FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+    ELSE [] END) AS shingle
+  FROM documents),
+rep AS (
+  SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT shingle) / COUNT(*), 6) AS rep_ratio
+  FROM sh GROUP BY doc_id),
+keeper AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+kept AS (
+  SELECT b.doc_id, b.lang, q.n_tokens
+  FROM base b
+  JOIN q USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  WHERE q.quality >= 0.5
+    AND COALESCE(rep.rep_ratio, 0) <= 0.2
+    AND b.doc_id IN (SELECT doc_id FROM keeper)
+    AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2) < 'cc')
+SELECT d.lang,
+       COUNT(*) AS n_in,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.n_tokens), 0) AS BIGINT) AS kept_tokens
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("docs_curation_pipeline", sql=_pipeline_sql())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.curation import hash_key
+    from dl_datalake_spark.operators.dedup import exact_dedup, word_shingles
+    from dl_datalake_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    q = with_quality_score(docs).select("doc_id", "n_tokens", "quality")
+    sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
+    rep = sh.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0) - F.countDistinct("shingle") / F.count(F.lit(1)), 6
+        ).alias("rep_ratio")
+    )
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(keepers, "doc_id", "leftsemi")
+        .where(
+            (F.col("quality") >= 0.5)
+            & (F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= 0.2)
+            & (hash_key("doc_id") < F.lit("cc"))
+        )
+        .select("doc_id", F.col("n_tokens").alias("kept_tokens"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count("kept_tokens").alias("n_kept"),
+            F.coalesce(F.sum("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
