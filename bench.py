@@ -48,6 +48,7 @@ HEADLINE = [
     "docs_quality_score",
     "docs_decontaminate",
     "docs_pack_windows",
+    "docs_curation_pipeline",
     "media_feature_digest",
     "emb_cosine_topk",
     "emb_knn_join",
