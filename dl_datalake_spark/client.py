@@ -113,3 +113,13 @@ class DataLakeClient:
         """Spark SQL over registered lake views — the engine analogue of
         the reference's ad-hoc DuckDB SQL over parquet globs."""
         return self.spark.sql(query)
+
+    # -- manifest-pruned cross-dataset read (plans/manifest_pruning.py) ------
+    def read_window(self, time_from: int | None = None, time_to: int | None = None, **filters):
+        """Time-window read across every dataset the manifest says can
+        match — datasets whose [time_from, time_to] interval misses the
+        window are never even listed. Something the reference's
+        one-glob-per-symbol reader cannot express."""
+        from dl_datalake_spark.plans import read_pruned
+
+        return read_pruned(self.spark, self.manifest, time_from, time_to, **filters)

@@ -130,7 +130,21 @@ class ManifestManager:
         metadata: dict[str, Any] | None,
     ) -> None:
         current = self.load()
-        max_id = current.agg(F.max("id")).collect()[0][0] or 0
+        agg = current.agg(
+            F.max("id").alias("max_id"),
+            F.min(F.when(F.col("path") == path, F.col("time_from"))).alias("t0"),
+            F.max(F.when(F.col("path") == path, F.col("time_to"))).alias("t1"),
+        ).collect()[0]
+        max_id = agg["max_id"] or 0
+        # a path-keyed upsert REPLACES the row, so the range must widen
+        # monotonically across writes — otherwise a second write's
+        # narrower touched-partition range would shadow earlier data and
+        # break time-range pruning (plans/manifest_pruning.py) and the
+        # resume watermark
+        if time_from is not None and agg["t0"] is not None:
+            time_from = min(time_from, agg["t0"])
+        if time_to is not None and agg["t1"] is not None:
+            time_to = max(time_to, agg["t1"])
         row = [
             (
                 max_id + 1,

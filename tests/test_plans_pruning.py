@@ -1,0 +1,56 @@
+"""Manifest range widening + manifest-driven scan pruning
+(plans/manifest_pruning.py, SURVEY §4.2 item 1)."""
+
+from __future__ import annotations
+
+from dl_datalake_spark.client import DataLakeClient
+from dl_datalake_spark.plans import prune_files, read_pruned
+
+MIN = 60000
+
+
+def _csv(tmp_path, name, n, start=0):
+    p = tmp_path / name
+    p.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{start + i*MIN},1,2,0.5,1.5,10" for i in range(n))
+    )
+    return str(p)
+
+
+def test_manifest_range_widens_across_writes(spark, tmp_path):
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    client.ingest_csv(_csv(tmp_path, "w1.csv", 10, start=0), "binance", "spot", "BTCUSDT")
+    client.ingest_csv(
+        _csv(tmp_path, "w2.csv", 10, start=100 * MIN), "binance", "spot", "BTCUSDT"
+    )
+    entry = client.manifest.list_entries(symbol="BTCUSDT").collect()[0]
+    assert entry["time_from"] == 0  # first write's start survives the upsert
+    assert entry["time_to"] == 109 * MIN
+
+
+def test_prune_and_read(spark, tmp_path):
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    client.ingest_csv(_csv(tmp_path, "a.csv", 10, start=0), "binance", "spot", "AAAUSDT")
+    client.ingest_csv(
+        _csv(tmp_path, "b.csv", 10, start=1000 * MIN), "binance", "spot", "BBBUSDT"
+    )
+
+    # a query window overlapping only AAAUSDT schedules only that dataset
+    paths = prune_files(client.manifest, time_from=0, time_to=9 * MIN)
+    assert len(paths) == 1 and "AAAUSDT" in paths[0]
+    # a window overlapping neither schedules nothing
+    assert prune_files(client.manifest, time_from=500 * MIN, time_to=600 * MIN) == []
+
+    df = read_pruned(spark, client.manifest, time_from=0, time_to=9 * MIN)
+    assert df is not None and df.count() == 10
+    assert read_pruned(spark, client.manifest, time_from=500 * MIN, time_to=600 * MIN) is None
+
+
+def test_client_read_window(spark, tmp_path):
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    client.ingest_csv(_csv(tmp_path, "c1.csv", 5, start=0), "binance", "spot", "AAAUSDT")
+    client.ingest_csv(_csv(tmp_path, "c2.csv", 5, start=2 * MIN), "binance", "spot", "BBBUSDT")
+    df = client.read_window(time_from=0, time_to=10 * MIN)
+    assert df.count() == 10  # both symbols, one window
+    assert df.select("symbol").distinct().count() == 2
