@@ -78,3 +78,22 @@ def test_concurrent_upserts_same_dataset_lose_nothing(spark, tmp_path):
     assert ta.status == "completed" and tb.status == "completed", (ta.error, tb.error)
     mgr.shutdown()
     assert client.read_ohlc("binance", "SAMEUSDT").count() == 80
+
+
+def test_ingest_pipeline_flow(spark, tmp_path):
+    """Reference flows.py:107-124: one ingest, two resample aggregates,
+    all landing in the lake with manifest rows."""
+    from dl_datalake_spark.flows import ingest_pipeline_flow
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    out = ingest_pipeline_flow(
+        client, _csv(tmp_path, "f.csv", 120), "binance", "spot", "BTCUSDT"
+    )
+    assert out["ingest"].rows == 120
+    # 120 minutes → 8× 15m candles and 2× 1h candles
+    agg15 = client.reader.read_dataset(DatasetKey("binance", "agg", "BTCUSDT", "agg", "15m"))
+    agg1h = client.reader.read_dataset(DatasetKey("binance", "agg", "BTCUSDT", "agg", "1h"))
+    assert agg15.count() == 8
+    assert agg1h.count() == 2
+    assert client.manifest.list_entries(symbol="BTCUSDT", data_type="agg").count() >= 1
