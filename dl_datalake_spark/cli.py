@@ -66,6 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--out", required=True)
     exp.add_argument("--period", default="1m")
     exp.add_argument("--resample-to", default=None)
+
+    sql = sub.add_parser("sql")
+    sql.add_argument("--view", action="append", default=[],
+                     help="NAME=EXCHANGE/SYMBOL[/DATA_TYPE] dataset view to register")
+    sql.add_argument("query")
+
+    flow = sub.add_parser("pipeline")
+    flow.add_argument("--source", required=True)
+    flow.add_argument("--exchange", required=True)
+    flow.add_argument("--market", default="spot")
+    flow.add_argument("--symbol", required=True)
     return p
 
 
@@ -109,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
             resample_to=args.resample_to,
         )
         print(json.dumps({"out": args.out}))
+    elif args.cmd == "sql":
+        for spec in args.view:
+            name, rest = spec.split("=", 1)
+            parts = rest.split("/")
+            client.register_view(name, parts[0], parts[1], *(parts[2:3] or ["raw"]))
+        client.sql(args.query).show(100, truncate=False)
+    elif args.cmd == "pipeline":
+        from dl_datalake_spark.flows import ingest_pipeline_flow
+
+        out = ingest_pipeline_flow(client, args.source, args.exchange, args.market, args.symbol)
+        print(json.dumps({"rows": out["ingest"].rows,
+                          "aggregates": {k: v.rows for k, v in out["aggregates"].items()}}))
     return 0
 
 

@@ -88,3 +88,19 @@ def test_salted_join_matches_plain(spark):
     salted = salted_join(left, right, "k", salt_buckets=4).orderBy("lid")
     plain = left.join(right, "k").orderBy("lid")
     assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_cli_sql_and_pipeline(spark, tmp_path, monkeypatch):
+    import dl_datalake_spark.cli as cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda name=None: spark)
+    base = str(tmp_path / "lake")
+    csv = tmp_path / "p.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{i*60000},1,2,0.5,1.5,10" for i in range(60))
+    )
+    assert cli.main(["--base", base, "pipeline", "--source", str(csv),
+                     "--exchange", "binance", "--symbol", "BTCUSDT"]) == 0
+    assert cli.main(["--base", base, "sql", "--view", "btc=binance/BTCUSDT",
+                     "SELECT COUNT(*) AS n FROM btc"]) == 0
