@@ -1,0 +1,214 @@
+"""Round-out operator coverage: generated time-grid gap filling,
+unpivot/melt, lateral explode (word frequencies), width_bucket
+histograms, and bucketed levenshtein fuzzy matching.
+
+These exercise Spark surface the rest of the registry doesn't touch —
+`F.sequence` + `explode` (generator / lateral view), `DataFrame.unpivot`
+(Expand-based melt, no shuffle until the downstream agg),
+`F.width_bucket`, and `F.levenshtein` inside a bucketed self-join (the
+fuzzy analogue of the LSH band join in `operators/dedup.py`).
+
+Reference parity: the reference's gap detection (pipeline.py:180-196)
+only *finds* holes; `events_gap_fill` additionally materializes the
+dense grid — the shape a downstream resample/training pipeline needs.
+All events math stays in the integer µs domain (see queries/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+US_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# dense time-grid gap fill: per event_type, every hour between that
+# type's first and last event, zero-filled where no events landed.
+# Spark: sequence() + explode builds the grid distributed (one row per
+# type -> explode fans out); no driver-side loop, no cross join.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill",
+    sql=f"""
+WITH t AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR} AS hb, value FROM events
+),
+h AS (
+  SELECT event_type, hb, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+  FROM t GROUP BY 1, 2
+),
+b AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM t GROUP BY 1),
+g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hb FROM b)
+SELECT g.event_type, g.hb,
+       COALESCE(h.n, 0) AS n,
+       COALESCE(h.sum_value, 0.0) AS sum_value
+FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hb = h.hb
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hb", F.expr(f"ts DIV 1000 DIV {US_PER_HOUR}")
+    )
+    hourly = ev.groupBy("event_type", "hb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hb"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "hb"], "left").select(
+        "event_type",
+        "hb",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt: lineitem's four measures into (metric, val) rows, then
+# aggregate per (linestatus, metric). Spark compiles unpivot to Expand —
+# rows multiply map-side, the only shuffle is the final partial/final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_unpivot_metrics",
+    sql="""
+WITH m AS (
+  SELECT l_linestatus, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_linestatus, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_linestatus, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_linestatus, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_linestatus, metric,
+       COUNT(*) AS n,
+       ROUND(SUM(val), 2) AS total,
+       ROUND(AVG(val), 6) AS mean
+FROM m GROUP BY 1, 2
+""",
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("l_linestatus", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lateral explode word frequencies: top-50 words (>= 4 chars) across the
+# corpus. Tokenization is a literal single-space split, identical in
+# both engines; ties cut deterministically by (n DESC, word).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_word_topk",
+    sql="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE LENGTH(word) >= 4
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+""",
+)
+def docs_word_topk(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# width_bucket histogram of order prices (40 equal 25k bins over
+# [0, 1e6), wide enough that no row lands in the overflow bucket — the
+# oracle reproduces width_bucket's floor((x-lo)/step)+1 arithmetic).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_price_histogram",
+    sql="""
+SELECT CAST(FLOOR(o_totalprice / 25000) AS INTEGER) + 1 AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS bucket_revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(1_000_000.0), F.lit(40))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed fuzzy match: near-identical part names within a
+# (brand, size) bucket by edit distance. The equi-keys bound the
+# candidate pairs (the levenshtein only runs inside each bucket), the
+# same blocking idea as the LSH band join — this is the pattern for
+# fuzzy entity resolution at 100 TB: block first, edit-distance second.
+# ---------------------------------------------------------------------------
+@register(
+    "part_fuzzy_name_pairs",
+    sql="""
+SELECT a.p_brand, a.p_size,
+       COUNT(*) AS n_close,
+       CAST(MIN(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+GROUP BY 1, 2
+""",
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str):
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 12)
+        .groupBy(F.col("a.p_brand").alias("p_brand"), F.col("a.p_size").alias("p_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_close"),
+            F.min(dist).alias("min_dist"),
+        )
+    )
