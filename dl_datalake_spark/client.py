@@ -10,6 +10,7 @@ the reference's own docs call the orchestration swappable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dl_datalake_spark.lake.export import export_terminal_csv
 from dl_datalake_spark.lake.features import FeatureStore
@@ -59,6 +60,57 @@ class DataLakeClient:
         self, exchange: str, market: str, symbol: str, source_period: str, target_period: str
     ):
         src = self.reader.read_dataset(DatasetKey(exchange, market, symbol, "raw", source_period))
+        agg = resample_ohlcv(src, target_period)
+        return self.writer.write_ohlc(
+            agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)
+        )
+
+    def refresh_rollup(
+        self, exchange: str, market: str, symbol: str, source_period: str, target_period: str
+    ):
+        """Incremental continuous aggregate: bring the `target_period`
+        rollup up to date by resampling ONLY raw rows at or after the
+        last materialized bucket.
+
+        The reference recomputes its aggregates from a full 7-day
+        re-read on every flow run (flows.py:52-62); at 100 TB that full
+        recompute is the difference between minutes and a scan of the
+        entire lake. Mechanics:
+
+        - watermark = max(time_to) over this rollup's manifest entries
+          (data_type="agg", timeframe=target). Rollup rows carry
+          bucket-start ts, so the watermark IS the newest bucket start —
+          that bucket may have been built from then-incomplete raw data,
+          so the refresh re-reads from exactly that bucket boundary and
+          the writer's keep-last upsert replaces it.
+        - the incremental raw read prunes year/month partitions from the
+          watermark before the ts filter even reaches Parquet row
+          groups, so refresh cost is O(new data), not O(dataset).
+        """
+        from datetime import datetime, timezone
+
+        from dl_datalake_spark.operators.resample import timeframe_ms
+
+        step = timeframe_ms(target_period)
+        wm = (
+            self.manifest.list_entries(
+                symbol=symbol, data_type="agg", exchange=exchange, timeframe=target_period
+            )
+            .agg(F.max("time_to"))
+            .collect()[0][0]
+        )
+        src = self.reader.read_dataset(
+            DatasetKey(exchange, market, symbol, "raw", source_period)
+        )
+        if wm is not None:
+            start = (wm // step) * step
+            d = datetime.fromtimestamp(start / 1000, tz=timezone.utc)
+            src = src.where(
+                (F.col("year") > d.year)
+                | ((F.col("year") == d.year) & (F.col("month") >= d.month))
+            ).where(F.col("ts") >= start)
+            if src.isEmpty():
+                return None
         agg = resample_ohlcv(src, target_period)
         return self.writer.write_ohlc(
             agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)

@@ -48,6 +48,24 @@ def aggregate_ohlc_flow(
     return client.aggregate_ohlc(exchange, market, symbol, source_period, target_period)
 
 
+def refresh_rollup_flow(
+    client: DataLakeClient,
+    exchange: str,
+    market: str,
+    symbol: str,
+    source_period: str = "1m",
+    targets: tuple[str, ...] = ("15m", "1h"),
+) -> dict:
+    """Continuous-aggregate refresh: bring each target rollup up to
+    date incrementally (only raw data at/after each rollup's watermark
+    is re-read — the scheduled-flow shape for a 100 TB lake, vs the
+    reference's full re-read per run, flows.py:52-62)."""
+    return {
+        tf: client.refresh_rollup(exchange, market, symbol, source_period, tf)
+        for tf in targets
+    }
+
+
 def daily_offload_flow(client: DataLakeClient) -> None:
     """The reference's compaction placeholder (flows.py:127-130) made
     real: partition-preserving small-file compaction."""

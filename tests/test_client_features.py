@@ -40,6 +40,50 @@ def test_aggregate_writes_agg_dataset(client, tmp_path):
     assert entries.count() == 1
 
 
+def test_refresh_rollup_incremental_matches_full_recompute(client, tmp_path):
+    # Seed 40 minutes -> 15m rollup has 2 full buckets + 1 partial.
+    client.ingest_csv(_csv(tmp_path, n=40), "binance", "spot", "BTCUSDT")
+    client.aggregate_ohlc("binance", "spot", "BTCUSDT", "1m", "15m")
+
+    # New raw data arrives: 35 more minutes, overlapping nothing but
+    # extending past the partial bucket.
+    p2 = tmp_path / "in2.csv"
+    start = 1672574400000 + 40 * 60000
+    p2.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{start + i*60000},2,3,1.5,2.5,{20 + i}" for i in range(35))
+    )
+    client.ingest_csv(str(p2), "binance", "spot", "BTCUSDT")
+
+    res = client.refresh_rollup("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert res is not None and res.rows >= 1
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    got = (
+        client.reader.read_dataset(DatasetKey("binance", "agg", "BTCUSDT", "agg", "15m"))
+        .select("ts", "open", "high", "low", "close", "volume")
+        .orderBy("ts")
+        .collect()
+    )
+    # Oracle: full recompute from all raw data.
+    from dl_datalake_spark.operators.resample import resample_ohlcv
+
+    raw = client.reader.read_dataset(DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m"))
+    want = (
+        resample_ohlcv(raw, "15m")
+        .select("ts", "open", "high", "low", "close", "volume")
+        .orderBy("ts")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5  # 75 minutes -> 5 fifteen-minute buckets
+    # The once-partial third bucket (minutes 30-44) now covers its full
+    # 15 minutes: 10 old rows at vol=10 plus 5 new rows at vol 20..24.
+    b3 = got[2]
+    assert b3["volume"] == 10 * 10 + sum(range(20, 25))
+
+
 def test_feature_store_versions(client, tmp_path):
     f = tmp_path / "feat.bin"
     f.write_bytes(b"weights-v1")
