@@ -18,16 +18,10 @@ from pyspark.sql import functions as F
 
 from dl_datalake_spark.operators.windows import sessionize
 from dl_datalake_spark.queries.registry import register
-from dl_datalake_spark.tables import load_table
+from dl_datalake_spark.tables import load_table, with_tsu as _with_tsu
 
 US_PER_HOUR = 3_600_000_000
 US_30MIN = 1_800_000_000
-
-_TSU = "ts DIV 1000"  # spark-side epoch-µs
-
-
-def _with_tsu(df):
-    return df.withColumn("tsu", F.expr(_TSU))
 
 
 # ---------------------------------------------------------------------------

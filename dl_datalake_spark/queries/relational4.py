@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.queries.registry import register
-from dl_datalake_spark.tables import load_table
+from dl_datalake_spark.tables import load_table, with_tsu
 
 US_PER_HOUR = 3_600_000_000
 
@@ -50,8 +50,8 @@ FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hb = h.hb
 """,
 )
 def events_gap_fill(spark: SparkSession, sf_dir: str):
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "hb", F.expr(f"ts DIV 1000 DIV {US_PER_HOUR}")
+    ev = with_tsu(load_table(spark, sf_dir, "events")).withColumn(
+        "hb", F.expr(f"tsu DIV {US_PER_HOUR}")
     )
     hourly = ev.groupBy("event_type", "hb").agg(
         F.count(F.lit(1)).alias("n"),

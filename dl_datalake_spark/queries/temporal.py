@@ -18,15 +18,13 @@ from pyspark.sql import functions as F
 
 from dl_datalake_spark.operators.joins import asof_join, range_count_join
 from dl_datalake_spark.queries.registry import register
-from dl_datalake_spark.tables import load_table
+from dl_datalake_spark.tables import load_table, with_tsu
 
 US_MINUTE = 60_000_000
 
 
 def _events_us(spark: SparkSession, sf_dir: str):
-    return load_table(spark, sf_dir, "events").withColumn(
-        "tsu", F.expr("ts DIV 1000")
-    )
+    return with_tsu(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

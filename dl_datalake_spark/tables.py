@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dl_datalake_spark.session import ensure_runtime_confs
 
@@ -28,9 +30,31 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# `events.ts` arrives as int64 epoch-nanoseconds (see session.RUNTIME_CONFS).
+# `events.ts` has shipped as both TIMESTAMP(NANOS) (read as int64 ns via
+# nanosAsLong) and TIMESTAMP(MICROS) (read as timestamp_ntz) across
+# testdata generations; all query math runs in the integer epoch-µs
+# domain regardless (DuckDB oracle side: `epoch_us(ts)`).
 NS_PER_SEC = 1_000_000_000
 NS_PER_HOUR = 3_600 * NS_PER_SEC
+
+
+def epoch_us(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds of a timestamp column, whatever its physical type.
+
+    int64 nanos → integer DIV (epoch-µs ~1.7e15 is near double's 2^53
+    mantissa limit, so stay integral); timestamp / timestamp_ntz →
+    unix_micros after a cast that is exact under the session's UTC
+    timezone. Matches DuckDB `epoch_us(ts)` on the same parquet.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def with_tsu(df: DataFrame, col: str = "ts", out: str = "tsu") -> DataFrame:
+    """Attach integer epoch-µs column `out` derived from `col`."""
+    return df.withColumn(out, epoch_us(df, col))
 
 
 def load_table(
