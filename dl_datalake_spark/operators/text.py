@@ -92,12 +92,50 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred).withColumn("lang_score", max_hits)
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Normalization-invariant document fingerprint: md5 of
-    lower-cased, whitespace-collapsed, punctuation-stripped text."""
-    norm = F.regexp_replace(
+def normalize_text(text_col: str = "text"):
+    """Canonical text normalization: lower-case, strip punctuation,
+    collapse whitespace runs to a single space. Pure Column expression
+    (scan-stage, codegen); DuckDB reproduces it with the same two
+    regexp_replace calls."""
+    return F.regexp_replace(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), PUNCT_CLASS, ""),
         r"\s+",
         " ",
     )
-    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-invariant document fingerprint: md5 of
+    lower-cased, whitespace-collapsed, punctuation-stripped text."""
+    return df.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+
+
+# PII patterns, deliberately conservative (precision over recall —
+# at pretraining scale a false positive deletes good text forever,
+# a false negative is caught by the next pipeline pass). Java-regex
+# syntax kept RE2-compatible so any engine can reproduce the scrub.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d\- ()]{7,}\d",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs with typed
+    placeholders; report per-type hit counts.
+
+    Column-expression only (regexp_replace / regexp_count chain runs in
+    whole-stage codegen inside the scan stage — the scrub is free at
+    100 TB relative to the read). Order matters: emails first so their
+    digits aren't half-eaten by the phone rule.
+    """
+    scrubbed = F.col(text_col)
+    for tag in ("EMAIL", "IPV4", "PHONE"):
+        pat = PII_PATTERNS[tag]
+        df = df.withColumn(f"n_{tag.lower()}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{tag}]")
+    return df.withColumn("text_scrubbed", scrubbed).withColumn(
+        "n_pii",
+        F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"),
+    )

@@ -1,0 +1,195 @@
+"""Second curation batch: training-mix weighting per source,
+boilerplate n-gram coverage, per-source language entropy, and int8
+embedding quantization error.
+
+These are the corpus-shaping ops a pretraining pipeline runs after
+dedup/quality: decide *how much* of each source to sample
+(`docs_domain_mix`), find template/boilerplate contamination
+(`docs_boilerplate_coverage`), audit source homogeneity
+(`docs_source_lang_entropy`), and validate the compressed embedding
+index (`emb_int8_quant_error`). The reference lake has no corpus-level
+ops at all (SURVEY §2.4 — its aggregates are per-file stats); these are
+the BASELINE.json north-star extensions.
+
+Scale notes: every query is hash-agg + (broadcast) equi-join — no
+crossJoin, no UDF; the boilerplate top-k is a two-stage agg (partial
+per-partition df counts, 20-row broadcast back), the canonical
+"global top-k then semi-join" shape that stays near-linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.operators.dedup import tokens, word_shingles
+from dl_datalake_spark.operators.similarity import dequantize_error, quantize_int8
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+TOP_NGRAMS = 20
+
+
+# ---------------------------------------------------------------------------
+# training-mix weights: per-source token share and the uniform-target
+# resampling weight (weight = target_share / actual_share). Sources
+# above weight 1 are under-represented; below 1, over-represented.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_domain_mix",
+    sql=r"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+             CAST(COUNT(*) AS DOUBLE) AS nsrc FROM s)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / tot, 6) AS token_share,
+       ROUND((1.0 / nsrc) / (n_tokens / tot), 6) AS mix_weight
+FROM s, t
+""",
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("nsrc"),
+    )
+    share = F.col("n_tokens") / F.col("tot")
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((1.0 / F.col("nsrc")) / share, 6).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection: the 20 highest-document-frequency word
+# trigrams, then per-source share of docs containing at least one.
+# Two-stage: global top-k (partial df counts -> 20-row result), then
+# broadcast semi-join back over the shingle table.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_boilerplate_coverage",
+    sql=r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+                               i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS shingle
+  FROM w),
+top AS (SELECT shingle FROM (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+  ORDER BY df DESC, shingle LIMIT 20)),
+flagged AS (SELECT DISTINCT doc_id FROM sh JOIN top USING (shingle))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged,
+       ROUND(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*), 6) AS boilerplate_share
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+GROUP BY d.source
+""",
+)
+def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs, n=3, distinct=True)
+    top = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(TOP_NGRAMS)
+        .select("shingle")
+    )
+    flagged = sh.join(F.broadcast(top), "shingle").select("doc_id").distinct()
+    return (
+        docs.select("doc_id", "source")
+        .join(flagged.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_flagged"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source language entropy: Shannon entropy (bits) of the lang
+# distribution inside each source — a homogeneity audit for the mix
+# table. `+ 0.0` normalizes IEEE -0.0 for single-language sources.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_source_lang_entropy",
+    sql="""
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY source, lang),
+t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+SELECT c.source, CAST(COUNT(*) AS INTEGER) AS n_langs,
+       ROUND(-SUM((n / tot) * log2(n / tot)) + 0.0, 6) AS lang_entropy
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source
+""",
+)
+def docs_source_lang_entropy(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.round(-F.sum(p * F.log2(p)) + F.lit(0.0), 6).alias("lang_entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization audit: per label, the mean absolute reconstruction
+# error and mean scale of symmetric per-vector int8 codes. The
+# per-vector fold is sequential (deterministic) on both engines; only
+# the per-label AVG crosses partitions, absorbed by the 6-digit round.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_int8_quant_error",
+    sql="""
+WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT label, v,
+             GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+      FROM e),
+r AS (SELECT label, scale,
+             list_sum(list_transform(generate_series(1, len(v)),
+                      i -> abs(v[i] - round(v[i]*127/scale)*scale/127))) / len(v) AS err
+      FROM s)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(err), 6) AS mean_abs_err,
+       ROUND(AVG(scale), 6) AS mean_scale
+FROM r GROUP BY label
+""",
+)
+def emb_int8_quant_error(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    quant = dequantize_error(quantize_int8(emb))
+    return quant.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("q_abs_err"), 6).alias("mean_abs_err"),
+        F.round(F.avg("q_scale"), 6).alias("mean_scale"),
+    )

@@ -172,3 +172,39 @@ def test_curation_split_sample_pack(spark):
         seq = sorted((r["doc_id"], r["window_id"]) for r in packed if r["lang"] == lang)
         wids = [w for _, w in seq]
         assert wids == sorted(wids)  # monotone windows in pack order
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from dl_datalake_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1 555-123-4567"),
+        (2, "server at 10.0.12.9 responded"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["text_scrubbed"] and "[PHONE]" in out[1]["text_scrubbed"]
+    assert "jane" not in out[1]["text_scrubbed"]
+    assert out[2]["n_ipv4"] == 1 and "[IPV4]" in out[2]["text_scrubbed"]
+    assert out[3]["n_pii"] == 0 and out[3]["text_scrubbed"] == "nothing sensitive here"
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from dl_datalake_spark.operators.similarity import dequantize_error, quantize_int8
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.125]),
+        (2, [100.0, 0.0, -100.0, 50.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: epsilon scale, zero codes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in dequantize_error(quantize_int8(df)).collect()}
+    # codes bounded to [-127, 127]; max element maps to exactly +/-127
+    assert out[1]["q_codes"][0] == 127 and out[2]["q_codes"][2] == -127
+    # reconstruction error bounded by scale/(2*127) per element
+    for vid in (1, 2):
+        bound = out[vid]["q_scale"] / (2 * 127) + 1e-9
+        assert out[vid]["q_abs_err"] <= bound
+    assert out[3]["q_codes"] == [0, 0, 0, 0] and out[3]["q_abs_err"] == 0.0
