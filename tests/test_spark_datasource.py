@@ -1,0 +1,142 @@
+"""Python Data Source tests: batch read determinism, partition fan-out,
+filter pushdown, and the streaming reader's offset/replay contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.sources.spark_datasource import (
+    ExchangeBatchReader,
+    ExchangeStreamReader,
+    SyntheticExchange,
+    register_exchange_source,
+)
+
+TF = 60_000  # 1m candles
+HOUR = 60 * TF
+
+
+def _reader(spark, **opts):
+    base = {
+        "symbols": "BTC_USDT,ETH_USDT",
+        "timeframe_ms": str(TF),
+        "start_ms": "0",
+        "end_ms": str(2 * HOUR),
+        "slice_ms": str(HOUR),
+    }
+    base.update({k: str(v) for k, v in opts.items()})
+    register_exchange_source(spark)
+    r = spark.read.format("exchange_ohlcv")
+    for k, v in base.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_counts_and_determinism(spark):
+    df = _reader(spark)
+    # 2 symbols x 2 hours x 60 candles/hour
+    assert df.count() == 2 * 2 * 60
+    a = sorted(df.collect())
+    b = sorted(_reader(spark).collect())
+    assert a == b  # pure function of (symbol, bucket, seed)
+    row = a[0]
+    assert row["low"] <= min(row["open"], row["close"])
+    assert row["high"] >= max(row["open"], row["close"])
+    # open(i) == close(i-1): a random walk, not independent noise
+    per_sym = [r for r in a if r["symbol"] == "BTC_USDT"]
+    assert per_sym[1]["open"] == per_sym[0]["close"]
+
+
+def test_batch_partition_fanout():
+    reader = ExchangeBatchReader(
+        {
+            "symbols": "A,B,C",
+            "timeframe_ms": str(TF),
+            "start_ms": "0",
+            "end_ms": str(4 * HOUR),
+            "slice_ms": str(HOUR),
+        }
+    )
+    parts = reader.partitions()
+    assert len(parts) == 3 * 4  # symbols x slices: executor-side fan-out
+    assert {p.symbol for p in parts} == {"A", "B", "C"}
+
+
+def test_filter_pushdown_narrows_fetch_window(spark):
+    df = _reader(spark).where(
+        (F.col("ts") >= HOUR) & (F.col("symbol") == "ETH_USDT")
+    )
+    rows = df.collect()
+    assert len(rows) == 60  # second hour only, one symbol
+    assert all(r["symbol"] == "ETH_USDT" and r["ts"] >= HOUR for r in rows)
+    # the reader itself consumed the filters (window + symbol list shrink)
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    reader = ExchangeBatchReader(
+        {"symbols": "A,B", "timeframe_ms": str(TF), "start_ms": "0", "end_ms": str(2 * HOUR)}
+    )
+    remaining = reader.pushFilters(
+        [GreaterThanOrEqual(("ts",), HOUR), EqualTo(("symbol",), "B")]
+    )
+    assert list(remaining) == []
+    assert reader.start_ms == HOUR and reader.symbols == ["B"]
+
+
+def test_synthetic_exchange_page_alignment():
+    ex = SyntheticExchange(timeframe_ms=TF, seed=7)
+    page = ex.fetch_ohlcv("X", TF, since=90_001, limit=5)
+    # ceil-aligned to the grid: first candle strictly covers `since`
+    assert page[0][0] == 120_000 and len(page) == 5
+    again = ex.fetch_ohlcv("X", TF, since=120_000, limit=5)
+    assert page[0] == again[0]  # O(1) random access, same values
+
+
+def test_stream_reader_offsets_and_batches(spark):
+    register_exchange_source(spark)
+    sdf = (
+        spark.readStream.format("exchange_ohlcv")
+        .option("symbols", "BTC_USDT")
+        .option("timeframe_ms", str(TF))
+        .option("start_ms", "0")
+        .option("end_ms", str(2 * HOUR))
+        .option("slice_ms", str(HOUR))  # still 2 input partitions per batch
+        .load()
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ohlcv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ohlcv_stream").collect()
+    assert len(out) == 2 * 60  # both hours, exactly once
+    assert len({r["ts"] for r in out}) == 2 * 60
+    batch_df = _reader(spark, symbols="BTC_USDT")
+    assert sorted(out) == sorted(batch_df.collect())  # stream == batch replay
+
+
+def test_stream_offset_contract():
+    r = ExchangeStreamReader(
+        {
+            "symbols": "A",
+            "timeframe_ms": str(TF),
+            "start_ms": "0",
+            "end_ms": str(3 * HOUR),
+            "max_batch_ms": str(HOUR),
+            "slice_ms": str(HOUR),
+        }
+    )
+    assert r.initialOffset() == {"until_ms": 0}
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    o3 = r.latestOffset()
+    assert [o["until_ms"] for o in (o1, o2, o3)] == [HOUR, 2 * HOUR, 3 * HOUR]
+    # bounded: never past end_ms
+    assert r.latestOffset() == {"until_ms": 3 * HOUR}
+    parts = r.partitions({"until_ms": 0}, {"until_ms": 2 * HOUR})
+    assert len(parts) == 2
+    # empty range → placeholder partition, read yields nothing
+    empty = r.partitions({"until_ms": HOUR}, {"until_ms": HOUR})
+    assert list(r.read(empty[0])) == []
