@@ -81,3 +81,92 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API to
+# applyInPandasWithState — typed state primitives (ValueState/ListState/
+# MapState), timers, and TTL, backed by the RocksDB state store. Running
+# per-symbol VWAP over an OHLCV stream; state is one fixed-width tuple
+# per symbol, so store size is O(symbols) no matter how long the stream
+# runs.
+# ---------------------------------------------------------------------------
+VWAP_OUTPUT = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("n_candles", T.LongType()),
+        T.StructField("vwap", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+    ]
+)
+
+def running_symbol_vwap(candles: DataFrame) -> DataFrame:
+    """Per-symbol running VWAP/high/low via transformWithStateInPandas.
+
+    Input columns: symbol string, high/low/close/volume double (the
+    exchange_ohlcv source schema). Requires the RocksDB state store
+    provider (transformWithState's backing store):
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    The processor class is defined inside this function on purpose:
+    cloudpickle ships locally-defined classes BY VALUE, so the worker
+    never needs to import this package (same self-containment rule as
+    the applyInPandasWithState closure above).
+
+    Dependency gate: transformWithState's state protocol speaks
+    protobuf between the JVM and the Python driver worker; environments
+    without `google.protobuf` get a clear ImportError here instead of a
+    crashed streaming query mid-run (running_user_stats above is the
+    protobuf-free fallback on the older applyInPandasWithState API).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "use running_user_stats (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningVWAP(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "vwap", "n BIGINT, pv DOUBLE, vol DOUBLE, hi DOUBLE, lo DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prior = self._state.get() if self._state.exists() else None
+            n, pv, vol, hi, lo = prior or (0, 0.0, 0.0, float("-inf"), float("inf"))
+            for pdf in rows:
+                typical = (pdf["high"] + pdf["low"] + pdf["close"]) / 3.0
+                n += len(pdf)
+                pv += float((typical * pdf["volume"]).sum())
+                vol += float(pdf["volume"].sum())
+                hi = max(hi, float(pdf["high"].max()))
+                lo = min(lo, float(pdf["low"].min()))
+            self._state.update((n, pv, vol, hi, lo))
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]],
+                    "n_candles": [n],
+                    "vwap": [pv / vol if vol else 0.0],
+                    "high": [hi],
+                    "low": [lo],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return candles.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=RunningVWAP(),
+        outputStructType=VWAP_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3,6 +3,8 @@ upsert) and multimodal binary-column plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from dl_datalake_spark.lake import LakeReader, LakeWriter, ManifestManager
 from dl_datalake_spark.lake.paths import DatasetKey
 from dl_datalake_spark.operators.multimodal import (
@@ -154,3 +156,56 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT ts FROM dedup_sink").collect()
     ts = sorted(r["ts"] for r in rows)
     assert ts == [60000, 120000, 180000]  # the duplicate 60000 collapsed
+
+
+def test_transform_with_state_vwap(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-symbol running VWAP fed
+    by the exchange_ohlcv streaming source, verified against the batch
+    computation of the same slice."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from dl_datalake_spark.sources.spark_datasource import register_exchange_source
+    from dl_datalake_spark.streaming.stateful import running_symbol_vwap
+
+    register_exchange_source(spark)
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        opts = {
+            "symbols": "BTC_USDT,ETH_USDT",
+            "timeframe_ms": "60000",
+            "start_ms": "0",
+            "end_ms": str(2 * 3_600_000),
+        }
+        sdf = spark.readStream.format("exchange_ohlcv").options(**opts).load()
+        q = (
+            running_symbol_vwap(sdf)
+            .writeStream.format("memory")
+            .queryName("vwap_stream")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = {r["symbol"]: r for r in spark.sql("SELECT * FROM vwap_stream").collect()}
+        batch = (
+            spark.read.format("exchange_ohlcv").options(**opts).load().toPandas()
+        )
+        for sym in ("BTC_USDT", "ETH_USDT"):
+            b = batch[batch["symbol"] == sym]
+            typical = (b["high"] + b["low"] + b["close"]) / 3.0
+            expect = float((typical * b["volume"]).sum() / b["volume"].sum())
+            assert out[sym]["n_candles"] == 120
+            assert abs(out[sym]["vwap"] - expect) < 1e-9
+            assert out[sym]["high"] == b["high"].max()
+            assert out[sym]["low"] == b["low"].min()
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
