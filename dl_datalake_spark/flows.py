@@ -66,6 +66,54 @@ def refresh_rollup_flow(
     }
 
 
+def backfill_flow(
+    client: DataLakeClient,
+    symbols: list[str],
+    timeframe_ms: int = 60_000,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    exchange: str = "SYNTH",
+    market: str = "SPOT",
+    period: str = "1m",
+    source_options: dict | None = None,
+) -> dict:
+    """Parallel history backfill through the Python Data Source.
+
+    The reference backfills with a serial driver loop per symbol
+    (exchange_connector.py:201-308). Here each symbol's history arrives
+    via ``format("exchange_ohlcv")`` — page fetching fans out across
+    executors, and `pushFilters` prunes the fetch window per symbol at
+    the source. Resume comes from the manifest watermark, same T1
+    semantics as the REST connector.
+    """
+    import time as _time
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.sources.spark_datasource import register_exchange_source
+
+    register_exchange_source(client.spark)
+    end_ms = end_ms if end_ms is not None else int(_time.time() * 1000)
+    written = {}
+    for sym in symbols:
+        key = DatasetKey(exchange, market, sym, "raw", period)
+        since = start_ms
+        if since is None:
+            wm = client.manifest.watermark(exchange, sym, "raw")
+            since = (wm + 1) if wm is not None else 0
+        opts = {
+            "symbols": sym,
+            "timeframe_ms": str(timeframe_ms),
+            "start_ms": str(since),
+            "end_ms": str(end_ms),
+        }
+        opts.update({k: str(v) for k, v in (source_options or {}).items()})
+        candles = (
+            client.spark.read.format("exchange_ohlcv").options(**opts).load().drop("symbol")
+        )
+        written[sym] = client.writer.write_ohlc(candles, key)
+    return written
+
+
 def daily_offload_flow(client: DataLakeClient) -> None:
     """The reference's compaction placeholder (flows.py:127-130) made
     real: partition-preserving small-file compaction."""

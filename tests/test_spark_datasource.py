@@ -140,3 +140,29 @@ def test_stream_offset_contract():
     # empty range → placeholder partition, read yields nothing
     empty = r.partitions({"until_ms": HOUR}, {"until_ms": HOUR})
     assert list(r.read(empty[0])) == []
+
+
+def test_backfill_flow_writes_lake_and_resumes(spark, tmp_path):
+    """Data source → lake: parallel backfill lands partitioned OHLC with
+    manifest rows, and a second run resumes from the watermark."""
+    from dl_datalake_spark.client import DataLakeClient
+    from dl_datalake_spark.flows import backfill_flow
+
+    client = DataLakeClient(spark, str(tmp_path / "base"))
+    first = backfill_flow(
+        client, ["BTC_USDT"], timeframe_ms=TF, start_ms=0, end_ms=HOUR
+    )
+    assert first["BTC_USDT"].rows == 60
+    wm = client.manifest.watermark("SYNTH", "BTC_USDT", "raw")
+    assert wm == HOUR - TF  # last candle ts
+
+    # resume: no start_ms → watermark + 1; only the second hour arrives
+    second = backfill_flow(client, ["BTC_USDT"], timeframe_ms=TF, end_ms=2 * HOUR)
+    df = client.read_ohlc("SYNTH", "BTC_USDT")
+    assert df.count() == 120
+    assert second["BTC_USDT"].rows == 120  # merged dataset size after upsert
+    # values match a direct source read (idempotent, deterministic);
+    # the lake read adds partition columns — compare the data columns
+    cols = ["ts", "open", "high", "low", "close", "volume"]
+    src = _reader(spark, symbols="BTC_USDT").drop("symbol")
+    assert sorted(df.select(*cols).collect()) == sorted(src.select(*cols).collect())
