@@ -51,6 +51,8 @@ FROM s, t
 """,
 )
 def docs_domain_mix(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     per_source = (
         docs.select("source", F.size(tokens("text")).alias("n_tok"))
@@ -60,17 +62,19 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str):
             F.sum("n_tok").alias("n_tokens"),
         )
     )
-    totals = per_source.agg(
-        F.sum("n_tokens").cast("double").alias("tot"),
-        F.count(F.lit(1)).cast("double").alias("nsrc"),
-    )
-    share = F.col("n_tokens") / F.col("tot")
-    return per_source.crossJoin(F.broadcast(totals)).select(
+    # corpus totals via a global window over the per-source aggregate
+    # (#sources rows) — ONE scan of documents; a separate totals
+    # aggregate would fork the lineage and scan the corpus twice
+    w = Window.partitionBy()
+    tot = F.sum("n_tokens").over(w).cast("double")
+    nsrc = F.count(F.lit(1)).over(w).cast("double")
+    share = F.col("n_tokens") / tot
+    return per_source.select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(share, 6).alias("token_share"),
-        F.round((1.0 / F.col("nsrc")) / share, 6).alias("mix_weight"),
+        F.round((1.0 / nsrc) / share, 6).alias("mix_weight"),
     )
 
 
@@ -103,8 +107,12 @@ GROUP BY d.source
 """,
 )
 def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.dedup import _pin
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = word_shingles(docs, n=3, distinct=True)
+    # the shingle table feeds BOTH the top-k df agg and the flagged
+    # semi-join: persist it once instead of exploding the corpus twice
+    sh = _pin(word_shingles(docs, n=3, distinct=True))
     top = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
