@@ -49,10 +49,13 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_pack_windows",
     "docs_curation_pipeline",
+    "docs_domain_mix",
+    "docs_boilerplate_coverage",
     "media_feature_digest",
     "emb_cosine_topk",
     "emb_knn_join",
     "emb_ivf_topk",
+    "emb_int8_quant_error",
 ]
 
 # queries whose result set is large: count() instead of collect() so the
