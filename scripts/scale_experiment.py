@@ -1,0 +1,125 @@
+"""Empirical scaling check for the corpus-level operators.
+
+Builds a K× copy of sf0.1's documents table (copies are token-suffixed
+per replica so replica sets don't become near-duplicates of each other
+— the dup structure WITHIN each replica matches the original corpus,
+so correct near-dup output scales ~K×), then times the heaviest
+corpus queries at 1× and K× and reports the observed scaling exponent
+log(t_K/t_1)/log(K). Near 1.0 = linear (what the LSH/bucket-join
+design promises); >>1 would flag a quadratic candidate explosion.
+
+Usage: python scripts/scale_experiment.py [K] [workdir]
+Writes K× parquet under workdir (default /tmp/dl_scale_exp) and prints
+one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES_UNDER_TEST = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_boilerplate_coverage",
+    "docs_curation_pipeline",
+    "docs_domain_mix",
+]
+
+
+def build_corpus(src_dir: str, out_dir: str, k: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM '{src_dir}/documents.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+COPY (
+  SELECT d.doc_id + {n_docs} * r.i AS doc_id,
+         CASE WHEN r.i = 0 THEN d.text
+              ELSE array_to_string(
+                     list_transform(str_split(d.text, ' '),
+                                    w -> w || '~' || r.i), ' ')
+         END AS text,
+         d.lang, d.source, d.n_chars
+  FROM '{src_dir}/documents.parquet' d,
+       (SELECT unnest(generate_series(0, {k - 1})) AS i) r
+) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
+
+
+# Small-aggregate queries MUST be collect()ed: under count() Catalyst
+# legitimately prunes the unused aggregate expressions and eliminates
+# the non-multiplying left joins feeding them — you end up timing a
+# skeleton plan, not the operator. Pair-producing dedup queries are
+# count()ed (output is large; the joins govern cardinality so nothing
+# prunable).
+COLLECT_QUERIES = {
+    "docs_boilerplate_coverage",
+    "docs_domain_mix",
+    "docs_curation_pipeline",
+}
+
+
+def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
+    from dl_datalake_spark.queries import QUERIES
+
+    out = {}
+    for name in names:
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            if name in COLLECT_QUERIES:
+                df.collect()
+            else:
+                df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dl_scale_exp"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    build_corpus(src, workdir, k)
+
+    from dl_datalake_spark.session import get_spark
+
+    spark = get_spark("scale-experiment")
+    # warm workers
+    spark.range(0, 64).mapInPandas(lambda it: it, schema="id long").count()
+
+    t1 = time_queries(spark, src, QUERIES_UNDER_TEST)
+    tk = time_queries(spark, workdir, QUERIES_UNDER_TEST)
+    report = {
+        "k": k,
+        "t1_sec": t1,
+        "tk_sec": tk,
+        "scaling_exponent": {
+            name: round(math.log(max(tk[name], 1e-3) / max(t1[name], 1e-3)) / math.log(k), 3)
+            for name in QUERIES_UNDER_TEST
+        },
+    }
+    print(json.dumps(report))
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
