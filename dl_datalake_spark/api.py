@@ -1,0 +1,154 @@
+"""REST serving surface — the engine analogue of the reference's
+FastAPI server (`client/api_server.py`) and UI backend routers
+(`dl-datalake-ui/backend/routers/{data,features,ingest}.py`), on Flask
+(the HTTP framework available here; the app is framework-thin either
+way — every route is a few lines over DataLakeClient).
+
+Route parity map (reference → here):
+- GET  /read          api_server.py:58-82       time-range OHLC rows
+- GET  /symbols       api_server.py (list)      distinct symbols
+- GET  /datasets      UI data.py:20-88          manifest list + pagination
+- GET  /preview       UI data.py:90-151         paged rows from one dataset
+- GET  /features      api_server.py:174-208     feature-set → versions
+- POST /ingest/file   UI ingest.py:58-120       CSV → lake
+- POST /export        UI data.py:154-239        terminal CSV export
+- DELETE /datasets    UI ingest.py:324-363      manifest+files delete
+- GET  /health        api_server.py             liveness
+
+JSON discipline: DataFrames are serialized row-wise via collect() on
+ALREADY-paginated/limited results only — no route ever collects an
+unbounded dataset (the reference's /read returns the full range;
+here `limit` defaults to 10,000 and is capped, because a lake at
+100 TB will happily return a billion rows to a typo'd date range).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from dl_datalake_spark.client import DataLakeClient
+
+MAX_LIMIT = 100_000
+DEFAULT_LIMIT = 10_000
+
+
+def _rows(df) -> list[dict[str, Any]]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def create_app(client: DataLakeClient):
+    from flask import Flask, jsonify, request
+
+    app = Flask("dl_datalake_spark")
+
+    def bounded_limit() -> int:
+        return min(int(request.args.get("limit", DEFAULT_LIMIT)), MAX_LIMIT)
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok", "spark": client.spark.version})
+
+    @app.get("/read")
+    def read():
+        args = request.args
+        try:
+            df = client.read_ohlc(
+                exchange=args["exchange"],
+                symbol=args["symbol"],
+                start=args.get("start"),
+                end=args.get("end"),
+                data_type=args.get("data_type", "raw"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        limit = bounded_limit()
+        data = _rows(df.limit(limit))
+        return jsonify({"rows": data, "count": len(data), "limit": limit})
+
+    @app.get("/symbols")
+    def symbols():
+        return jsonify({"symbols": client.list_symbols(request.args.get("exchange"))})
+
+    @app.get("/datasets")
+    def datasets():
+        args = request.args
+        entries = client.manifest.list_entries(
+            symbol=args.get("symbol"),
+            data_type=args.get("data_type"),
+            exchange=args.get("exchange"),
+            market=args.get("market"),
+            timeframe=args.get("timeframe"),
+        )
+        offset = int(args.get("offset", 0))
+        limit = bounded_limit()
+        total = entries.count()
+        page = _rows(entries.offset(offset).limit(limit))
+        return jsonify({"total": total, "offset": offset, "entries": page})
+
+    @app.get("/preview")
+    def preview():
+        args = request.args
+        try:
+            df = client.read_ohlc(
+                exchange=args["exchange"],
+                symbol=args["symbol"],
+                data_type=args.get("data_type", "raw"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        total, page = client.reader.preview(
+            df, int(args.get("offset", 0)), min(int(args.get("limit", 100)), MAX_LIMIT)
+        )
+        return jsonify({"total": total, "rows": _rows(page)})
+
+    @app.get("/features")
+    def features():
+        return jsonify({"feature_sets": client.features.list_feature_sets()})
+
+    @app.post("/ingest/file")
+    def ingest_file():
+        body = request.get_json(force=True)
+        try:
+            result = client.ingest_csv(
+                body["path"], body["exchange"], body["market"], body["symbol"],
+                period=body.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except Exception as exc:  # bad file / schema: loud, typed failure
+            return jsonify({"error": str(exc)}), 400
+        return jsonify(
+            {
+                "rows": result.rows,
+                "path": result.path,
+                "time_from": result.time_from,
+                "time_to": result.time_to,
+            }
+        )
+
+    @app.post("/export")
+    def export():
+        body = request.get_json(force=True)
+        try:
+            client.export_ohlc(
+                body["path"], body["exchange"], body["symbol"],
+                start=body.get("start"), end=body.get("end"),
+                period=body.get("period", "1m"),
+                resample_to=body.get("resample_to"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        return jsonify({"exported": body["path"]})
+
+    @app.delete("/datasets")
+    def delete_datasets():
+        filters = {
+            k: v
+            for k, v in request.get_json(force=True).items()
+            if k in ("symbol", "data_type", "exchange", "market")
+        }
+        if not filters:
+            return jsonify({"error": "refusing unfiltered delete"}), 422
+        return jsonify({"deleted": client.delete_dataset(**filters)})
+
+    return app

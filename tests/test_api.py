@@ -1,0 +1,103 @@
+"""REST surface tests (Flask test client over DataLakeClient) —
+mirrors the reference's HTTP contract tests (tests/client/
+test_api_server.py: 200 on good input, 422 on missing params)."""
+
+from __future__ import annotations
+
+import pytest
+
+pytest.importorskip("flask")
+
+from dl_datalake_spark.api import create_app  # noqa: E402
+from dl_datalake_spark.client import DataLakeClient  # noqa: E402
+
+CSV = "ts,open,high,low,close,volume\n" + "\n".join(
+    f"{1672574400000 + i * 60000},1,2,0.5,1.5,10" for i in range(30)
+)
+
+
+@pytest.fixture()
+def app_client(spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text(CSV)
+    client = DataLakeClient(spark, str(tmp_path / "base"))
+    client.ingest_csv(str(csv), "BINANCE", "SPOT", "BTCUSDT")
+    app = create_app(client)
+    app.config["TESTING"] = True
+    return app.test_client(), client, tmp_path
+
+
+def test_health_read_and_limit(app_client):
+    http, _, _ = app_client
+    assert http.get("/health").get_json()["status"] == "ok"
+
+    r = http.get("/read", query_string={"exchange": "BINANCE", "symbol": "BTCUSDT"})
+    body = r.get_json()
+    assert r.status_code == 200 and body["count"] == 30
+    assert body["rows"][0]["close"] == 1.5
+
+    # missing params → 422, bounded limit respected
+    assert http.get("/read").status_code == 422
+    r2 = http.get(
+        "/read",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT", "limit": 5},
+    )
+    assert r2.get_json()["count"] == 5
+
+
+def test_datasets_preview_symbols(app_client):
+    http, _, _ = app_client
+    ds = http.get("/datasets").get_json()
+    assert ds["total"] >= 1 and ds["entries"][0]["symbol"] == "BTCUSDT"
+
+    pv = http.get(
+        "/preview",
+        query_string={
+            "exchange": "BINANCE",
+            "symbol": "BTCUSDT",
+            "offset": 10,
+            "limit": 5,
+        },
+    ).get_json()
+    assert pv["total"] == 30 and len(pv["rows"]) == 5
+    assert pv["rows"][0]["ts"] == 1672574400000 + 10 * 60000
+
+    assert http.get("/symbols").get_json()["symbols"] == ["BTCUSDT"]
+
+
+def test_ingest_export_delete_roundtrip(app_client, tmp_path):
+    http, client, base = app_client
+    csv2 = base / "more.csv"
+    csv2.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1675252800000 + i * 60000},2,3,1,2.5,20" for i in range(10))
+    )
+    r = http.post(
+        "/ingest/file",
+        json={
+            "path": str(csv2),
+            "exchange": "BINANCE",
+            "market": "SPOT",
+            "symbol": "ETHUSDT",
+        },
+    )
+    assert r.status_code == 200 and r.get_json()["rows"] == 10
+    assert r.get_json()["time_from"] == 1675252800000
+
+    out = base / "export.csv"
+    r2 = http.post(
+        "/export",
+        json={"path": str(out), "exchange": "BINANCE", "symbol": "ETHUSDT"},
+    )
+    assert r2.status_code == 200 and out.exists()
+
+    # bad ingest → 400 with error message; unfiltered delete refused
+    bad = base / "bad.csv"
+    bad.write_text("a,b\n1,2\n")
+    assert http.post(
+        "/ingest/file",
+        json={"path": str(bad), "exchange": "E", "market": "M", "symbol": "S"},
+    ).status_code == 400
+    assert http.delete("/datasets", json={}).status_code == 422
+    r3 = http.delete("/datasets", json={"symbol": "ETHUSDT"})
+    assert r3.get_json()["deleted"] >= 1
