@@ -166,3 +166,41 @@ def test_backfill_flow_writes_lake_and_resumes(spark, tmp_path):
     cols = ["ts", "open", "high", "low", "close", "volume"]
     src = _reader(spark, symbols="BTC_USDT").drop("symbol")
     assert sorted(df.select(*cols).collect()) == sorted(src.select(*cols).collect())
+
+
+def test_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Exactly-once across restarts: a second query on the same
+    checkpoint picks up at the committed offset — no re-emit of hour 1,
+    no gap before hour 2."""
+    register_exchange_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # file sink: supports checkpoint recovery
+
+    def run(end_ms):
+        sdf = (
+            spark.readStream.format("exchange_ohlcv")
+            .option("symbols", "BTC_USDT")
+            .option("timeframe_ms", str(TF))
+            .option("start_ms", "0")
+            .option("end_ms", str(end_ms))
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(HOUR)
+    assert spark.read.parquet(out).count() == 60
+
+    # restart with a wider horizon on the SAME checkpoint: the source
+    # offset is committed, so only hour 2 is appended — no re-emit of
+    # hour 1, no gap before hour 2
+    run(2 * HOUR)
+    ts = sorted(r["ts"] for r in spark.read.parquet(out).collect())
+    assert len(ts) == 120 and len(set(ts)) == 120
+    assert ts[0] == 0 and ts[60] == HOUR and ts[-1] == 2 * HOUR - TF
