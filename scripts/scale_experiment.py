@@ -33,6 +33,18 @@ QUERIES_UNDER_TEST = [
     "docs_domain_mix",
 ]
 
+# event-stream operators: replicas get disjoint user_id/event_id spaces
+# (same timestamps), so per-user windows/sessions/joins see K× more
+# keys with the original per-key history — the partitioning axis that
+# matters for window/as-of scaling.
+EVENT_QUERIES = [
+    "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
+    "events_tumbling_hourly",
+    "events_keep_last",
+]
+
 
 def build_corpus(src_dir: str, out_dir: str, k: int) -> None:
     import duckdb
@@ -71,6 +83,29 @@ COLLECT_QUERIES = {
     "docs_domain_mix",
     "docs_curation_pipeline",
 }
+
+
+def build_events(src_dir: str, out_dir: str, k: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    n_ev, n_users = con.execute(
+        f"SELECT COUNT(*), MAX(user_id) + 1 FROM '{src_dir}/events.parquet'"
+    ).fetchone()
+    con.execute(
+        f"""
+COPY (
+  SELECT e.event_id + {n_ev} * r.i AS event_id,
+         e.ts,
+         e.user_id + {n_users} * r.i AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src_dir}/events.parquet' e,
+       (SELECT unnest(generate_series(0, {k - 1})) AS i) r
+) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
 
 
 def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
