@@ -201,3 +201,48 @@ def emb_int8_quant_error(spark: SparkSession, sf_dir: str):
         F.round(F.avg("q_abs_err"), 6).alias("mean_abs_err"),
         F.round(F.avg("q_scale"), 6).alias("mean_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping context-window chunking: stride-25 windows of 50 tokens
+# per document — the pretraining/RAG chunker. sequence() + explode
+# fans the windows out distributed; the chunk text digest keeps the
+# oracle value-hashed end-to-end without shipping chunk bodies.
+# ---------------------------------------------------------------------------
+CHUNK_W = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "docs_chunk_overlap",
+    sql=rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE})) AS start
+      FROM w)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(least({CHUNK_W}, len(toks) - start) AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + {CHUNK_W}], ' ')) AS digest
+FROM s
+""",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_W), F.size("toks") - F.col("start"))
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("digest"),
+    )
