@@ -1,0 +1,150 @@
+"""Product-analytics shapes: funnel conversion, retention cohorts,
+market-basket co-occurrence. Beyond the reference's surface (its only
+aggregate is the per-file stat pass, SURVEY §2.4) but standard for an
+analytics engine over event/order data, and each stays a hash-agg /
+equi-join plan that shards by user/order key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table, with_tsu
+
+US_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# funnel: of users who clicked, how many purchased within 1h of their
+# FIRST click, how many ever purchased after it. One row out; the
+# per-user flags are a min-agg + two boolean aggregates — no joins
+# that multiply, conversion windows in integer µs.
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    sql=f"""
+WITH c AS (SELECT user_id, MIN(epoch_us(ts)) AS first_click
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, epoch_us(ts) AS tsu
+      FROM events WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT c.user_id,
+         MAX(CASE WHEN p.tsu >= c.first_click
+                   AND p.tsu < c.first_click + {US_PER_HOUR}
+                  THEN 1 ELSE 0 END) AS within_1h,
+         MAX(CASE WHEN p.tsu >= c.first_click THEN 1 ELSE 0 END) AS ever_after
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+  GROUP BY c.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+       CAST(SUM(within_1h) AS BIGINT) AS converted_1h,
+       CAST(SUM(ever_after) AS BIGINT) AS converted_ever,
+       ROUND(CAST(SUM(within_1h) AS DOUBLE) / COUNT(*), 6) AS rate_1h,
+       ROUND(CAST(SUM(ever_after) AS DOUBLE) / COUNT(*), 6) AS rate_ever
+FROM per_user
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("first_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "tsu")
+    within = F.when(
+        (F.col("tsu") >= F.col("first_click"))
+        & (F.col("tsu") < F.col("first_click") + US_PER_HOUR),
+        1,
+    ).otherwise(0)
+    after = F.when(F.col("tsu") >= F.col("first_click"), 1).otherwise(0)
+    per_user = (
+        clicks.join(purchases, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.max(within).alias("within_1h"), F.max(after).alias("ever_after"))
+    )
+    n = F.count(F.lit(1))
+    return per_user.agg(
+        n.alias("n_clickers"),
+        F.sum("within_1h").alias("converted_1h"),
+        F.sum("ever_after").alias("converted_ever"),
+        F.round(F.sum("within_1h").cast("double") / n, 6).alias("rate_1h"),
+        F.round(F.sum("ever_after").cast("double") / n, 6).alias("rate_ever"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: customers grouped by first-order month, activity
+# counted per month-age. Month arithmetic is integer (year*12 + month)
+# on both engines — no interval/datediff semantics to disagree on.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_retention_cohort",
+    sql="""
+WITH m AS (SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS ym
+           FROM orders),
+f AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM m GROUP BY o_custkey)
+SELECT f.cohort_ym, CAST(m.ym - f.cohort_ym AS INTEGER) AS month_age,
+       CAST(COUNT(DISTINCT m.o_custkey) AS BIGINT) AS active_customers
+FROM m JOIN f ON m.o_custkey = f.o_custkey
+GROUP BY f.cohort_ym, month_age
+""",
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym"),
+    )
+    f = m.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        m.join(f, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).cast("int").alias("month_age"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# market basket: brand co-occurrence within an order. The pair join is
+# blocked on l_orderkey (orders have bounded line counts, so the
+# within-order pair fan-out is a small constant — linear at any scale);
+# part is broadcast into the line scan.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_brand_basket",
+    sql="""
+WITH l AS (SELECT li.l_orderkey, p.p_brand
+           FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders
+FROM l a JOIN l b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY brand_a, brand_b
+""",
+)
+def orders_brand_basket(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"),
+        )
+    )
