@@ -107,3 +107,40 @@ def streaming_dedup(
     if hasattr(out, "dropDuplicatesWithinWatermark"):
         return out.dropDuplicatesWithinWatermark(keys).drop("_event_time")
     return out.dropDuplicates(keys).drop("_event_time")
+
+
+def stream_exchange_ingest(
+    spark: SparkSession,
+    writer: LakeWriter,
+    key: DatasetKey,
+    checkpoint_dir: str,
+    source_options: dict | None = None,
+) -> StreamingQuery:
+    """Continuous exchange ingest: the `exchange_ohlcv` streaming source
+    → per-symbol foreachBatch upsert into the lake.
+
+    The full continuous version of the reference's download loop
+    (exchange_connector.py:201-308): offsets live in the checkpoint
+    (until-ms watermarks, replayable), micro-batches land through the
+    same keep-last upsert as batch ingest, so restarts and re-deliveries
+    are idempotent end-to-end. `max_batch_ms` in source_options bounds
+    candles per micro-batch — the streaming analogue of the reference's
+    5,000-row flush chunk.
+    """
+    from dl_datalake_spark.sources.spark_datasource import register_exchange_source
+
+    register_exchange_source(spark)
+    opts = {"symbols": key.symbol, **{k: str(v) for k, v in (source_options or {}).items()}}
+    stream = spark.readStream.format("exchange_ohlcv").options(**opts).load()
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.write_ohlc(batch_df.drop("symbol"), key)
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

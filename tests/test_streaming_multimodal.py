@@ -209,3 +209,32 @@ def test_transform_with_state_vwap(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_exchange_ingest_to_lake(spark, tmp_path):
+    """Continuous ingest: exchange_ohlcv stream → foreachBatch upsert;
+    a second run on the same checkpoint appends only the new span."""
+    from dl_datalake_spark.streaming.ingest import stream_exchange_ingest
+
+    writer = LakeWriter(
+        spark, str(tmp_path / "base"), ManifestManager(spark, str(tmp_path / "m"))
+    )
+    k = DatasetKey("SYNTH", "SPOT", "BTC_USDT", "raw", "1m")
+    opts = {"timeframe_ms": 60_000, "start_ms": 0, "end_ms": 3_600_000}
+    q = stream_exchange_ingest(
+        spark, writer, k, str(tmp_path / "ckpt"), source_options=opts
+    )
+    q.awaitTermination(120)
+    reader = LakeReader(spark, str(tmp_path / "base"))
+    assert reader.read_dataset(k).count() == 60
+
+    # widen horizon on the same checkpoint: only hour 2 is ingested,
+    # upsert keeps the lake exactly-once
+    opts["end_ms"] = 7_200_000
+    q2 = stream_exchange_ingest(
+        spark, writer, k, str(tmp_path / "ckpt"), source_options=opts
+    )
+    q2.awaitTermination(120)
+    rows = reader.read_dataset(k).select("ts").collect()
+    ts = sorted(r["ts"] for r in rows)
+    assert len(ts) == 120 and len(set(ts)) == 120
