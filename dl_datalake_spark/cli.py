@@ -77,6 +77,17 @@ def build_parser() -> argparse.ArgumentParser:
     flow.add_argument("--exchange", required=True)
     flow.add_argument("--market", default="spot")
     flow.add_argument("--symbol", required=True)
+
+    bf = sub.add_parser("backfill", help="parallel history backfill via the exchange data source")
+    bf.add_argument("--symbols", required=True, help="comma-separated symbol list")
+    bf.add_argument("--exchange", default="SYNTH")
+    bf.add_argument("--timeframe-ms", type=int, default=60_000)
+    bf.add_argument("--start-ms", type=int, default=None)
+    bf.add_argument("--end-ms", type=int, default=None)
+
+    srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8000)
     return p
 
 
@@ -132,6 +143,22 @@ def main(argv: list[str] | None = None) -> int:
         out = ingest_pipeline_flow(client, args.source, args.exchange, args.market, args.symbol)
         print(json.dumps({"rows": out["ingest"].rows,
                           "aggregates": {k: v.rows for k, v in out["aggregates"].items()}}))
+    elif args.cmd == "backfill":
+        from dl_datalake_spark.flows import backfill_flow
+
+        out = backfill_flow(
+            client,
+            [s.strip() for s in args.symbols.split(",") if s.strip()],
+            timeframe_ms=args.timeframe_ms,
+            start_ms=args.start_ms,
+            end_ms=args.end_ms,
+            exchange=args.exchange,
+        )
+        print(json.dumps({sym: res.rows for sym, res in out.items()}))
+    elif args.cmd == "serve":
+        from dl_datalake_spark.api import create_app
+
+        create_app(client).run(host=args.host, port=args.port)
     return 0
 
 

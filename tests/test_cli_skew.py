@@ -104,3 +104,17 @@ def test_cli_sql_and_pipeline(spark, tmp_path, monkeypatch):
                      "--exchange", "binance", "--symbol", "BTCUSDT"]) == 0
     assert cli.main(["--base", base, "sql", "--view", "btc=binance/BTCUSDT",
                      "SELECT COUNT(*) AS n FROM btc"]) == 0
+
+
+def test_cli_backfill(spark, tmp_path, capsys):
+    base = str(tmp_path / "lake2")
+    assert main([
+        "--base", base, "backfill",
+        "--symbols", "BTC_USDT,ETH_USDT",
+        "--start-ms", "0", "--end-ms", "3600000",
+    ]) == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    counts = _json.loads(out.strip().splitlines()[-1])
+    assert counts == {"BTC_USDT": 60, "ETH_USDT": 60}
