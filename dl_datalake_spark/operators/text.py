@@ -29,6 +29,22 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(text_col)))
 
 
+# GPT-2-style pre-tokenizer shape, constrained to RE2-compatible syntax
+# (no lookaheads — DuckDB's regex engine lacks them, and the oracle
+# must reproduce counts exactly): a leading-space word run, digit run,
+# or punctuation run per match. Counts approximate BPE pre-token counts
+# the way pretraining token-budget estimates do.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-budget estimator: count BPE-ish pre-tokens with one
+    regexp_count — scan-stage, no explode, no UDF."""
+    return df.withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword heuristics → quality in [0,1].
 

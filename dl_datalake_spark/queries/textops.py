@@ -176,3 +176,39 @@ def docs_emb_quality_by_cluster(spark: SparkSession, sf_dir: str):
             F.round(F.min("quality"), 6).alias("min_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token budget: per language, regex pre-token counts next to
+# whitespace counts — the estimator a token-budget planner runs before
+# committing compute. One regexp_count per row, no explode.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_bpe_token_stats",
+    sql=r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_word
+FROM t GROUP BY lang
+""",
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.text import with_bpe_token_count
+
+    docs = with_bpe_token_count(
+        with_token_count(load_table(spark, sf_dir, "documents", spread=True))
+    )
+    return docs.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_tokens"), 6
+        ).alias("bpe_per_word"),
+    )
