@@ -122,3 +122,32 @@ def compact(spark: SparkSession, base_path: str, target_files_per_partition: int
         .option("compression", "snappy")
         .parquet(base_path + "_compacted")
     )
+
+
+def vacuum(
+    spark: SparkSession,
+    base_path: str,
+    manifest: ManifestManager,
+    dry_run: bool = True,
+) -> dict[str, list[str]]:
+    """Reclaim the audit's findings: delete orphan dataset directories
+    (files on disk the catalog doesn't know) and drop dead links
+    (catalog rows whose files are gone). The reference only *detects*
+    both (test_09_audit.py); the Delta-lake analogue is VACUUM +
+    FSCK REPAIR. dry_run=True (default) reports without touching
+    anything — destructive maintenance should never be the default.
+    """
+    import shutil as _shutil
+
+    report = audit(spark, base_path, manifest)
+    if dry_run:
+        return report
+    for orphan in report["orphan_files"]:
+        # audit paths are dataset prefixes under base_path; refuse
+        # anything that escaped the lake root
+        full = orphan if os.path.isabs(orphan) else os.path.join(base_path, orphan)
+        if os.path.realpath(full).startswith(os.path.realpath(base_path)):
+            _shutil.rmtree(full, ignore_errors=True)
+    for dead in report["dead_links"]:
+        manifest.delete_entries(path=dead)
+    return report

@@ -181,8 +181,11 @@ class ManifestManager:
         exchange: str | None = None,
         market: str | None = None,
         timeframe: str | None = None,
+        path: str | None = None,
     ) -> DataFrame:
         df = self.load()
+        if path is not None:
+            df = df.where(F.col("path") == path)
         if timeframe is not None:
             # JSON-metadata predicate (pipeline.py:147-163 filters the
             # same field row-at-a-time in Python; here it's an engine

@@ -162,3 +162,31 @@ def test_client_sql_over_registered_view(spark, tmp_path):
         "SELECT COUNT(*) AS n, MAX(close) AS mx FROM btc WHERE ts >= 120000"
     ).collect()[0]
     assert out["n"] == 8 and out["mx"] == 10.0
+
+
+def test_vacuum_reclaims_orphans_and_dead_links(client, tmp_path):
+    import os
+
+    from dl_datalake_spark.lake.maintenance import vacuum
+
+    client.ingest_csv(_csv(tmp_path), "binance", "spot", "BTCUSDT")
+    orphan = os.path.join(client.base_path, "exchange=FAKE")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "x.parquet"), "wb") as fh:
+        fh.write(b"")
+    client.manifest.add_entry("gone", "spot", "GONE", "/nonexistent/path", "raw")
+
+    # dry run reports but touches nothing
+    rep = vacuum(client.spark, client.base_path, client.manifest, dry_run=True)
+    assert any("FAKE" in p for p in rep["orphan_files"])
+    assert os.path.exists(orphan)
+
+    rep2 = vacuum(client.spark, client.base_path, client.manifest, dry_run=False)
+    assert not os.path.exists(orphan)
+    assert "/nonexistent/path" in rep2["dead_links"]
+    # catalog row dropped, real dataset untouched
+    assert client.manifest.list_entries(path="/nonexistent/path").count() == 0
+    assert client.read_ohlc("binance", "BTCUSDT").count() == 30
+    # post-vacuum audit is clean
+    after = vacuum(client.spark, client.base_path, client.manifest, dry_run=True)
+    assert after == {"orphan_files": [], "dead_links": []}
