@@ -148,3 +148,78 @@ def orders_brand_basket(spark: SparkSession, sf_dir: str):
             F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# statistical moments: stddev/variance/correlation/covariance per group.
+# skewness/kurtosis are deliberately absent — Spark computes population
+# moments, DuckDB bias-corrected sample moments, so they can never
+# hash-match; the four below have identical standard definitions.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stats_moments",
+    sql="""
+SELECT l_linestatus,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_extendedprice), 2) AS var_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution windows: ntile quartiles + percent_rank/cume_dist of
+# order prices within each priority. ntile is NOT tie-aware, so the
+# window orders by (price, orderkey) to pin tie order identically on
+# both engines; percent_rank/cume_dist are tie-aware by definition.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution_ranks",
+    sql="""
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         o_totalprice
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo_price,
+       ROUND(MAX(o_totalprice), 2) AS hi_price,
+       ROUND(AVG(pr), 6) AS avg_pct_rank,
+       ROUND(AVG(cd), 6) AS avg_cume_dist
+FROM r GROUP BY o_orderpriority, quartile
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )
