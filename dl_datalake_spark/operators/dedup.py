@@ -357,3 +357,46 @@ def simhash_pairs(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Candidate near-dup pairs via Spark ML's MinHashLSH — the
+    built-in alternative to the md5-banded implementation above.
+
+    Pipeline: shingles → HashingTF sparse vectors (set semantics,
+    binary=True) → MinHashLSH.approxSimilarityJoin, whose output
+    distance is (1 - estimated Jaccard). Kept as an operator (tested
+    against the hand-rolled banding for overlap) rather than an
+    oracle query: MinHashLSH's hash family is JVM-seeded, so DuckDB
+    cannot reproduce the candidate set bit-for-bit, which is exactly
+    why the oracle path uses md5 banding instead.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=True)
+    docs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(docs).where(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, threshold=1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+    )

@@ -208,3 +208,23 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         bound = out[vid]["q_scale"] / (2 * 127) + 1e-9
         assert out[vid]["q_abs_err"] <= bound
     assert out[3]["q_codes"] == [0, 0, 0, 0] and out[3]["q_abs_err"] == 0.0
+
+
+def test_minhash_ml_agrees_with_banded_on_clear_dups(spark):
+    from dl_datalake_spark.operators.dedup import minhash_lsh_pairs_ml
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "completely different words about spark query engines here now"),
+        (4, "completely different words about spark query engines here now ok"),  # near-dup of 3
+        (5, "unrelated singleton text with its own vocabulary entirely alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs_ml(df, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all(p in {(1, 2), (3, 4)} for p in pairs)
