@@ -246,3 +246,39 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str):
         .alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub parity: run the 3-pattern redaction chain over the corpus
+# and hash-compare the scrubbed text per language. The synthetic corpus
+# carries no PII (hit counts are unit-tested on injected rows in
+# tests/test_operators.py) — what the oracle proves is that the full
+# regexp_replace chain is reproducible cross-engine, i.e. the scrub is
+# a deterministic, auditable transformation, not an engine-specific one.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_pii_scrub",
+    sql=r"""
+WITH s AS (
+  SELECT lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+             '\+?\d[\d\- ()]{7,}\d', '[PHONE]', 'g') AS t
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(t)) AS BIGINT) AS distinct_scrubbed,
+       CAST(SUM(LENGTH(t)) AS BIGINT) AS total_chars
+FROM s GROUP BY lang
+""",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.text import scrub_pii
+
+    docs = scrub_pii(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text_scrubbed")).alias("distinct_scrubbed"),
+        F.sum(F.length("text_scrubbed")).alias("total_chars"),
+    )
