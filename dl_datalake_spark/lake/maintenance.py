@@ -111,17 +111,44 @@ def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dic
     return {"orphan_files": sorted(orphans), "dead_links": sorted(dead)}
 
 
-def compact(spark: SparkSession, base_path: str, target_files_per_partition: int = 1) -> None:
-    """Partition-preserving small-file compaction (reference: unimplemented)."""
+def compact(
+    spark: SparkSession,
+    base_path: str,
+    target_files_per_partition: int = 1,
+    in_place: bool = False,
+) -> str:
+    """Partition-preserving small-file compaction (reference:
+    unimplemented placeholder, flows.py:127-130). Rewrites every
+    partition to `target_files_per_partition` ts-sorted files — the
+    OPTIMIZE analogue that keeps monthly partitions from fragmenting
+    under incremental upserts.
+
+    in_place=True swaps the compacted tree over the original with two
+    directory renames (readers in flight keep their already-opened
+    files; new reads see the compacted layout). The manifest catalogs
+    dataset DIRECTORIES, not files, so no catalog rewrite is needed.
+    Returns the path now holding the compacted data.
+    """
+    import shutil as _shutil
+    import uuid as _uuid
+
     df = spark.read.option("mergeSchema", "true").option("basePath", base_path).parquet(base_path)
+    out = base_path + "_compacted"
     (
         df.repartition(target_files_per_partition, *[c for c in PARTITION_COLS if c in df.columns])
         .sortWithinPartitions("ts")
         .write.partitionBy(*[c for c in PARTITION_COLS if c in df.columns])
         .mode("overwrite")
         .option("compression", "snappy")
-        .parquet(base_path + "_compacted")
+        .parquet(out)
     )
+    if not in_place:
+        return out
+    old = base_path + f".precompact.{_uuid.uuid4().hex}"
+    os.rename(base_path, old)
+    os.rename(out, base_path)
+    _shutil.rmtree(old, ignore_errors=True)
+    return base_path
 
 
 def vacuum(

@@ -183,9 +183,27 @@ def test_compact_preserves_rows(spark, lake, tmp_path):
         writer.write_ohlc(df, KEY)
     base = writer.base_path
     before = spark.read.option("basePath", base).parquet(base).count()
-    compact(spark, base)
-    after = spark.read.option("basePath", base + "_compacted").parquet(base + "_compacted")
-    assert after.count() == before
+    out = compact(spark, base)
+    after = spark.read.option("basePath", out).parquet(out)
+    assert out == base + "_compacted" and after.count() == before
+
+    # in-place: swap over the original; reads see identical data with
+    # one file per partition, and the old tree is gone
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(out)
+    swapped = compact(spark, base, in_place=True)
+    assert swapped == base and not os.path.exists(out)
+    again = spark.read.option("basePath", base).parquet(base)
+    assert again.count() == before
+    leaf_dirs = {
+        os.path.dirname(p)
+        for p in glob.glob(base + "/**/*.parquet", recursive=True)
+    }
+    for d in leaf_dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1
 
 
 def test_probe_listing_date(spark, lake):
