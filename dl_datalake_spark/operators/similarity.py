@@ -146,13 +146,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: assign each query to its nearest coarse cell
-    (per-label centroid, nprobe=1), then exact-rerank only within that
-    cell. At scale the cell id is the shuffle key — candidate
-    generation is O(n/cells) per query instead of O(n) — and the
-    centroid table stays broadcast. Deterministic: ties broken on
-    (rounded cosine, label/id), so the result is oracle-checkable.
+    """IVF-style ANN: assign each query to its `nprobe` nearest coarse
+    cells (per-label centroids), then exact-rerank only within those
+    cells. At scale the cell id is the shuffle key — candidate
+    generation is O(n·nprobe/cells) per query instead of O(n) — and
+    the centroid table stays broadcast. nprobe is the recall/cost dial:
+    nprobe == #cells degrades gracefully to exact brute force (tested).
+    Deterministic: ties broken on (rounded cosine, label/id), so the
+    result is oracle-checkable.
     """
     cents = label_centroids(corpus, label_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
@@ -163,7 +166,7 @@ def ivf_topk(
         q.crossJoin(F.broadcast(cents))
         .withColumn("cent_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
         .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .select("q_id", "qv", F.col("label").alias("cell"))
     )
     c = _with_norm(corpus, vec_col, "_cn").select(

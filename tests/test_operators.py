@@ -228,3 +228,27 @@ def test_minhash_ml_agrees_with_banded_on_clear_dups(spark):
     }
     assert (1, 2) in pairs and (3, 4) in pairs
     assert all(p in {(1, 2), (3, 4)} for p in pairs)
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == #cells must reproduce exact brute-force top-k — the
+    recall dial degrades gracefully to exhaustive search."""
+    from dl_datalake_spark.operators.similarity import cosine_topk, ivf_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(q, emb, k=3, nprobe=3)
+    brute = {}
+    for qrow in q.collect():
+        got = cosine_topk(
+            emb.where(F.col("vec_id") != qrow["vec_id"]), qrow["embedding"], k=3
+        ).collect()
+        brute[qrow["vec_id"]] = [r["vec_id"] for r in got]
+    for r in ivf.collect():
+        assert brute[r["q_id"]][r["rank"] - 1] == r["c_id"]
