@@ -31,6 +31,7 @@ HEADLINE = [
     "q7_nation_volume",
     "q18_large_volume_orders",
     "q4_order_priority",
+    "q9_product_profit",
     "q21_sole_late_supplier",
     "agg_rollup",
     "window_rank_topn",
