@@ -97,3 +97,34 @@ def test_ingest_pipeline_flow(spark, tmp_path):
     assert agg15.count() == 8
     assert agg1h.count() == 2
     assert client.manifest.list_entries(symbol="BTCUSDT", data_type="agg").count() >= 1
+
+
+def test_missing_root_is_empty_not_half_created(spark, tmp_path):
+    """Reference test_13_config analogue: a nonexistent lake root reads
+    as an EMPTY dataset (documented graceful behavior — a typo'd symbol
+    and a typo'd root look the same to a reader: no matching files),
+    must not half-create state, and a corrupt root fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from dl_datalake_spark.client import DataLakeClient
+    from dl_datalake_spark.lake.reader import LakeReader
+
+    missing = str(tmp_path / "never" / "created")
+    reader = LakeReader(spark, missing)
+    assert reader.read_range("BINANCE", "BTCUSDT", "raw").count() == 0
+    assert not os.path.exists(missing)  # read did not create anything
+
+    # client on a fresh root initializes lazily: nothing on disk until a write
+    client = DataLakeClient(spark, str(tmp_path / "fresh"))
+    assert client.manifest.load().count() == 0
+    assert not os.path.exists(client.base_path)
+
+    # corrupt data under the root fails loudly, not silently empty
+    bad = tmp_path / "corrupt" / "exchange=B" / "market=S" / "symbol=X" / "data_type=raw" / "period=1m"
+    bad.mkdir(parents=True)
+    (bad / "junk.parquet").write_bytes(b"not parquet at all")
+    r2 = LakeReader(spark, str(tmp_path / "corrupt"))
+    with _pytest.raises(Exception):
+        r2.read_range("B", "X", "raw").collect()
