@@ -223,3 +223,32 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str):
         F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation: per region, its nations as one sorted
+# comma-joined string. Implemented engine-agnostically as
+# sort_array(collect_list(...)) -> array_join, which is deterministic
+# under any partitioning (the oracle's string_agg ORDER BY equivalent).
+# ---------------------------------------------------------------------------
+@register(
+    "region_nation_list",
+    sql="""
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def region_nation_list(spark: SparkSession, sf_dir: str):
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
