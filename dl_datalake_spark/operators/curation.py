@@ -82,3 +82,42 @@ def pack_token_budget(
     return df.withColumn("_cum_before", cum - F.col(tokens_col)).withColumn(
         "window_id", F.expr(f"_cum_before DIV {int(budget)}")
     ).drop("_cum_before")
+
+
+def shard_for_training(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle into N training shards.
+
+    shard = xxhash64(id, seed) mod N; within-shard order = the hash
+    itself. The (shard, order) pair is a pure function of (id, seed),
+    so the SAME corpus always shards identically — on one machine or a
+    thousand executors — and changing the seed gives an independent
+    permutation. That determinism is what makes training runs
+    reproducible and resumable mid-epoch; a rand()-based shuffle gives
+    neither. At scale this is one hash-partitioned shuffle, no global
+    sort (each shard sorts locally).
+    """
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    return (
+        df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn("shard_order", h)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_order")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize the deterministic shuffle as shard=N parquet
+    directories, each internally ordered by the shuffle hash."""
+    sharded = shard_for_training(df, n_shards, id_col, seed)
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(path)

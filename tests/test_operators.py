@@ -252,3 +252,34 @@ def test_ivf_full_probe_equals_brute_force(spark):
         brute[qrow["vec_id"]] = [r["vec_id"] for r in got]
     for r in ivf.collect():
         assert brute[r["q_id"]][r["rank"] - 1] == r["c_id"]
+
+
+def test_training_shards_deterministic_and_balanced(spark, tmp_path):
+    from dl_datalake_spark.operators.curation import (
+        shard_for_training,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = shard_for_training(docs, 8, seed=1).select("doc_id", "shard", "shard_order")
+    b = shard_for_training(docs.repartition(7), 8, seed=1).select(
+        "doc_id", "shard", "shard_order"
+    )
+    assert sorted(a.collect()) == sorted(b.collect())  # partitioning-invariant
+
+    sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.2 * min(sizes.values())  # hash-balanced
+
+    # different seed → different permutation
+    c = shard_for_training(docs, 8, seed=2).select("doc_id", "shard")
+    moved = a.select("doc_id", "shard").exceptAll(c).count()
+    assert moved > 100
+
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, 4, seed=1)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.select("shard").distinct().count() == 4
