@@ -283,3 +283,50 @@ def test_training_shards_deterministic_and_balanced(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert back.select("shard").distinct().count() == 4
+
+
+def test_ann_variants_recall_floor(spark):
+    """IVF (nprobe=2) and hyperplane-LSH ANN must recover a healthy
+    fraction of the exact top-5 on real-ish clustered vectors —
+    approximate is only useful if recall is measurable and high."""
+    import random
+
+    from dl_datalake_spark.operators.similarity import ann_lsh_topk, ivf_topk
+    from dl_datalake_spark.queries.simq import _deterministic_planes
+
+    rng = random.Random(11)
+    # 3 gaussian-ish clusters so labels correlate with geometry
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+    rows = []
+    for i in range(300):
+        lab = i % 3
+        rows.append(
+            (i, [c + rng.gauss(0, 0.25) for c in centers[lab]], lab)
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where(F.col("vec_id") < 15)
+
+    from dl_datalake_spark.operators.similarity import cosine_topk
+
+    exact = {}
+    for qrow in q.collect():
+        got = cosine_topk(
+            emb.where(F.col("vec_id") != qrow["vec_id"]), qrow["embedding"], k=5
+        ).collect()
+        exact[qrow["vec_id"]] = {r["vec_id"] for r in got}
+
+    def recall(df, qcol="q_id", ccol="c_id"):
+        hits = tot = 0
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r[qcol], set()).add(r[ccol])
+        for qid, want in exact.items():
+            hits += len(want & got.get(qid, set()))
+            tot += len(want)
+        return hits / tot
+
+    r_ivf = recall(ivf_topk(q, emb, k=5, nprobe=2))
+    assert r_ivf >= 0.8, r_ivf
+    planes = _deterministic_planes(num_planes=2, dim=16)
+    r_lsh = recall(ann_lsh_topk(q, emb, planes, k=5))
+    assert r_lsh >= 0.5, r_lsh
