@@ -46,3 +46,37 @@ def read_ticks_csv(spark: SparkSession, path: str) -> DataFrame:
     if "ts" not in df.columns:
         raise CsvIngestError(f"ticks CSV must contain a 'ts' column; got {df.columns}")
     return df.withColumn("ts", F.col("ts").cast("long"))
+
+
+def read_ohlcv_csv_quarantine(
+    spark: SparkSession, path: str, quarantine_path: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive OHLCV CSV read splitting good rows from bad.
+
+    Returns (good, bad): `good` is canonical-typed OHLCV; `bad` holds
+    rows any of whose fields failed the numeric cast or whose ts is
+    null, with the raw line preserved in `_corrupt_record`. If
+    `quarantine_path` is given, bad rows are also written there as
+    parquet — the standard lakehouse pattern: one malformed row
+    quarantines, it doesn't abort a 10 TB backfill (the reference
+    rejects the whole file, pipeline.py:55-65).
+    """
+    schema = (
+        "ts long, open double, high double, low double, close double, "
+        "volume double, _corrupt_record string"
+    )
+    df = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path, header=True, mode="PERMISSIVE")
+    # PERMISSIVE leaves _corrupt_record non-null for malformed rows;
+    # a null ts (unparseable or absent) is equally unusable downstream
+    # (every write/merge keys on ts). cache: the split reads df twice.
+    df = df.cache()
+    bad = df.where(F.col("_corrupt_record").isNotNull() | F.col("ts").isNull())
+    good = (
+        df.where(F.col("_corrupt_record").isNull() & F.col("ts").isNotNull())
+        .drop("_corrupt_record")
+    )
+    if quarantine_path is not None:
+        bad.write.mode("append").parquet(quarantine_path)
+    return good, bad

@@ -253,3 +253,23 @@ def test_download_manager_lifecycle_and_per_exchange_cap():
     assert fail.wait(timeout=10)
     assert fail.status == "failed" and "boom" in (fail.error or "")
     mgr.shutdown()
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    from dl_datalake_spark.sources.csv_source import read_ohlcv_csv_quarantine
+
+    f = tmp_path / "mixed.csv"
+    f.write_text(
+        "ts,open,high,low,close,volume\n"
+        "60000,1,2,0.5,1.5,10\n"
+        "not-a-ts,1,2,0.5,1.5,10\n"      # bad ts
+        "120000,1,2,0.5,1.5,oops\n"       # bad volume
+        "180000,2,3,1.5,2.5,20\n"
+    )
+    q = str(tmp_path / "quarantine")
+    good, bad = read_ohlcv_csv_quarantine(spark, str(f), quarantine_path=q)
+    assert sorted(r["ts"] for r in good.collect()) == [60000, 180000]
+    assert bad.count() == 2
+    saved = spark.read.parquet(q)
+    assert saved.count() == 2
+    assert any("not-a-ts" in (r["_corrupt_record"] or "") for r in saved.collect())
