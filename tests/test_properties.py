@@ -150,3 +150,30 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian joins in: {offenders}"
+
+
+def test_flagship_plan_shapes_hold(spark):
+    """Regression guard for the plans PLANS.md documents: broadcast
+    joins on the dim-heavy TPC-H shapes, single-scan domain mix, and
+    top-k compiling to TakeOrderedAndProject rather than a global sort."""
+    from dl_datalake_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    p5 = plan("q5_local_supplier")
+    assert p5.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p5
+
+    # one corpus scan only: totals come from a window over the aggregate
+    pdm = plan("docs_domain_mix")
+    assert pdm.count("FileScan parquet") == 1
+
+    # single-pass q21: no semi/anti self-joins survive the rewrite
+    p21 = plan("q21_sole_late_supplier")
+    assert "LeftSemi" not in p21 and "LeftAnti" not in p21
+
+    ptop = plan("topk_orders")
+    assert "TakeOrderedAndProject" in ptop
