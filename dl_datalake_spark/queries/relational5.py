@@ -252,3 +252,37 @@ def region_nation_list(spark: SparkSession, sf_dir: str):
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event-transition matrix: per (event_type → next event_type) counts
+# over each user's time-ordered stream — first-order journey mining.
+# One lead() window partitioned by user (shards by key at scale), one
+# hash-agg; ties in ts broken by event_id for a total order.
+# ---------------------------------------------------------------------------
+@register(
+    "events_transition_matrix",
+    sql="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
