@@ -127,3 +127,51 @@ def test_quantize_int8_error_bound_holds(spark, vecs):
     for r in dequantize_error(quantize_int8(df)).collect():
         assert all(abs(c) <= 127 for c in r["q_codes"])
         assert r["q_abs_err"] <= r["q_scale"] / 254 + 1e-9
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user
+        st.integers(min_value=0, max_value=100),   # ts
+        st.booleans(),                             # is_purchase
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=events_strategy)
+@SETTINGS
+def test_asof_join_matches_reference_model(spark, evs):
+    """Backward as-of join == brute-force 'latest purchase at or before
+    the click, per user' on arbitrary event soups (duplicate ts between
+    clicks allowed; purchase ts made unique per user by construction)."""
+    from dl_datalake_spark.operators.joins import asof_join
+
+    purchases = {}
+    clicks = []
+    for i, (u, ts, is_p) in enumerate(evs):
+        if is_p:
+            purchases[(u, ts)] = float(ts)  # value = ts, dedup per (u, ts)
+        else:
+            clicks.append((i, u, ts))
+    if not clicks:
+        return
+    p_rows = [(u, ts, v) for (u, ts), v in purchases.items()]
+    c_df = spark.createDataFrame(clicks, "event_id long, user_id long, tsu long")
+    p_df = spark.createDataFrame(
+        p_rows or [(999, -1, 0.0)], "user_id long, tsu long, purchase_value double"
+    )
+    out = asof_join(
+        c_df.repartition(3),
+        p_df.repartition(2),
+        on="tsu",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+        right_on_alias="purchase_tsu",
+    )
+    got = {r["event_id"]: r["purchase_tsu"] for r in out.collect()}
+    for event_id, u, ts in clicks:
+        prior = [pts for (pu, pts) in purchases if pu == u and pts <= ts]
+        expect = max(prior) if prior else None
+        assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
