@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # NOT set: spark.sql.parquet.aggregatePushdown — it only engages on
+    # the DSv2 read path, and moving parquet off the v1 source list
+    # would change dynamic-partition-overwrite semantics the writer's
+    # upsert depends on. Bare MIN/MAX/COUNT stats reads stay row scans.
 }
 
 
