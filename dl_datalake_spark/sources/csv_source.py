@@ -80,3 +80,17 @@ def read_ohlcv_csv_quarantine(
     if quarantine_path is not None:
         bad.write.mode("append").parquet(quarantine_path)
     return good, bad
+
+
+def read_ohlcv_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines OHLCV ingest (one object per line). Same canonical
+    typing as the CSV path; extra fields pass through untouched (the
+    reference's writer never projects — data_loading_info.md:50-56)."""
+    df = spark.read.json(path)
+    missing = [c for c in OHLCV_COLS if c not in df.columns]
+    if missing:
+        raise CsvIngestError(f"JSON OHLCV ingest missing columns {missing}; got {df.columns}")
+    out = df.withColumn("ts", F.col("ts").cast("long"))
+    for c in OHLCV_COLS[1:]:
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out

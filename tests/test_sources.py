@@ -273,3 +273,31 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     saved = spark.read.parquet(q)
     assert saved.count() == 2
     assert any("not-a-ts" in (r["_corrupt_record"] or "") for r in saved.collect())
+
+
+def test_json_lines_ingest(spark, tmp_path, lake):
+    import json as _json
+
+    from dl_datalake_spark.sources.csv_source import CsvIngestError, read_ohlcv_json
+
+    writer, reader, _ = lake
+    f = tmp_path / "candles.jsonl"
+    f.write_text(
+        "\n".join(
+            _json.dumps(
+                {"ts": i * MIN_MS, "open": 1, "high": 2, "low": 0.5,
+                 "close": 1.5, "volume": 10, "venue_seq": i}
+            )
+            for i in range(20)
+        )
+    )
+    df = read_ohlcv_json(spark, str(f))
+    assert df.count() == 20 and df.schema["ts"].dataType.typeName() == "long"
+    assert "venue_seq" in df.columns  # extra fields pass through
+    writer.write_ohlc(df, KEY)
+    assert reader.read_dataset(KEY).count() == 20
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"open": 1}\n')
+    with pytest.raises(CsvIngestError):
+        read_ohlcv_json(spark, str(bad))
