@@ -116,6 +116,67 @@ class DataLakeClient:
             agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)
         )
 
+    def refresh_rollup_all(
+        self,
+        exchange: str,
+        market: str = "SPOT",
+        source_period: str = "1m",
+        target_period: str = "15m",
+    ) -> dict[str, object]:
+        """Refresh the target rollup for EVERY symbol of an exchange in
+        ONE resample job.
+
+        The per-symbol `refresh_rollup` loop submits one scan+agg per
+        symbol — fine for ten symbols, 1,000 Spark jobs for 1,000. Here
+        the raw scan is a single manifest-pruned multi-dataset read,
+        per-symbol watermarks arrive as a broadcast join (not a driver
+        loop), and the resample groups by (symbol, bucket) in one
+        hash-agg. Only the final upsert runs per symbol, over the tiny
+        persisted aggregate — writes are per-dataset because each holds
+        its own lock + manifest row.
+        """
+        from dl_datalake_spark.operators.resample import resample_ohlcv, timeframe_ms
+
+        step = timeframe_ms(target_period)
+        src = self.read_window(exchange=exchange, data_type="raw")
+        if src is None:
+            return {}
+        src = src.where(F.col("period") == source_period)
+        # materialize the (tiny) per-symbol watermark table driver-side:
+        # the write loop below REWRITES the manifest, and a lazy plan
+        # still referencing the old manifest parquet would hit
+        # FILE_NOT_EXIST on recompute
+        wm_rows = (
+            self.manifest.list_entries(
+                data_type="agg", exchange=exchange, timeframe=target_period
+            )
+            .groupBy("symbol")
+            .agg(((F.max("time_to") / step).cast("long") * step).alias("_start"))
+            .collect()
+        )
+        if wm_rows:
+            wm = self.spark.createDataFrame(wm_rows, "symbol string, _start long")
+            src = src.join(F.broadcast(wm), "symbol", "left").where(
+                F.col("_start").isNull() | (F.col("ts") >= F.col("_start"))
+            )
+        agg = resample_ohlcv(
+            src.select("symbol", "ts", "open", "high", "low", "close", "volume"),
+            target_period,
+            by=["symbol"],
+        ).persist()
+        agg.count()  # pin every partition before writes mutate inputs
+        out: dict[str, object] = {}
+        try:
+            for row in agg.select("symbol").distinct().collect():
+                sym = row["symbol"]
+                batch = agg.where(F.col("symbol") == sym).drop("symbol")
+                out[sym] = self.writer.write_ohlc(
+                    batch, DatasetKey(exchange, "agg", sym, "agg", target_period)
+                )
+        finally:
+            agg.unpersist()
+        return out
+
     # -- export (UI data.py:154-359) -----------------------------------------
     def export_ohlc(
         self,

@@ -54,3 +54,38 @@ def test_client_read_window(spark, tmp_path):
     df = client.read_window(time_from=0, time_to=10 * MIN)
     assert df.count() == 10  # both symbols, one window
     assert df.select("symbol").distinct().count() == 2
+
+
+def test_refresh_rollup_all_multi_symbol(spark, tmp_path):
+    """One-job multi-symbol rollup refresh: both symbols' 15m rollups
+    materialize from a single resample, and a second refresh with new
+    raw data extends them incrementally."""
+    from dl_datalake_spark.client import DataLakeClient
+    from dl_datalake_spark.flows import backfill_flow
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    client = DataLakeClient(spark, str(tmp_path / "base"))
+    HOUR = 3_600_000
+    backfill_flow(
+        client, ["AAA_USD", "BBB_USD"], timeframe_ms=60_000,
+        start_ms=0, end_ms=HOUR, exchange="SYNTH",
+    )
+    out = client.refresh_rollup_all("SYNTH", target_period="15m")
+    assert set(out) == {"AAA_USD", "BBB_USD"}
+
+    def agg_count(sym):
+        key = DatasetKey("SYNTH", "agg", sym, "agg", "15m")
+        return client.reader.read_dataset(key).count()
+
+    assert agg_count("AAA_USD") == 4  # one hour of 1m -> four 15m buckets
+    assert agg_count("BBB_USD") == 4
+
+    # extend raw by another hour; refresh adds only the new buckets
+    backfill_flow(
+        client, ["AAA_USD", "BBB_USD"], timeframe_ms=60_000,
+        end_ms=2 * HOUR, exchange="SYNTH",
+    )
+    out2 = client.refresh_rollup_all("SYNTH", target_period="15m")
+    assert set(out2) == {"AAA_USD", "BBB_USD"}
+    assert agg_count("AAA_USD") == 8
+    assert agg_count("BBB_USD") == 8
