@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     bf.add_argument("--start-ms", type=int, default=None)
     bf.add_argument("--end-ms", type=int, default=None)
 
+    rfr = sub.add_parser("refresh", help="incremental multi-symbol rollup refresh")
+    rfr.add_argument("--exchange", required=True)
+    rfr.add_argument("--target-period", default="15m")
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -154,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
             end_ms=args.end_ms,
             exchange=args.exchange,
         )
+        print(json.dumps({sym: res.rows for sym, res in out.items()}))
+    elif args.cmd == "refresh":
+        out = client.refresh_rollup_all(args.exchange, target_period=args.target_period)
         print(json.dumps({sym: res.rows for sym, res in out.items()}))
     elif args.cmd == "serve":
         from dl_datalake_spark.api import create_app

@@ -118,3 +118,18 @@ def test_cli_backfill(spark, tmp_path, capsys):
 
     counts = _json.loads(out.strip().splitlines()[-1])
     assert counts == {"BTC_USDT": 60, "ETH_USDT": 60}
+
+
+def test_cli_refresh_rollups(spark, tmp_path, capsys):
+    base = str(tmp_path / "lake3")
+    assert main([
+        "--base", base, "backfill",
+        "--symbols", "BTC_USDT",
+        "--start-ms", "0", "--end-ms", "3600000",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["--base", base, "refresh", "--exchange", "SYNTH"]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"BTC_USDT": 4}  # four 15m buckets from one hour
