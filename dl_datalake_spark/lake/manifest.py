@@ -55,6 +55,30 @@ MANIFEST_SCHEMA = T.StructType(
 _catalog_lock = path_lock
 
 
+_GIT_HASH_CACHE: list[str | None] = []
+
+
+def current_git_hash() -> str | None:
+    """Producing-code git hash for provenance stamping (the reference
+    records it per manifest row, manifest.py:38). Cached per process;
+    None outside a git checkout."""
+    if not _GIT_HASH_CACHE:
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=5,
+            )
+            _GIT_HASH_CACHE.append(out.stdout.strip() if out.returncode == 0 else None)
+        except Exception:
+            _GIT_HASH_CACHE.append(None)
+    return _GIT_HASH_CACHE[0]
+
+
 def _version_sort_key(v: str) -> tuple:
     parts = []
     for p in str(v).replace("-", ".").split("."):
@@ -158,7 +182,7 @@ class ManifestManager:
                 version,
                 checksum,
                 datetime.now(timezone.utc).replace(tzinfo=None),
-                script_git_hash,
+                script_git_hash or current_git_hash(),
                 json.dumps(metadata or {}),
             )
         ]
