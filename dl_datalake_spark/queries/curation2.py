@@ -282,3 +282,87 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str):
         F.countDistinct(F.md5("text_scrubbed")).alias("distinct_scrubbed"),
         F.sum(F.length("text_scrubbed")).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantized-retrieval audit: per query vector, how many of the exact
+# full-precision top-5 survive when similarities are computed on the
+# int8-reconstructed vectors. THE acceptance metric for shipping a
+# quantized index: n_overlap ~ 5 means the 4x-smaller index retrieves
+# the same neighbors. Arithmetic is the deterministic symmetric-int8
+# round-trip (see emb_int8_quant_error), so the overlap is exactly
+# reproducible in the oracle.
+# ---------------------------------------------------------------------------
+_RECON_SQL = """list_transform(v, x ->
+    round(x*127/GREATEST(list_max(list_transform(v, y -> abs(y))), 1e-12))
+    * GREATEST(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127)"""
+
+
+@register(
+    "emb_quant_topk_overlap",
+    sql=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+r AS (SELECT vec_id, {_RECON_SQL} AS rv FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+qr AS (SELECT vec_id AS q_id, rv AS qv FROM r WHERE vec_id < 10),
+full_rank AS (
+  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+  FROM (SELECT q.q_id, e.vec_id AS c_id,
+               ROUND(list_sum([qv[i]*v[i] for i in generate_series(1, len(v))]) /
+                     (sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1, len(qv))])) *
+                      sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))]))), 6) AS cs
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)),
+quant_rank AS (
+  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+  FROM (SELECT qr.q_id, r.vec_id AS c_id,
+               ROUND(list_sum([qv[i]*rv[i] for i in generate_series(1, len(rv))]) /
+                     (sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1, len(qv))])) *
+                      sqrt(list_sum([rv[i]*rv[i] for i in generate_series(1, len(rv))]))), 6) AS cs
+        FROM qr CROSS JOIN r WHERE r.vec_id <> qr.q_id))
+SELECT f.q_id, CAST(COUNT(qt.c_id) AS BIGINT) AS n_overlap
+FROM (SELECT * FROM full_rank WHERE rn <= 5) f
+LEFT JOIN (SELECT * FROM quant_rank WHERE rn <= 5) qt
+  ON f.q_id = qt.q_id AND f.c_id = qt.c_id
+GROUP BY f.q_id
+""",
+)
+def emb_quant_topk_overlap(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from dl_datalake_spark.operators.similarity import cosine, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    recon = quantize_int8(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("q_codes"), lambda c: c * F.col("q_scale") / 127.0
+        ).alias("rv"),
+    )
+
+    def topk(corpus, vec_col):
+        q = corpus.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col(vec_col).alias("qv")
+        )
+        c = corpus.select(F.col("vec_id").alias("c_id"), F.col(vec_col).alias("cv"))
+        w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("c_id"))
+        return (
+            q.join(F.broadcast(c), F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("q_id", "c_id")
+        )
+
+    full = topk(
+        emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("fv")),
+        "fv",
+    )
+    quant = topk(recon, "rv")
+    return (
+        full.join(quant.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_overlap"))
+    )
