@@ -175,3 +175,36 @@ def test_asof_join_matches_reference_model(spark, evs):
         prior = [pts for (pu, pts) in purchases if pu == u and pts <= ts]
         expect = max(prior) if prior else None
         assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
+
+
+@given(evs=events_strategy)
+@SETTINGS
+def test_range_count_join_matches_reference_model(spark, evs):
+    """Banded range-count join == brute-force 'errors in [click,
+    click+10) per user' on arbitrary event soups."""
+    from dl_datalake_spark.operators.joins import range_count_join
+
+    BAND = 10
+    errors = []
+    clicks = []
+    for i, (u, ts, is_err) in enumerate(evs):
+        (errors if is_err else clicks).append((i, u, ts))
+    if not clicks:
+        return
+    c_df = spark.createDataFrame(clicks, "event_id long, user_id long, tsu long")
+    e_df = spark.createDataFrame(
+        [(u, ts) for _, u, ts in errors] or [(999, -1)], "user_id long, tsu long"
+    )
+    out = range_count_join(
+        c_df.repartition(3),
+        e_df.repartition(2),
+        on="tsu",
+        by=["user_id"],
+        lower=0,
+        upper=BAND,
+        count_alias="n_err",
+    )
+    got = {r["event_id"]: r["n_err"] for r in out.collect()}
+    for event_id, u, ts in clicks:
+        expect = sum(1 for _, eu, ets in errors if eu == u and ts <= ets < ts + BAND)
+        assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
