@@ -238,3 +238,48 @@ def test_stream_exchange_ingest_to_lake(spark, tmp_path):
     rows = reader.read_dataset(k).select("ts").collect()
     ts = sorted(r["ts"] for r in rows)
     assert len(ts) == 120 and len(set(ts)) == 120
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live file streams joined within a watermarked band; result
+    equals the same join run in batch over the same inputs."""
+    from dl_datalake_spark.streaming.joins import stream_interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    errs_dir = tmp_path / "errs"
+    clicks_dir.mkdir()
+    errs_dir.mkdir()
+    clicks_dir.joinpath("a.csv").write_text(
+        "user_id,ts\n1,1000\n1,50000\n2,1000\n"
+    )
+    errs_dir.joinpath("a.csv").write_text(
+        "user_id,ts\n1,1500\n1,9000\n1,12000\n2,500\n"
+    )
+    c_schema, e_schema = "user_id long, ts long", "user_id long, ts long"
+    cs = spark.readStream.schema(c_schema).csv(str(clicks_dir), header=True)
+    es = spark.readStream.schema(e_schema).csv(str(errs_dir), header=True)
+    joined = stream_interval_join(cs, es, by=["user_id"], band_ms=10_000)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["ts"], r["matched_ts"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    # user1 click@1000 matches errors 1500 & 9000 (12000 is out of band);
+    # click@50000 matches nothing; user2 click@1000: error@500 is before
+    assert got == [(1, 1000, 1500), (1, 1000, 9000)]
+
+    # batch parity: identical plan over the same static inputs
+    cb = spark.read.schema(c_schema).csv(str(clicks_dir), header=True)
+    eb = spark.read.schema(e_schema).csv(str(errs_dir), header=True)
+    batch = sorted(
+        (r["user_id"], r["ts"], r["matched_ts"])
+        for r in stream_interval_join(cb, eb, by=["user_id"], band_ms=10_000).collect()
+    )
+    assert batch == got
