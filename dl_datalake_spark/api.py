@@ -140,6 +140,26 @@ def create_app(client: DataLakeClient):
             return jsonify({"error": f"missing field {exc}"}), 422
         return jsonify({"exported": body["path"]})
 
+    @app.get("/verify")
+    def verify():
+        args = request.args
+        try:
+            rep = client.verify(args["exchange"], args["symbol"])
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        return jsonify(rep.__dict__)
+
+    @app.post("/refresh")
+    def refresh():
+        body = request.get_json(force=True)
+        try:
+            out = client.refresh_rollup_all(
+                body["exchange"], target_period=body.get("target_period", "15m")
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        return jsonify({sym: res.rows for sym, res in out.items()})
+
     @app.delete("/datasets")
     def delete_datasets():
         filters = {

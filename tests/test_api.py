@@ -101,3 +101,17 @@ def test_ingest_export_delete_roundtrip(app_client, tmp_path):
     assert http.delete("/datasets", json={}).status_code == 422
     r3 = http.delete("/datasets", json={"symbol": "ETHUSDT"})
     assert r3.get_json()["deleted"] >= 1
+
+
+def test_verify_and_refresh_endpoints(app_client):
+    http, client, base = app_client
+    rep = http.get(
+        "/verify", query_string={"exchange": "BINANCE", "symbol": "BTCUSDT"}
+    ).get_json()
+    assert rep["rows"] == 30 and rep["monotonic"] is True
+    assert http.get("/verify").status_code == 422
+
+    out = http.post(
+        "/refresh", json={"exchange": "BINANCE", "target_period": "15m"}
+    ).get_json()
+    assert out == {"BTCUSDT": 2}  # 30 minutes of 1m -> two 15m buckets
