@@ -155,3 +155,28 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_pii",
         F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"),
     )
+
+
+ROLL_BASE = 131
+ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne): products stay << 2^63
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    h = (h·B + hash(tok)) mod M, folded left-to-right with
+    F.aggregate — the Rabin-Karp fingerprint, all JVM-side.
+
+    Complements the md5 `with_fingerprint` (content-set identity): the
+    rolling hash changes when token ORDER changes, the property
+    incremental/streaming fingerprinting and chunk-boundary detection
+    rely on. Modulus 2^31-1 keeps every intermediate well inside long
+    range under ANSI arithmetic.
+    """
+    toks = tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + F.pmod(F.xxhash64(t), F.lit(ROLL_MOD)))
+        % ROLL_MOD,
+    )
+    return df.withColumn("rolling_fp", fp)

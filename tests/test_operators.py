@@ -330,3 +330,25 @@ def test_ann_variants_recall_floor(spark):
     planes = _deterministic_planes(num_planes=2, dim=16)
     r_lsh = recall(ann_lsh_topk(q, emb, planes, k=5))
     assert r_lsh >= 0.5, r_lsh
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from dl_datalake_spark.operators.text import with_rolling_fingerprint
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # identical -> same fp
+        (3, "delta gamma beta alpha"),   # same tokens, new order -> differs
+        (4, "alpha beta gamma"),         # prefix -> differs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["rolling_fp"] for r in with_rolling_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3] and fp[1] != fp[4]
+    assert all(0 <= v < 2_147_483_647 for v in fp.values())
+    # partitioning-invariant (pure function of the token sequence)
+    again = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in with_rolling_fingerprint(df.repartition(3)).collect()
+    }
+    assert again == fp
