@@ -283,3 +283,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in stream_interval_join(cb, eb, by=["user_id"], band_ms=10_000).collect()
     )
     assert batch == got
+
+
+def test_streaming_resample_end_to_end_watermark(spark, tmp_path):
+    """Watermarked streaming resample over the exchange source in
+    append mode. Window emission is driven by the checkpointed
+    watermark, which advances BETWEEN micro-batches: each availableNow
+    run is one batch, so buckets close one run later — after draining
+    three hours in three runs, exactly the windows behind the
+    second-run watermark (hour 1 + most of hour 2) have emitted, and
+    every emitted bucket matches the batch resample bit-for-bit."""
+    from dl_datalake_spark.sources.spark_datasource import register_exchange_source
+    from dl_datalake_spark.streaming.ingest import streaming_resample
+
+    register_exchange_source(spark)
+    HOUR = 3_600_000
+    out = str(tmp_path / "buckets")
+
+    def run(end_ms):
+        opts = {
+            "symbols": "BTC_USDT",
+            "timeframe_ms": "60000",
+            "start_ms": "0",
+            "end_ms": str(end_ms),
+        }
+        sdf = (
+            spark.readStream.format("exchange_ohlcv").options(**opts).load().drop("symbol")
+        )
+        agg = streaming_resample(sdf, every="15 minutes", watermark_delay="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(HOUR)
+    run(2 * HOUR)
+    run(3 * HOUR)
+    stream_rows = {r["ts"]: r for r in spark.read.parquet(out).collect()}
+    # watermark during run 3 = end of run 2's data (2h - 60s): the
+    # seven 15m buckets ending at or before 1h45m have closed
+    assert len(stream_rows) == 7
+    assert max(stream_rows) == HOUR + 30 * 60_000  # bucket [1h30, 1h45)
+
+    opts = {
+        "symbols": "BTC_USDT",
+        "timeframe_ms": "60000",
+        "start_ms": "0",
+        "end_ms": str(2 * HOUR),
+    }
+    batch = spark.read.format("exchange_ohlcv").options(**opts).load().drop("symbol")
+    batch_rows = {
+        r["ts"]: r for r in streaming_resample(batch, every="15 minutes").collect()
+    }
+    for ts, r in stream_rows.items():
+        b = batch_rows[ts]
+        assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
+            b["open"], b["high"], b["low"], b["close"], b["volume"]
+        )
