@@ -121,3 +121,31 @@ def write_training_shards(
     directories, each internally ordered by the shuffle hash."""
     sharded = shard_for_training(df, n_shards, id_col, seed)
     sharded.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+
+def apply_mix_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    base_rate: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted downsampling: keep a row iff a uniform
+    hash of its id falls under base_rate × weight(group), clamped to 1.
+
+    The applying half of the mix-weight computation (docs_domain_mix):
+    weights > 1 keep everything (upsampling happens at the data-loader
+    level, not by duplicating rows in the lake), weights < 1 thin the
+    over-represented group. Pure hash sampling — same corpus, same
+    seed, same sample, on any cluster; no rand(), no state.
+    """
+    m = 1 << 32
+    u = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(m)) / m
+    rate = F.coalesce(
+        *(
+            [F.when(F.col(group_col) == g, F.lit(min(1.0, base_rate * w))) for g, w in weights.items()]
+            + [F.lit(min(1.0, base_rate))]
+        )
+    )
+    return df.where(u < rate)

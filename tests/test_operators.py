@@ -352,3 +352,22 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
         for r in with_rolling_fingerprint(df.repartition(3)).collect()
     }
     assert again == fp
+
+
+def test_apply_mix_weights_deterministic_rates(spark):
+    from dl_datalake_spark.operators.curation import apply_mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "heavy" if i % 2 else "light") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    kept = apply_mix_weights(docs, {"heavy": 0.25, "light": 1.0}, seed=3)
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["light"] == 2000  # weight 1 keeps all
+    assert 400 <= counts["heavy"] <= 600  # ~25% of 2000
+    # deterministic under reshuffling
+    again = apply_mix_weights(docs.repartition(7), {"heavy": 0.25, "light": 1.0}, seed=3)
+    assert sorted(kept.collect()) == sorted(again.collect())
+    # unknown groups fall back to base_rate
+    extra = spark.createDataFrame([(99999, "new")], "doc_id long, source string")
+    assert apply_mix_weights(extra, {"heavy": 0.5}, base_rate=1.0).count() == 1
