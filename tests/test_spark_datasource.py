@@ -204,3 +204,19 @@ def test_stream_checkpoint_restart_resumes(spark, tmp_path):
     ts = sorted(r["ts"] for r in spark.read.parquet(out).collect())
     assert len(ts) == 120 and len(set(ts)) == 120
     assert ts[0] == 0 and ts[60] == HOUR and ts[-1] == 2 * HOUR - TF
+
+
+def test_source_listing_date_and_seed_options(spark):
+    """listing_ms bounds history at the source (genesis semantics, the
+    probe-listing-date analogue) and seed selects an independent
+    deterministic universe."""
+    late = _reader(
+        spark, symbols="BTC_USDT", listing_ms=HOUR, start_ms=0, end_ms=2 * HOUR
+    )
+    rows = late.collect()
+    assert len(rows) == 60 and min(r["ts"] for r in rows) == HOUR
+
+    a = sorted(_reader(spark, symbols="BTC_USDT", seed=1).collect())
+    b = sorted(_reader(spark, symbols="BTC_USDT", seed=2).collect())
+    assert a != b  # different universes
+    assert sorted(_reader(spark, symbols="BTC_USDT", seed=1).collect()) == a
