@@ -149,3 +149,22 @@ def apply_mix_weights(
         )
     )
     return df.where(u < rate)
+
+
+def iter_training_shard(path: str, shard: int, batch_rows: int = 1024):
+    """Ordered record-batch iterator over one training shard.
+
+    Consumer side of write_training_shards: a data-loader worker owns
+    shard N and streams it in shard_order without Spark — the shards
+    are plain partitioned parquet, so the training job needs only
+    pyarrow. Batches preserve the deterministic shuffle order."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(f"{path}/shard={shard}", format="parquet")
+    table = dataset.to_table()
+    order = table.column("shard_order")
+    import pyarrow.compute as pc
+
+    table = table.take(pc.sort_indices(order))
+    for batch in table.to_batches(max_chunksize=batch_rows):
+        yield batch

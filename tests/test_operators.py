@@ -371,3 +371,26 @@ def test_apply_mix_weights_deterministic_rates(spark):
     # unknown groups fall back to base_rate
     extra = spark.createDataFrame([(99999, "new")], "doc_id long, source string")
     assert apply_mix_weights(extra, {"heavy": 0.5}, base_rate=1.0).count() == 1
+
+
+def test_iter_training_shard_ordered_roundtrip(spark, tmp_path):
+    from dl_datalake_spark.operators.curation import (
+        iter_training_shard,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, 4, seed=5)
+    seen = []
+    orders = []
+    for shard in range(4):
+        for batch in iter_training_shard(out, shard, batch_rows=32):
+            pdf = batch.to_pandas()
+            seen.extend(pdf["doc_id"].tolist())
+            orders.append(pdf["shard_order"].tolist())
+    assert sorted(seen) == list(range(300))  # full coverage, no dups
+    for o in orders:
+        assert o == sorted(o)  # deterministic order inside each batch
