@@ -208,3 +208,35 @@ def test_range_count_join_matches_reference_model(spark, evs):
     for event_id, u, ts in clicks:
         expect = sum(1 for _, eu, ets in errors if eu == u and ts <= ets < ts + BAND)
         assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
+
+
+words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=st.lists(words, min_size=1, max_size=8))
+@SETTINGS
+def test_shingle_counts_and_set_semantics(spark, docs):
+    """word_shingles emits exactly max(0, n_tokens - n + 1) shingles per
+    doc in multiset mode, and its distinct mode equals the Python set
+    of n-grams — for arbitrary token sequences with repetition."""
+    from dl_datalake_spark.operators.dedup import word_shingles
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    multi = word_shingles(df, n=n, distinct=False)
+    counts = {r["doc_id"]: r["c"] for r in multi.groupBy("doc_id").agg(F.count("*").alias("c")).collect()}
+    dist = word_shingles(df, n=n, distinct=True).collect()
+    got_sets: dict[int, set] = {}
+    for r in dist:
+        got_sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for i, ws in enumerate(docs):
+        expect_n = max(0, len(ws) - n + 1)
+        assert counts.get(i, 0) == expect_n
+        expect_set = {" ".join(ws[j : j + n]) for j in range(expect_n)}
+        assert got_sets.get(i, set()) == expect_set
