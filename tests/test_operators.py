@@ -394,3 +394,17 @@ def test_iter_training_shard_ordered_roundtrip(spark, tmp_path):
     assert sorted(seen) == list(range(300))  # full coverage, no dups
     for o in orders:
         assert o == sorted(o)  # deterministic order inside each batch
+
+
+def test_lang_id_predicts_dominant_stopword_language(spark):
+    from dl_datalake_spark.operators.text import LANG_STOPWORDS, with_lang_id
+
+    rows = [
+        (i, " ".join(LANG_STOPWORDS[lang] * 3 + ["xyz", "qqq"]), lang)
+        for i, lang in enumerate(sorted(LANG_STOPWORDS))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r["pred_lang"] for r in with_lang_id(df).collect()}
+    # es/fr share stopwords ("la") but each language's full signature wins
+    for lang in LANG_STOPWORDS:
+        assert out[lang] == lang, (lang, out[lang])
