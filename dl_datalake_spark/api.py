@@ -10,8 +10,11 @@ Route parity map (reference → here):
 - GET  /datasets      UI data.py:20-88          manifest list + pagination
 - GET  /preview       UI data.py:90-151         paged rows from one dataset
 - GET  /features      api_server.py:174-208     feature-set → versions
+- GET  /features/<id> UI features.py:256+       feature metadata by id
+- GET  /features/<id>/download  UI features.py:225-250  feature bytes
 - POST /ingest/file   UI ingest.py:58-120       CSV → lake
 - POST /export        UI data.py:154-239        terminal CSV export
+- POST /export/batch  UI data.py:378-442        all symbols of an exchange
 - DELETE /datasets    UI ingest.py:324-363      manifest+files delete
 - GET  /health        api_server.py             liveness
 
@@ -105,6 +108,26 @@ def create_app(client: DataLakeClient):
     def features():
         return jsonify({"feature_sets": client.features.list_feature_sets()})
 
+    @app.get("/features/<int:feature_id>")
+    def get_feature(feature_id: int):
+        entry = client.features.get_feature_entry(feature_id)
+        if entry is None:
+            return jsonify({"error": "feature not found"}), 404
+        entry["created_at"] = str(entry.get("created_at"))
+        return jsonify(entry)
+
+    @app.get("/features/<int:feature_id>/download")
+    def download_feature(feature_id: int):
+        from flask import send_file
+
+        path = client.features.feature_file_path(feature_id)
+        if path is None:
+            return jsonify({"error": "feature file not found"}), 404
+        import os as _os
+
+        return send_file(path, as_attachment=True, download_name=_os.path.basename(path),
+                         mimetype="application/octet-stream")
+
     @app.post("/ingest/file")
     def ingest_file():
         body = request.get_json(force=True)
@@ -139,6 +162,42 @@ def create_app(client: DataLakeClient):
         except KeyError as exc:
             return jsonify({"error": f"missing field {exc}"}), 422
         return jsonify({"exported": body["path"]})
+
+    @app.post("/export/batch")
+    def export_batch():
+        """Export every raw-data symbol of an exchange in one call
+        (reference UI `routers/data.py:378-442`). One subdirectory of
+        terminal CSV per symbol under body["dir"]."""
+        import os as _os
+
+        body = request.get_json(force=True)
+        try:
+            exchange, out_dir = body["exchange"], body["dir"]
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        entries = client.manifest.list_entries(
+            exchange=exchange, market=body.get("market"), data_type="raw"
+        )
+        symbols = sorted(r["symbol"] for r in entries.select("symbol").distinct().collect())
+        exported, failed = [], []
+        for sym in symbols:
+            try:
+                client.export_ohlc(
+                    _os.path.join(out_dir, sym), exchange, sym,
+                    period=body.get("period", "1m"),
+                    resample_to=body.get("resample_to"),
+                )
+                exported.append(sym)
+            except Exception as exc:
+                failed.append({"symbol": sym, "error": str(exc)})
+        return jsonify(
+            {
+                "total_symbols": len(symbols),
+                "exported": exported,
+                "failed": failed,
+                "export_dir": out_dir,
+            }
+        )
 
     @app.get("/verify")
     def verify():

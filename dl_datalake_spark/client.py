@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from dl_datalake_spark.lake.export import export_terminal_csv
 from dl_datalake_spark.lake.features import FeatureStore
-from dl_datalake_spark.lake.maintenance import IntegrityReport, audit, verify_integrity
+from dl_datalake_spark.lake.maintenance import (
+    IntegrityReport,
+    audit,
+    audit_lists,
+    verify_integrity,
+)
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import DatasetKey
 from dl_datalake_spark.lake.reader import LakeReader
@@ -199,7 +204,12 @@ class DataLakeClient:
     def verify(self, exchange: str, symbol: str, data_type: str = "raw") -> IntegrityReport:
         return verify_integrity(self.reader.read_range(exchange, symbol, data_type))
 
-    def audit(self) -> dict[str, list[str]]:
+    def audit(self, limit: int | None = 10_000) -> dict[str, list[str]]:
+        return audit_lists(self.spark, self.base_path, self.manifest, limit=limit)
+
+    def audit_frames(self):
+        """Unrealized anti-join DataFrames — the scale path (a big lake
+        can hold millions of dataset paths; don't collect them all)."""
         return audit(self.spark, self.base_path, self.manifest)
 
     def delete_dataset(self, **filters) -> int:

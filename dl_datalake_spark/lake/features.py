@@ -80,6 +80,24 @@ class FeatureStore:
     def latest_version(self, symbol: str, feature_set: str) -> str | None:
         return self.manifest.get_latest_version(symbol, feature_set)
 
+    def get_feature_entry(self, feature_id: int) -> dict | None:
+        """Manifest row for one feature file by catalog id (reference UI
+        `routers/features.py` GET /{feature_id})."""
+        from pyspark.sql import functions as F
+
+        rows = self.manifest.load().where(F.col("id") == int(feature_id)).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def feature_file_path(self, feature_id: int) -> str | None:
+        """On-disk path for a feature file by catalog id, or None if the
+        id is unknown or the file is gone (reference UI
+        `routers/features.py:225-250` GET /{feature_id}/download)."""
+        entry = self.get_feature_entry(feature_id)
+        if entry is None:
+            return None
+        path = entry["path"]
+        return path if os.path.isfile(path) else None
+
     def read_feature_parquet(self, feature_set: str, version: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self.base_path, "features", feature_set, version)

@@ -94,10 +94,13 @@ def _dataset_prefix(leaf_dir: str) -> str:
     return "/".join(kept)
 
 
-def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dict[str, list[str]]:
+def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dict[str, DataFrame]:
     """Orphans (on disk, not cataloged) and dead links (cataloged, gone)
     — the reference's set-difference fsck (test_09_audit.py:26-53) as
-    anti-joins over (tiny) metadata."""
+    anti-joins over metadata. Returns the anti-join DataFrames unrealized:
+    a 100 TB lake can hold millions of dataset paths, so callers decide
+    how much to materialize (see audit_lists for the bounded CLI path).
+    """
     disk = set()
     for root, _dirs, files in os.walk(base_path):
         if any(f.endswith(".parquet") for f in files):
@@ -106,9 +109,29 @@ def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dic
         F.col("path") != ""
     )
     man_df = manifest.load().select("path").distinct()
-    orphans = [r["path"] for r in disk_df.join(man_df, "path", "left_anti").collect()]
-    dead = [r["path"] for r in man_df.join(disk_df, "path", "left_anti").collect()]
-    return {"orphan_files": sorted(orphans), "dead_links": sorted(dead)}
+    return {
+        "orphan_files": disk_df.join(man_df, "path", "left_anti"),
+        "dead_links": man_df.join(disk_df, "path", "left_anti"),
+    }
+
+
+def audit_lists(
+    spark: SparkSession,
+    base_path: str,
+    manifest: ManifestManager,
+    limit: int | None = 10_000,
+) -> dict[str, list[str]]:
+    """Driver-side view of audit() for the CLI/API: sorted path lists,
+    capped at `limit` per category so a badly drifted lake can't blow
+    driver memory (limit=None for the full set)."""
+    frames = audit(spark, base_path, manifest)
+    out = {}
+    for name, df in frames.items():
+        df = df.orderBy("path")
+        if limit is not None:
+            df = df.limit(limit)
+        out[name] = [r["path"] for r in df.collect()]
+    return out
 
 
 def compact(
@@ -132,16 +155,30 @@ def compact(
     import shutil as _shutil
     import uuid as _uuid
 
-    df = spark.read.option("mergeSchema", "true").option("basePath", base_path).parquet(base_path)
-    out = base_path + "_compacted"
-    (
-        df.repartition(target_files_per_partition, *[c for c in PARTITION_COLS if c in df.columns])
-        .sortWithinPartitions("ts")
-        .write.partitionBy(*[c for c in PARTITION_COLS if c in df.columns])
-        .mode("overwrite")
-        .option("compression", "snappy")
-        .parquet(out)
+    # One rewrite PER DATASET directory: a single mergeSchema read of the
+    # whole lake would rewrite every dataset with the UNION schema of all
+    # of them (ticks gaining OHLC columns as nulls, etc.). mergeSchema
+    # stays on *within* a dataset so its own schema evolution survives.
+    datasets = sorted(
+        {
+            _dataset_prefix(root)
+            for root, _dirs, files in os.walk(base_path)
+            if any(f.endswith(".parquet") for f in files)
+        }
     )
+    out = base_path + "_compacted"
+    _shutil.rmtree(out, ignore_errors=True)
+    for ds in datasets:
+        df = spark.read.option("mergeSchema", "true").option("basePath", base_path).parquet(ds)
+        part_cols = [c for c in PARTITION_COLS if c in df.columns]
+        (
+            df.repartition(target_files_per_partition, *part_cols)
+            .sortWithinPartitions("ts")
+            .write.partitionBy(*part_cols)
+            .mode("append")  # datasets occupy disjoint partition subtrees
+            .option("compression", "snappy")
+            .parquet(out)
+        )
     if not in_place:
         return out
     old = base_path + f".precompact.{_uuid.uuid4().hex}"
@@ -166,14 +203,17 @@ def vacuum(
     """
     import shutil as _shutil
 
-    report = audit(spark, base_path, manifest)
+    report = audit_lists(spark, base_path, manifest, limit=None)
     if dry_run:
         return report
+    root = os.path.realpath(base_path)
     for orphan in report["orphan_files"]:
         # audit paths are dataset prefixes under base_path; refuse
-        # anything that escaped the lake root
+        # anything that escaped the lake root (os.sep suffix so a
+        # sibling like `<base>_manifest` can't pass a prefix check)
         full = orphan if os.path.isabs(orphan) else os.path.join(base_path, orphan)
-        if os.path.realpath(full).startswith(os.path.realpath(base_path)):
+        rp = os.path.realpath(full)
+        if rp.startswith(root + os.sep):  # strict subdir: never the root itself
             _shutil.rmtree(full, ignore_errors=True)
     for dead in report["dead_links"]:
         manifest.delete_entries(path=dead)

@@ -55,28 +55,35 @@ MANIFEST_SCHEMA = T.StructType(
 _catalog_lock = path_lock
 
 
-_GIT_HASH_CACHE: list[str | None] = []
+_GIT_HASH_CACHE: dict[str, str | None] = {}
 
 
 def current_git_hash() -> str | None:
-    """Producing-code git hash for provenance stamping (the reference
-    records it per manifest row, manifest.py:38). Cached per process;
-    None outside a git checkout."""
-    if not _GIT_HASH_CACHE:
+    """PRODUCING-SCRIPT git hash for provenance stamping (the reference
+    records the ingest script's hash per manifest row, manifest.py:38).
+    Resolution order: `DL_DATALAKE_GIT_HASH` env var, then the caller's
+    CWD's repo — never this package's own checkout, which is a framework
+    detail (and meaningless when installed as a wheel). None outside a
+    repo. Cached per cwd."""
+    env = os.environ.get("DL_DATALAKE_GIT_HASH")
+    if env:
+        return env
+    cwd = os.getcwd()
+    if cwd not in _GIT_HASH_CACHE:
         import subprocess
 
         try:
             out = subprocess.run(
                 ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
+                cwd=cwd,
                 capture_output=True,
                 text=True,
                 timeout=5,
             )
-            _GIT_HASH_CACHE.append(out.stdout.strip() if out.returncode == 0 else None)
+            _GIT_HASH_CACHE[cwd] = out.stdout.strip() if out.returncode == 0 else None
         except Exception:
-            _GIT_HASH_CACHE.append(None)
-    return _GIT_HASH_CACHE[0]
+            _GIT_HASH_CACHE[cwd] = None
+    return _GIT_HASH_CACHE[cwd]
 
 
 def _version_sort_key(v: str) -> tuple:

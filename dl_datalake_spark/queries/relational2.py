@@ -275,10 +275,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str):
     "q12_priority_by_linestatus",
     sql="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 GROUP BY l_linestatus
@@ -607,12 +607,37 @@ def set_intersect(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # approx_count_distinct (HLL) vs exact — approximate by design, rows-only
 # ---------------------------------------------------------------------------
-@register("agg_approx_distinct")  # no SQL oracle: HLL sketches differ per engine
+@register(
+    "agg_approx_distinct",
+    # HLL sketch values differ per engine, so the oracle checks the HLL
+    # *contract* instead: exact counts hash-compared, approx folded into
+    # a within-3-sigma boolean (rsd=0.02 → always TRUE for a working
+    # sketch; DuckDB asserts the literal).
+    sql="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    rsd = 0.02
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 3 * rsd * F.col("exact_parts")
+            ).alias("within_tol"),
+        )
     )
 
 

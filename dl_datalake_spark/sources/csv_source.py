@@ -70,8 +70,7 @@ def read_ohlcv_csv_quarantine(
     ).csv(path, header=True, mode="PERMISSIVE")
     # PERMISSIVE leaves _corrupt_record non-null for malformed rows;
     # a null ts (unparseable or absent) is equally unusable downstream
-    # (every write/merge keys on ts). cache: the split reads df twice.
-    df = df.cache()
+    # (every write/merge keys on ts).
     bad = df.where(F.col("_corrupt_record").isNotNull() | F.col("ts").isNull())
     good = (
         df.where(F.col("_corrupt_record").isNull() & F.col("ts").isNotNull())
@@ -79,6 +78,10 @@ def read_ohlcv_csv_quarantine(
     )
     if quarantine_path is not None:
         bad.write.mode("append").parquet(quarantine_path)
+    # No cache: the split reads the CSV twice (quarantine write + the
+    # caller's consumption of `good`), but a second columnar-pruned CSV
+    # scan is cheaper than leaking cached partitions across a session
+    # that ingests thousands of files and never unpersists.
     return good, bad
 
 

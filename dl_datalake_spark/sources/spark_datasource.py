@@ -242,6 +242,12 @@ class ExchangeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["until_ms"]), int(end["until_ms"])
+        # After a checkpointed restart this reader is fresh (_last ==
+        # start_ms) while Spark replans from the committed offset; clamp
+        # the cursor to the planned range so latestOffset() resumes from
+        # the checkpoint instead of re-walking from start_ms (which would
+        # stall availableNow runs whose first batch is already committed).
+        self._last = max(self._last, lo, hi)
         if hi <= lo:
             return [SlicePartition("", 0, 0)]  # empty batch placeholder
         return _slices(self.symbols, lo, hi, self.slice_ms)

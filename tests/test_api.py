@@ -103,6 +103,52 @@ def test_ingest_export_delete_roundtrip(app_client, tmp_path):
     assert r3.get_json()["deleted"] >= 1
 
 
+def test_feature_metadata_and_download_routes(app_client):
+    http, client, base = app_client
+    src = base / "emb.bin"
+    payload = b"\x00\x01feature-bytes\x02"
+    src.write_bytes(payload)
+    dest = client.features.upload_feature(
+        str(src), "BINANCE", "SPOT", "BTCUSDT", "embeddings", version="1.2.0"
+    )
+    entry = http.get("/features").get_json()
+    assert "embeddings" in entry["feature_sets"]
+
+    from pyspark.sql import functions as F
+
+    fid = client.manifest.load().where(F.col("path") == dest).first()["id"]
+    meta = http.get(f"/features/{fid}").get_json()
+    assert meta["data_type"] == "embeddings" and meta["version"] == "1.2.0"
+
+    dl = http.get(f"/features/{fid}/download")
+    assert dl.status_code == 200 and dl.data == payload  # byte-exact round-trip
+
+    assert http.get("/features/999999").status_code == 404
+    assert http.get("/features/999999/download").status_code == 404
+
+
+def test_export_batch_route(app_client):
+    http, client, base = app_client
+    csv2 = base / "more.csv"
+    csv2.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1675252800000 + i * 60000},2,3,1,2.5,20" for i in range(10))
+    )
+    client.ingest_csv(str(csv2), "BINANCE", "SPOT", "ETHUSDT")
+
+    out_dir = base / "batch_export"
+    r = http.post("/export/batch", json={"exchange": "BINANCE", "dir": str(out_dir)})
+    body = r.get_json()
+    assert r.status_code == 200
+    assert body["total_symbols"] == 2 and sorted(body["exported"]) == ["BTCUSDT", "ETHUSDT"]
+    assert body["failed"] == []
+    import glob
+
+    for sym in ("BTCUSDT", "ETHUSDT"):
+        assert glob.glob(str(out_dir / sym / "part-*.csv"))
+    assert http.post("/export/batch", json={"exchange": "BINANCE"}).status_code == 422
+
+
 def test_verify_and_refresh_endpoints(app_client):
     http, client, base = app_client
     rep = http.get(

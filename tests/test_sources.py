@@ -206,6 +206,33 @@ def test_compact_preserves_rows(spark, lake, tmp_path):
         assert len(glob.glob(d + "/*.parquet")) == 1
 
 
+def test_compact_preserves_heterogeneous_schemas(spark, lake):
+    """Compaction must NOT widen a dataset with the union schema of the
+    whole lake: ticks gaining OHLC columns as nulls would change what
+    readers see."""
+    from dl_datalake_spark.lake.maintenance import compact
+
+    writer, reader, _ = lake
+    ohlc = spark.createDataFrame(
+        _mk_candles(10),
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    writer.write_ohlc(ohlc, KEY)
+    ticks_key = DatasetKey("binance", "spot", "BTCUSDT", "ticks", "raw")
+    ticks = spark.createDataFrame(
+        [(i * 1000, 10.0 + i, 0.5) for i in range(10)], "ts long, price double, qty double"
+    )
+    writer.write_ticks(ticks, ticks_key)
+
+    compact(spark, writer.base_path, in_place=True)
+    ohlc_after = reader.read_dataset(KEY)
+    ticks_after = reader.read_dataset(ticks_key)
+    assert ohlc_after.count() == 10 and ticks_after.count() == 10
+    assert "price" not in ohlc_after.columns  # no cross-dataset widening
+    assert "open" not in ticks_after.columns
+    assert set(ticks.columns) <= set(ticks_after.columns)
+
+
 def test_probe_listing_date(spark, lake):
     writer, _, _ = lake
     client = FakeExchange(_mk_candles(10, start=5 * MIN_MS))

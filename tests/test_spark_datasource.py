@@ -142,6 +142,27 @@ def test_stream_offset_contract():
     assert list(r.read(empty[0])) == []
 
 
+def test_stream_offset_resumes_after_checkpointed_restart():
+    """A FRESH reader (restart) must clamp its cursor to the offsets
+    Spark replans from the checkpoint; otherwise latestOffset() re-walks
+    from start_ms and an availableNow run ingests nothing forever."""
+    opts = {
+        "symbols": "A",
+        "timeframe_ms": str(TF),
+        "start_ms": "0",
+        "end_ms": str(4 * HOUR),
+        "max_batch_ms": str(HOUR),
+        "slice_ms": str(HOUR),
+    }
+    r = ExchangeStreamReader(opts)
+    # simulate: 2 hours already committed in the checkpoint before restart
+    r2 = ExchangeStreamReader(opts)  # fresh instance, _last == start_ms
+    r2.partitions({"until_ms": 2 * HOUR}, {"until_ms": 2 * HOUR})
+    # next planned batch advances PAST the committed offset, not from 0
+    assert r2.latestOffset() == {"until_ms": 3 * HOUR}
+    assert r.latestOffset() == {"until_ms": HOUR}  # fresh start unaffected
+
+
 def test_backfill_flow_writes_lake_and_resumes(spark, tmp_path):
     """Data source → lake: parallel backfill lands partitioned OHLC with
     manifest rows, and a second run resumes from the watermark."""
