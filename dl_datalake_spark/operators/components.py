@@ -1,22 +1,92 @@
 """Connected components over candidate-pair edges: the group-resolution
 step of a dedup pipeline (pairs → clusters → keeper per cluster).
 
-Algorithm: iterative min-label propagation to fixpoint. Each round is
-one shuffle (edge ⋈ label, min per node); rounds needed = cluster
-diameter, which for near-dup clusters is tiny (dup groups are cliques
-or near-cliques from band collisions — diameter 1-3). The driver loop
-carries only a converged/not-converged boolean; labels stay
-distributed, and each round persists + truncates lineage so plans
-don't grow. This is the standard scalable formulation (GraphX/
-GraphFrames use the same shape); for adversarial high-diameter graphs
-swap in large-star/small-star — near-dup graphs never need it.
+Two execution paths, picked by ONE up-front edge count:
+
+- **Driver union-find** (edges ≤ `max_driver_edges`, default 5 M):
+  candidate pairs after LSH banding are a tiny fraction of the corpus
+  (only near-dups collide), so even a billion-doc run usually yields an
+  edge list that fits comfortably on the driver — 5 M long-pairs ≈
+  80 MB. Classic path-compressed union-find is then ~O(E α(E)) with
+  zero extra Spark jobs, versus diameter-many distributed shuffles.
+- **Distributed min-label propagation** (bigger edge lists): iterative
+  hop-to-fixpoint with POINTER JUMPING (component ← component's
+  component) folded into every round, so convergence is O(log d)
+  rounds, not O(d) — LSH chains routinely have diameter ~10, which the
+  plain formulation pays for in driver round-trips. Each round
+  localCheckpoints to truncate lineage; the convergence probe is an
+  early-exit limit(1).count() on the just-materialized result. This is
+  the GraphX/GraphFrames shape; large-star/small-star is only needed
+  for adversarial graphs LSH never produces.
+
+Both paths return the same deterministic (node, component=min reachable
+id) labeling, so the oracle can't tell them apart.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
+
+_EDGES_PER_PARTITION = 100_000
+
+
+def _union_find(rows, a_idx: int = 0, b_idx: int = 1) -> list[tuple]:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[a_idx], r[b_idx]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min[r], x) if r in comp_min else x
+    return [(x, comp_min[find(x)]) for x in parent]
+
+
+def _hop(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation step: component ← min over self and
+    neighbors' components; _changed marks any improvement."""
+    neighbor_min = (
+        edges.join(labels, edges.src == labels.node)
+        .groupBy(F.col("dst").alias("node2"))
+        .agg(F.min("component").alias("nbr_min"))
+    )
+    return labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+        "node",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        ).alias("component"),
+        (F.col("nbr_min") < F.col("component")).alias("_changed"),
+    )
+
+
+def _jump(labels: DataFrame) -> DataFrame:
+    """Pointer jumping: component ← component's component. Component ids
+    are node ids, so one self-join halves every label chain; monotone
+    (labels only decrease), hence safe to interleave with hops. Extra
+    columns (the _changed probe) ride along untouched."""
+    target = labels.select(
+        F.col("node").alias("t_node"), F.col("component").alias("t_comp")
+    )
+    carried = [c for c in labels.columns if c not in ("component",)]
+    return labels.join(target, labels.component == target.t_node, "left").select(
+        *carried, F.coalesce("t_comp", "component").alias("component")
+    )
 
 
 def connected_components(
@@ -24,46 +94,60 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    max_driver_edges: int = 5_000_000,
 ) -> DataFrame:
     """Resolve undirected edges (id_a, id_b) into components.
 
     Returns (node, component) where component = min node id reachable —
     a deterministic canonical keeper id per duplicate group.
     """
+    spark = pairs.sparkSession
+    slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pairs = slim.count()  # materializes the persist; routes the plan
+
+    if n_pairs <= max_driver_edges:
+        node_type = slim.schema["src"].dataType
+        labeled = _union_find(slim.collect())
+        slim.unpersist()
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("component", node_type)]
+        )
+        return spark.createDataFrame(labeled, schema)
+
+    # pairs are distinct undirected edges, so the two directions are
+    # already dupe-free — no distinct() shuffle; min-agg tolerates
+    # dupes anyway.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+        slim.unionByName(slim.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sc = spark.sparkContext
+    n_part = max(1, min(sc.defaultParallelism, 2 * n_pairs // _EDGES_PER_PARTITION + 1))
+
     # localCheckpoint (not persist) inside the loop: it truncates
     # lineage, so round N's plan doesn't contain rounds 1..N-1
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
+        .repartition(n_part, "node")
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("component").alias("nbr_min"))
+        new_labels = (
+            _jump(_hop(edges, labels))
+            .select("node", "component", "_changed")
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)
         )
-        new_labels = labels.join(
-            neighbor_min, labels.node == F.col("node2"), "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-            (F.col("nbr_min") < F.col("component")).alias("_changed"),
-        ).localCheckpoint(eager=True)
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
 
     edges.unpersist()
+    slim.unpersist()
     return labels

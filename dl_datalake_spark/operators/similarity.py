@@ -71,18 +71,45 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed LCG — no RNG state, fully
+    reproducible across engines/runs."""
+    planes = []
+    state = 42
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 20) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """k-NN join: for every query vector, top-k corpus neighbors.
 
-    Broadcast the smaller side; rank per query with a window. Exact —
-    the oracle-checkable baseline for ANN variants.
+    Small corpora (≤ max_broadcast_rows): broadcast the corpus and rank
+    per query with a window — exact, the oracle-checkable baseline.
+
+    Bigger corpora: the broadcast theta-join is an O(n·q) scale-killer
+    (it ships the WHOLE corpus to every task), so the join routes
+    through ann_lsh_topk — hyperplane-bucketed candidate generation +
+    exact rerank within buckets, same output schema, approximate recall
+    (recall floor pytest'd). One count() picks the path.
     """
+    if corpus.count() > max_broadcast_rows:
+        if planes is None:
+            dim = len(corpus.select(vec_col).head()[0])
+            planes = deterministic_planes(8, dim)
+        return ann_lsh_topk(queries, corpus, planes, k, id_col, vec_col)
     q = _with_norm(queries, vec_col, "_qn").select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("_qn").alias("q_nrm")
     )
@@ -231,56 +258,98 @@ def cosine_near_dup_pairs_blas(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = 50_000,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs via Arrow-batched BLAS.
+    """Exact embedding near-dup pairs via distributed block-pair BLAS.
 
     Same result set as cosine_near_dup_pairs, different physical plan:
-    each partition of the left side computes a block matmul
-    (A_norm @ B_norm.T) against the broadcast normalized corpus matrix
-    in numpy — ~100× the throughput of interpreted per-pair folds, and
-    the per-executor memory is one (n × dim) float64 matrix.
+    the corpus is hash-split into B row blocks; every unordered block
+    pair (i ≤ j) becomes one applyInPandas group that matmuls
+    (block_i_norm @ block_j_norm.T) in numpy — ~100× the throughput of
+    interpreted per-pair folds. Every id pair lands in EXACTLY one
+    group (blocks are disjoint; the group key is the sorted block
+    pair), so the result is exact with no dedup pass.
 
-    Scale ceiling is the broadcast corpus (n×dim×8 bytes: 1 M vectors
-    × 768 dims ≈ 6 GB — executor-RAM bound). Beyond that, LSH-bucket
-    first (hyperplane_buckets) and run this inside buckets.
+    Scale shape: no driver materialization and no full-corpus
+    broadcast — per-task memory is two blocks (max_block_rows × dim ×
+    8 B each; 50 k × 768 ≈ 300 MB), and each row is shuffled B times
+    (the unavoidable O(n²/block) data movement of exact all-pairs).
+    B adapts: enough blocks to spread across the cluster, more when n
+    outgrows max_block_rows. One count() sizes it.
 
     Rounding: half-up at 6 digits (floor(x·1e6 + 0.5)/1e6), matching
     Spark's HALF_UP and DuckDB's round-half-away for the positive
     cosines a near-dup threshold selects.
     """
-    import numpy as np
-    import pandas as pd
+    import math
 
-    spark = df.sparkSession
-    # corpus → driver once (Arrow path), then one broadcast to every
-    # executor — the same data movement a broadcast-hash-join side pays
-    corpus_pdf = df.select(id_col, vec_col).toPandas()
-    ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.array(list(corpus_pdf[vec_col]), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(matn)
+    slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    n = slim.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "a_id long, b_id long, cos_sim double")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # B(B+1)/2 groups ≈ 2·cores for full occupancy; memory-capped blocks
+    n_blocks = max(int(math.ceil(math.sqrt(4.0 * par))), int(math.ceil(n / max_block_rows)))
 
-    out_schema = "a_id long, b_id long, cos_sim double"
+    blk = (F.abs(F.xxhash64(F.col("_id"))) % n_blocks).cast("int")
+    tagged = slim.withColumn("_blk", blk)
+    # row of block b participates in groups (i=b, j≥b) as the LEFT side
+    # and (i<b, j=b) as the RIGHT side; the diagonal group gets each row
+    # once (left only) and scores within-block pairs a<b itself.
+    left = tagged.select(
+        "_id", "_vec",
+        F.col("_blk").alias("gi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("gj"),
+        F.lit(0).alias("_side"),
+    ).select("_id", "_vec", "gi", "gj", "_side")
+    right = tagged.where(F.col("_blk") > 0).select(
+        "_id", "_vec",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("gi"),
+        F.col("_blk").alias("gj"),
+        F.lit(1).alias("_side"),
+    ).select("_id", "_vec", "gi", "gj", "_side")
+    thr = float(threshold)
 
-    def score(batches):
-        all_ids = b_ids.value
-        corpus = b_mat.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0] = 1.0
-            sims = (a / an[:, None]) @ corpus.T
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # half-up, 6 digits
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": all_ids[bi], "cos_sim": sims[ai, bi]}
+    def score_group(pdf):
+        # self-contained: runs on workers that may not import this package
+        import numpy as np
+        import pandas as pd
+
+        def matn(frame):
+            ids = frame["_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(frame["_vec"]), dtype=np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            return ids, m / nrm[:, None]
+
+        diagonal = bool((pdf["gi"] == pdf["gj"]).iloc[0]) if len(pdf) else True
+        if diagonal:
+            a_ids, a = matn(pdf)
+            b_ids, b = a_ids, a
+        else:
+            a_ids, a = matn(pdf[pdf["_side"] == 0])
+            b_ids, b = matn(pdf[pdf["_side"] == 1])
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
             )
+        sims = a @ b.T
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # half-up, 6 digits
+        if diagonal:
+            ai, bi = np.nonzero((sims >= thr) & (a_ids[:, None] < b_ids[None, :]))
+        else:
+            # cross-block ids are unordered — emit every hit, sorted per pair
+            ai, bi = np.nonzero(sims >= thr)
+        x, y = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "cos_sim": sims[ai, bi]}
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return (
+        left.unionByName(right)
+        .groupBy("gi", "gj")
+        .applyInPandas(score_group, schema="a_id long, b_id long, cos_sim double")
+    )
 
 
 def ann_lsh_topk(

@@ -17,7 +17,9 @@ from dl_datalake_spark.operators.similarity import (
     ann_lsh_topk,
     cosine,
     cosine_near_dup_pairs_blas,
+    deterministic_planes,
     ivf_topk,
+    pairwise_topk_join,
 )
 from dl_datalake_spark.queries.registry import register
 from dl_datalake_spark.tables import load_table
@@ -79,17 +81,10 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 )
 def emb_knn_join(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-    scored = q.join(F.broadcast(c), F.col("q_id") != F.col("c_id")).select(
-        "q_id",
-        "c_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    q = emb.where(F.col("vec_id") < 20)
+    # exact broadcast path here (corpus ≤ max_broadcast_rows); above the
+    # guard pairwise_topk_join reroutes through LSH-bucketed rerank
+    return pairwise_topk_join(q, emb, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -125,24 +120,10 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # ANN via random-hyperplane LSH buckets (approximate → rows-only check)
 # ---------------------------------------------------------------------------
-def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
-    """Pseudo-random hyperplanes from a fixed LCG — no RNG state, fully
-    reproducible across engines/runs."""
-    planes = []
-    state = 42
-    for _ in range(num_planes):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 20) % 2001 - 1000) / 1000.0)
-        planes.append(row)
-    return planes
-
-
 @register("emb_ann_lsh")  # approximate — no SQL oracle, rows-only check
 def emb_ann_lsh(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    planes = _deterministic_planes(num_planes=6, dim=64)
+    planes = deterministic_planes(num_planes=6, dim=64)
     q = emb.where(F.col("vec_id") < 20)
     return ann_lsh_topk(q, emb, planes, k=5)
 

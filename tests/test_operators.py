@@ -291,8 +291,11 @@ def test_ann_variants_recall_floor(spark):
     approximate is only useful if recall is measurable and high."""
     import random
 
-    from dl_datalake_spark.operators.similarity import ann_lsh_topk, ivf_topk
-    from dl_datalake_spark.queries.simq import _deterministic_planes
+    from dl_datalake_spark.operators.similarity import (
+        ann_lsh_topk,
+        deterministic_planes as _deterministic_planes,
+        ivf_topk,
+    )
 
     rng = random.Random(11)
     # 3 gaussian-ish clusters so labels correlate with geometry
@@ -330,6 +333,18 @@ def test_ann_variants_recall_floor(spark):
     planes = _deterministic_planes(num_planes=2, dim=16)
     r_lsh = recall(ann_lsh_topk(q, emb, planes, k=5))
     assert r_lsh >= 0.5, r_lsh
+
+    # knn-join guard: above max_broadcast_rows the plan must route
+    # through the bucket equi-join — no full-corpus theta broadcast
+    from dl_datalake_spark.operators.similarity import pairwise_topk_join
+
+    guarded = pairwise_topk_join(q, emb, k=5, max_broadcast_rows=10, planes=planes)
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "bucket" in plan  # LSH candidate join key present
+    r_guard = recall(guarded)
+    assert r_guard >= 0.5, r_guard
+    exact_join = pairwise_topk_join(q, emb, k=5)  # under the guard: exact
+    assert recall(exact_join) == 1.0
 
 
 def test_rolling_fingerprint_is_order_sensitive(spark):

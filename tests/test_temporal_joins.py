@@ -102,3 +102,28 @@ def test_connected_components(spark):
     )
     out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed pointer-jump propagation must
+    produce identical labelings — including on a long chain (high
+    diameter, the case pointer jumping exists for)."""
+    import random
+
+    from dl_datalake_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]  # 41-node chain, diameter 40
+    nodes = list(range(100, 160))
+    rng.shuffle(nodes)
+    for a, b in zip(nodes[::2], nodes[1::2]):  # 30 random 2-cliques
+        edges.append((a, b))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, max_driver_edges=0).collect()
+    }
+    assert fast == dist and len(fast) == 41 + 60
+    assert all(fast[n] == 0 for n in range(41))  # chain resolves to min id
