@@ -32,22 +32,35 @@ def asof_join(
     by: list[str] | None = None,
     value_cols: list[str] | None = None,
     right_on_alias: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row picks up `value_cols` from the
-    latest right row with right.on <= left.on within the same `by` group
-    (left join semantics — unmatched left rows keep nulls).
+    """As-of join: each left row picks up `value_cols` from the matching
+    right row within the same `by` group (left join semantics —
+    unmatched left rows keep nulls).
+
+    direction:
+      - "backward" (default): latest right with right.on <= left.on;
+      - "forward": earliest right with right.on >= left.on;
+      - "nearest": whichever of the two is closer in `on` (tie →
+        backward, matching pandas.merge_asof).
+    tolerance: maximum |right.on - left.on| for a match (same unit as
+    `on`, which must then be numeric); farther matches become null.
 
     Implementation: tag both sides, union by name, and carry the right
-    side's values forward with a prefix window (`last(..., ignorenulls)`
-    over rowsBetween(unboundedPreceding, 0)) ordered by (on, side) so a
-    right row at the exact same timestamp is visible to the left row
-    (>= semantics, matching DuckDB's ASOF JOIN). One shuffle on `by`.
+    side's values with prefix/suffix windows (`last`/`first` ...
+    ignorenulls) ordered so a right row at the exact same timestamp is
+    visible in both directions (>= / <= semantics, matching DuckDB's
+    ASOF JOIN). One shuffle on `by`; both window frames sort within the
+    same partitions, so "nearest" costs one extra in-partition sort,
+    not an extra shuffle.
 
     If several right rows share (by, on), the caller should pre-aggregate
-    — this function keeps the last one in (on, side) order, which is
-    nondeterministic across ties.
+    — ties there are engine-order nondeterministic.
     """
     by = by or []
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
     value_cols = value_cols or [c for c in right.columns if c != on and c not in by]
 
     r = right.select(
@@ -65,28 +78,77 @@ def asof_join(
     )
     u = r.unionByName(l, allowMissingColumns=True)
 
-    w = (
+    # backward: right rows (side 0) sort BEFORE the left row at equal
+    # `on`, prefix frame; forward: sort AFTER (side desc), suffix frame.
+    wb = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched_on = right_on_alias or f"{on}_right"
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_right = F.col("_side") == 0
+
+    def bwd(c):
+        return F.last(F.when(is_right, F.col(c)), ignorenulls=True).over(wb)
+
+    def fwd(c):
+        return F.first(F.when(is_right, F.col(c)), ignorenulls=True).over(wf)
+
     out = u
-    for c in value_cols:
-        out = out.withColumn(
-            f"_asof_{c}",
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+    use_b = direction in ("backward", "nearest")
+    use_f = direction in ("forward", "nearest")
+    if use_b:
+        out = out.withColumn("_b_on", bwd(on))
+        for c in value_cols:
+            out = out.withColumn(f"_b_{c}", bwd(c))
+    if use_f:
+        out = out.withColumn("_f_on", fwd(on))
+        for c in value_cols:
+            out = out.withColumn(f"_f_{c}", fwd(c))
+
+    # validity per direction (tolerance makes far matches null)
+    b_ok = F.col("_b_on").isNotNull() if use_b else F.lit(False)
+    f_ok = F.col("_f_on").isNotNull() if use_f else F.lit(False)
+    if tolerance is not None:
+        if use_b:
+            b_ok = b_ok & ((F.col(on) - F.col("_b_on")) <= F.lit(tolerance))
+        if use_f:
+            f_ok = f_ok & ((F.col("_f_on") - F.col(on)) <= F.lit(tolerance))
+    if direction == "nearest":
+        # closer side wins; ties go backward
+        take_b = b_ok & (
+            ~f_ok | ((F.col(on) - F.col("_b_on")) <= (F.col("_f_on") - F.col(on)))
         )
+        take_f = f_ok & ~take_b
+    else:
+        take_b, take_f = (b_ok, F.lit(False)) if use_b else (F.lit(False), f_ok)
+
+    matched_on = right_on_alias or f"{on}_right"
+
+    def pick(bc, fc):
+        return F.when(take_b, bc).when(take_f, fc)
+
     out = out.withColumn(
         matched_on,
-        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w),
+        pick(F.col("_b_on") if use_b else F.lit(None), F.col("_f_on") if use_f else F.lit(None)),
     )
+    projected = [
+        pick(
+            F.col(f"_b_{c}") if use_b else F.lit(None),
+            F.col(f"_f_{c}") if use_f else F.lit(None),
+        ).alias(c)
+        for c in value_cols
+    ]
     return out.where(F.col("_side") == 1).select(
         *by,
         on,
         *left_cols,
         F.col(matched_on),
-        *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        *projected,
     )
 
 

@@ -213,3 +213,44 @@ def dedup_groups(spark: SparkSession, sf_dir: str):
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# keeper election: one row per duplicate group — keep the longest doc
+# (ties → smallest id), the final step that turns near-dup groups into
+# a pruned training corpus
+# ---------------------------------------------------------------------------
+def _keeper_sql() -> str:
+    return rf"""
+WITH comp AS ({_components_sql().strip()})
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN rn = 1 THEN node END) AS keeper_id,
+       MAX(n_chars) AS max_chars
+FROM (
+  SELECT comp.component, comp.node, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY d.n_chars DESC, comp.node) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+)
+GROUP BY component
+"""
+
+
+@register("dedup_cluster_keeper", sql=_keeper_sql())
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str):
+    """Group resolution → keeper election in one aggregation: keeper =
+    min(struct(-n_chars, node)) per component, so the longest document
+    wins and equal lengths break to the smallest id. No window over the
+    full corpus — one hash-agg over the (tiny) labeled-dup set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = dedup_groups(spark, sf_dir).join(
+        docs, F.col("node") == F.col("doc_id")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("node").alias("id")))[
+            "id"
+        ].alias("keeper_id"),
+        F.max("n_chars").alias("max_chars"),
+    )

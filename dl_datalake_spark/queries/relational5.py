@@ -286,3 +286,34 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# linear-regression aggregates: OLS slope/intercept/R² of extendedprice
+# on quantity per linestatus. Spark regr_* and DuckDB regr_* implement
+# the same closed-form sums; rounding absorbs accumulation-order drift.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_regression_stats",
+    sql="""
+SELECT l_linestatus,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+       ROUND(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_price
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_linestatus").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_price"),
+    )

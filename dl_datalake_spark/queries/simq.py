@@ -150,6 +150,50 @@ def dedup_emb_cosine(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup: resolve embedding near-dup pairs into groups and list
+# the vectors to DROP (everything but the canonical min-id keeper) —
+# the embedding-space analogue of the minhash keeper election
+# ---------------------------------------------------------------------------
+_EMB_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.replace("cv", "a.v").replace("qv", "b.v")} >= 0.4
+"""
+
+
+@register(
+    "emb_semantic_dedup_drops",
+    sql=f"""
+WITH RECURSIVE
+pairs AS ({_EMB_PAIRS_SQL.strip()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS drop_id, MIN(r) AS keeper_id
+FROM reach GROUP BY node
+HAVING node <> MIN(r)
+""",
+)
+def emb_semantic_dedup_drops(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    pairs = cosine_near_dup_pairs_blas(emb, threshold=0.4).select(
+        F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
+    )
+    cc = connected_components(pairs)
+    return cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("drop_id"), F.col("component").alias("keeper_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN: nearest per-label centroid cell (nprobe=1), exact rerank inside
 # ---------------------------------------------------------------------------
 @register(

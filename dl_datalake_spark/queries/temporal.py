@@ -78,6 +78,63 @@ def events_asof_join(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# nearest as-of join with tolerance: each click pairs with the CLOSEST
+# purchase (before or after) within 2 minutes; ties prefer backward —
+# pandas.merge_asof(direction="nearest", tolerance=...) semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_nearest",
+    sql=f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.tsu AS click_tsu,
+       n.tsu AS purchase_tsu,
+       ROUND(n.purchase_value, 6) AS purchase_value
+FROM c LEFT JOIN LATERAL (
+  SELECT p.tsu, p.purchase_value
+  FROM p
+  WHERE p.user_id = c.user_id AND abs(p.tsu - c.tsu) <= {2 * US_MINUTE}
+  ORDER BY abs(p.tsu - c.tsu), (CASE WHEN p.tsu <= c.tsu THEN 0 ELSE 1 END)
+  LIMIT 1
+) n ON TRUE
+""",
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str):
+    ev = _events_us(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "tsu", "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="tsu",
+        by=["user_id"],
+        value_cols=["purchase_value"],
+        right_on_alias="purchase_tsu",
+        direction="nearest",
+        tolerance=2 * US_MINUTE,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("tsu").alias("click_tsu"),
+        "purchase_tsu",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # banded range join: errors within [click, click+60s) per user
 # ---------------------------------------------------------------------------
 @register(

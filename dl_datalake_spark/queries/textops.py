@@ -212,3 +212,67 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str):
             F.sum("n_bpe_tokens").cast("double") / F.sum("n_tokens"), 6
         ).alias("bpe_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: the 3 most characteristic words of each document
+# (doc_id < 50) — tf * ln(N/df) over whitespace tokens of length >= 4,
+# ties cut by term. The classic "what is this document about" signal a
+# curation pipeline uses for topic balancing.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_tfidf_topterms",
+    sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tok4 AS (SELECT doc_id, term FROM tok WHERE len(term) >= 4),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok4 GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok4 GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rnk <= 3 AND doc_id < 50
+""",
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).where(F.length("term") >= 4)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    # df and n_docs are per-term / scalar side tables — broadcast both;
+    # the only real shuffle is the (doc_id, term) tf hash-agg
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -36,6 +36,54 @@ def test_asof_join_backward(spark):
     assert out["c3"]["amount"] is None and out["c3"]["ts_right"] is None
 
 
+def test_asof_join_forward_nearest_tolerance(spark):
+    clicks = spark.createDataFrame(
+        [(1, 100, "c1"), (1, 196, "c2"), (1, 205, "c3"), (2, 50, "c4")],
+        "user_id long, ts long, click string",
+    ).repartition(3)
+    purchases = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 200, 20.0), (1, 300, 30.0)],
+        "user_id long, ts long, amount double",
+    ).repartition(2)
+
+    def run(**kw):
+        return {
+            r["click"]: r
+            for r in asof_join(
+                clicks, purchases, on="ts", by=["user_id"], value_cols=["amount"], **kw
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd["c1"]["amount"] == 20.0 and fwd["c1"]["ts_right"] == 200
+    assert fwd["c3"]["amount"] == 30.0  # 200 is in the past, earliest ahead is 300
+    assert fwd["c4"]["amount"] is None  # user 2 has no purchases
+
+    near = run(direction="nearest")
+    assert near["c1"]["amount"] == 10.0  # |100-90| < |200-100|
+    assert near["c2"]["amount"] == 20.0  # forward 200 closer than backward 90
+    assert near["c3"]["amount"] == 20.0  # backward 200 closer than forward 300
+
+    # equidistant: backward wins (pandas.merge_asof semantics)
+    mid = spark.createDataFrame([(1, 145, "m")], "user_id long, ts long, click string")
+    tie = {
+        r["click"]: r
+        for r in asof_join(
+            mid, purchases, on="ts", by=["user_id"], value_cols=["amount"],
+            direction="nearest",
+        ).collect()
+    }
+    assert tie["m"]["ts_right"] == 90 and tie["m"]["amount"] == 10.0
+
+    # tolerance nulls far matches without dropping left rows
+    tol = run(direction="nearest", tolerance=10)
+    assert tol["c1"]["amount"] == 10.0
+    assert tol["c2"]["amount"] == 20.0
+    assert tol["c4"]["amount"] is None
+    back_tol = run(tolerance=5)  # backward with tight tolerance
+    assert back_tol["c1"]["amount"] is None and back_tol["c3"]["amount"] == 20.0
+
+
 def test_range_count_join_buckets(spark):
     left = spark.createDataFrame(
         [(1, 0, "a"), (1, 95, "b"), (2, 0, "c")], "user_id long, ts long, k string"
