@@ -254,3 +254,46 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str):
         ].alias("keeper_id"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup observability: near-dup rate per source domain — the dashboard
+# metric a curation run watches to spot a crawler dumping template spam
+# ---------------------------------------------------------------------------
+def _dup_rate_sql() -> str:
+    return rf"""
+WITH pairs AS ({_minhash_sql().strip()}),
+dup_docs AS (
+  SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dup_docs,
+       ROUND(COUNT(dd.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+GROUP BY d.source
+"""
+
+
+@register("docs_dup_rate_by_source", sql=_dup_rate_sql())
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+            F.round(
+                F.count("is_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -47,3 +47,48 @@ def media_feature_digest(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "media_frame_sample",
+    sql="""
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id < 100
+),
+f AS (
+  SELECT media_id, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts
+  FROM m
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       MAX(frame_ts) AS last_frame_ts
+FROM f GROUP BY media_id
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str):
+    """Video frame-sampling plumbing: duration metadata → (media_id,
+    frame_ts) rows every 5 s, then per-media frame accounting. The
+    sequence+explode never touches the payload, so the frame plan is a
+    narrow map — no shuffle until the final accounting agg."""
+    from dl_datalake_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = attach_binary_column(docs).join(
+        F.broadcast(docs.select(F.col("doc_id").alias("media_id"), "n_chars")),
+        "media_id",
+    )
+    with_duration = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = frame_sample(with_duration, every_ms=5000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts").alias("last_frame_ts"),
+    )
