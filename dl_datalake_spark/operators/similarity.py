@@ -291,7 +291,7 @@ def cosine_near_dup_pairs_blas(
     # B(B+1)/2 groups ≈ 2·cores for full occupancy; memory-capped blocks
     n_blocks = max(int(math.ceil(math.sqrt(4.0 * par))), int(math.ceil(n / max_block_rows)))
 
-    blk = (F.abs(F.xxhash64(F.col("_id"))) % n_blocks).cast("int")
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
     tagged = slim.withColumn("_blk", blk)
     # row of block b participates in groups (i=b, j≥b) as the LEFT side
     # and (i<b, j=b) as the RIGHT side; the diagonal group gets each row

@@ -55,33 +55,45 @@ def read_ohlcv_csv_quarantine(
 
     Returns (good, bad): `good` is canonical-typed OHLCV; `bad` holds
     rows any of whose fields failed the numeric cast or whose ts is
-    null, with the raw line preserved in `_corrupt_record`. If
+    null, with the raw field values preserved in `_corrupt_record`. If
     `quarantine_path` is given, bad rows are also written there as
     parquet — the standard lakehouse pattern: one malformed row
     quarantines, it doesn't abort a 10 TB backfill (the reference
     rejects the whole file, pipeline.py:55-65).
+
+    The split deliberately avoids the CSV parser's PERMISSIVE
+    `_corrupt_record`: that column is only populated when the malformed
+    field is part of the projected columns, so under column pruning a
+    count over the bad side silently loses rows unless the parse is
+    cached — a correctness-vs-memory trap. Reading every field as a
+    string and casting in a projection makes the good/bad predicate a
+    pure deterministic expression: prune-safe, cache-free, and
+    identical on recomputation.
     """
-    schema = (
-        "ts long, open double, high double, low double, close double, "
-        "volume double, _corrupt_record string"
+    cols = ("open", "high", "low", "close", "volume")
+    str_schema = "ts string, " + ", ".join(f"{c} string" for c in cols)
+    raw = spark.read.schema(str_schema).csv(path, header=True)
+
+    def nz(c):  # empty CSV field ≡ absent, not a cast failure
+        return F.nullif(F.col(c), F.lit(""))
+
+    # try_cast: malformed → null (plain cast throws under ANSI mode)
+    casted = raw.select(
+        "*",
+        nz("ts").try_cast("long").alias("_c_ts"),
+        *[nz(c).try_cast("double").alias(f"_c_{c}") for c in cols],
     )
-    df = spark.read.schema(schema).option(
-        "columnNameOfCorruptRecord", "_corrupt_record"
-    ).csv(path, header=True, mode="PERMISSIVE")
-    # PERMISSIVE leaves _corrupt_record non-null for malformed rows;
-    # a null ts (unparseable or absent) is equally unusable downstream
-    # (every write/merge keys on ts).
-    bad = df.where(F.col("_corrupt_record").isNotNull() | F.col("ts").isNull())
-    good = (
-        df.where(F.col("_corrupt_record").isNull() & F.col("ts").isNotNull())
-        .drop("_corrupt_record")
+    fail = F.col("_c_ts").isNull()  # unusable: every write/merge keys on ts
+    for c in cols:
+        fail = fail | (F.col(f"_c_{c}").isNull() & nz(c).isNotNull())
+    raw_line = F.concat_ws(
+        ",", *[F.coalesce(F.col(c), F.lit("")) for c in ("ts", *cols)]
     )
+    typed = [F.col("_c_ts").alias("ts")] + [F.col(f"_c_{c}").alias(c) for c in cols]
+    bad = casted.where(fail).select(*typed, raw_line.alias("_corrupt_record"))
+    good = casted.where(~fail).select(*typed)
     if quarantine_path is not None:
         bad.write.mode("append").parquet(quarantine_path)
-    # No cache: the split reads the CSV twice (quarantine write + the
-    # caller's consumption of `good`), but a second columnar-pruned CSV
-    # scan is cheaper than leaking cached partitions across a session
-    # that ingests thousands of files and never unpersists.
     return good, bad
 
 

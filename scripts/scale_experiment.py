@@ -28,9 +28,20 @@ QUERIES_UNDER_TEST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_groups",
+    "dedup_cluster_keeper",
     "docs_boilerplate_coverage",
     "docs_curation_pipeline",
     "docs_domain_mix",
+]
+
+# embedding operators: replicas get a per-replica deterministic sign
+# pattern applied elementwise — cosine within a replica is invariant
+# (both vectors flip the same coordinates), cross-replica similarity
+# collapses toward 0, so correct near-dup output scales ~K×.
+EMB_QUERIES = [
+    "dedup_emb_cosine",
+    "emb_semantic_dedup_drops",
 ]
 
 # event-stream operators: replicas get disjoint user_id/event_id spaces
@@ -108,6 +119,37 @@ COPY (
     con.close()
 
 
+def build_embeddings(src_dir: str, out_dir: str, k: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    n_vec = con.execute(
+        f"SELECT COUNT(*) FROM '{src_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    # per-replica elementwise sign flips: cos(s⊙a, s⊙b) == cos(a, b)
+    # within a replica; cross-replica cosines decorrelate
+    con.execute(
+        f"""
+COPY (
+  SELECT e.vec_id + {n_vec} * r.i AS vec_id,
+         CASE WHEN r.i = 0 THEN e.embedding
+              ELSE list_transform(
+                     list_zip(e.embedding,
+                              list_transform(generate_series(1, len(e.embedding)),
+                                             j -> CAST(hash(r.i * 131 + j) % 2 AS INTEGER)))::
+                       STRUCT(a FLOAT, b INTEGER)[],
+                     p -> CASE WHEN p.b = 0 THEN p.a ELSE -p.a END)
+         END AS embedding,
+         e.label
+  FROM '{src_dir}/embeddings.parquet' e,
+       (SELECT unnest(generate_series(0, {k - 1})) AS i) r
+) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
+
+
 def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     from dl_datalake_spark.queries import QUERIES
 
@@ -141,15 +183,18 @@ def main() -> None:
     # warm workers
     spark.range(0, 64).mapInPandas(lambda it: it, schema="id long").count()
 
-    t1 = time_queries(spark, src, QUERIES_UNDER_TEST)
-    tk = time_queries(spark, workdir, QUERIES_UNDER_TEST)
+    build_embeddings(src, workdir, k)
+    build_events(src, workdir, k)
+    names = QUERIES_UNDER_TEST + EMB_QUERIES + EVENT_QUERIES
+    t1 = time_queries(spark, src, names)
+    tk = time_queries(spark, workdir, names)
     report = {
         "k": k,
         "t1_sec": t1,
         "tk_sec": tk,
         "scaling_exponent": {
             name: round(math.log(max(tk[name], 1e-3) / max(t1[name], 1e-3)) / math.log(k), 3)
-            for name in QUERIES_UNDER_TEST
+            for name in names
         },
     }
     print(json.dumps(report))
