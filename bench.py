@@ -99,15 +99,19 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # two cold reps per query, keep the min: single-run timings on a
-    # 32-thread local JVM swing ±50% from GC/scheduler jitter; the min
-    # of two cold runs (cache cleared each rep, so no cross-rep reuse)
-    # is a stable estimate of the plan's actual cost
+    # three cold reps per query, keep the min: single-run timings on a
+    # 32-thread local JVM swing ±50% from GC/scheduler jitter and the
+    # first rep additionally pays whole-stage-codegen JIT for the
+    # query's plan shapes (measured: rep1 is routinely 2× rep2 even
+    # with cache cleared); the min of three cold runs (cache cleared
+    # each rep, so no cross-rep data reuse — only JIT'd code persists,
+    # as it would for any repeated production query) is a stable
+    # estimate of the plan's actual cost
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
