@@ -89,6 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
     rfr.add_argument("--exchange", required=True)
     rfr.add_argument("--target-period", default="15m")
 
+    zo = sub.add_parser(
+        "cluster",
+        help="Z-order rewrite of a parquet path for multi-column data skipping",
+    )
+    zo.add_argument("--path", required=True, help="parquet directory to rewrite")
+    zo.add_argument("--out", required=True, help="output directory")
+    zo.add_argument("--cols", required=True, help="comma-separated numeric columns")
+    zo.add_argument("--files", type=int, default=64)
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -162,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "refresh":
         out = client.refresh_rollup_all(args.exchange, target_period=args.target_period)
         print(json.dumps({sym: res.rows for sym, res in out.items()}))
+    elif args.cmd == "cluster":
+        from dl_datalake_spark.lake.clustering import zorder_rewrite
+
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        zorder_rewrite(spark.read.parquet(args.path), cols, args.out, num_files=args.files)
+        print(json.dumps({"out": args.out, "cols": cols, "files": args.files}))
     elif args.cmd == "serve":
         from dl_datalake_spark.api import create_app
 

@@ -276,3 +276,50 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring: average log-probability of each
+# document's tokens under the corpus unigram distribution — the cheap
+# perplexity proxy curation pipelines use to drop gibberish and
+# boilerplate outliers. The LM is "trained" on the WHOLE corpus (one
+# token-count agg); only docs < 200 are scored/returned to keep the
+# result set bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_unigram_logprob",
+    sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(c / t)), 6) AS avg_logprob
+FROM tok JOIN vocab USING (term) CROSS JOIN tot
+WHERE doc_id < 200
+GROUP BY doc_id
+""",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    # LM counts over the FULL corpus; per-token totals are one hash agg
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    # score only the bounded output slice — the filter prunes the probe
+    # side BEFORE the join, the vocab side still sees every token
+    return (
+        tok.where(F.col("doc_id") < 200)
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.ln(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+        )
+    )

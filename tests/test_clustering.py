@@ -69,3 +69,23 @@ def test_zorder_rewrite_skips_on_both_columns(spark, tmp_path):
     a = spark.read.parquet(linear).agg(F.sum("x"), F.sum("y"), F.count("*")).first()
     b = spark.read.parquet(zordered).agg(F.sum("x"), F.sum("y"), F.count("*")).first()
     assert a == b
+
+
+def test_cli_cluster_command(spark, tmp_path, capsys):
+    from dl_datalake_spark.cli import main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "clustered")
+    spark.range(0, 10_000).select(
+        F.col("id").cast("double").alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("b"),
+    ).write.parquet(src)
+    assert main(
+        ["--base", str(tmp_path / "lake"), "cluster",
+         "--path", src, "--out", out, "--cols", "a,b", "--files", "8"]
+    ) == 0
+    import json
+
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["cols"] == ["a", "b"]
+    assert spark.read.parquet(out).count() == 10_000
