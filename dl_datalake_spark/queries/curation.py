@@ -284,3 +284,61 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# graded contamination: per-document fraction of DISTINCT 5-gram
+# shingles that also occur in the benchmark set (source = src0) — the
+# continuous score behind the binary decontamination drop, used to set
+# eviction thresholds instead of dropping on any single collision.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_contamination_overlap",
+    sql=r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, unnest(
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 5 THEN
+      [array_to_string(string_split_regex(trim(text), '\s+')[i : i+4], ' ')
+       FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 3)]
+    ELSE [] END) AS shingle
+  FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+probe AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+hits AS (
+  SELECT p.doc_id, COUNT(*) AS n_hit
+  FROM probe p JOIN bench USING (shingle) GROUP BY p.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM probe GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) AS overlap
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id < 300 OR h.n_hit > 0
+""",
+)
+def docs_contamination_overlap(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs.select("doc_id", "text"), n=5, distinct=True)
+    meta = docs.select("doc_id", "source")
+    sh = sh.join(meta, "doc_id")
+    bench = sh.where(F.col("source") == "src0").select("shingle").distinct()
+    probe = sh.where(F.col("source") != "src0").select("doc_id", "shingle")
+    # benchmark sets are tiny next to the corpus — broadcast semi-join,
+    # same shape as docs_decontaminate; sizes and hits share the probe
+    hits = (
+        probe.join(F.broadcast(bench), "shingle", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    joined = sizes.join(hits, "doc_id", "left").withColumn(
+        "n_hit", F.coalesce(F.col("n_hit"), F.lit(0))
+    )
+    return joined.where((F.col("doc_id") < 300) | (F.col("n_hit") > 0)).select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_shingles"), 6).alias("overlap"),
+    )

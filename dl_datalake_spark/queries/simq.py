@@ -238,3 +238,71 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 20)
     return ivf_topk(q, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# one Lloyd iteration: per-label centroids → reassign every vector to
+# its nearest centroid by cosine → migration matrix (old label → new
+# cell). The iterative-clustering building block: at 100 TB, each
+# round is one broadcast of the tiny centroid table + one scan; the
+# migration counts are the convergence signal (diagonal-heavy = done).
+# ---------------------------------------------------------------------------
+@register(
+    "emb_kmeans_step",
+    sql="""
+WITH e AS (
+  SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+d AS (SELECT label, i, AVG(v) AS mean_v FROM e GROUP BY label, i),
+cents AS (SELECT label AS c_label, list(mean_v ORDER BY i) AS cv FROM d GROUP BY label),
+vecs AS (SELECT vec_id, label AS old_label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings),
+scored AS (
+  SELECT vec_id, old_label, c_label,
+         ROUND(
+           list_sum([cv[i]*qv[i] for i in generate_series(1, len(cv))]) /
+           (sqrt(list_sum([cv[i]*cv[i] for i in generate_series(1, len(cv))])) *
+            sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1, len(qv))]))), 6)
+           AS sim
+  FROM vecs, cents),
+assigned AS (
+  SELECT vec_id, old_label, c_label AS new_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+  FROM scored)
+SELECT CAST(old_label AS INTEGER) AS old_label,
+       CAST(new_label AS INTEGER) AS new_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(sim), 6) AS avg_sim
+FROM assigned WHERE rn = 1 GROUP BY old_label, new_label
+""",
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.similarity import cosine, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = label_centroids(emb).select(
+        F.col("label").alias("c_label").cast("int"), F.col("cv")
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.col("label").alias("old_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "old_label",
+        "c_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return assigned.groupBy(
+        F.col("old_label").cast("int").alias("old_label"),
+        F.col("c_label").cast("int").alias("new_label"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+    )
