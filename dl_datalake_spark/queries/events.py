@@ -286,3 +286,63 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming end-to-end, oracle-checked: the events table
+# replayed as a file STREAM (readStream → availableNow → memory sink),
+# hourly per-type aggregation in complete mode. availableNow processes
+# the whole history and terminates, so the streaming result equals the
+# batch result bit-for-bit — which is exactly what lets a SQL oracle
+# hash-match a streaming pipeline. The same plan incrementalizes: on a
+# live source the trigger keeps firing and the sink keeps updating.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_tumbling",
+    sql=f"""
+SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str):
+    import tempfile
+    import uuid
+
+    from dl_datalake_spark.tables import epoch_us
+
+    static = load_table(spark, sf_dir, "events")
+    # the file stream source lists a DIRECTORY; pathGlobFilter narrows
+    # the listing to the events table within the sf dir
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    bucketed = stream.withColumn(
+        "hour_bucket", (epoch_us(stream) / F.lit(US_PER_HOUR)).cast("long")
+    )
+    agg = bucketed.groupBy("hour_bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dl_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory-sink table is session-resident; the checkpoint is
+    # only needed across restarts of a LIVE stream — reclaim it
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
