@@ -346,3 +346,83 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str):
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, oracle-checked: clicks and errors read
+# as two file streams, watermarked on both sides, errors joined within
+# [click, click+6 h) per user (streaming/joins.py). availableNow
+# replays the whole history — both sides of every pair land in the
+# same micro-batch, the inner join emits each pair exactly once, and
+# the appended result hash-matches the batch SQL. On live sources the
+# same plan keeps state O(watermark window) per side.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_interval_join",
+    sql="""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000 AS tsms
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS tsms FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, c.tsms AS click_tsms, e.tsms AS matched_tsms
+FROM c JOIN e
+  ON c.user_id = e.user_id
+ AND e.tsms >= c.tsms AND e.tsms < c.tsms + 21600000
+""",
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str):
+    import tempfile
+    import uuid
+
+    from dl_datalake_spark.streaming.joins import stream_interval_join
+    from dl_datalake_spark.tables import epoch_us
+
+    static = load_table(spark, sf_dir, "events")
+
+    def stream():
+        return (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+
+    s1, s2 = stream(), stream()
+    clicks = (
+        s1.where(F.col("event_type") == "click")
+        .withColumn("ts_ms", (epoch_us(s1) / 1000).cast("long"))
+        .select("event_id", "user_id", "ts_ms")
+        .withColumnRenamed("ts_ms", "ts")
+    )
+    errors = (
+        s2.where(F.col("event_type") == "error")
+        .withColumn("ts_ms", (epoch_us(s2) / 1000).cast("long"))
+        .select("user_id", "ts_ms")
+        .withColumnRenamed("ts_ms", "ts")
+    )
+    joined = stream_interval_join(
+        clicks, errors, by=["user_id"], band_ms=21_600_000, watermark_delay="30 minutes"
+    )
+    out = joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_tsms"),
+        F.col("matched_ts").alias("matched_tsms"),
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dl_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
