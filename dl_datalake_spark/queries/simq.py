@@ -275,7 +275,7 @@ assigned AS (
 SELECT CAST(old_label AS INTEGER) AS old_label,
        CAST(new_label AS INTEGER) AS new_label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(AVG(sim), 6) AS avg_sim
+       ROUND(SUM(CAST(ROUND(sim * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6) AS avg_sim
 FROM assigned WHERE rn = 1 GROUP BY old_label, new_label
 """,
 )
@@ -304,5 +304,14 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str):
         F.col("c_label").cast("int").alias("new_label"),
     ).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("sim"), 6).alias("avg_sim"),
+        # order-independent mean: the per-pair sims are already rounded
+        # to 6 digits, so sum them as exact integer millionths — a
+        # float sum's partition-order drift can flip the 6th digit at
+        # scale (observed at sf0.1), an integer sum cannot
+        F.round(
+            F.sum(F.round(F.col("sim") * 1e6).cast("long"))
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("avg_sim"),
     )
