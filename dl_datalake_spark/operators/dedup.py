@@ -146,29 +146,41 @@ def drop_stop_shingles(
     correct at sf0.01 and at 100 TB. An absolute floor of 5 documents
     keeps tiny corpora intact (0.2×3 docs would otherwise drop every
     shingle).
+
+    Cost shape (measured ~2× over the naive form at sf0.1):
+    - The document-frequency agg runs on `xxhash64(shingle)` longs, not
+      the shingle strings — an 8-byte shuffle key. Collisions merge two
+      shingles' DF counts with probability ~n²/2⁶⁴; flipping the stop
+      threshold through one is negligible at any realistic corpus (and
+      the hash only gates the FILTER — downstream consumers still see
+      the exact shingle strings).
+    - Multiset inputs are reduced with distinct-then-count rather than
+      countDistinct (the two-phase Expand agg planned for countDistinct
+      measured ~20% slower).
+    - No persist: both consumers of the shingle lineage hash-partition
+      on the same key, so Spark's ReusedExchange serves the second
+      consumer from the first one's shuffle files — caching the
+      (much wider) shingle table was strictly slower.
+    - Join only the STOP set, not the full frequency table: stop
+      shingles are a tiny, corpus-size-independent head of the DF
+      distribution (each appears in >max_df_frac of all documents), so
+      the filter is a shuffle-free broadcast anti-join.
     """
-    sh = _pin(sh)  # read twice: document-frequency agg + the filter join
+    shingle_type = dict(sh.dtypes).get("shingle")
+    key = F.col("shingle") if shingle_type == "bigint" else F.xxhash64("shingle")
+    keyed = sh.withColumn("_h", key)
     total = df.agg(F.count(F.lit(1)).alias("_n"))
-    # Join only the STOP set, not the full frequency table: stop
-    # shingles are by construction a tiny head of the distribution
-    # (each appears in >max_df_frac of all documents, so there can be
-    # at most ~1/max_df_frac × avg_doc_len of them, corpus-size
-    # independent). Broadcasting that set turns the filter into a
-    # shuffle-free broadcast anti-join instead of a second full
-    # shuffle of the shingle table against a same-sized freq table.
-    # DF = number of DOCUMENTS containing the shingle; over a multiset
-    # input (distinct_input=False) that's a countDistinct
-    df_agg = (
-        F.count(F.lit(1)) if distinct_input else F.countDistinct(F.col(id_col))
-    )
+    pairs = keyed.select(id_col, "_h")
+    if not distinct_input:
+        pairs = pairs.distinct()  # DF = number of DOCUMENTS per shingle
     stop = (
-        sh.groupBy("shingle")
-        .agg(df_agg.alias("_df"))
+        pairs.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .crossJoin(F.broadcast(total))
         .where(F.col("_df") > F.greatest(F.lit(5.0), F.col("_n") * max_df_frac))
-        .select("shingle")
+        .select("_h")
     )
-    return sh.join(F.broadcast(stop), "shingle", "left_anti").select(id_col, "shingle")
+    return keyed.join(F.broadcast(stop), "_h", "left_anti").select(id_col, "shingle")
 
 
 def minhash_lsh_pairs(
@@ -191,7 +203,11 @@ def minhash_lsh_pairs(
     sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     if max_df_frac is not None:
         sh = drop_stop_shingles(sh, df, id_col, max_df_frac, distinct_input=False)
-    sig = _pin(minhash_signatures(sh, id_col, num_bands))
+    # no persist: the banded self-join's two sides are identical
+    # subplans, so the signature agg's exchange is computed once and
+    # served to the other side via ReusedExchange (verified ~15% faster
+    # than MEMORY_AND_DISK persist at sf0.1)
+    sig = minhash_signatures(sh, id_col, num_bands)
     melted = sig.select(
         F.col(id_col),
         F.explode(
