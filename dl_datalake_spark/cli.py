@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     rfr.add_argument("--exchange", required=True)
     rfr.add_argument("--target-period", default="15m")
 
+    qr = sub.add_parser(
+        "query", help="run a registered analytics query against a table dir"
+    )
+    qr.add_argument("name", help="query name, or 'list' to enumerate")
+    qr.add_argument("--sf-dir", default=None, help="directory with the parquet tables")
+    qr.add_argument("--limit", type=int, default=20)
+
     zo = sub.add_parser(
         "cluster",
         help="Z-order rewrite of a parquet path for multi-column data skipping",
@@ -171,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "refresh":
         out = client.refresh_rollup_all(args.exchange, target_period=args.target_period)
         print(json.dumps({sym: res.rows for sym, res in out.items()}))
+    elif args.cmd == "query":
+        from dl_datalake_spark.queries import QUERIES
+
+        if args.name == "list":
+            print(json.dumps(sorted(QUERIES)))
+        else:
+            if args.sf_dir is None:
+                raise SystemExit("--sf-dir is required to run a query")
+            QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
     elif args.cmd == "cluster":
         from dl_datalake_spark.lake.clustering import zorder_rewrite
 

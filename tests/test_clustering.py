@@ -89,3 +89,19 @@ def test_cli_cluster_command(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["cols"] == ["a", "b"]
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_cli_query_command(spark, tmp_path, capsys):
+    from dl_datalake_spark.cli import main
+
+    assert main(["--base", str(tmp_path / "lake"), "query", "list"]) == 0
+    import json
+
+    names = json.loads(capsys.readouterr().out)
+    assert "q1_pricing_summary" in names and len(names) >= 100
+
+    assert main(
+        ["--base", str(tmp_path / "lake"), "query", "region_nation_list",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]
+    ) == 0
+    assert "r_name" in capsys.readouterr().out
