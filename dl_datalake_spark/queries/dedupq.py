@@ -297,3 +297,67 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str):
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate quality audit: the exact-Jaccard distribution of the
+# MinHash band candidates — how many candidates are real near-dups vs
+# band-collision noise. This is the dial you read before moving the
+# (bands, rows-per-band) threshold at scale; precision = share of
+# candidates landing in buckets >= the target similarity.
+# ---------------------------------------------------------------------------
+def _minhash_precision_sql() -> str:
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(NUM_BANDS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(NUM_BANDS)
+    )
+    return rf"""
+WITH {_shingle_cte(SHINGLE_N)},
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands}),
+cand AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(COALESCE(i.inter, 0) /
+               (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+)
+SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS INTEGER) AS jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY 1
+"""
+
+
+@register("dedup_minhash_precision", sql=_minhash_precision_sql())
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = minhash_lsh_pairs(
+        docs, shingle_n=SHINGLE_N, num_bands=NUM_BANDS, max_df_frac=MAX_DF_FRAC
+    )
+    # threshold 0 → every co-shingle pair with its exact jaccard; the
+    # candidate join then keeps only the LSH survivors
+    exact = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=0.0, max_df_frac=MAX_DF_FRAC
+    ).select("id_a", "id_b", "jaccard")
+    scored = cand.join(exact, ["id_a", "id_b"], "left").withColumn(
+        "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int").alias("jaccard_decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
