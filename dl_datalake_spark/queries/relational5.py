@@ -317,3 +317,65 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str):
         F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
         F.round(F.regr_avgy(y, x), 2).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conditional aggregates: count_if / bool_and / bool_or per priority —
+# the guard-rail aggregation shapes (data-quality assertions compile to
+# exactly these) over one scan, all partial/final hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_conditional",
+    sql="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       BOOL_AND(o_totalprice > 900) AS all_above_floor,
+       BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_above_floor"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward-looking gaps via LEAD: per event type, the distribution of
+# time-to-next-event within (user, type) — the mirror of the LAG gap
+# scan, same single hash partitioning on the window keys.
+# ---------------------------------------------------------------------------
+@register(
+    "events_next_gap",
+    sql="""
+WITH t AS (SELECT event_type, user_id, epoch_us(ts) AS tsu FROM events),
+d AS (
+  SELECT event_type,
+         LEAD(tsu) OVER (PARTITION BY user_id, event_type ORDER BY tsu) - tsu AS fwd
+  FROM t
+)
+SELECT event_type,
+       CAST(COUNT(fwd) AS BIGINT) AS n_gaps,
+       CAST(MIN(fwd) AS BIGINT) AS min_gap_us,
+       CAST(MAX(fwd) AS BIGINT) AS max_gap_us,
+       CAST(SUM(fwd) AS BIGINT) AS total_gap_us
+FROM d GROUP BY event_type
+""",
+)
+def events_next_gap(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("tsu")
+    gaps = ev.withColumn("fwd", F.lead("tsu").over(w) - F.col("tsu"))
+    return gaps.groupBy("event_type").agg(
+        F.count("fwd").alias("n_gaps"),
+        F.min("fwd").alias("min_gap_us"),
+        F.max("fwd").alias("max_gap_us"),
+        F.sum("fwd").alias("total_gap_us"),
+    )
