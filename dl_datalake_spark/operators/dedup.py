@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_bands: int = 8,
     max_df_frac: float | None = 0.2,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 min-hash band.
 
@@ -197,6 +198,15 @@ def minhash_lsh_pairs(
     self-equi-join on (band, sig). Join key cardinality ≈ #docs×bands,
     so the shuffle is linear in corpus size; band agreement is the LSH
     bucket join (r=1 rows/band).
+
+    max_bucket_docs caps the size of any one (band, sig) bucket: a
+    bucket of m docs emits m² pairs, so one templated/boilerplate
+    cluster of 10⁶ docs would produce 10¹² candidates regardless of
+    the stop-shingle guard. Capped buckets are DROPPED (their docs are
+    near-identical to each other and still meet through their other
+    bands' smaller buckets, or are better handled by exact_dedup
+    first) — the standard large-corpus LSH guard. None (default)
+    keeps exact oracle-checkable semantics.
     """
     # multiset shingles: min-hash is duplicate-insensitive, so the
     # distinct shuffle is pure cost here (jaccard still needs it)
@@ -219,6 +229,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_docs is not None:
+        hot = (
+            melted.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .where(F.col("_m") > max_bucket_docs)
+            .select("band", "sig")
+        )
+        # hot buckets are few by construction — broadcast anti-join
+        melted = melted.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(

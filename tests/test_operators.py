@@ -423,3 +423,27 @@ def test_lang_id_predicts_dominant_stopword_language(spark):
     # es/fr share stopwords ("la") but each language's full signature wins
     for lang in LANG_STOPWORDS:
         assert out[lang] == lang, (lang, out[lang])
+
+
+def test_minhash_hot_bucket_cap(spark):
+    # 12 identical boilerplate docs form one giant band bucket; two
+    # genuine near-dups are distinct from it. The cap drops the
+    # boilerplate cluster's quadratic bucket but keeps the small pair.
+    boiler = [(i, "the same boilerplate text repeated again and again here") for i in range(12)]
+    near = [
+        (100, "a genuinely unique document about spark lsh banding guards"),
+        (101, "a genuinely unique document about spark lsh banding guard"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, max_df_frac=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, max_df_frac=None, max_bucket_docs=5).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 12 and b < 12 for a, b in uncapped)  # boiler pairs present
+    assert not any(a < 12 and b < 12 for a, b in capped)  # dropped by the cap
+    assert capped <= uncapped
