@@ -379,3 +379,64 @@ def events_next_gap(spark: SparkSession, sf_dir: str):
         F.max("fwd").alias("max_gap_us"),
         F.sum("fwd").alias("total_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: smallest set of customers covering 50% of
+# revenue — per-customer agg, revenue-desc cumulative share window,
+# keep rows until the running share crosses the threshold. The window
+# is over the AGGREGATE (one row per customer), not the fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_pareto_share",
+    sql="""
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(revenue) OVER () AS tot_rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rnk
+  FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MAX(rnk) AS BIGINT) AS deepest_rank,
+       ROUND(MAX(cum_rev), 2) AS covered_revenue
+FROM ranked
+WHERE cum_rev - revenue < tot_rev * 0.5
+""",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+        F.sum("revenue").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.where(
+        F.col("cum_rev") - F.col("revenue") < F.col("tot_rev") * 0.5
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("rnk").alias("deepest_rank"),
+        F.round(F.max("cum_rev"), 2).alias("covered_revenue"),
+    )
