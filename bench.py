@@ -59,9 +59,13 @@ HEADLINE = [
     "emb_int8_quant_error",
 ]
 
-# queries whose result set is large: count() instead of collect() so the
-# measurement is engine time, not driver serialization
-COUNT_ONLY = {
+# queries whose result set is large: materialize through the noop sink
+# instead of collect() so the measurement is engine time, not driver
+# serialization. NOT count(): under count Catalyst prunes unused window/
+# projection expressions (verified: events_asof_join's count plan has no
+# Window node at all) — the noop writer consumes every output column, so
+# the full plan runs.
+NOOP_SINK = {
     "window_moving_frames",
     "events_keep_last",
     "events_asof_join",
@@ -115,8 +119,8 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            if name in COUNT_ONLY:
-                df.count()
+            if name in NOOP_SINK:
+                df.write.format("noop").mode("overwrite").save()
             else:
                 df.collect()
             elapsed = time.time() - t0

@@ -86,9 +86,9 @@ COPY (
 # Small-aggregate queries MUST be collect()ed: under count() Catalyst
 # legitimately prunes the unused aggregate expressions and eliminates
 # the non-multiplying left joins feeding them — you end up timing a
-# skeleton plan, not the operator. Pair-producing dedup queries are
-# count()ed (output is large; the joins govern cardinality so nothing
-# prunable).
+# skeleton plan, not the operator. Everything else goes through the
+# noop sink (bench.py rationale): it consumes every output column, so
+# windows/projections can't be pruned the way they are under count().
 COLLECT_QUERIES = {
     "docs_boilerplate_coverage",
     "docs_domain_mix",
@@ -163,7 +163,7 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
             if name in COLLECT_QUERIES:
                 df.collect()
             else:
-                df.count()
+                df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
