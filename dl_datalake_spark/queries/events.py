@@ -426,3 +426,63 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str):
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming, oracle-checked: per-user running
+# (count, sum, last_ts) maintained in the state store via
+# applyInPandasWithState (streaming/stateful.py), replayed over the
+# full history with availableNow. Each user's final update row carries
+# the whole-history aggregate, so the streaming result hash-matches a
+# plain batch GROUP BY — the correctness contract for the stateful
+# operator itself. Multi-batch replays are reduced with max_by on the
+# monotone event count.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stateful_running_stats",
+    sql="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_tsu
+FROM events GROUP BY user_id
+""",
+)
+def events_stateful_running_stats(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+    import uuid
+
+    from dl_datalake_spark.streaming.stateful import running_user_stats
+    from dl_datalake_spark.tables import epoch_us
+
+    static = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    prep = stream.select(
+        "user_id", epoch_us(stream).alias("ts"), "value"
+    )
+    out = running_user_stats(prep)
+    name = f"stateful_stats_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dl_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = spark.table(name)
+    # update mode appends one row per (user, batch); the final row has
+    # the largest monotone n_events — reduce to it
+    return t.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        F.max("last_ts").alias("last_tsu"),
+    )
