@@ -199,14 +199,16 @@ def range_count_join(
         r,
         [l[c] == r[c] for c in by] + [l["_bucket"] == r["_bucket"]],
         "left",
-    ).where(
-        F.col("_r_on").isNull()
-        | (
-            (F.col("_r_on") >= l[on] + F.lit(lower))
-            & (F.col("_r_on") < l[on] + F.lit(upper))
-        )
+    )
+    # The range predicate lives INSIDE the count, not in a WHERE: a
+    # left row whose bucket copies all matched only out-of-range right
+    # rows has no null row to survive a WHERE — filtering would drop it
+    # entirely instead of counting 0 (found by the hypothesis property
+    # suite on a 3-event soup; left-join semantics require the 0 row).
+    in_range = (F.col("_r_on") >= l[on] + F.lit(lower)) & (
+        F.col("_r_on") < l[on] + F.lit(upper)
     )
     group_cols = [l[c] for c in left.columns]
     return joined.groupBy(*group_cols).agg(
-        F.count(F.col("_r_on")).alias(count_alias)
+        F.count(F.when(in_range, F.lit(1))).alias(count_alias)
     )
