@@ -240,3 +240,43 @@ def test_shingle_counts_and_set_semantics(spark, docs):
         assert counts.get(i, 0) == expect_n
         expect_set = {" ".join(ws[j : j + n]) for j in range(expect_n)}
         assert got_sets.get(i, set()) == expect_set
+
+
+@given(
+    evs=events_strategy,
+    lower=st.integers(min_value=-15, max_value=15),
+    width=st.integers(min_value=1, max_value=25),
+)
+@SETTINGS
+def test_range_count_join_arbitrary_bands(spark, evs, lower, width):
+    """range_count_join == brute force for ARBITRARY [lower, upper)
+    bands, including negative lower bounds (look-behind windows) and
+    widths that span multiple coarse buckets."""
+    from dl_datalake_spark.operators.joins import range_count_join
+
+    upper = lower + width
+    errors = []
+    clicks = []
+    for i, (u, ts, is_err) in enumerate(evs):
+        (errors if is_err else clicks).append((i, u, ts))
+    if not clicks:
+        return
+    c_df = spark.createDataFrame(clicks, "event_id long, user_id long, tsu long")
+    e_df = spark.createDataFrame(
+        [(u, ts) for _, u, ts in errors] or [(999, -1)], "user_id long, tsu long"
+    )
+    out = range_count_join(
+        c_df.repartition(3),
+        e_df.repartition(2),
+        on="tsu",
+        by=["user_id"],
+        lower=lower,
+        upper=upper,
+        count_alias="n_err",
+    )
+    got = {r["event_id"]: r["n_err"] for r in out.collect()}
+    for event_id, u, ts in clicks:
+        expect = sum(
+            1 for _, eu, ets in errors if eu == u and ts + lower <= ets < ts + upper
+        )
+        assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
