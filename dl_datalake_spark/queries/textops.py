@@ -323,3 +323,50 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str):
             F.round(F.avg(F.ln(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: regress log(frequency) on log(rank) over the top-1000
+# corpus terms. Natural corpora slope toward ~-1; a synthetic or
+# template-heavy corpus shows up immediately as a flat or kinked
+# slope, making this a one-number corpus-health probe. One token
+# explode → term hash-agg → top-k rank window over the (tiny)
+# aggregate → regr_* fold.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_zipf_fit",
+    sql=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(LN(c), LN(rnk)), 6) AS zipf_slope,
+       ROUND(regr_intercept(LN(c), LN(rnk)), 6) AS zipf_intercept,
+       ROUND(regr_r2(LN(c), LN(rnk)), 6) AS fit_r2
+FROM ranked WHERE rnk <= 1000
+""",
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+    ).where(F.col("rnk") <= 1000)
+    lc, lr = F.ln("c"), F.ln("rnk")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+    )
