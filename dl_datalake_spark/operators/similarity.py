@@ -272,8 +272,12 @@ def cosine_near_dup_pairs_blas(
 
     Scale shape: no driver materialization and no full-corpus
     broadcast — per-task memory is two blocks (max_block_rows × dim ×
-    8 B each; 50 k × 768 ≈ 300 MB), and each row is shuffled B times
-    (the unavoidable O(n²/block) data movement of exact all-pairs).
+    8 B each; 50 k × 768 ≈ 300 MB) plus one ~80 MB sims chunk (the
+    matmul iterates row chunks of ~10^7 elements: the FULL block-pair
+    product is |a|×|b| doubles, 14 GB at 42 k×42 k — the transient
+    that OOM-killed an unchunked 100× run), and each row is shuffled
+    B times (the unavoidable O(n²/block) data movement of exact
+    all-pairs).
     B adapts: enough blocks to spread across the cluster, more when n
     outgrows max_block_rows. One count() sizes it.
 
@@ -333,17 +337,37 @@ def cosine_near_dup_pairs_blas(
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
                 {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
             )
-        sims = a @ b.T
-        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # half-up, 6 digits
-        if diagonal:
-            ai, bi = np.nonzero((sims >= thr) & (a_ids[:, None] < b_ids[None, :]))
-        else:
-            # cross-block ids are unordered — emit every hit, sorted per pair
-            ai, bi = np.nonzero(sims >= thr)
-        x, y = a_ids[ai], b_ids[bi]
-        return pd.DataFrame(
-            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "cos_sim": sims[ai, bi]}
-        )
+        # Chunk the matmul: a full block-pair product is
+        # len(a) × len(b) doubles — 42k×42k would be a 14 GB transient
+        # PER WORKER (observed OOM-killing a 100× run). Cap the sims
+        # chunk at ~10^7 elements (~80 MB); hits are sparse, so only
+        # the selected pairs survive each chunk.
+        chunk = max(1, 10_000_000 // max(1, len(b_ids)))
+        outs = []
+        for s in range(0, len(a_ids), chunk):
+            sims = a[s : s + chunk] @ b.T
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # half-up, 6 digits
+            ca_ids = a_ids[s : s + chunk]
+            if diagonal:
+                ai, bi = np.nonzero(
+                    (sims >= thr) & (ca_ids[:, None] < b_ids[None, :])
+                )
+            else:
+                # cross-block ids are unordered — emit every hit
+                ai, bi = np.nonzero(sims >= thr)
+            x, y = ca_ids[ai], b_ids[bi]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.minimum(x, y),
+                        "b_id": np.maximum(x, y),
+                        "cos_sim": sims[ai, bi],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"a_id": [], "b_id": [], "cos_sim": []}
+        ).astype({"a_id": "int64", "b_id": "int64", "cos_sim": "float64"})
 
     return (
         left.unionByName(right)
