@@ -17,6 +17,7 @@ from dl_datalake_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    word_shingles,
 )
 from dl_datalake_spark.queries.registry import register
 from dl_datalake_spark.tables import load_table
@@ -361,3 +362,66 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str):
     return scored.groupBy(
         F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int").alias("jaccard_decile")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring detection (run-level dedup)
+# ---------------------------------------------------------------------------
+RUN_K = 8  # run length in tokens; production substring dedup uses ~50
+
+
+def _substring_sql() -> str:
+    n = RUN_K
+    concat = "||' '||".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
+    return rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+runs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-{n - 1}, 0)),
+                               i -> {concat})) AS run
+  FROM w
+),
+dup AS (SELECT run, COUNT(*) AS n_docs FROM runs GROUP BY run HAVING COUNT(*) >= 2),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS dup_runs,
+                 CAST(MAX(n_docs) AS BIGINT) AS max_run_docs,
+                 CAST(SUM(n_docs) AS BIGINT) AS dup_slots
+          FROM dup),
+aff AS (SELECT CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS affected_docs
+        FROM runs r JOIN dup d USING (run))
+SELECT * FROM stats, aff
+"""
+
+
+@register("dedup_exact_substring", sql=_substring_sql())
+def dedup_exact_substring(spark: SparkSession, sf_dir: str):
+    """Exact duplicated-substring detection ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): two documents are
+    substring-duplicates when they share any verbatim k-token run. The
+    distributed shape replaces the paper's suffix array with a sliding
+    run index — every k-token window per doc, hash-aggregated by run —
+    which is one narrow explode + one equi-key shuffle, no all-pairs
+    step anywhere.
+
+    Scale: at 100 TB group on xxhash64(run) (word_shingles hashed=True)
+    so the shuffle key is 8 bytes, and feed `dup` into a semi-join to
+    drop/clip affected spans; the string key here is only for exact
+    DuckDB oracle parity. The dup-run table is tiny relative to the
+    index (HAVING >= 2 prunes the long unique tail), so the back-join
+    is a broadcast/semi under AQE.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    runs = word_shingles(docs, n=RUN_K)  # distinct (doc_id, shingle)
+    dup = (
+        runs.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    stats = dup.agg(
+        F.count(F.lit(1)).alias("dup_runs"),
+        F.max("n_docs").alias("max_run_docs"),
+        F.sum("n_docs").alias("dup_slots"),
+    )
+    aff = runs.join(dup.select("shingle"), "shingle", "semi").agg(
+        F.countDistinct("doc_id").alias("affected_docs")
+    )
+    return stats.crossJoin(aff)

@@ -486,3 +486,61 @@ def events_stateful_running_stats(spark: SparkSession, sf_dir: str):
         F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
         F.max("last_ts").alias("last_tsu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 dimension build: change capture -> validity intervals
+# ---------------------------------------------------------------------------
+@register(
+    "events_scd2_intervals",
+    sql="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+o AS (SELECT user_id, event_type, tsu,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY tsu) AS prev_type
+      FROM e),
+ch AS (SELECT user_id, event_type, tsu FROM o
+       WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (SELECT user_id, event_type, tsu AS valid_from,
+              LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS valid_to
+       FROM ch)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) - COUNT(valid_to) AS BIGINT) AS n_open,
+       CAST(SUM(valid_to - valid_from) AS BIGINT) AS total_dwell_us,
+       CAST(MAX(valid_to - valid_from) AS BIGINT) AS max_dwell_us
+FROM iv GROUP BY event_type
+""",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str):
+    """Slowly-changing-dimension type-2 build from an event stream (CDC
+    shape): per user, each event_type transition closes the previous
+    validity interval and opens a new one — lag() for change capture,
+    lead() for the interval close, both over the same (user_id, tsu)
+    window so Spark computes them in ONE sort+shuffle per step.
+
+    Scale: both windows partition by user_id — no global sort, no
+    skew beyond the hottest user; the change-capture filter shrinks
+    the stream before the second window. This is the batch mirror of
+    the reference's watermark-resume ingest state tracking
+    (metadata/manifest.py watermarks) applied to dimension history.
+    """
+    ev = _with_tsu(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "tsu"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    iv = changes.select(
+        "user_id",
+        "event_type",
+        F.col("tsu").alias("valid_from"),
+        F.lead("tsu").over(w).alias("valid_to"),
+    )
+    dwell = F.col("valid_to") - F.col("valid_from")
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.count(F.lit(1)) - F.count("valid_to")).alias("n_open"),
+        F.sum(dwell).alias("total_dwell_us"),
+        F.max(dwell).alias("max_dwell_us"),
+    )

@@ -440,3 +440,47 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str):
         F.max("rnk").alias("deepest_rank"),
         F.round(F.max("cum_rev"), 2).alias("covered_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance: mergeable partial aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "agg_partial_merge",
+    sql="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str):
+    """Incremental materialized-view maintenance: per-shard PARTIAL
+    aggregate states (sum/count/max — all mergeable monoids) merged
+    into the final view, proving state merge == direct aggregation
+    (the oracle computes the direct form). avg is derived from merged
+    sum/count, never averaged across shards.
+
+    This is the 100 TB refresh shape: each ingest batch / partition
+    maintains its own partial state; a view refresh merges states
+    instead of rescanning history. The shard key here (l_orderkey % 32)
+    stands in for the ingest-batch id; at scale the partial table is
+    O(groups x shards), orders of magnitude smaller than the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 32).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("p_count"),
+        F.sum("l_quantity").alias("p_sum"),
+        F.max("l_orderkey").alias("p_max"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("p_count").alias("n_rows"),
+        F.round(F.sum("p_sum"), 2).alias("sum_qty"),
+        F.round(F.sum("p_sum") / F.sum("p_count"), 6).alias("avg_qty"),
+        F.max("p_max").alias("max_order"),
+    )

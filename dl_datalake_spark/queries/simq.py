@@ -315,3 +315,102 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str):
             6,
         ).alias("avg_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation audit: top-k overlap of 16-dim prefix vs full 64-dim
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+_MRL_NQ = 10
+_MRL_K = 10
+
+
+def _mrl_cos(dim_expr: str) -> str:
+    return f"""ROUND(
+  list_sum([cv[i]*qv[i] for i in generate_series(1, {dim_expr})]) /
+  (sqrt(list_sum([cv[i]*cv[i] for i in generate_series(1, {dim_expr})])) *
+   sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1, {dim_expr})]))), 6)"""
+
+
+@register(
+    "emb_matryoshka_overlap",
+    sql=f"""
+WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < {_MRL_NQ}),
+c AS (SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+sim AS (
+  SELECT q_id, c_id,
+         {_mrl_cos("len(cv)")} AS s_full,
+         {_mrl_cos(str(_MRL_DIM))} AS s_tr
+  FROM c, q WHERE c_id <> q_id
+),
+fullk AS (SELECT q_id, c_id FROM
+          (SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_full DESC, c_id) rn
+           FROM sim) WHERE rn <= {_MRL_K}),
+trk AS (SELECT q_id, c_id FROM
+        (SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_tr DESC, c_id) rn
+         FROM sim) WHERE rn <= {_MRL_K})
+SELECT f.q_id,
+       CAST(COUNT(t.c_id) AS BIGINT) AS n_overlap
+FROM fullk f LEFT JOIN trk t ON f.q_id = t.q_id AND f.c_id = t.c_id
+GROUP BY f.q_id
+""",
+)
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str):
+    """Matryoshka-representation audit (Kusupati et al. 2022): how much
+    of the exact top-k survives when retrieval runs on the first 16 of
+    64 dims. This is the recall dial for prefix-truncated ANN — the
+    cheap first-stage retriever at 100 TB scores 4x less data per pair;
+    this query measures what that costs on the actual corpus.
+
+    Plan: ONE corpus scan scores both similarities (full + truncated)
+    per pair against a broadcast 10-row query side; two per-query
+    row_number windows cut the two top-k sets (partition-local sorts of
+    k-bounded groups); the overlap join is a tiny equi-join. Nothing
+    shuffles the corpus itself more than once.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sim = (
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("s_full"),
+            F.round(
+                cosine(
+                    F.slice(F.col("cv"), 1, _MRL_DIM), F.slice(F.col("qv"), 1, _MRL_DIM)
+                ),
+                6,
+            ).alias("s_tr"),
+        )
+    )
+    w_full = Window.partitionBy("q_id").orderBy(F.desc("s_full"), F.asc("c_id"))
+    w_tr = Window.partitionBy("q_id").orderBy(F.desc("s_tr"), F.asc("c_id"))
+    fullk = (
+        sim.withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= _MRL_K)
+        .select("q_id", "c_id")
+    )
+    # both sides descend from `sim`, so join columns must be RENAMED, not
+    # qualified — fullk.q_id == trk.q_id resolves to the same lineage id
+    # and collapses to a trivially-true predicate (Spark self-join trap)
+    trk = (
+        sim.withColumn("rn", F.row_number().over(w_tr))
+        .where(F.col("rn") <= _MRL_K)
+        .select(F.col("q_id").alias("t_qid"), F.col("c_id").alias("t_cid"))
+    )
+    return (
+        fullk.join(
+            trk,
+            (F.col("q_id") == F.col("t_qid")) & (F.col("c_id") == F.col("t_cid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("t_cid").alias("n_overlap"))
+    )
