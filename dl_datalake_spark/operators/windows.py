@@ -52,3 +52,34 @@ def lag_gaps(df: DataFrame, keys: list[str], ts_col: str = "ts", threshold: int 
         .withColumn("delta", F.col(ts_col) - F.col("prev_ts"))
         .where(F.col("delta") > threshold)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """SCD type-2 history build from a change stream: per `key`, keep
+    only rows where `attr_col` CHANGES (lag-based change capture), then
+    close each surviving row's validity interval with the next change's
+    timestamp (lead) — [valid_from, valid_to), valid_to null for the
+    open current interval.
+
+    Both window functions share one (key, ts) sort, so Spark plans a
+    single shuffle+sort; the change filter shrinks the stream before
+    the second window pass. Partitioned by key — no global sort, scales
+    with the hottest key only. (The reference tracks only a LATEST
+    watermark per dataset, metadata/manifest.py:38; full attribute
+    history is this same shape applied per-key.)
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changes = df.withColumn("_prev", F.lag(attr_col).over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    )
+    return changes.select(
+        key,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )

@@ -366,3 +366,67 @@ def emb_quant_topk_overlap(spark: SparkSession, sf_dir: str):
         .groupBy("q_id")
         .agg(F.count("hit").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture resampling (multilingual-style alpha sampling)
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+
+
+@register(
+    "docs_temperature_resample",
+    sql=f"""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *,
+         POW(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM s), {_MIX_ALPHA}) AS raw_w
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(raw_w / (SELECT SUM(raw_w) FROM w), 6) AS sample_prob,
+       CAST(ROUND(raw_w / (SELECT SUM(raw_w) FROM w) * (SELECT SUM(n_tokens) FROM s)) AS BIGINT)
+         AS target_tokens
+FROM w
+""",
+)
+def docs_temperature_resample(spark: SparkSession, sf_dir: str):
+    """Temperature-scaled mixture weights (alpha-sampling from
+    multilingual LM training, e.g. mT5): source i is sampled with
+    probability p_i^alpha / sum_j p_j^alpha where p_i is its token
+    share — alpha < 1 upweights low-resource sources. Emits the
+    resampled per-source token budget for the next training mix.
+
+    Plan: one hash-agg over the corpus to per-source (docs, tokens) —
+    a group count small enough to broadcast; the normalization terms
+    join back as broadcast 1-row aggregates, so nothing rescans or
+    reshuffles the corpus. At 100 TB this is a single scan + two
+    scalar joins.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("tot_tokens"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w", F.pow(F.col("n_tokens") / F.col("tot_tokens"), _MIX_ALPHA)
+    )
+    z = w.agg(F.sum("raw_w").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("sample_prob"),
+            F.round(F.col("raw_w") / F.col("z") * F.col("tot_tokens"))
+            .cast("long")
+            .alias("target_tokens"),
+        )
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.operators.windows import sessionize
+from dl_datalake_spark.operators.windows import scd2_intervals, sessionize
 from dl_datalake_spark.queries.registry import register
 from dl_datalake_spark.tables import load_table, with_tsu as _with_tsu
 
@@ -527,16 +527,7 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str):
     ev = _with_tsu(load_table(spark, sf_dir, "events")).select(
         "user_id", "event_type", "tsu"
     )
-    w = Window.partitionBy("user_id").orderBy("tsu")
-    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    )
-    iv = changes.select(
-        "user_id",
-        "event_type",
-        F.col("tsu").alias("valid_from"),
-        F.lead("tsu").over(w).alias("valid_to"),
-    )
+    iv = scd2_intervals(ev, key="user_id", ts_col="tsu", attr_col="event_type")
     dwell = F.col("valid_to") - F.col("valid_from")
     return iv.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_intervals"),

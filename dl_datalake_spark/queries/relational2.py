@@ -694,3 +694,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str):
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile-sketch accuracy audit (approx_percentile vs exact)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_approx_quantile_audit",
+    sql="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str):
+    """Quantile-sketch audit, same contract as agg_approx_distinct: the
+    oracle pins the EXACT percentiles plus a literal TRUE; the Spark
+    side recomputes the exact values AND runs the mergeable
+    approx_percentile sketch (accuracy 10000), asserting the sketch
+    lands within 1% relative error. A sketch regression flips
+    within_tol to false and fails the value hash.
+
+    Scale: exact percentile needs a per-group sort of the full column
+    — fine here, unthinkable at 100 TB, where ONLY the sketch path
+    runs (fixed-size state, partial-merges map-side like any monoid).
+    This query is the accuracy contract that justifies that swap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.95).alias("e95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    tol = (F.abs(F.col("a50") - F.col("e50")) <= 0.01 * F.col("e50")) & (
+        F.abs(F.col("a95") - F.col("e95")) <= 0.01 * F.col("e95")
+    )
+    return g.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("exact_p50"),
+        F.round("e95", 4).alias("exact_p95"),
+        tol.alias("within_tol"),
+    )

@@ -280,3 +280,76 @@ def test_range_count_join_arbitrary_bands(spark, evs, lower, width):
             1 for _, eu, ets in errors if eu == u and ts + lower <= ets < ts + upper
         )
         assert got.get(event_id) == expect, (event_id, got.get(event_id), expect)
+
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=60),  # ts
+        st.sampled_from(["a", "b", "c"]),        # attr
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),  # one state per (key, ts)
+)
+
+
+@given(evs=scd_rows)
+@SETTINGS
+def test_scd2_intervals_partition_each_keys_timeline(spark, evs):
+    """SCD-2 build invariants, per key: intervals are contiguous
+    (valid_to == next valid_from), start at the key's first ts, exactly
+    one open interval (the last), and no two consecutive intervals
+    carry the same attribute (change capture really captured changes)."""
+    from dl_datalake_spark.operators.windows import scd2_intervals
+
+    df = spark.createDataFrame(evs, "k long, ts long, attr string").repartition(4)
+    out = scd2_intervals(df, key="k", ts_col="ts", attr_col="attr").collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    first_ts: dict[int, int] = {}
+    for k, ts, _ in evs:
+        first_ts[k] = min(ts, first_ts.get(k, ts))
+
+    assert set(by_key) == set(first_ts)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert ivs[0]["valid_from"] == first_ts[k]
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert opens == [ivs[-1]]  # exactly one open interval: the last
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur["valid_to"] == nxt["valid_from"]  # contiguous
+            assert cur["attr"] != nxt["attr"]  # a real change
+    # replaying the interval starts through the operator is a no-op
+    # (idempotent on an already-deduplicated change stream)
+    starts = [(r["k"], r["valid_from"], r["attr"]) for r in out]
+    again = scd2_intervals(
+        spark.createDataFrame(starts, "k long, ts long, attr string"),
+        key="k", ts_col="ts", attr_col="attr",
+    ).count()
+    assert again == len(starts)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=40),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@SETTINGS
+def test_partial_agg_merge_equals_direct(spark, vals, shards):
+    """Mergeable-state invariant behind agg_partial_merge: splitting the
+    input into ANY number of shards, aggregating each, and merging the
+    partial states reproduces the direct aggregate exactly."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    direct = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("m")
+    ).collect()[0]
+    merged = (
+        df.groupBy((F.col("id") % shards).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("m").alias("m"))
+        .collect()[0]
+    )
+    assert (direct["n"], direct["s"], direct["m"]) == (merged["n"], merged["s"], merged["m"])
