@@ -535,3 +535,74 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str):
         F.sum(dwell).alias("total_dwell_us"),
         F.max(dwell).alias("max_dwell_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming session windows, oracle-checked: the events table
+# replayed through the file stream source, sessionized per user with the
+# builtin session_window + watermark, availableNow → memory sink. Full-
+# history replay makes streaming == batch, so the result hash-matches
+# the same island-detection SQL as the batch variant. On a live source
+# the watermark bounds session state to (gap + lateness) per user.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_session",
+    sql=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS tsu, value,
+         CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                   >= {US_30MIN} OR
+                   LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sessions AS (
+  SELECT user_id, tsu, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsu
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(tsu) AS session_start_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def events_stream_session(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+    import uuid
+
+    from dl_datalake_spark.tables import epoch_us
+
+    static = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    ev = stream.withColumn("event_time", F.timestamp_micros(epoch_us(stream)))
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dl_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
