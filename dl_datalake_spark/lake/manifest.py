@@ -94,9 +94,12 @@ def _version_sort_key(v: str) -> tuple:
 
 
 class ManifestManager:
-    def __init__(self, spark: SparkSession, manifest_path: str):
+    def __init__(
+        self, spark: SparkSession, manifest_path: str, keep_history: bool = True
+    ):
         self.spark = spark
         self.path = manifest_path.rstrip("/")
+        self.keep_history = keep_history
         self._next_id = None
 
     # -- storage ------------------------------------------------------------
@@ -123,6 +126,85 @@ class ManifestManager:
         shutil.move(tmp, self.path)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+        if self.keep_history:
+            # re-read the committed files: `df`'s lineage still points at
+            # the pre-swap manifest files, which no longer exist
+            self._append_snapshot(self.load())
+
+    # -- time travel (Iceberg/Delta-style snapshot log) ---------------------
+    #
+    # Every committed catalog state is ALSO appended to `<path>_history`
+    # stamped with a monotone snapshot_ts (epoch µs), giving the catalog
+    # the snapshot lineage the reference's SQLite manifest lacks: any
+    # past state is reconstructable (`load_at`), and an ingest rollback
+    # is a diff of two snapshots. The log grows by one catalog copy per
+    # commit — catalogs are kilobytes-per-thousand-datasets, so even at
+    # 100 TB data scale the log stays driver-trivial; prune_history
+    # bounds it when commits are very frequent.
+
+    @property
+    def history_path(self) -> str:
+        return self.path + "_history"
+
+    def _append_snapshot(self, df: DataFrame) -> None:
+        import time
+
+        snap = int(time.time() * 1_000_000)
+        last = self._last_snapshot_ts()
+        if last is not None and snap <= last:
+            snap = last + 1  # clock went backwards / same-µs commit
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.history_path, f"snapshot_ts={snap}")
+        )
+
+    def _history_df(self) -> DataFrame | None:
+        hp = self.history_path
+        if not os.path.exists(hp):
+            return None
+        return self.spark.read.schema(MANIFEST_SCHEMA).option(
+            "basePath", hp
+        ).parquet(hp)
+
+    def _last_snapshot_ts(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot timestamps (epoch µs), ascending — read
+        from the partition directory names, no data scan."""
+        hp = self.history_path
+        if not os.path.exists(hp):
+            return []
+        out = []
+        for d in os.listdir(hp):
+            if d.startswith("snapshot_ts="):
+                try:
+                    out.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def load_at(self, ts_us: int) -> DataFrame:
+        """The catalog exactly as of epoch-µs `ts_us`: the newest
+        snapshot committed at or before that instant. Empty DataFrame
+        before the first commit."""
+        eligible = [s for s in self.snapshots() if s <= ts_us]
+        if not eligible:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        hp = os.path.join(self.history_path, f"snapshot_ts={eligible[-1]}")
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(hp)
+
+    def prune_history(self, keep_last: int = 100) -> int:
+        """Drop all but the newest `keep_last` snapshots; returns the
+        number removed. Partition-directory deletes — no rewrite."""
+        snaps = self.snapshots()
+        drop = snaps[:-keep_last] if keep_last > 0 else snaps
+        for s in drop:
+            shutil.rmtree(
+                os.path.join(self.history_path, f"snapshot_ts={s}"),
+                ignore_errors=True,
+            )
+        return len(drop)
 
     # -- API (reference manifest.py:42-173 parity) --------------------------
 

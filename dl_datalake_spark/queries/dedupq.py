@@ -425,3 +425,80 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str):
         F.countDistinct("doc_id").alias("affected_docs")
     )
     return stats.crossJoin(aff)
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH recall audit: which true near-dup pairs the bands catch
+# ---------------------------------------------------------------------------
+RECALL_THRESHOLD = 0.5  # the banding design point: b=8, r=4 → s* ≈ 0.56
+
+
+def _minhash_recall_sql() -> str:
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(NUM_BANDS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(NUM_BANDS)
+    )
+    return rf"""
+WITH {_shingle_cte(SHINGLE_N)},
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands}),
+cand AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+               JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {RECALL_THRESHOLD}
+)
+SELECT CAST(LEAST(FLOOR(t.jaccard * 10), 9) AS INTEGER) AS jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
+       ROUND(COUNT(c.id_a) * 1.0 / COUNT(*), 6) AS recall
+FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+"""
+
+
+@register("dedup_minhash_recall", sql=_minhash_recall_sql())
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str):
+    """Recall side of the LSH quality contract (precision audit above):
+    of the TRUE near-dup pairs at the banding design point (Jaccard >=
+    0.5; b=8 bands x r=4 rows -> threshold ~(1/b)^(1/r) ~ 0.56), what
+    fraction did the banded candidate join surface? Dropping a band
+    or widening rows silently trades recall for cost — this query
+    turns that dial into an oracle-checked number per jaccard decile.
+
+    Both sides run from the SAME capped shingle set, so the audit
+    measures the banding itself, not shingling differences. The truth
+    side is the inverted-index exact join (bounded by the stop-shingle
+    cap); at 100 TB you'd sample doc pairs for the audit rather than
+    enumerate, keeping the same two-sided shape.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = minhash_lsh_pairs(
+        docs, shingle_n=SHINGLE_N, num_bands=NUM_BANDS, max_df_frac=MAX_DF_FRAC
+    ).withColumn("found", F.lit(1))
+    truth = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=RECALL_THRESHOLD, max_df_frac=MAX_DF_FRAC
+    ).select("id_a", "id_b", "jaccard")
+    j = truth.join(cand.select("id_a", "id_b", "found"), ["id_a", "id_b"], "left")
+    return j.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int").alias("jaccard_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("found").alias("n_found"),
+        F.round(F.count("found") / F.count(F.lit(1)), 6).alias("recall"),
+    )

@@ -606,3 +606,67 @@ def events_stream_session(spark: SparkSession, sf_dir: str):
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# trailing-window anomaly scores over the hourly aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_anomaly",
+    sql=f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT hour_bucket, CAST(n AS BIGINT) AS n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sd,
+         COUNT(*) OVER w AS m
+  FROM h
+  WINDOW w AS (ORDER BY hour_bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_bucket, n,
+       ROUND(mu, 4) AS trailing_avg,
+       ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END, 3) AS zscore,
+       CASE WHEN sd > 0 AND ABS((n - mu) / sd) >= 3 THEN TRUE ELSE FALSE END AS is_spike
+FROM z WHERE m >= 12
+""",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str):
+    """Trailing-window anomaly detection: hourly event counts scored
+    against the mean/stddev of the PREVIOUS 24 hours (frame excludes
+    the current row, so a spike can't mask itself). Rows need >= 12
+    trailing hours before scoring — no z-scores from a cold start.
+
+    Scale note: the global-order window runs over the HOURLY AGGREGATE
+    (24 rows/day — a few thousand rows even for a year of 100 TB
+    telemetry), not the raw stream; the only full-data pass is the
+    hash-agg that builds it. This two-level shape (massive agg →
+    tiny single-partition window) is the standard way to get
+    sequential statistics without a global sort of the fact table.
+    """
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        F.expr(f"tsu DIV {US_PER_HOUR}").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy("hour_bucket").rowsBetween(-24, -1)
+    )
+    z = hourly.select(
+        "hour_bucket",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    ).where(F.col("m") >= 12)
+    zscore = F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd"))
+    return z.select(
+        "hour_bucket",
+        "n",
+        F.round("mu", 4).alias("trailing_avg"),
+        F.round(zscore, 3).alias("zscore"),
+        F.when(zscore.isNotNull() & (F.abs(zscore) >= 3), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_spike"),
+    )

@@ -106,3 +106,42 @@ def test_manifest_timeframe_json_filter(spark, tmp_path):
     assert m.list_entries(timeframe="15m").count() == 1
     assert m.list_entries(timeframe="15m").first()["path"] == "/lake/b"
     assert m.list_entries(timeframe="1h").count() == 0
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """Snapshot log: load_at reconstructs any committed catalog state;
+    the upsert that replaced a path is invisible at the earlier
+    snapshot; prune_history keeps the newest states readable."""
+    import time
+
+    m = ManifestManager(spark, str(tmp_path / "m"))
+    m.add_entry("binance", "spot", "BTCUSDT", "/lake/a", "raw", 0, 1000, version="1")
+    t_after_first = int(time.time() * 1_000_000)
+    m.add_entry("binance", "spot", "BTCUSDT", "/lake/a", "raw", 0, 2000, version="2")
+    m.add_entry("binance", "spot", "ETHUSDT", "/lake/b", "raw", 0, 500, version="1")
+
+    snaps = m.snapshots()
+    assert len(snaps) == 3 and snaps == sorted(snaps)
+
+    old = m.load_at(t_after_first)
+    assert old.count() == 1
+    row = old.collect()[0]
+    assert (row["version"], row["time_to"]) == ("1", 1000)
+
+    # "now" sees the current catalog: upserted path + second symbol
+    now = m.load_at(int(time.time() * 1_000_000))
+    assert now.count() == 2
+    assert {r["version"] for r in now.where("path = '/lake/a'").collect()} == {"2"}
+    # pre-history instant → empty catalog
+    assert m.load_at(snaps[0] - 1).count() == 0
+
+    removed = m.prune_history(keep_last=2)
+    assert removed == 1 and len(m.snapshots()) == 2
+    # the pruned snapshot is gone; the retained ones still reconstruct
+    assert m.load_at(t_after_first).count() == 0  # earliest state pruned away
+    assert m.load_at(int(time.time() * 1_000_000)).count() == 2
+
+    # keep_history=False: no log side effects
+    m2 = ManifestManager(spark, str(tmp_path / "m2"), keep_history=False)
+    m2.add_entry("binance", "spot", "BTCUSDT", "/lake/z", "raw", 0, 10, version="1")
+    assert m2.snapshots() == []
