@@ -502,3 +502,72 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str):
         F.count("found").alias("n_found"),
         F.round(F.count("found") / F.count(F.lit(1)), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# novelty contribution: which sources add unique content
+# ---------------------------------------------------------------------------
+def _novelty_sql() -> str:
+    n = SHINGLE_N
+    concat = "||' '||".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
+    return rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-{n - 1}, 0)),
+                               i -> {concat})) AS shingle
+  FROM w
+),
+first AS (SELECT shingle, MIN(doc_id) AS fd FROM sh_all GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+  FROM sh_all s JOIN first f ON s.shingle = f.shingle GROUP BY 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+       CAST(SUM(total) AS BIGINT) AS total_shingles,
+       ROUND(SUM(novel) * 1.0 / SUM(total), 6) AS novelty
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+@register("docs_novelty_by_source", sql=_novelty_sql())
+def docs_novelty_by_source(spark: SparkSession, sf_dir: str):
+    """Novelty contribution per source: a shingle is NOVEL in the
+    corpus's canonical order when this doc_id is its first occurrence
+    (min doc_id); a source whose docs are mostly non-novel shingles is
+    re-serving content other sources already contributed — the metric
+    behind source-level dedup budgeting ("should we keep crawling this
+    domain?").
+
+    Shape: shingle index → min-per-shingle hash agg → equi-join back →
+    per-doc counts → per-source rollup. Every join is on the hashed
+    shingle or doc_id — no all-pairs anywhere; at 100 TB the min-agg
+    and back-join shard by shingle hash exactly like the substring
+    dedup above.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs, n=SHINGLE_N)  # distinct (doc_id, shingle)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("fd") == F.col("doc_id")).cast("long")).alias("novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("novel").alias("novel_shingles"),
+            F.sum("total").alias("total_shingles"),
+            F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty"),
+        )
+    )

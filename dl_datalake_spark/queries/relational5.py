@@ -484,3 +484,47 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str):
         F.round(F.sum("p_sum") / F.sum("p_count"), 6).alias("avg_qty"),
         F.max("p_max").alias("max_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth: monthly revenue joined to the same month -1y
+# ---------------------------------------------------------------------------
+@register(
+    "orders_yoy_growth",
+    sql="""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT cur.ym, cur.rev,
+       prev.rev AS rev_prev_year,
+       ROUND((cur.rev - prev.rev) / prev.rev, 6) AS yoy
+FROM m cur LEFT JOIN m prev ON prev.ym = cur.ym - 100
+""",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str):
+    """Year-over-year growth per calendar month. The -1y lookup is a
+    self-JOIN on the yyyymm key, not LAG(12): a lag assumes twelve
+    CONTIGUOUS prior rows and silently compares the wrong months the
+    first time a month has no orders. The join is exact under gaps.
+
+    Scale: both sides are the monthly AGGREGATE (84 rows for 7 years)
+    — the fact table is scanned once; the self-join broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    prev = m.select((F.col("ym") + 100).alias("ym_next"), F.col("rev").alias("rev_prev_year"))
+    return (
+        m.join(F.broadcast(prev), m.ym == prev.ym_next, "left")
+        .select(
+            "ym",
+            "rev",
+            "rev_prev_year",
+            F.round((F.col("rev") - F.col("rev_prev_year")) / F.col("rev_prev_year"), 6).alias("yoy"),
+        )
+    )
