@@ -9,7 +9,7 @@ produce identical pair sets.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.operators.dedup import (
@@ -569,5 +569,91 @@ def docs_novelty_by_source(spark: SparkSession, sf_dir: str):
             F.sum("novel").alias("novel_shingles"),
             F.sum("total").alias("total_shingles"),
             F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup: exact + near-dup keeper election -> surviving corpus
+# ---------------------------------------------------------------------------
+def _survivors_sql() -> str:
+    return rf"""
+WITH comp AS ({_components_sql().strip()}),
+ranked AS (
+  SELECT comp.component, comp.node,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY d.n_chars DESC, comp.node) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+),
+near_drop AS (SELECT node AS doc_id FROM ranked WHERE rn > 1),
+exact_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+),
+drops AS (SELECT doc_id FROM near_drop UNION SELECT doc_id FROM exact_drop)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS surviving_chars
+FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+"""
+
+
+@register("dedup_survivors", sql=_survivors_sql())
+def dedup_survivors(spark: SparkSession, sf_dir: str):
+    """The full dedup pipeline composed end-to-end: exact dedup (md5
+    keep-min-id) UNION near-dup keeper election (MinHash LSH pairs →
+    connected components → longest-doc-wins) → the surviving corpus,
+    reported per source. This is the query a training-data run actually
+    executes before tokenization; the per-stage queries above are its
+    audit views.
+
+    Plan: the drop set is TINY relative to the corpus (only docs in
+    some duplicate relation), so the final membership test is a
+    broadcast left-join against the fact scan; everything upstream is
+    the already-audited LSH banding + label propagation. No stage
+    touches all-pairs.
+    """
+    from dl_datalake_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=SHINGLE_N, num_bands=NUM_BANDS, max_df_frac=MAX_DF_FRAC
+    )
+    comp = connected_components(pairs)
+    ranked = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_chars"), F.asc("node")
+            )
+        ),
+    )
+    near_drop = ranked.where(F.col("rn") > 1).select(F.col("node").alias("doc_id"))
+    exact_drop = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    drops = near_drop.union(exact_drop).distinct().withColumn("dropped", F.lit(1))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(drops), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.count("dropped")).alias("n_survivors"),
+            F.sum(
+                F.when(F.col("dropped").isNull(), F.col("n_chars")).otherwise(0)
+            ).alias("surviving_chars"),
         )
     )

@@ -92,3 +92,43 @@ def media_frame_sample(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ts").alias("last_frame_ts"),
     )
+
+
+@register(
+    "media_binary_dedup",
+    sql="""
+WITH h AS (
+  SELECT sha256(text) AS digest, octet_length(encode(text)) AS nb
+  FROM documents
+),
+g AS (SELECT digest, CAST(COUNT(*) AS BIGINT) AS n, MAX(nb) AS nb FROM h GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_payloads,
+       CAST(SUM(n) AS BIGINT) AS n_payloads,
+       CAST(SUM((n - 1) * nb) AS BIGINT) AS reclaimable_bytes
+FROM g
+""",
+)
+def media_binary_dedup(spark: SparkSession, sf_dir: str):
+    """Content-addressable dedup over the BINARY payload column: digest
+    with JVM-side sha2 (no Python touches the bytes), group by digest,
+    and report how many payload copies a content-addressed store would
+    reclaim. This is the storage-level dedup a media lake runs before
+    any decoding — byte-identical images/clips collapse to one object.
+
+    Scale: one hash-agg keyed on a 64-hex digest; payload bytes leave
+    the scan stage only as their length. The digest agg shards evenly
+    (sha256 keys don't skew), so this survives arbitrary corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = attach_binary_column(docs)
+    g = media.select(
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.length(F.col("payload")).alias("nb"),
+    ).groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n"), F.max("nb").alias("nb")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique_payloads"),
+        F.sum("n").alias("n_payloads"),
+        F.sum((F.col("n") - 1) * F.col("nb")).alias("reclaimable_bytes"),
+    )

@@ -33,6 +33,8 @@ QUERIES_UNDER_TEST = [
     "docs_boilerplate_coverage",
     "docs_curation_pipeline",
     "docs_domain_mix",
+    "dedup_exact_substring",
+    "docs_novelty_by_source",
 ]
 
 # embedding operators: replicas get a per-replica deterministic sign
