@@ -105,3 +105,72 @@ def test_cli_query_command(spark, tmp_path, capsys):
          "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]
     ) == 0
     assert "r_name" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index: train -> write -> pruned search
+# ---------------------------------------------------------------------------
+def _load_emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ivf_index_roundtrip_pruning_and_recall(spark, tmp_path):
+    from dl_datalake_spark.operators.ivf_index import (
+        read_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        write_ivf_index,
+    )
+    from dl_datalake_spark.operators.similarity import cosine
+
+    emb = _load_emb(spark)
+    cents = train_ivf(emb, num_cells=8, iters=2)
+    assert cents.count() == 8
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    cents2, vectors = read_ivf_index(spark, path)
+    assert cents2.count() == 8
+    assert vectors.count() == emb.count()
+
+    # partition pruning: the cell predicate must land in the scan's
+    # PartitionFilters (directory-level skipping), not a post-scan Filter
+    one_cell = vectors.where(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], f"no partition filter in plan:\n{plan[:800]}"
+
+    queries = emb.where(F.col("vec_id") < 5)
+    res = search_ivf_index(spark, queries, path, k=5, nprobe=3)
+    got = res.groupBy("q_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 5 for r in got)
+
+    # recall floor vs exact brute force: nprobe=3/8 should keep most
+    # true neighbors for clusterable synthetic data
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))
+    exact = (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    truth = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    found = {(r["q_id"], r["c_id"]) for r in res.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall} below floor"
+
+
+def test_ivf_training_is_deterministic(spark, tmp_path):
+    from dl_datalake_spark.operators.ivf_index import train_ivf
+
+    emb = _load_emb(spark)
+    a = {r["cell"]: r["cv"] for r in train_ivf(emb, num_cells=4, iters=2).collect()}
+    b = {r["cell"]: r["cv"] for r in train_ivf(emb, num_cells=4, iters=2).collect()}
+    assert set(a) == set(b)
+    for cell in a:
+        assert [round(x, 9) for x in a[cell]] == [round(x, 9) for x in b[cell]]
