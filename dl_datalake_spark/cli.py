@@ -105,6 +105,19 @@ def build_parser() -> argparse.ArgumentParser:
     zo.add_argument("--cols", required=True, help="comma-separated numeric columns")
     zo.add_argument("--files", type=int, default=64)
 
+    ix = sub.add_parser(
+        "index",
+        help="build or search a persistent IVF ANN index over an embedding table",
+    )
+    ix.add_argument("action", choices=["build", "search"])
+    ix.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--cells", type=int, default=16)
+    ix.add_argument("--iters", type=int, default=3)
+    ix.add_argument("--k", type=int, default=5)
+    ix.add_argument("--nprobe", type=int, default=2)
+    ix.add_argument("--query-ids", default=None, help="comma-separated vec_ids (search)")
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -193,6 +206,30 @@ def main(argv: list[str] | None = None) -> int:
         cols = [c.strip() for c in args.cols.split(",") if c.strip()]
         zorder_rewrite(spark.read.parquet(args.path), cols, args.out, num_files=args.files)
         print(json.dumps({"out": args.out, "cols": cols, "files": args.files}))
+    elif args.cmd == "index":
+        from pyspark.sql import functions as F
+
+        from dl_datalake_spark.operators.ivf_index import (
+            search_ivf_index,
+            train_ivf,
+            write_ivf_index,
+        )
+
+        vecs = spark.read.parquet(args.vectors)
+        if args.action == "build":
+            cents = train_ivf(vecs, num_cells=args.cells, iters=args.iters)
+            write_ivf_index(vecs, cents, args.index)
+            print(json.dumps({"index": args.index, "cells": args.cells,
+                              "vectors": vecs.count()}))
+        else:
+            q = vecs
+            if args.query_ids:
+                ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+                q = vecs.where(F.col("vec_id").isin(ids))
+            res = search_ivf_index(
+                spark, q, args.index, k=args.k, nprobe=args.nprobe
+            )
+            res.show(100, truncate=False)
     elif args.cmd == "serve":
         from dl_datalake_spark.api import create_app
 

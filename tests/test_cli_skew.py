@@ -133,3 +133,28 @@ def test_cli_refresh_rollups(spark, tmp_path, capsys):
 
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"BTC_USDT": 4}  # four 15m buckets from one hour
+
+
+def test_cli_index_build_and_search(spark, tmp_path, capsys):
+    import json as _json
+
+    from dl_datalake_spark.cli import main
+
+    idx = str(tmp_path / "ivf_idx")
+    vecs = "/root/testdata/sf0.001/embeddings.parquet"
+    rc = main(
+        ["--base", str(tmp_path / "lake"), "index", "build",
+         "--vectors", vecs, "--index", idx, "--cells", "4", "--iters", "1"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cells"] == 4 and out["vectors"] > 0
+
+    rc = main(
+        ["--base", str(tmp_path / "lake"), "index", "search",
+         "--vectors", vecs, "--index", idx, "--k", "3", "--nprobe", "2",
+         "--query-ids", "0,1"]
+    )
+    assert rc == 0
+    shown = capsys.readouterr().out
+    assert "cos_sim" in shown and "rank" in shown
