@@ -670,3 +670,46 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str):
         .otherwise(F.lit(False))
         .alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation (skew-proof), oracle = the plain aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "events_salted_type_stats",
+    sql="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS count_value,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str):
+    """Two-phase salted aggregation on a LOW-cardinality group key —
+    the skew case AQE cannot split (a hash agg funnels each key into
+    one task; 5 event types = 5 tasks no matter how many executors).
+    Salting fans phase 1 across key x salt_buckets tasks; phase 2
+    merges partials. The oracle is the PLAIN aggregate: salting must
+    be invisible in the result, which is exactly what the hash check
+    proves (count/sum/min/max are re-combinable monoids; the rounding
+    happens only after the final merge).
+    """
+    from dl_datalake_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")],
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_value"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
