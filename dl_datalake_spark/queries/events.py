@@ -713,3 +713,49 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str):
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# value-position window frames: first/last/nth per user timeline
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_frames",
+    sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value, event_type FROM events
+           WHERE user_id < 50)
+SELECT user_id, tsu,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value) OVER w AS running_last,
+       NTH_VALUE(value, 2) OVER w AS second_val,
+       FIRST_VALUE(event_type) OVER w AS first_type
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def events_value_frames(spark: SparkSession, sf_dir: str):
+    """first_value / last_value / nth_value over a running frame — the
+    navigation-function family the window suite didn't yet pin. The
+    frame is explicit (UNBOUNDED PRECEDING..CURRENT ROW) because
+    last_value under the DEFAULT frame is the famous footgun (default
+    RANGE..CURRENT ROW makes it the current row's value in both
+    engines, but only by coincidence of frame semantics — pin it).
+    """
+    ev = (
+        _with_tsu(load_table(spark, sf_dir, "events"))
+        .where(F.col("user_id") < 50)
+        .select("user_id", "tsu", "value", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "tsu",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("running_last"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+        F.first("event_type").over(w).alias("first_type"),
+    )

@@ -212,3 +212,47 @@ def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str):
             F.min(dist).alias("min_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic pivot: order counts per month x priority
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "orders_priority_pivot",
+    sql="""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+FROM orders GROUP BY 1
+""",
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str):
+    """True relational pivot (`groupBy().pivot()`), not a CASE ladder:
+    one hash-agg keyed (ym, priority) under the hood, columns fanned at
+    plan time. The explicit value list matters at scale — omitting it
+    makes Spark run a distinct scan FIRST to discover pivot columns
+    (an extra job over the fact table); pinning the 5 knowns keeps it
+    one pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    pv = (
+        orders.groupBy(ym.alias("ym"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(zip(_PRIORITIES, ["urgent", "high", "medium", "notspec", "low"]))
+    out = pv
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves missing cells null; the oracle's FILTER counts give 0
+    return out.select(
+        "ym",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
