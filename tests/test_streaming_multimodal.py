@@ -345,3 +345,61 @@ def test_streaming_resample_end_to_end_watermark(spark, tmp_path):
         assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
             b["open"], b["high"], b["low"], b["close"], b["volume"]
         )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized view: exactly-once partial-state maintenance
+# ---------------------------------------------------------------------------
+def test_incremental_mv_exactly_once_and_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.streaming.mv import (
+        compact_mv,
+        incremental_mv,
+        read_mv,
+        write_mv_batch,
+    )
+
+    landing = tmp_path / "mv_landing"
+    landing.mkdir()
+    mv_path = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "mv_ckpt")
+    schema = "k string, v double"
+
+    def drop(name, rows):
+        (landing / name).write_text("\n".join(f"{k},{v}" for k, v in rows) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).csv(str(landing))
+        q = incremental_mv(stream, ["k"], "v", mv_path, ckpt)
+        q.awaitTermination()
+
+    drop("b1.csv", [("a", 1.0), ("a", 2.0), ("b", 5.0)])
+    run()
+    mv1 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv1 == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # incremental refresh: new file only; history not reprocessed
+    drop("b2.csv", [("a", 10.0), ("c", 7.0)])
+    run()
+    mv2 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv2 == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    # crash-replay: re-deliver batch 0's data under the SAME batch_id —
+    # the partition overwrite makes it a no-op, not a double count
+    replay = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], schema)
+    write_mv_batch(replay, 0, ["k"], "v", mv_path)
+    mv3 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv3 == mv2
+
+    # compaction folds partitions, result unchanged
+    compact_mv(spark, mv_path, ["k"])
+    assert {r["_batch_id"] for r in spark.read.parquet(mv_path).select("_batch_id").collect()} == {-1}
+    mv4 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv4 == mv2
+
+    # maintenance continues after compaction (next batch id from checkpoint)
+    drop("b3.csv", [("b", -1.0)])
+    run()
+    mv5 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv5 == {"a": (3, 13.0), "b": (2, 4.0), "c": (1, 7.0)}
