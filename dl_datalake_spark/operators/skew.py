@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "skew_report"]
 
 
 def salted_agg(
@@ -70,3 +70,32 @@ def salted_join(
     )
     joined = s.join(o, on_cols + ["_salt"], how)
     return joined.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Hot-key diagnosis for a planned groupBy/join key: the top_n
+    heaviest keys with their row share — the number you check before
+    choosing salt_buckets. One hash-agg + a top-k (TakeOrdered, no
+    global sort); the totals ride along as a 1-row broadcast.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.col("n") / (F.col("_tot") / F.col("_nkeys")), 4
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), *keys)
+        .limit(top_n)
+    )

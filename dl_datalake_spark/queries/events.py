@@ -759,3 +759,28 @@ def events_value_frames(spark: SparkSession, sf_dir: str):
         F.nth_value("value", 2).over(w).alias("second_val"),
         F.first("event_type").over(w).alias("first_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hot-key diagnosis: the report you run before picking salt_buckets
+# ---------------------------------------------------------------------------
+@register(
+    "events_key_skew_report",
+    sql="""
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+SELECT user_id, n,
+       ROUND(n * 1.0 / tot, 6) AS share,
+       ROUND(n / (tot * 1.0 / nkeys), 4) AS x_mean
+FROM c, t
+ORDER BY n DESC, user_id
+LIMIT 10
+""",
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str):
+    """Top-10 hottest user_ids with row share and multiple-of-mean —
+    the skew diagnosis feeding salted_agg's bucket choice (see
+    events_salted_type_stats). TakeOrdered top-k, no global sort."""
+    from dl_datalake_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), ["user_id"], top_n=10)

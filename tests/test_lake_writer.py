@@ -125,3 +125,61 @@ def test_extra_columns_pass_through_ticks(lake, spark):
     got = reader.read_range("binance", "BTCUSDT", data_type="ticks")
     assert set(got.columns) >= {"ts", "price", "qty", "note"}
     assert got.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations
+# ---------------------------------------------------------------------------
+def test_expectations_report_fail_and_quarantine(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.expectations import (
+        ExpectationError,
+        accepted_range,
+        accepted_values,
+        check,
+        custom,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "BTC", 10.0),
+            (2, "ETH", -5.0),     # range violation
+            (3, None, 20.0),      # null violation (values/matches skip nulls)
+            (3, "BTC", 30.0),     # duplicate id
+            (4, "DOGE", 40.0),    # accepted_values violation
+        ],
+        "id long, sym string, px double",
+    )
+    exps = [
+        not_null("sym"),
+        accepted_range("px", 0.0, 100.0),
+        accepted_values("sym", ["BTC", "ETH"]),
+        matches("sym", "^[A-Z]+$"),
+        custom("px_present", F.col("px").isNotNull()),
+        unique("id"),
+    ]
+    rep = {r["name"]: (r["violations"], r["passed"]) for r in check(df, exps).collect()}
+    assert rep["not_null_sym"] == (1, False)
+    assert rep["range_px"] == (1, False)
+    assert rep["values_sym"] == (1, False)
+    assert rep["matches_sym"] == (0, True)
+    assert rep["px_present"] == (0, True)
+    assert rep["unique_id"] == (1, False)
+    assert all(r["total"] == 5 for r in check(df, exps).collect())
+
+    with _pytest.raises(ExpectationError, match="range_px"):
+        check(df, exps, enforce="fail")
+
+    good, bad, rep_df = check(df, exps, enforce="quarantine")
+    # rows 2 (range), 3-null (not_null), 4 (values) fail; duplicate id
+    # rows both pass row-level checks
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 3
+
+    clean = spark.createDataFrame([(1, "BTC", 1.0)], "id long, sym string, px double")
+    assert check(clean, exps, enforce="fail").count() == 6
