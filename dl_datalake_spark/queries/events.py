@@ -784,3 +784,46 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str):
     from dl_datalake_spark.operators.skew import skew_report
 
     return skew_report(load_table(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# rolling median: holistic aggregate emulated over a bounded frame
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_median",
+    sql=f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT hour_bucket, n,
+       quantile_disc(n, 0.5) OVER (ORDER BY hour_bucket
+                                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         AS med_24h
+FROM h
+""",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str):
+    """Rolling 24-hour median of hourly counts. Spark has no holistic
+    aggregates over moving frames, so the frame's values ride a
+    collect_list window and the discrete median is picked positionally
+    from the sorted array: element floor((m-1)/2)+1 — exactly DuckDB's
+    quantile_disc(0.5) index, so the hash check pins the emulation.
+
+    Cost model: the frame is BOUNDED (24 rows), so the array is O(24)
+    per output row — this pattern is linear in frame x rows and runs
+    over the hourly aggregate, not the raw stream. For unbounded or
+    large frames use approx sketches instead (agg_approx_quantile_audit
+    is the accuracy contract for that swap).
+    """
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(F.expr(f"tsu DIV {US_PER_HOUR}").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("hour_bucket").rowsBetween(-23, Window.currentRow)
+    vals = F.sort_array(F.collect_list("n").over(w))
+    idx = (F.floor((F.size(vals) - 1) / 2) + 1).cast("int")
+    return hourly.select(
+        "hour_bucket", "n", F.element_at(vals, idx).alias("med_24h")
+    )
