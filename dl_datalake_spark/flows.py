@@ -25,14 +25,31 @@ def ingest_pipeline_flow(
     market: str,
     symbol: str,
     targets: tuple[str, ...] = ("15m", "1h"),
+    expectations: list | None = None,
+    enforce: str = "report",
 ) -> dict:
-    """CSV → lake → resampled aggregates (flows.py:107-124: ingest once,
-    aggregate to 15min and 1h)."""
+    """CSV → lake → [quality gate] → resampled aggregates
+    (flows.py:107-124: ingest once, aggregate to 15min and 1h).
+
+    `expectations` (lake/expectations.py constraints) are evaluated on
+    the just-written dataset BEFORE any aggregate is derived, so under
+    enforce="fail" a bad ingest never propagates downstream — the
+    declarative version of the reference's imperative CSV shape checks.
+    """
     ingest = client.ingest_csv(csv_path, exchange, market, symbol)
+    result: dict = {"ingest": ingest}
+    if expectations:
+        from dl_datalake_spark.lake.expectations import check
+
+        report = check(
+            client.spark.read.parquet(ingest.path), expectations, enforce=enforce
+        )
+        result["expectations"] = [r.asDict() for r in report.collect()]
     aggs = {}
     for tf in targets:
         aggs[tf] = aggregate_ohlc_flow(client, exchange, market, symbol, "1m", tf)
-    return {"ingest": ingest, "aggregates": aggs}
+    result["aggregates"] = aggs
+    return result
 
 
 def aggregate_ohlc_flow(

@@ -128,3 +128,35 @@ def test_missing_root_is_empty_not_half_created(spark, tmp_path):
     r2 = LakeReader(spark, str(tmp_path / "corrupt"))
     with _pytest.raises(Exception):
         r2.read_range("B", "X", "raw").collect()
+
+
+def test_ingest_pipeline_flow_quality_gate(spark, tmp_path):
+    """Expectations gate the flow: a clean ingest reports green; a
+    violated fail-mode constraint aborts before aggregates derive."""
+    import pytest as _pytest
+
+    from dl_datalake_spark.flows import ingest_pipeline_flow
+    from dl_datalake_spark.lake.expectations import (
+        ExpectationError,
+        accepted_range,
+        not_null,
+        unique,
+    )
+
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    exps = [not_null("ts"), accepted_range("volume", 0.0, 1e12), unique("ts")]
+    out = ingest_pipeline_flow(
+        client, _csv(tmp_path, "g.csv", 60), "binance", "spot", "ETHUSDT",
+        targets=("1h",), expectations=exps, enforce="report",
+    )
+    assert all(r["passed"] for r in out["expectations"])
+
+    with _pytest.raises(ExpectationError, match="range_close"):
+        ingest_pipeline_flow(
+            client, _csv(tmp_path, "h.csv", 60), "binance", "spot", "XRPUSDT",
+            targets=("1h",),
+            expectations=[accepted_range("close", -1.0, -0.5)],  # impossible
+            enforce="fail",
+        )
+    # the gate fired BEFORE aggregation: no agg dataset for XRPUSDT
+    assert client.manifest.list_entries(symbol="XRPUSDT", data_type="agg").count() == 0
