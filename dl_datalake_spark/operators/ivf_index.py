@@ -38,18 +38,26 @@ VECTORS_DIR = "vectors"
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid cell per vector (ties → smallest cell id)."""
+    """Nearest-centroid cell per vector (ties → smallest cell id).
+
+    argmax as min(struct(-sim, cell)) — a hash agg with map-side
+    partial merge, so the num_cells× exploded scoring rows collapse
+    BEFORE the shuffle. A row_number window here would sort-shuffle
+    the full exploded set; the agg form shuffles one row per vector.
+    first(embedding) is safe: every scored row of a vec_id carries the
+    identical vector.
+    """
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell",
         F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.min(F.struct((-F.col("sim")).alias("neg"), F.col("cell").alias("cell")))[
+            "cell"
+        ].alias("cell"),
     )
 
 
