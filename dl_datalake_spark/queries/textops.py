@@ -370,3 +370,81 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str):
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster topic labeling: top distinctive terms per embedding cluster
+# ---------------------------------------------------------------------------
+@register(
+    "docs_cluster_topics",
+    sql=r"""
+WITH tok AS (
+  SELECT e.label AS cluster, unnest(string_split_regex(trim(d.text), '\s+')) AS term
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+tf AS (SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       FROM (SELECT DISTINCT cluster, term FROM tf) GROUP BY 1),
+nc AS (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n FROM tf),
+scored AS (
+  SELECT tf.cluster, tf.term, tf.tf,
+         ROUND(tf.tf * ln(nc.n * 1.0 / df.df), 6) AS score
+  FROM tf JOIN df USING (term), nc
+)
+SELECT cluster, term, tf, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def docs_cluster_topics(spark: SparkSession, sf_dir: str):
+    """Topic labels for embedding clusters: per cluster, the 3 terms
+    with the highest cluster-level TF-IDF (tf within the cluster x
+    ln(#clusters/df across clusters)). This is the human-readable
+    answer to "what did k-means actually find" — the audit you run
+    after emb_kmeans_step/semantic dedup before trusting cluster-level
+    decisions.
+
+    Plan: docs⋈embeddings is an id equi-join; tf is one hash-agg over
+    the exploded tokens keyed (cluster, term); df (vocab-sized) equi-joins
+    back; the one-row cluster count broadcasts. Top-3 per cluster
+    sorts k-bounded groups. Token explosion is the only corpus-sized
+    stage and it shuffles once.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("cluster")
+    )
+    tok = (
+        docs.join(emb, "doc_id")
+        .select(
+            "cluster",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+    )
+    tf = tok.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.select("cluster", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    nc = tf.agg(F.countDistinct("cluster").alias("n"))
+    # df is VOCAB-sized — no broadcast hint; the term equi-join lets
+    # AQE pick broadcast at toy scale and shuffle-hash at corpus scale
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cluster",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("cluster", "term", "tf", "score")
+    )
