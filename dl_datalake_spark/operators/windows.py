@@ -83,3 +83,69 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"),
     )
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Distributed prefix sum over (value DESC, id ASC) order — the
+    scalable replacement for `SUM(v) OVER (ORDER BY ...)`'s
+    single-partition window.
+
+    Three stages, none global: (1) range-bucket rows by value using
+    approx-percentile boundaries (a metadata-sized literal — the same
+    sampling trick as Spark's range partitioner; boundary placement
+    affects only the PLAN, never the result, because ties share a
+    bucket and the within-bucket sort carries the full tie-break);
+    (2) per-bucket running sum + row_number — parallel across buckets;
+    (3) per-bucket totals (num_buckets rows) turned into bucket-prefix
+    offsets by a window over that TINY table, broadcast back.
+
+    Returns df + columns: cum_sum (inclusive running sum), rnk (1-based
+    position), tot_sum (grand total on every row).
+    """
+    qs = []
+    if num_buckets > 1:
+        qs = (
+            df.agg(
+                F.percentile_approx(
+                    value_col,
+                    [i / num_buckets for i in range(1, num_buckets)],
+                    10_000,
+                )
+            ).first()[0]
+            or []
+        )
+    if qs:
+        boundaries = F.array(*[F.lit(float(q)) for q in qs])
+        b = F.size(F.filter(boundaries, lambda q: q > F.col(value_col)))
+    else:
+        b = F.lit(0)  # degenerate single bucket (empty input / 1 bucket)
+    bucketed = df.withColumn("_b", b)
+    wb = Window.partitionBy("_b").orderBy(F.desc(value_col), F.asc(id_col))
+    within = bucketed.withColumn("_c", F.sum(value_col).over(wb)).withColumn(
+        "_r", F.row_number().over(wb).cast("long")
+    )
+    btot = bucketed.groupBy("_b").agg(
+        F.sum(value_col).alias("_bs"), F.count(F.lit(1)).alias("_bc")
+    )
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_b",
+        F.coalesce(F.sum("_bs").over(wo), F.lit(0.0)).alias("_off"),
+        F.coalesce(F.sum("_bc").over(wo), F.lit(0)).cast("long").alias("_offc"),
+        F.sum("_bs").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot_sum"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn("cum_sum", F.col("_off") + F.col("_c"))
+        .withColumn("rnk", F.col("_offc") + F.col("_r"))
+        .drop("_b", "_c", "_r", "_off", "_offc", "_bs", "_bc")
+    )

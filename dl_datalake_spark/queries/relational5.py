@@ -410,35 +410,29 @@ WHERE cum_rev - revenue < tot_rev * 0.5
 """,
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
+    """How deep into the customer ranking (by revenue, desc) the first
+    50% of total revenue reaches — ABC/Pareto analysis.
+
+    The cumulative sum uses bucketed_cumsum (operators/windows.py): a
+    distributed prefix sum — range-bucket by revenue, per-bucket
+    running sums in parallel, bucket-prefix offsets from a
+    num_buckets-row table — instead of the textbook global ORDER BY
+    window, which executes on ONE partition and dies at 100 TB
+    customer counts. Same numbers, parallel plan.
+    """
+    from dl_datalake_spark.operators.windows import bucketed_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_cust.select(
-        "o_custkey",
-        "revenue",
-        F.sum("revenue").over(w).alias("cum_rev"),
-        F.sum("revenue").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("tot_rev"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("rnk"),
-    )
+    ranked = bucketed_cumsum(per_cust, "revenue", "o_custkey", num_buckets=32)
     return ranked.where(
-        F.col("cum_rev") - F.col("revenue") < F.col("tot_rev") * 0.5
+        F.col("cum_sum") - F.col("revenue") < F.col("tot_sum") * 0.5
     ).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.max("rnk").alias("deepest_rank"),
-        F.round(F.max("cum_rev"), 2).alias("covered_revenue"),
+        F.round(F.max("cum_sum"), 2).alias("covered_revenue"),
     )
 
 

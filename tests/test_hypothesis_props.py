@@ -353,3 +353,44 @@ def test_partial_agg_merge_equals_direct(spark, vals, shards):
         .collect()[0]
     )
     assert (direct["n"], direct["s"], direct["m"]) == (merged["n"], merged["s"], merged["m"])
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=0, max_value=100)),
+        min_size=1, max_size=60, unique_by=lambda r: r[0],
+    ),
+    buckets=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_bucketed_cumsum_matches_global_window(spark, vals, buckets):
+    """The distributed prefix sum must reproduce the single-partition
+    ORDER BY window exactly — any bucket count, ties included."""
+    from pyspark.sql import Window
+
+    from dl_datalake_spark.operators.windows import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in vals], "id long, v double"
+    ).repartition(4)
+    got = {
+        r["id"]: (r["cum_sum"], r["rnk"], r["tot_sum"])
+        for r in bucketed_cumsum(df, "v", "id", num_buckets=buckets).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ref = {
+        r["id"]: (r["c"], r["r"], r["t"])
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("c"),
+            F.row_number().over(w).cast("long").alias("r"),
+            F.sum("v").over(wt).alias("t"),
+        ).collect()
+    }
+    assert got == ref
