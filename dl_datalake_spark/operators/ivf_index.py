@@ -94,10 +94,18 @@ def train_ivf(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    seed_w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+    # top-k by hash, NOT a global row_number window: orderBy().limit()
+    # compiles to TakeOrderedAndProject (per-partition heaps + driver
+    # merge of k rows), where the window form sorts the whole corpus
+    # on one partition. The k seed rows then rank locally.
+    seeds = (
+        vecs.select("vec_id", "embedding", F.xxhash64("vec_id").alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(num_cells)
+    )
+    seed_w = Window.orderBy("_h", "vec_id")  # num_cells rows — trivial
     cents = (
-        vecs.withColumn("rn", F.row_number().over(seed_w))
-        .where(F.col("rn") <= num_cells)
+        seeds.withColumn("rn", F.row_number().over(seed_w))
         .select((F.col("rn") - 1).cast("int").alias("cell"), F.col("embedding").alias("cv"))
     )
     # seed selection is a tiny global sort (num_cells rows kept);

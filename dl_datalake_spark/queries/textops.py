@@ -360,9 +360,13 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str):
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
     )
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    ranked = freq.withColumn(
+    # top-1000 via TakeOrderedAndProject (distributed heaps), then rank
+    # the k survivors — a bare row_number window here would sort the
+    # whole vocabulary on a single partition first
+    top = freq.orderBy(F.desc("c"), F.asc("term")).limit(1000)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
-    ).where(F.col("rnk") <= 1000)
+    )
     lc, lr = F.ln("c"), F.ln("rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
