@@ -256,3 +256,38 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str):
         "ym",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
     )
+
+
+# ---------------------------------------------------------------------------
+# exact money arithmetic: DECIMAL aggregation needs no rounding at all
+# ---------------------------------------------------------------------------
+@register(
+    "agg_decimal_money",
+    sql="""
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS net,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str):
+    """Money math in DECIMAL, matched WITHOUT any rounding: every other
+    float aggregate in this registry rounds before comparing because
+    double summation is partition-order dependent; casting to
+    DECIMAL(18,2) first makes the sum exact and order-independent in
+    BOTH engines — the accounting-grade path. The cost is decimal
+    arithmetic (~2-4x double on the JVM), which is why the analytical
+    queries stay double+round; this query pins that the exact path
+    exists and agrees bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("gross"),
+        F.sum(price * disc).alias("net"),
+        F.count(F.lit(1)).alias("n"),
+    )
