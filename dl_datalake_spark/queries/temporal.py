@@ -20,6 +20,8 @@ from dl_datalake_spark.operators.joins import asof_join, range_count_join
 from dl_datalake_spark.queries.registry import register
 from dl_datalake_spark.tables import load_table, with_tsu
 
+US_PER_HOUR = 3_600_000_000
+
 US_MINUTE = 60_000_000
 
 
@@ -172,4 +174,54 @@ def events_range_join(spark: SparkSession, sf_dir: str):
     )
     return counted.select(
         "event_id", "user_id", F.col("tsu").alias("click_tsu"), "error_cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: purchases credited to the preceding channel event
+# ---------------------------------------------------------------------------
+@register(
+    "events_last_touch_attribution",
+    sql=f"""
+WITH p AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+      WHERE event_type <> 'purchase'),
+m AS (
+  SELECT p.user_id, p.tsu, p.value,
+         (SELECT c.event_type FROM c
+          WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+            AND c.tsu >= p.tsu - {US_PER_HOUR}
+          ORDER BY c.tsu DESC LIMIT 1) AS channel
+  FROM p
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 4) AS sum_value
+FROM m GROUP BY 1
+""",
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str):
+    """Last-touch attribution: each purchase credits the most recent
+    non-purchase event by the same user within the preceding hour;
+    purchases with no qualifying touch are 'direct'. The oracle says it
+    with a correlated LIMIT-1 subquery (fine at oracle scale); the
+    Spark side is the distributed as-of join (operators/joins.py:
+    union-by-tag + per-user prefix window — one shuffle, no range
+    explosion), with the hour bound as the as-of tolerance.
+    """
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "tsu", "value")
+    c = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "tsu", F.col("event_type").alias("channel")
+    )
+    m = asof_join(
+        p, c, on="tsu", by=["user_id"], value_cols=["channel"],
+        direction="backward", tolerance=US_PER_HOUR,
+    )
+    return m.groupBy(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
