@@ -118,6 +118,25 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--nprobe", type=int, default=2)
     ix.add_argument("--query-ids", default=None, help="comma-separated vec_ids (search)")
 
+    ex = sub.add_parser(
+        "expect",
+        help="evaluate declarative data-quality expectations against a parquet path",
+    )
+    ex.add_argument("--path", required=True, help="parquet file/dir to validate")
+    ex.add_argument(
+        "--rules",
+        required=True,
+        help=(
+            "JSON list of constraints, e.g. "
+            '[{"type":"not_null","col":"ts"},'
+            '{"type":"range","col":"px","lo":0,"hi":100},'
+            '{"type":"values","col":"sym","values":["BTC"]},'
+            '{"type":"matches","col":"sym","regex":"^[A-Z]+$"},'
+            '{"type":"unique","cols":["ts"]}]'
+        ),
+    )
+    ex.add_argument("--enforce", choices=["report", "fail"], default="report")
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -230,6 +249,26 @@ def main(argv: list[str] | None = None) -> int:
                 spark, q, args.index, k=args.k, nprobe=args.nprobe
             )
             res.show(100, truncate=False)
+    elif args.cmd == "expect":
+        from dl_datalake_spark.lake.expectations import (
+            accepted_range,
+            accepted_values,
+            check,
+            matches,
+            not_null,
+            unique,
+        )
+
+        builders = {
+            "not_null": lambda r: not_null(r["col"]),
+            "range": lambda r: accepted_range(r["col"], r["lo"], r["hi"]),
+            "values": lambda r: accepted_values(r["col"], r["values"]),
+            "matches": lambda r: matches(r["col"], r["regex"]),
+            "unique": lambda r: unique(*r["cols"]),
+        }
+        exps = [builders[r["type"]](r) for r in json.loads(args.rules)]
+        rep = check(spark.read.parquet(args.path), exps, enforce=args.enforce)
+        print(json.dumps([row.asDict() for row in rep.collect()]))
     elif args.cmd == "serve":
         from dl_datalake_spark.api import create_app
 

@@ -158,3 +158,19 @@ def test_cli_index_build_and_search(spark, tmp_path, capsys):
     assert rc == 0
     shown = capsys.readouterr().out
     assert "cos_sim" in shown and "rank" in shown
+
+
+def test_cli_expect_command(spark, tmp_path, capsys):
+    import json as _json
+
+    from dl_datalake_spark.cli import main
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (None, 1.0)], "ts long, px double"
+    ).write.parquet(path)
+    rules = '[{"type":"not_null","col":"ts"},{"type":"range","col":"px","lo":0,"hi":10},{"type":"unique","cols":["ts"]}]'
+    rc = main(["--base", str(tmp_path / "lake"), "expect", "--path", path, "--rules", rules])
+    assert rc == 0
+    rep = {r["name"]: r["violations"] for r in _json.loads(capsys.readouterr().out.strip().splitlines()[-1])}
+    assert rep == {"not_null_ts": 1, "range_px": 1, "unique_ts": 0}

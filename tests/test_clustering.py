@@ -174,3 +174,38 @@ def test_ivf_training_is_deterministic(spark, tmp_path):
     assert set(a) == set(b)
     for cell in a:
         assert [round(x, 9) for x in a[cell]] == [round(x, 9) for x in b[cell]]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, tmp_path):
+    """nprobe == num_cells must degrade EXACTLY to brute-force top-k —
+    the graceful-degradation contract of the inverted file."""
+    from pyspark.sql import Window
+
+    from dl_datalake_spark.operators.ivf_index import (
+        search_ivf_index,
+        train_ivf,
+        write_ivf_index,
+    )
+    from dl_datalake_spark.operators.similarity import cosine
+
+    emb = _load_emb(spark)
+    cents = train_ivf(emb, num_cells=4, iters=1)
+    path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, cents, path)
+
+    queries = emb.where(F.col("vec_id") < 3)
+    res = search_ivf_index(spark, queries, path, k=4, nprobe=4)
+    found = {(r["q_id"], r["c_id"], r["rank"]) for r in res.collect()}
+
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))
+    exact = (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+    )
+    truth = {(r["q_id"], r["c_id"], r["rank"]) for r in exact.collect()}
+    assert found == truth
