@@ -522,3 +522,82 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str):
             F.round((F.col("rev") - F.col("rev_prev_year")) / F.col("rev_prev_year"), 6).alias("yoy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rfm_segments",
+    sql="""
+WITH now AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM now)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT CASE WHEN recency_days <= 90 THEN 'hot'
+              WHEN recency_days <= 365 THEN 'warm' ELSE 'cold' END AS r_seg,
+         CASE WHEN frequency >= 20 THEN 'loyal'
+              WHEN frequency >= 8 THEN 'repeat' ELSE 'occasional' END AS f_seg,
+         CASE WHEN monetary >= 1000000 THEN 'platinum'
+              WHEN monetary >= 100000 THEN 'gold' ELSE 'standard' END AS m_seg,
+         monetary
+  FROM per_cust
+)
+SELECT r_seg, f_seg, m_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(monetary), 2) AS segment_revenue
+FROM seg GROUP BY 1, 2, 3
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str):
+    """RFM segmentation with FIXED thresholds, not ntile quartiles —
+    deliberate at scale twice over: quantile cuts need either a global
+    ntile window (single-partition) or percentile thresholds whose
+    interpolated values make borderline membership engine-dependent;
+    fixed business thresholds are a broadcast-free projection and mean
+    the same segment names mean the same thing across runs and corpus
+    sizes. 'now' anchors to max(o_orderdate) — a 1-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now))
+        .withColumn("recency_days", F.datediff(F.col("mx"), F.col("last_order")).cast("long"))
+    )
+    r_seg = (
+        F.when(F.col("recency_days") <= 90, "hot")
+        .when(F.col("recency_days") <= 365, "warm")
+        .otherwise("cold")
+    )
+    f_seg = (
+        F.when(F.col("frequency") >= 20, "loyal")
+        .when(F.col("frequency") >= 8, "repeat")
+        .otherwise("occasional")
+    )
+    m_seg = (
+        F.when(F.col("monetary") >= 1_000_000, "platinum")
+        .when(F.col("monetary") >= 100_000, "gold")
+        .otherwise("standard")
+    )
+    return (
+        per_cust.select(
+            r_seg.alias("r_seg"), f_seg.alias("f_seg"), m_seg.alias("m_seg"), "monetary"
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+    )
