@@ -291,3 +291,51 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str):
         F.sum(price * disc).alias("net"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# null semantics: three-valued logic pinned cross-engine
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_null_semantics",
+    sql="""
+WITH t AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END AS a,
+         CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_quantity END AS b
+  FROM lineitem WHERE l_orderkey <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(a) AS BIGINT) AS a_non_null,
+       CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_safe_eq,
+       CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS plain_eq,
+       CAST(SUM(CASE WHEN COALESCE(a, b, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS both_null,
+       CAST(COUNT(NULLIF(a, b)) AS BIGINT) AS nullif_distinct,
+       ROUND(AVG(a), 6) AS avg_skips_nulls
+FROM t
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str):
+    """Three-valued logic pinned across engines: null-safe equality
+    (<=> / IS NOT DISTINCT FROM) vs plain = (which never matches a
+    null), COALESCE fallthrough, NULLIF, COUNT(col) vs COUNT(*), and
+    AVG's null-skipping — the semantics every filter and join in this
+    engine silently relies on, made an explicit contract.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    a = F.when(F.col("l_linenumber") % 3 == 0, None).otherwise(F.col("l_quantity"))
+    b = F.when(F.col("l_linenumber") % 2 == 0, None).otherwise(F.col("l_quantity"))
+    t = li.select(a.alias("a"), b.alias("b"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("a").alias("a_non_null"),
+        F.sum(F.col("a").eqNullSafe(F.col("b")).cast("long")).alias("null_safe_eq"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("plain_eq"),
+        F.sum((F.coalesce(F.col("a"), F.col("b"), F.lit(-1)) == -1).cast("long")).alias(
+            "both_null"
+        ),
+        F.count(F.nullif(F.col("a"), F.col("b"))).alias("nullif_distinct"),
+        F.round(F.avg("a"), 6).alias("avg_skips_nulls"),
+    )
