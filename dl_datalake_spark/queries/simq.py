@@ -414,3 +414,43 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str):
         .groupBy("q_id")
         .agg(F.count("t_cid").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding health: per-dimension distribution stats
+# ---------------------------------------------------------------------------
+@register(
+    "emb_dimension_stats",
+    sql="""
+WITH d AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       ROUND(AVG(v), 6) AS mean_v,
+       ROUND(STDDEV_SAMP(v), 6) AS sd_v,
+       ROUND(MIN(v), 6) AS min_v,
+       ROUND(MAX(v), 6) AS max_v
+FROM d GROUP BY 1
+""",
+)
+def emb_dimension_stats(spark: SparkSession, sf_dir: str):
+    """Per-dimension embedding distribution — the corpus-health check
+    that catches dead dimensions (sd ~ 0), mean drift after a model
+    swap, and clipped ranges before they poison every similarity score
+    downstream. posexplode keys the hash-agg by dimension index, so
+    the whole audit is one narrow explode + one 64-group agg no matter
+    the corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    d = emb.select(F.posexplode("embedding").alias("i", "v_raw")).select(
+        (F.col("i") + 1).cast("int").alias("dim"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+    return d.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
