@@ -657,3 +657,117 @@ def dedup_survivors(spark: SparkSession, sf_dir: str):
             ).alias("surviving_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch screened against the HISTORICAL corpus
+# ---------------------------------------------------------------------------
+def _incremental_sql() -> str:
+    n = SHINGLE_N
+    concat = "||' '||".join(f"words[i+{j}]" if j else "words[i]" for j in range(n))
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(NUM_BANDS)
+    )
+
+    def side(name: str, pred: str) -> str:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m_{name}"
+            for b in range(NUM_BANDS)
+        )
+        return f"""
+{name}_docs AS (SELECT * FROM documents WHERE {pred}),
+w_{name} AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+             FROM {name}_docs),
+sh_{name} AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-{n - 1}, 0)),
+                               i -> {concat})) AS shingle
+  FROM w_{name}
+),
+m_{name} AS (SELECT doc_id, {mins} FROM sh_{name} GROUP BY doc_id),
+b_{name} AS ({bands})"""
+
+    return f"""
+WITH {side("old", "doc_id % 5 <> 4")},
+{side("new", "doc_id % 5 = 4")},
+near AS (SELECT DISTINCT nb.doc_id FROM b_new nb
+         JOIN b_old ob ON nb.band = ob.band AND nb.sig = ob.sig),
+exact AS (SELECT DISTINCT nd.doc_id FROM new_docs nd
+          JOIN old_docs od ON md5(nd.text) = md5(od.text)),
+drops AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+SELECT nd.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(COUNT(e.doc_id) AS BIGINT) AS drop_exact,
+       CAST(COUNT(nr.doc_id) AS BIGINT) AS drop_near,
+       CAST(COUNT(d.doc_id) AS BIGINT) AS drop_total
+FROM new_docs nd
+LEFT JOIN exact e ON nd.doc_id = e.doc_id
+LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+LEFT JOIN drops d ON nd.doc_id = d.doc_id
+GROUP BY nd.source
+"""
+
+
+@register("dedup_incremental_new_batch", sql=_incremental_sql())
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str):
+    """Incremental dedup — the PRODUCTION shape: a new crawl batch
+    (doc_id % 5 = 4 stands in for the arriving partition) is screened
+    against the historical corpus without ever re-pairing history with
+    itself. Exact screen = md5 semi-join; near screen = the new batch's
+    min-hash bands probed against the historical band index (old x new
+    only — no old x old candidates).
+
+    At 100 TB the historical band index (b_old) is a PERSISTED table
+    keyed (band, sig) — exactly what write_ivf_index does for vectors —
+    so each arriving batch costs O(batch) shingling plus one equi-join
+    against the index, not a corpus rescan. Uncapped signatures here
+    (no stop-shingle filter) keep the oracle exact; production layers
+    the same cap as minhash_lsh_pairs.
+    """
+    from dl_datalake_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    old = docs.where(F.col("doc_id") % 5 != 4)
+    new = docs.where(F.col("doc_id") % 5 == 4)
+
+    def bands(side):
+        sh = word_shingles(side, n=SHINGLE_N, distinct=False)
+        sig = minhash_signatures(sh, num_hashes=NUM_BANDS)
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"))
+                        for b in range(NUM_BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    near = (
+        bands(new)
+        .join(bands(old).select("band", "sig").distinct(), ["band", "sig"], "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(old.select(F.md5("text").alias("h")).distinct(), "h", "semi")
+        .select("doc_id")
+        .withColumn("ex", F.lit(1))
+    )
+    return (
+        new.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("ex").alias("drop_exact"),
+            F.count("near").alias("drop_near"),
+            F.count(F.coalesce(F.col("ex"), F.col("near"))).alias("drop_total"),
+        )
+    )
