@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("name", help="query name, or 'list' to enumerate")
     qr.add_argument("--sf-dir", default=None, help="directory with the parquet tables")
     qr.add_argument("--limit", type=int, default=20)
+    qr.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
 
     zo = sub.add_parser(
         "cluster",
@@ -218,7 +222,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             if args.sf_dir is None:
                 raise SystemExit("--sf-dir is required to run a query")
-            QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+            df = QUERIES[args.name](spark, args.sf_dir)
+            if args.explain:
+                df.explain("formatted")
+            else:
+                df.show(args.limit, truncate=False)
     elif args.cmd == "cluster":
         from dl_datalake_spark.lake.clustering import zorder_rewrite
 
