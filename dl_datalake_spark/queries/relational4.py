@@ -339,3 +339,51 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str):
         F.count(F.nullif(F.col("a"), F.col("b"))).alias("nullif_distinct"),
         F.round(F.avg("a"), 6).alias("avg_skips_nulls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: FK orphan counts across the star edges
+# ---------------------------------------------------------------------------
+@register(
+    "audit_referential_integrity",
+    sql="""
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    AS orphan_part_refs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS orphan_customers
+""",
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str):
+    """Data-level fsck: orphan counts across the star schema's FK edges
+    (the row-level sibling of maintenance.audit's file-level
+    anti-joins). Each edge is a left-anti join counted — dims
+    broadcast, the two fact edges shuffle on their join key once. A
+    healthy lake reports zeros; any non-zero is the first number an
+    ingest incident review asks for.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in ("orders", "lineitem", "customer", "part", "nation")}
+
+    def orphans(fact, dim, fk, pk, out):
+        return (
+            t[fact]
+            .join(t[dim].select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    # one lazy plan: four 1-row anti-join aggregates cross-joined —
+    # no driver-side counts, the whole audit is a single job
+    return (
+        orphans("orders", "customer", "o_custkey", "c_custkey", "orphan_orders")
+        .crossJoin(orphans("lineitem", "orders", "l_orderkey", "o_orderkey", "orphan_lineitems"))
+        .crossJoin(orphans("lineitem", "part", "l_partkey", "p_partkey", "orphan_part_refs"))
+        .crossJoin(orphans("customer", "nation", "c_nationkey", "n_nationkey", "orphan_customers"))
+    )
