@@ -30,13 +30,24 @@ from pyspark.sql.streaming import StreamingQuery
 MV_AGG_COLS = ("_n", "_sum", "_min", "_max")
 
 
-def _partials(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
-    return df.groupBy(*group_cols).agg(
+def _partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    aggs = [
         F.count(F.lit(1)).alias("_n"),
         F.sum(value_col).alias("_sum"),
         F.min(value_col).alias("_min"),
         F.max(value_col).alias("_max"),
-    )
+    ]
+    if distinct_col is not None:
+        # Datasketches HLL: a MERGEABLE distinct-count state — the one
+        # aggregate family exact partials can't give you incrementally
+        # (exact distinct needs the full key set, not per-batch counts)
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("_hll"))
+    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def write_mv_batch(
@@ -45,6 +56,7 @@ def write_mv_batch(
     group_cols: list[str],
     value_col: str,
     mv_path: str,
+    distinct_col: str | None = None,
 ) -> None:
     """One micro-batch → one partial-state partition. Safe to replay:
     same batch_id always lands in (and fully replaces) one partition."""
@@ -53,7 +65,7 @@ def write_mv_batch(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            _partials(batch_df, group_cols, value_col)
+            _partials(batch_df, group_cols, value_col, distinct_col)
             .withColumn("_batch_id", F.lit(int(batch_id)))
             .coalesce(1)
             .write.mode("overwrite")
@@ -70,13 +82,14 @@ def incremental_mv(
     value_col: str,
     mv_path: str,
     checkpoint_dir: str,
+    distinct_col: str | None = None,
 ) -> StreamingQuery:
     """Maintain the view from a streaming DataFrame; availableNow-style
     triggers give catch-up batch refresh, a live trigger gives
     continuous maintenance — same code path."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        write_mv_batch(batch_df, batch_id, group_cols, value_col, mv_path)
+        write_mv_batch(batch_df, batch_id, group_cols, value_col, mv_path, distinct_col)
 
     return (
         stream_df.writeStream.foreachBatch(upsert)
@@ -90,13 +103,18 @@ def read_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> DataFra
     """The view: merge partial states across batch partitions. avg is
     derived from merged sum/count — never averaged across batches."""
     partials = spark.read.parquet(mv_path)
-    return partials.groupBy(*group_cols).agg(
+    aggs = [
         F.sum("_n").alias("n"),
         F.sum("_sum").alias("sum_value"),
         (F.sum("_sum") / F.sum("_n")).alias("avg_value"),
         F.min("_min").alias("min_value"),
         F.max("_max").alias("max_value"),
-    )
+    ]
+    if "_hll" in partials.columns:
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias("approx_distinct")
+        )
+    return partials.groupBy(*group_cols).agg(*aggs)
 
 
 def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None:
@@ -109,14 +127,17 @@ def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None
     import uuid
 
     partials = spark.read.parquet(mv_path)
+    aggs = [
+        F.sum("_n").alias("_n"),
+        F.sum("_sum").alias("_sum"),
+        F.min("_min").alias("_min"),
+        F.max("_max").alias("_max"),
+    ]
+    if "_hll" in partials.columns:
+        aggs.append(F.hll_union_agg("_hll").alias("_hll"))  # sketches merge losslessly
     merged = (
         partials.groupBy(*group_cols)
-        .agg(
-            F.sum("_n").alias("_n"),
-            F.sum("_sum").alias("_sum"),
-            F.min("_min").alias("_min"),
-            F.max("_max").alias("_max"),
-        )
+        .agg(*aggs)
         .withColumn("_batch_id", F.lit(-1))
     )
     tmp = os.path.join(tempfile.gettempdir(), f"_mv_compact_{uuid.uuid4().hex}")

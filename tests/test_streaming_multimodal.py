@@ -403,3 +403,45 @@ def test_incremental_mv_exactly_once_and_compaction(spark, tmp_path):
     run()
     mv5 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
     assert mv5 == {"a": (3, 13.0), "b": (2, 4.0), "c": (1, 7.0)}
+
+
+def test_incremental_mv_distinct_count_sketch(spark, tmp_path):
+    """HLL distinct-count state rides the same per-batch partials:
+    overlapping keys across batches are NOT double-counted (sketches
+    union, counts add), replay stays a no-op, compaction lossless."""
+    from dl_datalake_spark.streaming.mv import (
+        compact_mv,
+        incremental_mv,
+        read_mv,
+        write_mv_batch,
+    )
+
+    landing = tmp_path / "mvd_landing"
+    landing.mkdir()
+    mv_path = str(tmp_path / "mvd")
+    ckpt = str(tmp_path / "mvd_ckpt")
+    schema = "k string, v double, uid long"
+
+    def run():
+        stream = spark.readStream.schema(schema).csv(str(landing))
+        q = incremental_mv(stream, ["k"], "v", mv_path, ckpt, distinct_col="uid")
+        q.awaitTermination()
+
+    (landing / "b1.csv").write_text("a,1.0,1\na,2.0,2\na,3.0,3\n")
+    run()
+    (landing / "b2.csv").write_text("a,4.0,2\na,5.0,4\n")  # uid 2 repeats
+    run()
+    row = read_mv(spark, mv_path, ["k"]).collect()[0]
+    assert row["n"] == 5 and row["sum_value"] == 15.0
+    assert row["approx_distinct"] == 4  # {1,2,3,4}: exact at this size
+
+    # replay batch 0 under its own id — distinct estimate unchanged
+    replay = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("a", 3.0, 3)], schema
+    )
+    write_mv_batch(replay, 0, ["k"], "v", mv_path, distinct_col="uid")
+    assert read_mv(spark, mv_path, ["k"]).collect()[0]["approx_distinct"] == 4
+
+    compact_mv(spark, mv_path, ["k"])
+    row2 = read_mv(spark, mv_path, ["k"]).collect()[0]
+    assert (row2["n"], row2["approx_distinct"]) == (5, 4)
