@@ -275,7 +275,12 @@ assigned AS (
 SELECT CAST(old_label AS INTEGER) AS old_label,
        CAST(new_label AS INTEGER) AS new_label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(SUM(CAST(ROUND(sim * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6) AS avg_sim
+       -- exact integer half-up mean of the rounded-micro sims: the
+       -- float form ROUND(S/N/1e6, 6) flips its last digit when S/N
+       -- lands on a half-ulp (seen at sf0.001); shifting by +1e6
+       -- keeps the numerator non-negative so // floors identically
+       ((2 * (SUM(CAST(ROUND(sim * 1e6) AS BIGINT)) + COUNT(*) * 1000000)
+         + COUNT(*)) // (2 * COUNT(*)) - 1000000) / 1e6 AS avg_sim
 FROM assigned WHERE rn = 1 GROUP BY old_label, new_label
 """,
 )
@@ -304,15 +309,19 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str):
         F.col("c_label").cast("int").alias("new_label"),
     ).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        # order-independent mean: the per-pair sims are already rounded
-        # to 6 digits, so sum them as exact integer millionths — a
-        # float sum's partition-order drift can flip the 6th digit at
-        # scale (observed at sf0.1), an integer sum cannot
-        F.round(
-            F.sum(F.round(F.col("sim") * 1e6).cast("long"))
-            / F.count(F.lit(1))
-            / 1e6,
-            6,
+        # order-independent mean: per-pair sims are pre-rounded to 6
+        # digits, summed as exact integer millionths (float-sum drift
+        # can flip the 6th digit), and the mean itself is an exact
+        # integer half-up division — float ROUND(S/N/1e6) flips on
+        # half-ulp quotients (seen at sf0.001). The +1e6 shift keeps
+        # the numerator non-negative so DIV floors identically in both
+        # engines.
+        (
+            F.expr(
+                "(2 * (SUM(CAST(ROUND(sim * 1e6) AS BIGINT)) + COUNT(*) * 1000000)"
+                " + COUNT(*)) DIV (2 * COUNT(*)) - 1000000"
+            )
+            / 1e6
         ).alias("avg_sim"),
     )
 
