@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dl_datalake_spark.functions.exact import ratio_round
+
 __all__ = ["salted_agg", "salted_join", "skew_report"]
 
 
@@ -91,9 +93,9 @@ def skew_report(
         .select(
             *keys,
             "n",
-            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
-            F.round(
-                F.col("n") / (F.col("_tot") / F.col("_nkeys")), 4
+            ratio_round(F.col("n"), F.col("_tot")).alias("share"),
+            ratio_round(
+                F.col("n") * F.col("_nkeys"), F.col("_tot"), digits=4
             ).alias("x_mean"),
         )
         .orderBy(F.desc("n"), *keys)

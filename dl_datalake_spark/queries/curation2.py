@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dl_datalake_spark.operators.dedup import tokens, word_shingles
 from dl_datalake_spark.operators.similarity import dequantize_error, quantize_int8
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table
 
 TOP_NGRAMS = 20
@@ -101,7 +101,7 @@ flagged AS (SELECT DISTINCT doc_id FROM sh JOIN top USING (shingle))
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged,
-       ROUND(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*), 6) AS boilerplate_share
+       ((2 * CAST(COUNT(f.doc_id) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS boilerplate_share
 FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
 GROUP BY d.source
 """,
@@ -128,9 +128,7 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("hit").alias("n_flagged"),
-            F.round(
-                F.count("hit").cast("double") / F.count(F.lit(1)), 6
-            ).alias("boilerplate_share"),
+            ratio_round(F.count("hit"), F.count(F.lit(1))).alias("boilerplate_share"),
         )
     )
 

@@ -19,7 +19,7 @@ from dl_datalake_spark.operators.dedup import (
     simhash_pairs,
     word_shingles,
 )
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table
 
 NUM_BANDS = 8
@@ -270,7 +270,7 @@ dup_docs AS (
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dup_docs,
-       ROUND(COUNT(dd.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+       ((2 * CAST(COUNT(dd.doc_id) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS dup_rate
 FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
 GROUP BY d.source
 """
@@ -293,9 +293,7 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("is_dup").alias("n_dup_docs"),
-            F.round(
-                F.count("is_dup") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("dup_rate"),
+            ratio_round(F.count("is_dup"), F.count(F.lit(1))).alias("dup_rate"),
         )
     )
 
@@ -466,7 +464,7 @@ truth AS (
 SELECT CAST(LEAST(FLOOR(t.jaccard * 10), 9) AS INTEGER) AS jaccard_decile,
        CAST(COUNT(*) AS BIGINT) AS n_true,
        CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
-       ROUND(COUNT(c.id_a) * 1.0 / COUNT(*), 6) AS recall
+       ((2 * CAST(COUNT(c.id_a) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS recall
 FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
 GROUP BY 1
 """
@@ -500,7 +498,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str):
     ).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.count("found").alias("n_found"),
-        F.round(F.count("found") / F.count(F.lit(1)), 6).alias("recall"),
+        ratio_round(F.count("found"), F.count(F.lit(1))).alias("recall"),
     )
 
 
@@ -529,7 +527,7 @@ SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(novel) AS BIGINT) AS novel_shingles,
        CAST(SUM(total) AS BIGINT) AS total_shingles,
-       ROUND(SUM(novel) * 1.0 / SUM(total), 6) AS novelty
+       ((2 * CAST(SUM(novel) AS BIGINT) * 1000000 + CAST(SUM(total) AS BIGINT)) // (2 * CAST(SUM(total) AS BIGINT))) / 1000000.0 AS novelty
 FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY 1
 """
@@ -568,7 +566,7 @@ def docs_novelty_by_source(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("novel").alias("novel_shingles"),
             F.sum("total").alias("total_shingles"),
-            F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty"),
+            ratio_round(F.sum("novel"), F.sum("total")).alias("novelty"),
         )
     )
 

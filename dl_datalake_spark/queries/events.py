@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.operators.windows import scd2_intervals, sessionize
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table, with_tsu as _with_tsu
 
 US_PER_HOUR = 3_600_000_000
@@ -770,8 +770,8 @@ def events_value_frames(spark: SparkSession, sf_dir: str):
 WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
 SELECT user_id, n,
-       ROUND(n * 1.0 / tot, 6) AS share,
-       ROUND(n / (tot * 1.0 / nkeys), 4) AS x_mean
+       ((2 * CAST(n AS BIGINT) * 1000000 + CAST(tot AS BIGINT)) // (2 * CAST(tot AS BIGINT))) / 1000000.0 AS share,
+       ((2 * CAST(n * nkeys AS BIGINT) * 10000 + CAST(tot AS BIGINT)) // (2 * CAST(tot AS BIGINT))) / 10000.0 AS x_mean
 FROM c, t
 ORDER BY n DESC, user_id
 LIMIT 10

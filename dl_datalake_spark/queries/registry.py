@@ -35,3 +35,8 @@ def register(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+# exact cross-engine ratio rounding lives with the scalar-function
+# surface; re-exported here because every oracle-paired query uses it
+from dl_datalake_spark.functions.exact import ratio_round, ratio_round_sql  # noqa: E402,F401

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table, with_tsu
 
 US_PER_HOUR = 3_600_000_000
@@ -40,8 +40,8 @@ per_user AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
        CAST(SUM(within_1h) AS BIGINT) AS converted_1h,
        CAST(SUM(ever_after) AS BIGINT) AS converted_ever,
-       ROUND(CAST(SUM(within_1h) AS DOUBLE) / COUNT(*), 6) AS rate_1h,
-       ROUND(CAST(SUM(ever_after) AS DOUBLE) / COUNT(*), 6) AS rate_ever
+       ((2 * CAST(SUM(within_1h) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS rate_1h,
+       ((2 * CAST(SUM(ever_after) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS rate_ever
 FROM per_user
 """,
 )
@@ -69,8 +69,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str):
         n.alias("n_clickers"),
         F.sum("within_1h").alias("converted_1h"),
         F.sum("ever_after").alias("converted_ever"),
-        F.round(F.sum("within_1h").cast("double") / n, 6).alias("rate_1h"),
-        F.round(F.sum("ever_after").cast("double") / n, 6).alias("rate_ever"),
+        ratio_round(F.sum("within_1h"), n).alias("rate_1h"),
+        ratio_round(F.sum("ever_after"), n).alias("rate_ever"),
     )
 
 
@@ -445,7 +445,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str):
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ((2 * CAST(SUM(l_quantity) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS avg_qty,
        CAST(MAX(l_orderkey) AS BIGINT) AS max_order
 FROM lineitem
 GROUP BY l_returnflag
@@ -475,7 +475,7 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str):
     return partial.groupBy("l_returnflag").agg(
         F.sum("p_count").alias("n_rows"),
         F.round(F.sum("p_sum"), 2).alias("sum_qty"),
-        F.round(F.sum("p_sum") / F.sum("p_count"), 6).alias("avg_qty"),
+        ratio_round(F.sum("p_sum"), F.sum("p_count")).alias("avg_qty"),
         F.max("p_max").alias("max_order"),
     )
 
