@@ -13,9 +13,18 @@ def ratio_round_sql(a: str, b: str, digits: int = 6) -> str:
     Integer floor-division sidesteps the float path entirely.
     """
     m = 10 ** digits
+    return f"({ratio_units_sql(a, b, digits)}) / {float(m)}"
+
+
+def ratio_units_sql(a: str, b: str, digits: int = 6) -> str:
+    """Integer form: round(a/b * 10^digits) half-up, as BIGINT SQL.
+    Envelope: exact while 2*a*10^digits < 2^63 (a < ~4.6e12 at 6
+    digits) — far beyond any per-group count this repo aggregates;
+    for larger magnitudes drop digits."""
+    m = 10 ** digits
     return (
-        f"((2 * CAST({a} AS BIGINT) * {m} + CAST({b} AS BIGINT))"
-        f" // (2 * CAST({b} AS BIGINT))) / {float(m)}"
+        f"(2 * CAST({a} AS BIGINT) * {m} + CAST({b} AS BIGINT))"
+        f" // (2 * CAST({b} AS BIGINT))"
     )
 
 
@@ -28,7 +37,15 @@ def ratio_round(a, b, digits: int = 6):
     from pyspark.sql import functions as F
 
     m = 10 ** digits
+    return ratio_units(a, b, digits) / float(m)
+
+
+def ratio_units(a, b, digits: int = 6):
+    """Spark twin of ratio_units_sql: round(a/b * 10^digits) half-up as
+    a long Column (same 2^63 envelope)."""
+    from pyspark.sql import functions as F
+
+    m = 10 ** digits
     num = (2 * a.cast("long") * m + b.cast("long"))
     den = 2 * b.cast("long")
-    q = (num - F.pmod(num, den)) / den
-    return q / float(m)
+    return ((num - F.pmod(num, den)) / den).cast("long")

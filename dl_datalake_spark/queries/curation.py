@@ -16,6 +16,7 @@ from dl_datalake_spark.operators.curation import (
 )
 from dl_datalake_spark.operators.text import with_token_count
 from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.functions.exact import ratio_round, ratio_round_sql, ratio_units, ratio_units_sql
 from dl_datalake_spark.tables import load_table
 
 # downsample dominant English to 25%, keep 80% of everything else —
@@ -160,9 +161,9 @@ per_doc AS (
   FROM sh GROUP BY doc_id)
 SELECT d.lang,
        COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN ROUND(1.0 - pd.n_distinct / pd.total, 6) > 0.2
+       CAST(SUM(CASE WHEN 1000000 - ((2 * CAST(pd.n_distinct AS BIGINT) * 1000000 + CAST(pd.total AS BIGINT)) // (2 * CAST(pd.total AS BIGINT))) > 200000
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
-       ROUND(AVG(1.0 - pd.n_distinct / pd.total), 6) AS avg_rep_ratio
+       ((2 * CAST(SUM(1000000 - ((2 * CAST(pd.n_distinct AS BIGINT) * 1000000 + CAST(pd.total AS BIGINT)) // (2 * CAST(pd.total AS BIGINT)))) AS BIGINT) * 1000000 + CAST(COUNT(*) * 1000000 AS BIGINT)) // (2 * CAST(COUNT(*) * 1000000 AS BIGINT))) / 1000000.0 AS avg_rep_ratio
 FROM per_doc pd JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """,
@@ -176,16 +177,21 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("shingle").alias("n_distinct"),
     )
-    ratio = F.lit(1.0) - F.col("n_distinct") / F.col("total")
+    # per-doc repetition in exact integer MICROS (1e6 - halfup(d/t·1e6)):
+    # both the >0.2 flag and the average then never touch a float until
+    # the final /1e6 — immune to cross-engine half-ulp ROUND flips
+    rep_micros = F.lit(1_000_000) - ratio_units(
+        F.col("n_distinct"), F.col("total")
+    )
     return (
         per_doc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.round(ratio, 6) > 0.2, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            ).alias("n_repetitive"),
-            F.round(F.avg(ratio), 6).alias("avg_rep_ratio"),
+            F.sum((rep_micros > 200_000).cast("long")).alias("n_repetitive"),
+            ratio_round(
+                F.sum(rep_micros), F.count(F.lit(1)) * 1_000_000
+            ).alias("avg_rep_ratio"),
         )
         .orderBy("lang")
     )
@@ -224,7 +230,7 @@ sh AS (
     ELSE [] END) AS shingle
   FROM documents),
 rep AS (
-  SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT shingle) / COUNT(*), 6) AS rep_ratio
+  SELECT doc_id, 1000000 - ((2 * CAST(COUNT(DISTINCT shingle) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) AS rep_micros
   FROM sh GROUP BY doc_id),
 keeper AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -234,7 +240,7 @@ kept AS (
   JOIN q USING (doc_id)
   LEFT JOIN rep USING (doc_id)
   WHERE q.quality >= 0.5
-    AND COALESCE(rep.rep_ratio, 0) <= 0.2
+    AND COALESCE(rep.rep_micros, 0) <= 200000
     AND b.doc_id IN (SELECT doc_id FROM keeper)
     AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2) < 'cc')
 SELECT d.lang,
@@ -256,9 +262,10 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
     q = with_quality_score(docs).select("doc_id", "n_tokens", "quality")
     sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
     rep = sh.groupBy("doc_id").agg(
-        F.round(
-            F.lit(1.0) - F.countDistinct("shingle") / F.count(F.lit(1)), 6
-        ).alias("rep_ratio")
+        (
+            F.lit(1_000_000)
+            - ratio_units(F.countDistinct("shingle"), F.count(F.lit(1)))
+        ).alias("rep_micros")
     )
     keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     kept = (
@@ -268,7 +275,7 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
         .join(keepers, "doc_id", "leftsemi")
         .where(
             (F.col("quality") >= 0.5)
-            & (F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= 0.2)
+            & (F.coalesce(F.col("rep_micros"), F.lit(0)) <= 200_000)
             & (hash_key("doc_id") < F.lit("cc"))
         )
         .select("doc_id", F.col("n_tokens").alias("kept_tokens"))

@@ -34,7 +34,7 @@ SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
        event_type,
        COUNT(*) AS n,
        ROUND(SUM(value), 4) AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value,
+       ((2 * CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) * 1000000 + CAST(100 * COUNT(*) AS BIGINT)) // (2 * CAST(100 * COUNT(*) AS BIGINT))) / 1000000.0 AS avg_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events
@@ -49,7 +49,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            ratio_round(
+                F.sum(F.round(F.col("value") * 100).cast("long")),
+                F.count(F.lit(1)) * 100,
+            ).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -191,7 +194,7 @@ def events_keep_last(spark: SparkSession, sf_dir: str):
     sql="""
 SELECT event_type,
        CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k,
+       ((2 * CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS avg_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
@@ -201,7 +204,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        ratio_round(F.sum(k), F.count(F.lit(1))).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table
 
 
@@ -30,9 +30,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2)                                       AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                            AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                       AS avg_price,
-       ROUND(AVG(l_discount), 4)                                            AS avg_disc,
+       ((2 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 10000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 10000.0 AS avg_qty,
+       ((2 * CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 10000 + CAST(100 * COUNT(*) AS BIGINT)) // (2 * CAST(100 * COUNT(*) AS BIGINT))) / 10000.0 AS avg_price,
+       ((2 * CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000 + CAST(100 * COUNT(*) AS BIGINT)) // (2 * CAST(100 * COUNT(*) AS BIGINT))) / 10000.0 AS avg_disc,
        COUNT(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -50,9 +50,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            ratio_round(
+                F.sum(F.col("l_quantity").cast("long")), F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            ratio_round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+                F.count(F.lit(1)) * 100,
+                4,
+            ).alias("avg_price"),
+            ratio_round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long")),
+                F.count(F.lit(1)) * 100,
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -519,7 +529,7 @@ WITH cust_avg AS (
   -- avg rounded to 6 BEFORE the subtraction: the raw averages differ
   -- between engines in the last float bits, which would flip the final
   -- 2-digit rounding on boundary values
-  SELECT o_custkey AS k, ROUND(AVG(o_totalprice), 6) AS avg_price FROM orders GROUP BY o_custkey
+  SELECT o_custkey AS k, ((2 * CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) * 1000000 + CAST(100 * COUNT(*) AS BIGINT)) // (2 * CAST(100 * COUNT(*) AS BIGINT))) / 1000000.0 AS avg_price FROM orders GROUP BY o_custkey
 )
 SELECT o_orderkey, o_custkey, o_totalprice,
        ROUND(o_totalprice - avg_price, 6) AS above_by
@@ -530,7 +540,10 @@ WHERE o_totalprice > avg_price * 1.5
 def above_avg_orders(spark: SparkSession, sf_dir: str):
     orders = load_table(spark, sf_dir, "orders")
     cust_avg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price")
+        ratio_round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+            F.count(F.lit(1)) * 100,
+        ).alias("avg_price")
     )
     return (
         orders.join(cust_avg, orders.o_custkey == cust_avg.k)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table, with_tsu
 
 US_PER_HOUR = 3_600_000_000
@@ -93,7 +93,7 @@ WITH m AS (
 SELECT l_linestatus, metric,
        COUNT(*) AS n,
        ROUND(SUM(val), 2) AS total,
-       ROUND(AVG(val), 6) AS mean
+       ((2 * CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) * 1000000 + CAST(100 * COUNT(*) AS BIGINT)) // (2 * CAST(100 * COUNT(*) AS BIGINT))) / 1000000.0 AS mean
 FROM m GROUP BY 1, 2
 """,
 )
@@ -108,7 +108,10 @@ def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str):
     return melted.groupBy("l_linestatus", "metric").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("val"), 2).alias("total"),
-        F.round(F.avg("val"), 6).alias("mean"),
+        ratio_round(
+            F.sum(F.round(F.col("val") * 100).cast("long")),
+            F.count(F.lit(1)) * 100,
+        ).alias("mean"),
     )
 
 
@@ -313,7 +316,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN COALESCE(a, b, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT)
          AS both_null,
        CAST(COUNT(NULLIF(a, b)) AS BIGINT) AS nullif_distinct,
-       ROUND(AVG(a), 6) AS avg_skips_nulls
+       ((2 * CAST(SUM(CAST(a AS BIGINT)) AS BIGINT) * 1000000 + CAST(COUNT(a) AS BIGINT)) // (2 * CAST(COUNT(a) AS BIGINT))) / 1000000.0 AS avg_skips_nulls
 FROM t
 """,
 )
@@ -337,7 +340,9 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str):
             "both_null"
         ),
         F.count(F.nullif(F.col("a"), F.col("b"))).alias("nullif_distinct"),
-        F.round(F.avg("a"), 6).alias("avg_skips_nulls"),
+        ratio_round(F.sum(F.col("a").cast("long")), F.count("a")).alias(
+            "avg_skips_nulls"
+        ),
     )
 
 

@@ -199,8 +199,8 @@ SELECT o_orderpriority, quartile,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(o_totalprice), 2) AS lo_price,
        ROUND(MAX(o_totalprice), 2) AS hi_price,
-       ROUND(AVG(pr), 6) AS avg_pct_rank,
-       ROUND(AVG(cd), 6) AS avg_cume_dist
+       ((2 * CAST(SUM(CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT)) AS BIGINT) * 1000000 + CAST(COUNT(*) * 1000000 AS BIGINT)) // (2 * CAST(COUNT(*) * 1000000 AS BIGINT))) / 1000000.0 AS avg_pct_rank,
+       ((2 * CAST(SUM(CAST(FLOOR(cd * 1000000 + 0.5) AS BIGINT)) AS BIGINT) * 1000000 + CAST(COUNT(*) * 1000000 AS BIGINT)) // (2 * CAST(COUNT(*) * 1000000 AS BIGINT))) / 1000000.0 AS avg_cume_dist
 FROM r GROUP BY o_orderpriority, quartile
 """,
 )
@@ -220,8 +220,14 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo_price"),
         F.round(F.max("o_totalprice"), 2).alias("hi_price"),
-        F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
-        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+        ratio_round(
+            F.sum(F.floor(F.col("pr") * 1_000_000 + 0.5).cast("long")),
+            F.count(F.lit(1)) * 1_000_000,
+        ).alias("avg_pct_rank"),
+        ratio_round(
+            F.sum(F.floor(F.col("cd") * 1_000_000 + 0.5).cast("long")),
+            F.count(F.lit(1)) * 1_000_000,
+        ).alias("avg_cume_dist"),
     )
 
 

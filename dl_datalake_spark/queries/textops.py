@@ -14,7 +14,7 @@ from dl_datalake_spark.operators.text import (
     with_quality_score,
     with_token_count,
 )
-from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.registry import ratio_round, ratio_round_sql, register
 from dl_datalake_spark.tables import load_table
 
 _STOP_EN = "('the','a','of','and','to')"
@@ -34,8 +34,8 @@ WITH t AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       ROUND(AVG(n_tokens), 6) AS avg_tokens,
-       ROUND(AVG(n_chars), 6) AS avg_chars
+       ((2 * CAST(SUM(n_tokens) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS avg_tokens,
+       ((2 * CAST(SUM(n_chars) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS avg_chars
 FROM t GROUP BY lang
 """,
 )
@@ -44,8 +44,8 @@ def docs_token_stats(spark: SparkSession, sf_dir: str):
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        ratio_round(F.sum("n_tokens"), F.count(F.lit(1))).alias("avg_tokens"),
+        ratio_round(F.sum("n_chars"), F.count(F.lit(1))).alias("avg_chars"),
     )
 
 
@@ -155,7 +155,7 @@ q AS (
 )
 SELECT label AS cluster,
        COUNT(*) AS n_docs,
-       ROUND(AVG(quality), 6) AS avg_quality,
+       ((2 * CAST(SUM(CAST(ROUND(quality * 1e6) AS BIGINT)) AS BIGINT) * 1000000 + CAST(COUNT(*) * 1000000 AS BIGINT)) // (2 * CAST(COUNT(*) * 1000000 AS BIGINT))) / 1000000.0 AS avg_quality,
        ROUND(MIN(quality), 6) AS min_quality
 FROM q JOIN embeddings ON doc_id = vec_id
 GROUP BY label
@@ -172,7 +172,10 @@ def docs_emb_quality_by_cluster(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("label").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            ratio_round(
+                F.sum(F.round(F.col("quality") * 1e6).cast("long")),
+                F.count(F.lit(1)) * 1_000_000,
+            ).alias("avg_quality"),
             F.round(F.min("quality"), 6).alias("min_quality"),
         )
     )
