@@ -607,3 +607,79 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str):
             F.round(F.sum("monetary"), 2).alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: month-over-month order-priority mix shift (L1)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_priority_mix_shift",
+    sql="""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT ym, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY ym),
+share AS (
+  SELECT m.ym, m.prio,
+         (2 * m.n * 1000000 + tot.t) // (2 * tot.t) AS micros
+  FROM m JOIN tot ON m.ym = tot.ym
+),
+l1 AS (
+  SELECT cur.ym,
+         CAST(SUM(ABS(cur.micros - COALESCE(prev.micros, 0))) AS BIGINT) AS l1_micros
+  FROM share cur
+  LEFT JOIN share prev ON prev.ym = CASE WHEN cur.ym % 100 = 1
+                                         THEN cur.ym - 89 ELSE cur.ym - 1 END
+                      AND prev.prio = cur.prio
+  GROUP BY cur.ym
+)
+SELECT ym, l1_micros FROM l1
+""",
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str):
+    """Distribution-drift monitor: the L1 distance between consecutive
+    months' order-priority mix, in EXACT integer micros end-to-end —
+    shares are integer half-up micro-ratios (functions/exact), so the
+    drift metric never touches a float and hash-matches bit-for-bit.
+    This is the ingest-monitoring shape that catches a source changing
+    its composition (a crawler suddenly over-delivering one domain)
+    one aggregation downstream of the raw counts.
+
+    Plan: one fact scan → (month, priority) hash agg; everything after
+    runs on the month-level aggregate (dozens of rows).
+    """
+    from dl_datalake_spark.functions.exact import ratio_units
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("ym").agg(F.sum("n").alias("t"))
+    share = m.join(tot, "ym").select(
+        "ym", "prio", ratio_units(F.col("n"), F.col("t")).alias("micros")
+    )
+    prev_ym = F.when(F.col("ym") % 100 == 1, F.col("ym") - 89).otherwise(
+        F.col("ym") - 1
+    )
+    cur = share.select("ym", "prio", "micros", prev_ym.alias("prev_ym"))
+    prev = share.select(
+        F.col("ym").alias("p_ym"), F.col("prio").alias("p_prio"),
+        F.col("micros").alias("p_micros"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("prev_ym") == F.col("p_ym")) & (F.col("prio") == F.col("p_prio")),
+            "left",
+        )
+        .groupBy("ym")
+        .agg(
+            F.sum(
+                F.abs(F.col("micros") - F.coalesce(F.col("p_micros"), F.lit(0)))
+            ).alias("l1_micros")
+        )
+    )
