@@ -394,3 +394,51 @@ def test_bucketed_cumsum_matches_global_window(spark, vals, buckets):
         ).collect()
     }
     assert got == ref
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9),
+                  st.integers(min_value=1, max_value=10**9)),
+        min_size=1, max_size=20,
+    ),
+    digits=st.sampled_from([4, 6]),
+)
+@SETTINGS
+def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
+    """functions/exact must agree with Python Decimal ROUND_HALF_UP on
+    BOTH engines for arbitrary a/b — including exact half boundaries
+    (odd a over powers of two), the case float ROUND gets wrong."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dl_datalake_spark.functions.exact import ratio_round, ratio_round_sql
+
+    # force some guaranteed half-boundary cases into every run
+    pairs = pairs + [(3, 2 * 10**digits), (7, 4 * 10**digits), (1, 2 * 10**digits)]
+    quantum = Decimal(1).scaleb(-digits)
+
+    def expect(a, b):
+        return int(
+            ((Decimal(a) / Decimal(b)).quantize(quantum, ROUND_HALF_UP) * 10**digits)
+        )
+
+    sql = " UNION ALL ".join(
+        f"SELECT {i} AS i, CAST(ROUND(({ratio_round_sql(str(a), str(b), digits)}) * {10**digits}) AS BIGINT) AS r"
+        for i, (a, b) in enumerate(pairs)
+    )
+    duck = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+
+    df = spark.createDataFrame(list(pairs), "a long, b long")
+    got = [
+        int(round(r["r"] * 10**digits))
+        for r in df.select(
+            ratio_round(F.col("a"), F.col("b"), digits).alias("r")
+        ).collect()
+    ]
+    spark_counts = sorted(got)
+    expect_counts = sorted(expect(a, b) for a, b in pairs)
+    assert spark_counts == expect_counts
+    for i, (a, b) in enumerate(pairs):
+        assert duck[i] == expect(a, b), (a, b, duck[i])
