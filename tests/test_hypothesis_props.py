@@ -442,3 +442,50 @@ def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
     assert spark_counts == expect_counts
     for i, (a, b) in enumerate(pairs):
         assert duck[i] == expect(a, b), (a, b, duck[i])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=15)),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_expectations_partition_and_tally(spark, rows):
+    """Quarantine must PARTITION the input (good + bad == all, no row in
+    both), and the report's violation counts must equal a Python
+    recomputation of each predicate."""
+    from dl_datalake_spark.lake.expectations import (
+        accepted_range,
+        check,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, k) for i, (v, k) in enumerate(rows)], "id long, v long, k long"
+    ).repartition(3)
+    exps = [not_null("v"), accepted_range("v", 0, 9), unique("k")]
+
+    good, bad, rep = check(df, exps, enforce="quarantine")
+    g = {r["id"] for r in good.collect()}
+    b = {r["id"] for r in bad.collect()}
+    assert g | b == set(range(len(rows))) and not (g & b)
+
+    tallies = {r["name"]: r["violations"] for r in rep.collect()}
+    assert tallies["not_null_v"] == sum(1 for v, _ in rows if v is None)
+    assert tallies["range_v"] == sum(
+        1 for v, _ in rows if v is not None and not (0 <= v <= 9)
+    )
+    from collections import Counter
+
+    kc = Counter(k for _, k in rows)
+    assert tallies["unique_k"] == sum(c - 1 for c in kc.values() if c > 1)
+    # row-level failures define the bad side
+    assert b == {
+        i for i, (v, _) in enumerate(rows) if v is None or not (0 <= v <= 9)
+    }
