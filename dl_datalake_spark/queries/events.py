@@ -830,3 +830,77 @@ def events_rolling_median(spark: SparkSession, sf_dir: str):
     return hourly.select(
         "hour_bucket", "n", F.element_at(vals, idx).alias("med_24h")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized view, oracle-checked end-to-end: the events
+# stream maintains per-type partial states (streaming/mv.py) in a temp
+# lake dir; the returned view merges them. Full-history availableNow
+# replay makes the MV equal the direct aggregate, and the HLL distinct
+# state is audited against the exact count with a boolean tolerance.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_incremental_mv",
+    sql="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_tol
+FROM events GROUP BY event_type
+""",
+)
+def events_stream_incremental_mv(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.streaming.mv import incremental_mv, read_mv
+
+    static = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    mv_path = tempfile.mkdtemp(prefix="dl_mv_")
+    ckpt = tempfile.mkdtemp(prefix="dl_mv_ckpt_")
+    try:
+        q = incremental_mv(
+            stream.select("event_type", "value", "user_id"),
+            ["event_type"],
+            "value",
+            mv_path,
+            ckpt,
+            distinct_col="user_id",
+        )
+        q.awaitTermination()
+        view = read_mv(spark, mv_path, ["event_type"])
+        exact = static.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        out = (
+            view.join(exact, "event_type")
+            .select(
+                "event_type",
+                F.col("n"),
+                F.round("sum_value", 4).alias("sum_value"),
+                "min_value",
+                "max_value",
+                "exact_users",
+                (
+                    F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                    <= 0.05 * F.col("exact_users")
+                ).alias("hll_within_tol"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            out,
+            "event_type string, n long, sum_value double, min_value double, "
+            "max_value double, exact_users long, hll_within_tol boolean",
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(mv_path, ignore_errors=True)
