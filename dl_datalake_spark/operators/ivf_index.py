@@ -132,18 +132,31 @@ def write_ivf_index(
 ) -> None:
     """Materialize the index: centroids (tiny) + vectors partitioned by
     cell — the partition layout IS the inverted file."""
+    import shutil
+    import tempfile
+    import uuid
+
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
     assigned = _assign(vecs, cents)
-    cents.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+    # build the whole index in a staging dir, then swap atomically —
+    # a rebuild never leaves a reader facing half-written cells (same
+    # tmp-dir protocol as the manifest store and MV compaction)
+    tmp = os.path.join(tempfile.gettempdir(), f"_ivf_build_{uuid.uuid4().hex}")
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, CENTROIDS_DIR))
     (
         assigned.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, VECTORS_DIR))
+        .parquet(os.path.join(tmp, VECTORS_DIR))
     )
+    old_dir = path.rstrip("/") + f".old.{uuid.uuid4().hex}"
+    if os.path.exists(path):
+        os.rename(path, old_dir)
+    shutil.move(tmp, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -83,20 +83,24 @@ def incremental_mv(
     mv_path: str,
     checkpoint_dir: str,
     distinct_col: str | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
-    """Maintain the view from a streaming DataFrame; availableNow-style
-    triggers give catch-up batch refresh, a live trigger gives
-    continuous maintenance — same code path."""
+    """Maintain the view from a streaming DataFrame. Default trigger is
+    availableNow (catch-up refresh that terminates); pass
+    processing_time (e.g. "30 seconds") for continuous live
+    maintenance — the same upsert code path either way."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         write_mv_batch(batch_df, batch_id, group_cols, value_col, mv_path, distinct_col)
 
-    return (
-        stream_df.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> DataFrame:
