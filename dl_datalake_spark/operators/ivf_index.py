@@ -76,6 +76,23 @@ def _means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _seed_centroids(vecs: DataFrame, num_cells: int) -> DataFrame:
+    """Deterministic seeds: top-k by hash via orderBy().limit(), which
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows) — NOT a global row_number window, which would
+    sort the whole corpus on one partition (plan-pinned in tests).
+    The k survivors then rank locally."""
+    seeds = (
+        vecs.select("vec_id", "embedding", F.xxhash64("vec_id").alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(num_cells)
+    )
+    seed_w = Window.orderBy("_h", "vec_id")  # num_cells rows — trivial
+    return seeds.withColumn("rn", F.row_number().over(seed_w)).select(
+        (F.col("rn") - 1).cast("int").alias("cell"), F.col("embedding").alias("cv")
+    )
+
+
 def train_ivf(
     df: DataFrame,
     num_cells: int = 16,
@@ -94,23 +111,8 @@ def train_ivf(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    # top-k by hash, NOT a global row_number window: orderBy().limit()
-    # compiles to TakeOrderedAndProject (per-partition heaps + driver
-    # merge of k rows), where the window form sorts the whole corpus
-    # on one partition. The k seed rows then rank locally.
-    seeds = (
-        vecs.select("vec_id", "embedding", F.xxhash64("vec_id").alias("_h"))
-        .orderBy("_h", "vec_id")
-        .limit(num_cells)
-    )
-    seed_w = Window.orderBy("_h", "vec_id")  # num_cells rows — trivial
-    cents = (
-        seeds.withColumn("rn", F.row_number().over(seed_w))
-        .select((F.col("rn") - 1).cast("int").alias("cell"), F.col("embedding").alias("cv"))
-    )
-    # seed selection is a tiny global sort (num_cells rows kept);
-    # localCheckpoint pins it so iterations don't replay the ranking
-    cents = cents.localCheckpoint(eager=True)
+    # localCheckpoint pins the seed ranking so iterations don't replay it
+    cents = _seed_centroids(vecs, num_cells).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign(vecs, cents)
         new = _means(assigned)

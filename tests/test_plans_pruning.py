@@ -89,3 +89,45 @@ def test_refresh_rollup_all_multi_symbol(spark, tmp_path):
     assert set(out2) == {"AAA_USD", "BBB_USD"}
     assert agg_count("AAA_USD") == 8
     assert agg_count("BBB_USD") == 8
+
+
+def test_topk_rewrites_compile_to_take_ordered(spark):
+    """The two former whole-dataset row_number windows (IVF seeding,
+    Zipf top-1000) must plan as TakeOrderedAndProject — per-partition
+    heaps — with no Window over the full input."""
+    from dl_datalake_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    zipf_plan = (
+        QUERIES["docs_zipf_fit"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in zipf_plan
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import _seed_centroids
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents_plan = (
+        _seed_centroids(emb, 4)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in cents_plan
+
+
+def test_pareto_prefix_sum_has_no_corpus_global_window(spark):
+    """orders_pareto_share's cumulative sum must partition by bucket —
+    the only unpartitioned window allowed is over the tiny per-bucket
+    offsets table, never over the per-customer rows."""
+    from dl_datalake_spark.queries.registry import QUERIES
+
+    df = QUERIES["orders_pareto_share"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-customer running-sum window must carry the bucket column
+    # in its partition spec; the only unpartitioned windows allowed run
+    # over the per-bucket offsets aggregate (they mention _bs/_bc)
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected window operators in the plan"
+    per_row = [ln for ln in windows if "revenue" in ln]
+    assert per_row and all("windowspecdefinition(_b#" in ln for ln in per_row), per_row
