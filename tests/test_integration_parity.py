@@ -160,3 +160,46 @@ def test_ingest_pipeline_flow_quality_gate(spark, tmp_path):
         )
     # the gate fired BEFORE aggregation: no agg dataset for XRPUSDT
     assert client.manifest.list_entries(symbol="XRPUSDT", data_type="agg").count() == 0
+
+
+def test_full_lake_lifecycle(spark, tmp_path):
+    """End-to-end lifecycle chain: ingest → aggregate → audit-clean →
+    orphan appears → vacuum reclaims → delete dataset → catalog time
+    travel still reconstructs the pre-delete state."""
+    import os
+    import time
+
+    from dl_datalake_spark.lake.maintenance import audit_lists, vacuum
+
+    base = str(tmp_path / "lake")
+    client = DataLakeClient(spark, base)
+    client.ingest_csv(_csv(tmp_path, "l1.csv", 120), "binance", "spot", "BTCUSDT")
+    client.ingest_csv(_csv(tmp_path, "l2.csv", 60), "binance", "spot", "ETHUSDT")
+    client.aggregate_ohlc("binance", "spot", "BTCUSDT", "1m", "1h")
+    t_full = int(time.time() * 1_000_000)
+    n_entries_full = client.manifest.load().count()
+    assert n_entries_full >= 3  # two raw + one agg
+
+    # clean lake: audit reports nothing
+    rep = audit_lists(spark, base, client.manifest)
+    assert rep["orphan_files"] == [] and rep["dead_links"] == []
+
+    # an uncatalogued directory appears → audit flags it, vacuum
+    # dry-run only reports, real vacuum reclaims
+    orphan_dir = os.path.join(base, "binance", "spot", "ORPHAN", "raw", "1m")
+    os.makedirs(orphan_dir)
+    spark.range(5).write.mode("overwrite").parquet(orphan_dir)
+    assert audit_lists(spark, base, client.manifest)["orphan_files"] != []
+    vacuum(spark, base, client.manifest, dry_run=True)
+    assert os.path.exists(orphan_dir)
+    vacuum(spark, base, client.manifest, dry_run=False)
+    assert not os.path.exists(orphan_dir)
+    assert audit_lists(spark, base, client.manifest)["orphan_files"] == []
+
+    # delete a dataset from the catalog; the current view shrinks but
+    # time travel reconstructs the pre-delete catalog exactly
+    client.manifest.delete_entries(symbol="ETHUSDT")
+    assert client.manifest.load().count() < n_entries_full
+    past = client.manifest.load_at(t_full)
+    assert past.count() == n_entries_full
+    assert past.where("symbol = 'ETHUSDT'").count() >= 1
