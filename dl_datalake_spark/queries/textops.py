@@ -455,3 +455,49 @@ def docs_cluster_topics(spark: SparkSession, sf_dir: str):
         .where(F.col("rn") <= 3)
         .select("cluster", "term", "tf", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitters sketch audit: approx_top_k vs the exact top words
+# ---------------------------------------------------------------------------
+@register(
+    "docs_heavy_hitters_audit",
+    sql="""
+WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+      WHERE LENGTH(word) >= 4 GROUP BY 1)
+SELECT word, n, TRUE AS in_sketch_topk
+FROM f ORDER BY n DESC, word LIMIT 5
+""",
+)
+def docs_heavy_hitters_audit(spark: SparkSession, sf_dir: str):
+    """Frequent-items sketch audit (same contract family as the HLL and
+    quantile audits): the exact top-5 words must all surface in
+    approx_top_k's top-10 — the oracle pins the exact counts plus a
+    literal TRUE, so a sketch regression (losing a true heavy hitter)
+    fails the value hash. Zipf-shaped corpora put the top-5 far above
+    the rank-10 boundary, so sketch tie-breaking can't flip the claim.
+
+    Scale: approx_top_k is a bounded-memory mergeable sketch — the
+    100 TB path when the exact vocabulary agg (linear state) stops
+    fitting; this query is the accuracy contract for that swap.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.length("word") >= 4)
+    exact_top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .collect()
+    )
+    sketch = words.agg(F.expr("approx_top_k(word, 10, 100000)").alias("tk")).first()[
+        "tk"
+    ]
+    sketch_words = {r["item"] for r in sketch}
+    return spark.createDataFrame(
+        [(r["word"], r["n"], r["word"] in sketch_words) for r in exact_top],
+        "word string, n long, in_sketch_topk boolean",
+    )
