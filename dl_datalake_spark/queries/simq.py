@@ -1,6 +1,7 @@
 """Similarity-search queries over `embeddings` (array<float>, dim 64):
 brute-force cosine top-k, k-NN join, per-label centroids, and an
-LSH-bucketed ANN variant (rows-only check — approximate by design).
+LSH-bucketed ANN variant (oracled exactly: approximate vs k-NN, but a
+deterministic function of the input).
 
 Cross-engine float discipline: every element is cast to DOUBLE before
 arithmetic, accumulation is in-list sequential (F.aggregate ↔
@@ -120,7 +121,39 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # ANN via random-hyperplane LSH buckets (approximate → rows-only check)
 # ---------------------------------------------------------------------------
-@register("emb_ann_lsh")  # approximate — no SQL oracle, rows-only check
+def _ann_lsh_sql() -> str:
+    """The LSH ANN result is APPROXIMATE relative to exact k-NN but a
+    DETERMINISTIC function of the input (fixed LCG hyperplanes, exact
+    sign buckets, rounded-cosine rerank) — so it oracles like any other
+    query: replay the same arithmetic in SQL."""
+    planes = deterministic_planes(num_planes=6, dim=64)
+    bits = []
+    for i, pl in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in pl) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum([v[j] * ({lit})[j] for j in generate_series(1, 64)])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    cos = _COS_SQL.replace("cv", "c.v").replace("qv", "q.v")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS INTEGER) AS bucket FROM e),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {cos} AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT q_id, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("emb_ann_lsh", sql=_ann_lsh_sql())
 def emb_ann_lsh(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     planes = deterministic_planes(num_planes=6, dim=64)
