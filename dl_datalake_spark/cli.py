@@ -141,6 +141,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ex.add_argument("--enforce", choices=["report", "fail"], default="report")
 
+    hist = sub.add_parser(
+        "history", help="catalog snapshot history / point-in-time read"
+    )
+    hist.add_argument("--at", type=int, default=None,
+                      help="epoch-µs: print the catalog as of this instant")
+    hist.add_argument("--limit", type=int, default=20)
+
+    skw = sub.add_parser(
+        "skew", help="hot-key report for a parquet path and key columns"
+    )
+    skw.add_argument("--path", required=True)
+    skw.add_argument("--keys", required=True, help="comma-separated key columns")
+    skw.add_argument("--top", type=int, default=10)
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -277,6 +291,20 @@ def main(argv: list[str] | None = None) -> int:
         exps = [builders[r["type"]](r) for r in json.loads(args.rules)]
         rep = check(spark.read.parquet(args.path), exps, enforce=args.enforce)
         print(json.dumps([row.asDict() for row in rep.collect()]))
+    elif args.cmd == "history":
+        if args.at is not None:
+            client.manifest.load_at(args.at).orderBy("id").show(
+                args.limit, truncate=False
+            )
+        else:
+            print(json.dumps(client.manifest.snapshots()))
+    elif args.cmd == "skew":
+        from dl_datalake_spark.operators.skew import skew_report
+
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        skew_report(spark.read.parquet(args.path), keys, top_n=args.top).show(
+            args.top, truncate=False
+        )
     elif args.cmd == "serve":
         from dl_datalake_spark.api import create_app
 

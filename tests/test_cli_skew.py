@@ -174,3 +174,30 @@ def test_cli_expect_command(spark, tmp_path, capsys):
     assert rc == 0
     rep = {r["name"]: r["violations"] for r in _json.loads(capsys.readouterr().out.strip().splitlines()[-1])}
     assert rep == {"not_null_ts": 1, "range_px": 1, "unique_ts": 0}
+
+
+def test_cli_history_and_skew_commands(spark, tmp_path, capsys):
+    import json as _json
+    import time
+
+    from dl_datalake_spark.cli import main
+    from dl_datalake_spark.lake.manifest import ManifestManager
+
+    base = str(tmp_path / "lake")
+    m = ManifestManager(spark, base + "_manifest")
+    m.add_entry("binance", "spot", "BTCUSDT", "/lake/x", "raw", 0, 10, version="1")
+    assert main(["--base", base, "history"]) == 0
+    snaps = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # CLI's client uses <base>/_manifest too; one snapshot from our write
+    assert snaps and all(isinstance(x, int) for x in snaps)
+
+    assert main(["--base", base, "history", "--at", str(int(time.time() * 1e6))]) == 0
+    assert "BTCUSDT" in capsys.readouterr().out
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a")] * 8 + [(2, "b")] * 2, "k long, v string"
+    ).write.parquet(path)
+    assert main(["--base", base, "skew", "--path", path, "--keys", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "share" in out and "x_mean" in out
