@@ -683,3 +683,61 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str):
             ).alias("l1_micros")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: is part type independent of brand?
+# ---------------------------------------------------------------------------
+@register(
+    "part_brand_type_chi2",
+    sql="""
+WITH obs AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS o
+  FROM part GROUP BY 1, 2
+),
+rt AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+ct AS (SELECT p_type, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.o, rt.r * ct.c * 1.0 / n.n AS e
+  FROM obs JOIN rt USING (p_brand) JOIN ct USING (p_type), n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+       CAST((SELECT COUNT(*) - 1 FROM rt) * (SELECT COUNT(*) - 1 FROM ct) AS BIGINT)
+         AS dof
+FROM cells
+""",
+)
+def part_brand_type_chi2(spark: SparkSession, sf_dir: str):
+    """Pearson chi-square independence test as pure aggregation: the
+    brand x type contingency table, expected counts from the
+    marginals, chi2 = sum((o-e)^2/e) with (rows-1)(cols-1) degrees of
+    freedom. The statistical-testing shape for "did this categorical
+    mix change" questions — one fact scan, three tiny aggregates of
+    the contingency table, every join on a marginal key or a 1-row
+    broadcast.
+    """
+    part = load_table(spark, sf_dir, "part")
+    obs = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("p_brand").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("p_type").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rt, "p_brand")
+        .join(F.broadcast(ct), "p_type")
+        .crossJoin(F.broadcast(n))
+        .select("o", (F.col("r") * F.col("c") / F.col("n")).alias("e"))
+    )
+    dof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("rr"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("cc")))
+        .select((F.col("rr") * F.col("cc")).alias("dof"))
+    )
+    stat = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4
+        ).alias("chi2"),
+    )
+    return stat.crossJoin(F.broadcast(dof))
