@@ -47,5 +47,7 @@ def ratio_units(a, b, digits: int = 6):
 
     m = 10 ** digits
     num = (2 * a.cast("long") * m + b.cast("long"))
-    den = 2 * b.cast("long")
+    # null-safe like DuckDB's `x // 0` → NULL: pmod/division by a
+    # nullif'd zero yields NULL instead of ANSI ArithmeticException
+    den = F.nullif((2 * b.cast("long")), F.lit(0).cast("long"))
     return ((num - F.pmod(num, den)) / den).cast("long")

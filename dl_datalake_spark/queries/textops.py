@@ -501,3 +501,79 @@ def docs_heavy_hitters_audit(spark: SparkSession, sf_dir: str):
         [(r["word"], r["n"], r["word"] in sketch_words) for r in exact_top],
         "word string, n long, in_sketch_topk boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier metrics from the lang-ID confusion matrix
+# ---------------------------------------------------------------------------
+def _lang_f1_sql() -> str:
+    # reuse the confusion-matrix CTE body, then per-language P/R/F1 in
+    # exact integer micros (tp, fp, fn are counts)
+    conf = _duckdb_lang_sql().strip().rstrip()
+    p_m = ratio_round_sql("tp", "tp + fp")
+    r_m = ratio_round_sql("tp", "tp + fn")
+    f_m = ratio_round_sql("2 * tp", "2 * tp + fp + fn")
+    return f"""
+WITH conf AS ({conf}),
+m AS (
+  SELECT l.lang,
+         CAST(COALESCE((SELECT SUM(n) FROM conf c
+                        WHERE c.lang = l.lang AND c.pred_lang = l.lang), 0) AS BIGINT) AS tp,
+         CAST(COALESCE((SELECT SUM(n) FROM conf c
+                        WHERE c.pred_lang = l.lang AND c.lang <> l.lang), 0) AS BIGINT) AS fp,
+         CAST(COALESCE((SELECT SUM(n) FROM conf c
+                        WHERE c.lang = l.lang AND c.pred_lang <> l.lang), 0) AS BIGINT) AS fn
+  FROM (SELECT DISTINCT lang FROM conf) l
+)
+SELECT lang, tp, fp, fn,
+       {p_m} AS precision_,
+       {r_m} AS recall_,
+       {f_m} AS f1
+FROM m
+"""
+
+
+@register("docs_lang_id_f1", sql=_lang_f1_sql())
+def docs_lang_id_f1(spark: SparkSession, sf_dir: str):
+    """Per-language precision/recall/F1 of the stopword-vote language
+    classifier, derived from the same confusion matrix docs_lang_id
+    emits — the evaluation loop a pipeline runs after touching the
+    classifier. All three metrics are exact integer micro-ratios
+    (functions/exact): counts in, counts out, no float until the final
+    /1e6.
+    """
+    conf = docs_lang_id(spark, sf_dir)
+    langs = conf.select(F.col("lang")).distinct()
+    tp = conf.where(F.col("lang") == F.col("pred_lang")).groupBy("lang").agg(
+        F.sum("n").alias("tp")
+    )
+    fp = (
+        conf.where(F.col("lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = conf.where(F.col("lang") != F.col("pred_lang")).groupBy("lang").agg(
+        F.sum("n").alias("fn")
+    )
+    m = (
+        langs.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    return m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        ratio_round(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        ratio_round(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        ratio_round(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+            "f1"
+        ),
+    )
