@@ -741,3 +741,68 @@ def part_brand_type_chi2(spark: SparkSession, sf_dir: str):
         ).alias("chi2"),
     )
     return stat.crossJoin(F.broadcast(dof))
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of supplier balances per nation — exact integers
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_balance_gini",
+    sql="""
+WITH s AS (
+  SELECT s_nationkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier WHERE s_acctbal >= 0
+),
+r AS (
+  SELECT s_nationkey, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                 ORDER BY cents, s_nationkey) AS BIGINT) AS rnk
+  FROM s
+),
+g AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS tot,
+         CAST(SUM(rnk * cents) AS BIGINT) AS wsum
+  FROM r GROUP BY 1
+)
+SELECT s_nationkey, n, tot,
+       ((2 * (2 * wsum - (n + 1) * tot) * 1000000 + n * tot)
+        // (2 * n * tot)) / 1e6 AS gini
+FROM g WHERE tot > 0
+""",
+)
+def supplier_balance_gini(spark: SparkSession, sf_dir: str):
+    """Gini coefficient of supplier account balances per nation,
+    computed ENTIRELY in integers: balances as cents, the classic
+    rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted cents, and the final ratio through exact
+    half-up division — an inequality/concentration metric with zero
+    float drift surface. The rank window partitions by nation, so the
+    sort shards; negative balances (ill-defined for Gini) are
+    excluded up front.
+    """
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") >= 0)
+        .select(
+            "s_nationkey",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("cents", "s_nationkey")
+    r = s.withColumn("rnk", F.row_number().over(w).cast("long"))
+    g = r.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("wsum"),
+    )
+    num = 2 * F.col("wsum") - (F.col("n") + 1) * F.col("tot")
+    return g.where(F.col("tot") > 0).select(
+        "s_nationkey",
+        "n",
+        "tot",
+        ratio_round(num, F.col("n") * F.col("tot")).alias("gini"),
+    )
