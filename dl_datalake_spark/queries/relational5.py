@@ -806,3 +806,47 @@ def supplier_balance_gini(spark: SparkSession, sf_dir: str):
         "tot",
         ratio_round(num, F.col("n") * F.col("tot")).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer order cadence: inter-arrival gap distribution
+# ---------------------------------------------------------------------------
+@register(
+    "orders_interarrival_stats",
+    sql="""
+WITH g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_days, 0.5), 4) AS median_gap,
+       ROUND(quantile_cont(gap_days, 0.9), 4) AS p90_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM g WHERE gap_days IS NOT NULL
+""",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str):
+    """Customer order-cadence distribution: per-customer inter-arrival
+    gaps in days (lag over the per-customer timeline — partitioned, no
+    global sort), then corpus-level gap percentiles. The churn-model
+    feature a retention pipeline derives before anything else.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_days", 0.5), 4).alias("median_gap"),
+        F.round(F.percentile("gap_days", 0.9), 4).alias("p90_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )

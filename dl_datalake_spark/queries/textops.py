@@ -577,3 +577,65 @@ def docs_lang_id_f1(spark: SparkSession, sf_dir: str):
             "f1"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# length-distribution drift per source: chi-square vs the corpus mix
+# ---------------------------------------------------------------------------
+@register(
+    "docs_length_drift_chi2",
+    sql="""
+WITH b AS (
+  SELECT source,
+         LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) // 20, 7)
+           AS len_bucket
+  FROM documents
+),
+obs AS (SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS s FROM obs GROUP BY 1),
+bt AS (SELECT len_bucket, CAST(SUM(o) AS BIGINT) AS t FROM obs GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.source, obs.o, st.s * bt.t * 1.0 / n.n AS e
+  FROM obs JOIN st USING (source) JOIN bt USING (len_bucket), n
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2
+FROM cells GROUP BY source
+""",
+)
+def docs_length_drift_chi2(spark: SparkSession, sf_dir: str):
+    """Per-source length-distribution drift: chi-square of each
+    source's token-length histogram (20-token bins, capped at 8) against
+    the corpus marginal — the monitor that flags a source whose content
+    shape changed (truncation bugs, boilerplate floods) even when its
+    volume didn't. Same contingency machinery as the brand/type test,
+    sliced per source.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    b = docs.select(
+        "source",
+        F.least(
+            (F.size(F.split(F.trim("text"), r"\s+")).cast("long") / 20).cast("long"),
+            F.lit(7),
+        ).alias("len_bucket"),
+    )
+    obs = b.groupBy("source", "len_bucket").agg(F.count(F.lit(1)).alias("o"))
+    st = obs.groupBy("source").agg(F.sum("o").alias("s"))
+    bt = obs.groupBy("len_bucket").agg(F.sum("o").alias("t"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(st, "source")
+        .join(F.broadcast(bt), "len_bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "o", (F.col("s") * F.col("t") / F.col("n")).alias("e")
+        )
+    )
+    return cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4
+        ).alias("chi2"),
+    )
