@@ -904,3 +904,61 @@ def events_stream_incremental_mv(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(mv_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# session-depth histogram: how long do sessions run?
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_depth_histogram",
+    sql=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                   >= {US_30MIN} OR
+                   LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsu
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+depth AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sessions GROUP BY user_id, sid)
+SELECT LEAST(n_events, 20) AS depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS events_covered
+FROM depth GROUP BY 1
+""",
+)
+def events_session_depth_histogram(spark: SparkSession, sf_dir: str):
+    """Engagement-depth distribution: events per session (30-minute
+    gap sessions), histogrammed with a 20+ tail bucket. The product
+    question behind it — are sessions getting shallower? — reads
+    straight off consecutive snapshots of this output. Three stages,
+    all sharded by user: change capture, running session id, per-
+    session count; the histogram is an aggregate of the aggregate.
+    """
+    ev = _with_tsu(load_table(spark, sf_dir, "events")).select("user_id", "tsu")
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    prev = F.lag("tsu").over(w)
+    marked = ev.withColumn(
+        "is_start",
+        F.when(prev.isNull() | (F.col("tsu") - prev >= US_30MIN), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id").orderBy("tsu").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    depth = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n_events"))
+    return depth.groupBy(
+        F.least(F.col("n_events"), F.lit(20)).alias("depth_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("events_covered"),
+    )

@@ -639,3 +639,52 @@ def docs_length_drift_chi2(spark: SparkSession, sf_dir: str):
             F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: distinct terms at corpus prefixes
+# ---------------------------------------------------------------------------
+@register(
+    "docs_vocab_growth",
+    sql="""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+q AS (SELECT unnest([25, 50, 75, 100]) AS pct),
+pts AS (SELECT pct, (SELECT m FROM mx) * pct // 100 AS cutoff FROM q),
+t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+SELECT CAST(p.pct AS INTEGER) AS pct,
+       CAST(p.cutoff AS BIGINT) AS cutoff_doc,
+       CAST(COUNT(DISTINCT t.term) AS BIGINT) AS vocab,
+       CAST(COUNT(*) AS BIGINT) AS tokens
+FROM pts p JOIN t ON t.doc_id <= p.cutoff
+GROUP BY p.pct, p.cutoff
+""",
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str):
+    """Heaps'-law curve: vocabulary size at 25/50/75/100% corpus
+    prefixes (by doc_id order). Sub-linear growth is the healthy
+    shape; a vocabulary growing LINEARLY flags unbounded junk tokens
+    (mojibake, ids, hashes) that will blow up any downstream token
+    table. One token explode joined to four cutoff rows — the explode
+    fans 4x but stays a narrow map; each (pct) group is a distinct-agg.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    pts = (
+        spark.range(1, 5)
+        .select((F.col("id") * 25).cast("int").alias("pct"))
+        .crossJoin(F.broadcast(mx))
+        .select("pct", ((F.col("m") * F.col("pct")) / 100).cast("long").alias("cutoff_doc"))
+    )
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    return (
+        t.join(F.broadcast(pts), t.doc_id <= pts.cutoff_doc)
+        .groupBy("pct", "cutoff_doc")
+        .agg(
+            F.countDistinct("term").alias("vocab"),
+            F.count(F.lit(1)).alias("tokens"),
+        )
+    )
