@@ -962,3 +962,57 @@ def events_session_depth_histogram(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("events_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: Jaccard of user sets between event types
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_user_overlap",
+    sql="""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM tu GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, inter,
+       ((2 * inter * 1000000 + (sa.sz + sb.sz - inter))
+        // (2 * (sa.sz + sb.sz - inter))) / 1e6 AS jaccard
+FROM inter JOIN sz sa ON type_a = sa.event_type
+           JOIN sz sb ON type_b = sb.event_type
+""",
+)
+def events_type_user_overlap(spark: SparkSession, sf_dir: str):
+    """Audience overlap between event types: Jaccard of their distinct
+    user sets via the inverted-index join (users sharing a pair of
+    types meet on user_id — never a cross join), ratio in exact
+    micros. The segmentation question "do purchasers and errorers
+    overlap" as one equi-join; the same shape as the n-gram Jaccard
+    dedup, applied to ID sets.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sz = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("sz").alias("sa"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("sz").alias("sb"))
+    union_sz = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "inter",
+            ratio_round(F.col("inter"), union_sz).alias("jaccard"),
+        )
+    )
