@@ -47,7 +47,18 @@ def ratio_units(a, b, digits: int = 6):
 
     m = 10 ** digits
     num = (2 * a.cast("long") * m + b.cast("long"))
-    # null-safe like DuckDB's `x // 0` → NULL: pmod/division by a
-    # nullif'd zero yields NULL instead of ANSI ArithmeticException
+    # null-safe like DuckDB's `x // 0` → NULL: division by a nullif'd
+    # zero yields NULL instead of ANSI ArithmeticException
     den = F.nullif((2 * b.cast("long")), F.lit(0).cast("long"))
-    return ((num - F.pmod(num, den)) / den).cast("long")
+    # Spark long/long division detours through doubles, which round
+    # past 2^53 — large cents/micros numerators DO exceed that (caught
+    # live: a 1-micro flip on a 1.5e17 numerator). Take the double
+    # quotient as a candidate and correct it with exact long
+    # comparisons; the double is always within ±1 of the true floor.
+    q0 = F.floor(num / den).cast("long")
+    q = (
+        q0
+        + F.when((q0 + 1) * den <= num, F.lit(1)).otherwise(F.lit(0))
+        - F.when(q0 * den > num, F.lit(1)).otherwise(F.lit(0))
+    )
+    return q

@@ -850,3 +850,65 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str):
         F.round(F.percentile("gap_days", 0.9), 4).alias("p90_gap"),
         F.max("gap_days").alias("max_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue rollup with grouping() markers and exact share-of-parent
+# ---------------------------------------------------------------------------
+@register(
+    "region_revenue_rollup_share",
+    sql="""
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+ru AS (
+  SELECT r_name, n_name,
+         CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+         CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM rev GROUP BY ROLLUP (r_name, n_name)
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev)
+SELECT r_name, n_name, g_region, g_nation,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ((2 * cents * 1000000 + tot.t) // (2 * tot.t)) / 1e6 AS share_of_total
+FROM ru, tot
+""",
+)
+def region_revenue_rollup_share(spark: SparkSession, sf_dir: str):
+    """ROLLUP with explicit grouping() markers — the disambiguator
+    between 'nation literally named NULL' and 'the nation-level
+    subtotal row', which the rollup queries above leave implicit —
+    plus each row's exact-micros share of total revenue. Money rides
+    as integer cents from the first aggregate on, so subtotals,
+    grand total, and shares are all drift-free.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")}
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    ru = rev.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    return ru.crossJoin(F.broadcast(tot)).select(
+        "r_name",
+        "n_name",
+        "g_region",
+        "g_nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        ratio_round(F.col("cents"), F.col("t")).alias("share_of_total"),
+    )

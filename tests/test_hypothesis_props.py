@@ -398,8 +398,8 @@ def test_bucketed_cumsum_matches_global_window(spark, vals, buckets):
 
 @given(
     pairs=st.lists(
-        st.tuples(st.integers(min_value=0, max_value=10**9),
-                  st.integers(min_value=1, max_value=10**9)),
+        st.tuples(st.integers(min_value=0, max_value=10**12),
+                  st.integers(min_value=1, max_value=10**12)),
         min_size=1, max_size=20,
     ),
     digits=st.sampled_from([4, 6]),
@@ -416,7 +416,14 @@ def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
     from dl_datalake_spark.functions.exact import ratio_round, ratio_round_sql
 
     # force some guaranteed half-boundary cases into every run
-    pairs = pairs + [(3, 2 * 10**digits), (7, 4 * 10**digits), (1, 2 * 10**digits)]
+    # guaranteed half boundaries + numerators far beyond double's 2^53
+    pairs = pairs + [
+        (3, 2 * 10**digits),
+        (7, 4 * 10**digits),
+        (1, 2 * 10**digits),
+        (74916692793, 375843962006),  # the live 1-micro flip case
+        (10**12 - 1, 3),
+    ]
     quantum = Decimal(1).scaleb(-digits)
 
     def expect(a, b):
