@@ -13,6 +13,12 @@ Route parity map (reference → here):
 - GET  /features/<id> UI features.py:256+       feature metadata by id
 - GET  /features/<id>/download  UI features.py:225-250  feature bytes
 - POST /ingest/file   UI ingest.py:58-120       CSV → lake
+- POST /ingest/download        UI ingest.py:208-216  queue one symbol download
+- POST /ingest/bulk-download   UI ingest.py:218-236  queue many symbols
+- GET  /ingest/status          UI ingest.py:204-206  task registry snapshot
+- GET  /exchanges              UI ingest.py:238-243  supported exchanges
+- GET  /exchanges/<id>/markets UI ingest.py:245-268  market types of one exchange
+- GET  /exchanges/<id>/symbols UI ingest.py:270-289  active symbols of one market
 - POST /export        UI data.py:154-239        terminal CSV export
 - POST /export/batch  UI data.py:378-442        all symbols of an exchange
 - DELETE /datasets    UI ingest.py:324-363      manifest+files delete
@@ -39,7 +45,23 @@ def _rows(df) -> list[dict[str, Any]]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
-def create_app(client: DataLakeClient):
+def _task_dict(task) -> dict[str, Any]:
+    return {
+        "task_id": task.task_id,
+        "exchange": task.exchange,
+        "symbol": task.symbol,
+        "status": task.status,
+        "rows": task.rows,
+        "error": task.error,
+    }
+
+
+def create_app(client: DataLakeClient, download_manager=None, catalog=None):
+    """`download_manager` (sources/download_manager.py) powers the
+    async download routes; `catalog` (sources/catalog.py) powers
+    exchange/market/symbol discovery. Both optional — routes return
+    503 when the corresponding backend wasn't wired, so a read-only
+    deployment doesn't need connector credentials."""
     from flask import Flask, jsonify, request
 
     app = Flask("dl_datalake_spark")
@@ -148,6 +170,99 @@ def create_app(client: DataLakeClient):
                 "time_to": result.time_to,
             }
         )
+
+    # -- async download orchestration (reference UI ingest.py:204-236) ------
+    def _submit_download(body: dict):
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(
+            body["exchange"],
+            body.get("market", "SPOT"),
+            body["symbol"],
+            body.get("data_type", "raw"),
+            body.get("period", "1m"),
+        )
+        timeframe_ms = int(body.get("timeframe_ms", 60_000))
+        since = body.get("start_ms")
+        until = body.get("end_ms")
+        return download_manager.submit(
+            key.exchange,
+            key.symbol,
+            lambda conn: conn.download_ohlcv(
+                key,
+                timeframe_ms,
+                since=int(since) if since is not None else None,
+                until=int(until) if until is not None else None,
+            ),
+        )
+
+    @app.post("/ingest/download")
+    def ingest_download():
+        if download_manager is None:
+            return jsonify({"error": "download manager not configured"}), 503
+        body = request.get_json(force=True)
+        try:
+            task = _submit_download(body)
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        return jsonify(
+            {
+                **_task_dict(task),
+                "message": f"Queued download for {task.symbol} from {task.exchange}",
+            }
+        )
+
+    @app.post("/ingest/bulk-download")
+    def ingest_bulk_download():
+        if download_manager is None:
+            return jsonify({"error": "download manager not configured"}), 503
+        body = request.get_json(force=True)
+        try:
+            symbols = body["symbols"]
+            tasks = [_submit_download({**body, "symbol": s}) for s in symbols]
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        return jsonify(
+            {
+                "tasks": [_task_dict(t) for t in tasks],
+                "message": f"Queued {len(tasks)} downloads from {body['exchange']}",
+            }
+        )
+
+    @app.get("/ingest/status")
+    def ingest_status():
+        if download_manager is None:
+            return jsonify({"error": "download manager not configured"}), 503
+        task_id = request.args.get("task_id")
+        if task_id is not None:
+            task = download_manager.get_task(task_id)
+            if task is None:
+                return jsonify({"error": "task not found"}), 404
+            return jsonify(_task_dict(task))
+        return jsonify({t.task_id: _task_dict(t) for t in download_manager.list_tasks()})
+
+    # -- exchange discovery (reference UI ingest.py:238-289) ----------------
+    @app.get("/exchanges")
+    def exchanges():
+        if catalog is None:
+            return jsonify({"error": "exchange catalog not configured"}), 503
+        return jsonify({"exchanges": catalog.exchanges()})
+
+    @app.get("/exchanges/<exchange_id>/markets")
+    def exchange_markets(exchange_id: str):
+        if catalog is None:
+            return jsonify({"error": "exchange catalog not configured"}), 503
+        return jsonify({"markets": catalog.markets(exchange_id)})
+
+    @app.get("/exchanges/<exchange_id>/symbols")
+    def exchange_symbols(exchange_id: str):
+        if catalog is None:
+            return jsonify({"error": "exchange catalog not configured"}), 503
+        try:
+            syms = catalog.symbols(exchange_id, request.args.get("market", "spot"))
+        except Exception as exc:  # reference 500s on probe failure
+            return jsonify({"error": f"failed to fetch symbols: {exc}"}), 500
+        return jsonify({"symbols": syms})
 
     @app.post("/export")
     def export():

@@ -41,9 +41,17 @@ def ingest_pipeline_flow(
     if expectations:
         from dl_datalake_spark.lake.expectations import check
 
-        report = check(
+        checked = check(
             client.spark.read.parquet(ingest.path), expectations, enforce=enforce
         )
+        if enforce == "quarantine":
+            # check() returns (good, bad, report) in quarantine mode;
+            # surface the split so callers can route the bad rows.
+            good, bad, report = checked
+            result["quarantined"] = bad.count()
+            result["good_rows"] = good.count()
+        else:
+            report = checked
         result["expectations"] = [r.asDict() for r in report.collect()]
     aggs = {}
     for tf in targets:

@@ -91,12 +91,20 @@ def check(
                  row-level constraint (unique() can't quarantine a
                  specific row — both copies are 'the duplicate')
     """
+    if enforce not in ("report", "fail", "quarantine"):
+        raise ValueError(f"enforce must be report|fail|quarantine, got {enforce!r}")
     rows = [e for e in expectations if isinstance(e, Expectation)]
     uniqs = [e for e in expectations if isinstance(e, UniqueExpectation)]
 
+    # NULL predicates (three-valued logic) must count as violations:
+    # a custom() predicate that evaluates to NULL satisfies neither p
+    # nor ~p, so without the coalesce the row would be skipped by the
+    # tally AND dropped from both quarantine splits silently.
+    passes = {e.name: F.coalesce(e.predicate, F.lit(False)) for e in rows}
+
     aggs = [F.count(F.lit(1)).alias("_total")]
     for e in rows:
-        aggs.append(F.sum((~e.predicate).cast("long")).alias(e.name))
+        aggs.append(F.sum((~passes[e.name]).cast("long")).alias(e.name))
     tally = df.agg(*aggs).collect()[0]
     total = tally["_total"]
 
@@ -124,7 +132,7 @@ def check(
     if enforce == "quarantine":
         good_pred = F.lit(True)
         for e in rows:
-            good_pred = good_pred & e.predicate
+            good_pred = good_pred & passes[e.name]
         good = df.where(good_pred)
         bad = df.where(~good_pred)
         return good, bad, report_df

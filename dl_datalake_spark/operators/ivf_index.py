@@ -135,7 +135,6 @@ def write_ivf_index(
     """Materialize the index: centroids (tiny) + vectors partitioned by
     cell — the partition layout IS the inverted file."""
     import shutil
-    import tempfile
     import uuid
 
     vecs = df.select(
@@ -143,10 +142,12 @@ def write_ivf_index(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
     assigned = _assign(vecs, cents)
-    # build the whole index in a staging dir, then swap atomically —
-    # a rebuild never leaves a reader facing half-written cells (same
-    # tmp-dir protocol as the manifest store and MV compaction)
-    tmp = os.path.join(tempfile.gettempdir(), f"_ivf_build_{uuid.uuid4().hex}")
+    # build the whole index in a staging dir NEXT TO the destination
+    # (same parent => same filesystem), then swap with os.rename —
+    # a rebuild never leaves a reader facing half-written cells.
+    # Staging in /tmp would make the final move a recursive copy when
+    # the index lives on a different mount, voiding the atomicity.
+    tmp = path.rstrip("/") + f".staging.{uuid.uuid4().hex}"
     cents.write.mode("overwrite").parquet(os.path.join(tmp, CENTROIDS_DIR))
     (
         assigned.repartition("cell")
@@ -157,7 +158,7 @@ def write_ivf_index(
     old_dir = path.rstrip("/") + f".old.{uuid.uuid4().hex}"
     if os.path.exists(path):
         os.rename(path, old_dir)
-    shutil.move(tmp, path)
+    os.rename(tmp, path)
     shutil.rmtree(old_dir, ignore_errors=True)
 
 

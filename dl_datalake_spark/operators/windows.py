@@ -135,7 +135,10 @@ def bucketed_cumsum(
     wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = btot.select(
         "_b",
-        F.coalesce(F.sum("_bs").over(wo), F.lit(0.0)).alias("_off"),
+        # int literal so coalesce preserves the input's type: a LONG
+        # value column keeps exact integer prefix sums (the drift-free
+        # money path); lit(0.0) would silently widen cum_sum to double
+        F.coalesce(F.sum("_bs").over(wo), F.lit(0)).alias("_off"),
         F.coalesce(F.sum("_bc").over(wo), F.lit(0)).cast("long").alias("_offc"),
         F.sum("_bs").over(
             Window.orderBy(F.lit(1)).rowsBetween(

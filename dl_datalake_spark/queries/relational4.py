@@ -268,9 +268,9 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str):
     "agg_decimal_money",
     sql="""
 SELECT l_returnflag,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(1 - l_discount AS DECIMAL(18,2))) AS net,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS gross,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -289,9 +289,13 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str):
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    # Pin the output precision explicitly: Spark's SUM(DECIMAL(18,2)) yields
+    # decimal(28,2) while DuckDB widens to DECIMAL(38,2) — the values agree
+    # but a type-aware hash does not.  Casting both engines to the same
+    # (38,2)/(38,4) makes the result metadata identical too.
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("gross"),
-        F.sum(price * disc).alias("net"),
+        F.sum(price).cast("decimal(38,2)").alias("gross"),
+        F.sum(price * disc).cast("decimal(38,4)").alias("net"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -397,22 +397,23 @@ def events_next_gap(spark: SparkSession, sf_dir: str):
     "orders_pareto_share",
     sql="""
 WITH per_cust AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  SELECT o_custkey,
+         CAST(ROUND(ROUND(SUM(o_totalprice), 2) * 100) AS BIGINT) AS rev_c
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
-  SELECT o_custkey, revenue,
-         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
-         SUM(revenue) OVER () AS tot_rev,
-         CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rnk
+  SELECT o_custkey, rev_c,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+         SUM(rev_c) OVER () AS tot_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS rnk
   FROM per_cust
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(MAX(rnk) AS BIGINT) AS deepest_rank,
-       ROUND(MAX(cum_rev), 2) AS covered_revenue
+       ROUND(MAX(cum_c) / 100.0, 2) AS covered_revenue
 FROM ranked
-WHERE cum_rev - revenue < tot_rev * 0.5
+WHERE (cum_c - rev_c) * 2 < tot_c
 """,
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str):
@@ -424,21 +425,29 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str):
     running sums in parallel, bucket-prefix offsets from a
     num_buckets-row table — instead of the textbook global ORDER BY
     window, which executes on ONE partition and dies at 100 TB
-    customer counts. Same numbers, parallel plan.
+    customer counts.
+
+    The prefix sum runs over INTEGER CENTS (round(revenue*100) as
+    long), not doubles: bucketed doubles associate additions in a
+    different order than the oracle's sequential running SUM, and the
+    strict boundary filter can flip the marginal customer on a last-ulp
+    difference. Integers make the cumulative sum exact and the
+    threshold comparison (2*(cum-rev) < tot) integer-only on both
+    engines.
     """
     from dl_datalake_spark.operators.windows import bucketed_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("long").alias("rev_c")
     )
-    ranked = bucketed_cumsum(per_cust, "revenue", "o_custkey", num_buckets=32)
+    ranked = bucketed_cumsum(per_cust, "rev_c", "o_custkey", num_buckets=32)
     return ranked.where(
-        F.col("cum_sum") - F.col("revenue") < F.col("tot_sum") * 0.5
+        (F.col("cum_sum") - F.col("rev_c")) * 2 < F.col("tot_sum")
     ).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.max("rnk").alias("deepest_rank"),
-        F.round(F.max("cum_sum"), 2).alias("covered_revenue"),
+        F.round(F.max("cum_sum") / 100.0, 2).alias("covered_revenue"),
     )
 
 

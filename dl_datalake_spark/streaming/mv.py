@@ -29,6 +29,25 @@ from pyspark.sql.streaming import StreamingQuery
 
 MV_AGG_COLS = ("_n", "_sum", "_min", "_max")
 
+# Marker file inside the MV dir recording the highest _batch_id folded
+# into the `_batch_id=-1` baseline by compact_mv.  write_mv_batch skips
+# any batch at or below it: after a crash the checkpoint may replay a
+# batch the baseline already absorbed, and without the watermark that
+# replay would land a fresh _batch_id=N partition on top of the
+# baseline and double-count.
+_WATERMARK_FILE = "_compacted_through"
+
+
+def _compacted_through(mv_path: str) -> int:
+    import os
+
+    p = os.path.join(mv_path, _WATERMARK_FILE)
+    try:
+        with open(p) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
 
 def _partials(
     df: DataFrame,
@@ -59,7 +78,12 @@ def write_mv_batch(
     distinct_col: str | None = None,
 ) -> None:
     """One micro-batch → one partial-state partition. Safe to replay:
-    same batch_id always lands in (and fully replaces) one partition."""
+    same batch_id always lands in (and fully replaces) one partition,
+    and batches already folded into a compacted baseline are skipped
+    (see _WATERMARK_FILE) so a post-compaction replay cannot
+    double-count."""
+    if int(batch_id) <= _compacted_through(mv_path):
+        return
     spark = batch_df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -122,15 +146,31 @@ def read_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> DataFra
 
 
 def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None:
-    """Fold every batch partition into a single `_batch_id=-1` baseline
-    (atomic tmp-dir swap, same protocol as the manifest store). Run when
-    retained-batch count makes the read-time merge noticeable."""
+    """Fold every batch partition into a single `_batch_id=-1` baseline.
+
+    MUST run against a STOPPED, fully-committed stream: compaction and
+    a live writer racing on the same partitions is undefined.  Replay
+    safety after restart comes from the watermark file written here —
+    the max folded _batch_id is persisted and write_mv_batch skips any
+    batch at or below it, so a checkpoint replay of an absorbed batch
+    is a no-op instead of a double-count.
+
+    The staging dir is created NEXT TO mv_path (same parent, hence the
+    same filesystem) so both swap steps are atomic os.renames — staging
+    in /tmp would degrade shutil.move to a recursive copy on a
+    different mount and void the no-half-written-view guarantee.  The
+    swap itself is two renames; readers in that sub-millisecond window
+    see ENOENT, not partial data — retry on the reader side.
+    """
     import os
     import shutil
-    import tempfile
     import uuid
 
     partials = spark.read.parquet(mv_path)
+    max_batch = max(
+        _compacted_through(mv_path),
+        int(partials.agg(F.max("_batch_id")).collect()[0][0]),
+    )
     aggs = [
         F.sum("_n").alias("_n"),
         F.sum("_sum").alias("_sum"),
@@ -144,9 +184,11 @@ def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None
         .agg(*aggs)
         .withColumn("_batch_id", F.lit(-1))
     )
-    tmp = os.path.join(tempfile.gettempdir(), f"_mv_compact_{uuid.uuid4().hex}")
+    tmp = mv_path.rstrip("/") + f".staging.{uuid.uuid4().hex}"
     merged.coalesce(1).write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
+    with open(os.path.join(tmp, _WATERMARK_FILE), "w") as fh:
+        fh.write(str(max_batch))
     old = mv_path.rstrip("/") + f".old.{uuid.uuid4().hex}"
     os.rename(mv_path, old)
-    shutil.move(tmp, mv_path)
+    os.rename(tmp, mv_path)
     shutil.rmtree(old, ignore_errors=True)

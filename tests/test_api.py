@@ -161,3 +161,136 @@ def test_verify_and_refresh_endpoints(app_client):
         "/refresh", json={"exchange": "BINANCE", "target_period": "15m"}
     ).get_json()
     assert out == {"BTCUSDT": 2}  # 30 minutes of 1m -> two 15m buckets
+
+
+# ---------------------------------------------------------------------------
+# async download orchestration routes (reference UI ingest.py:204-289)
+# ---------------------------------------------------------------------------
+class _GateExchange:
+    """fetch_ohlcv blocks on an event so the test can observe the
+    pending/running -> completed transition through HTTP."""
+
+    def __init__(self, candles, gate):
+        self.candles = candles
+        self.gate = gate
+
+    def fetch_ohlcv(self, symbol, timeframe_ms, since, limit):
+        self.gate.wait(10)
+        return [c for c in self.candles if c[0] >= since][:limit]
+
+    def load_markets(self):
+        return {
+            "BTC/USDT": {"type": "spot", "active": True},
+            "ETH/USDT": {"type": "spot", "active": True},
+            "DOGE/USDT": {"type": "spot", "active": False},
+            "BTC/USDT:USDT": {"type": "swap", "active": True},
+        }
+
+
+@pytest.fixture()
+def download_app(spark, tmp_path):
+    import threading
+
+    from dl_datalake_spark.sources.catalog import ExchangeCatalog
+    from dl_datalake_spark.sources.download_manager import DownloadManager
+    from dl_datalake_spark.sources.rest_connector import (
+        ConnectorConfig,
+        ExchangeConnector,
+    )
+
+    gate = threading.Event()
+    candles = [[i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0] for i in range(5)]
+    fake = _GateExchange(candles, gate)
+    client = DataLakeClient(spark, str(tmp_path / "base"))
+    mgr = DownloadManager(
+        connector_factory=lambda ex: ExchangeConnector(
+            spark, client.writer, fake, ConnectorConfig(sleep=lambda s: None)
+        ),
+        max_workers=4,
+    )
+    catalog = ExchangeCatalog(
+        client_factory=lambda ex: fake, known_exchanges=["binance", "kraken"]
+    )
+    app = create_app(client, download_manager=mgr, catalog=catalog)
+    app.config["TESTING"] = True
+    yield app.test_client(), client, gate, mgr
+    gate.set()
+    mgr.shutdown()
+
+
+def test_download_lifecycle_over_http(download_app):
+    http, client, gate, mgr = download_app
+    r = http.post(
+        "/ingest/download",
+        json={
+            "exchange": "BINANCE",
+            "symbol": "BTCUSDT",
+            "timeframe_ms": 60000,
+            "start_ms": 0,
+            "end_ms": 5 * 60000,
+        },
+    )
+    assert r.status_code == 200
+    tid = r.get_json()["task_id"]
+
+    # before the gate opens the task is queued or mid-download
+    st = http.get("/ingest/status", query_string={"task_id": tid}).get_json()
+    assert st["status"] in ("pending", "running")
+
+    gate.set()
+    assert mgr.get_task(tid).wait(timeout=30)
+    st = http.get("/ingest/status", query_string={"task_id": tid}).get_json()
+    assert st["status"] == "completed" and st["rows"] == 5
+    assert client.reader.read_range("BINANCE", "BTCUSDT", "raw").count() == 5
+
+    # registry snapshot lists the task; unknown id -> 404
+    snap = http.get("/ingest/status").get_json()
+    assert tid in snap
+    assert http.get("/ingest/status", query_string={"task_id": "nope"}).status_code == 404
+    # missing field -> 422
+    assert http.post("/ingest/download", json={"exchange": "BINANCE"}).status_code == 422
+
+
+def test_bulk_download_over_http(download_app):
+    http, client, gate, mgr = download_app
+    gate.set()
+    r = http.post(
+        "/ingest/bulk-download",
+        json={
+            "exchange": "BINANCE",
+            "symbols": ["AAAUSDT", "BBBUSDT"],
+            "timeframe_ms": 60000,
+            "start_ms": 0,
+            "end_ms": 5 * 60000,
+        },
+    )
+    assert r.status_code == 200
+    tasks = r.get_json()["tasks"]
+    assert len(tasks) == 2
+    for t in tasks:
+        assert mgr.get_task(t["task_id"]).wait(timeout=30)
+    for sym in ("AAAUSDT", "BBBUSDT"):
+        assert client.reader.read_range("BINANCE", sym, "raw").count() == 5
+
+
+def test_exchange_discovery_routes(download_app):
+    http, _, _, _ = download_app
+    ex = http.get("/exchanges").get_json()["exchanges"]
+    assert {"id": "binance", "name": "Binance"} in ex
+
+    mk = http.get("/exchanges/binance/markets").get_json()["markets"]
+    assert {"id": "spot", "name": "Spot"} in mk and {"id": "swap", "name": "Swap"} in mk
+
+    syms = http.get("/exchanges/binance/symbols").get_json()["symbols"]
+    assert syms == ["BTC/USDT", "ETH/USDT"]  # active spot only
+    swap = http.get(
+        "/exchanges/binance/symbols", query_string={"market": "swap"}
+    ).get_json()["symbols"]
+    assert swap == ["BTC/USDT:USDT"]
+
+
+def test_download_routes_503_when_unconfigured(app_client):
+    http, _, _ = app_client
+    assert http.post("/ingest/download", json={}).status_code == 503
+    assert http.get("/ingest/status").status_code == 503
+    assert http.get("/exchanges").status_code == 503
