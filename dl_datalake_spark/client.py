@@ -135,10 +135,12 @@ class DataLakeClient:
         symbol — fine for ten symbols, 1,000 Spark jobs for 1,000. Here
         the raw scan is a single manifest-pruned multi-dataset read,
         per-symbol watermarks arrive as a broadcast join (not a driver
-        loop), and the resample groups by (symbol, bucket) in one
-        hash-agg. Only the final upsert runs per symbol, over the tiny
-        persisted aggregate — writes are per-dataset because each holds
-        its own lock + manifest row.
+        loop), the resample groups by (symbol, bucket) in one hash-agg,
+        and the upsert is ONE multi-dataset write job
+        (writer.write_ohlc_multi): one keep-last merge, one dynamic
+        partition overwrite fanning out to every symbol's directories,
+        and one batched manifest MERGE — per-symbol manifest rows
+        unchanged.
         """
         from dl_datalake_spark.operators.resample import resample_ohlcv, timeframe_ms
 
@@ -170,17 +172,16 @@ class DataLakeClient:
             by=["symbol"],
         ).persist()
         agg.count()  # pin every partition before writes mutate inputs
-        out: dict[str, object] = {}
         try:
-            for row in agg.select("symbol").distinct().collect():
-                sym = row["symbol"]
-                batch = agg.where(F.col("symbol") == sym).drop("symbol")
-                out[sym] = self.writer.write_ohlc(
-                    batch, DatasetKey(exchange, "agg", sym, "agg", target_period)
-                )
+            return self.writer.write_ohlc_multi(
+                agg,
+                exchange,
+                market="agg",
+                data_type="agg",
+                period=target_period,
+            )
         finally:
             agg.unpersist()
-        return out
 
     # -- export (UI data.py:154-359) -----------------------------------------
     def export_ohlc(

@@ -222,70 +222,89 @@ class ManifestManager:
         script_git_hash: str | None = None,
         metadata: dict[str, Any] | None = None,
     ) -> None:
-        with _catalog_lock(self.path):
-            self._add_entry_locked(
-                exchange, market, symbol, path, data_type, time_from, time_to,
-                version, checksum, script_git_hash, metadata,
-            )
-
-    def _add_entry_locked(
-        self,
-        exchange: str,
-        market: str,
-        symbol: str,
-        path: str,
-        data_type: str,
-        time_from: int | None,
-        time_to: int | None,
-        version: str,
-        checksum: str | None,
-        script_git_hash: str | None,
-        metadata: dict[str, Any] | None,
-    ) -> None:
-        current = self.load()
-        agg = current.agg(
-            F.max("id").alias("max_id"),
-            F.min(F.when(F.col("path") == path, F.col("time_from"))).alias("t0"),
-            F.max(F.when(F.col("path") == path, F.col("time_to"))).alias("t1"),
-        ).collect()[0]
-        max_id = agg["max_id"] or 0
-        # a path-keyed upsert REPLACES the row, so the range must widen
-        # monotonically across writes — otherwise a second write's
-        # narrower touched-partition range would shadow earlier data and
-        # break time-range pruning (plans/manifest_pruning.py) and the
-        # resume watermark
-        if time_from is not None and agg["t0"] is not None:
-            time_from = min(time_from, agg["t0"])
-        if time_to is not None and agg["t1"] is not None:
-            time_to = max(time_to, agg["t1"])
-        row = [
-            (
-                max_id + 1,
-                exchange.upper(),
-                market.upper(),
-                symbol.upper(),
-                path,
-                data_type,
-                time_from,
-                time_to,
-                version,
-                checksum,
-                datetime.now(timezone.utc).replace(tzinfo=None),
-                script_git_hash or current_git_hash(),
-                json.dumps(metadata or {}),
-            )
-        ]
-        new = self.spark.createDataFrame(row, MANIFEST_SCHEMA)
-        # path-keyed upsert: new row wins (manifest.py:63-99 semantics)
-        w = Window.partitionBy("path").orderBy(F.desc("_src"))
-        merged = (
-            current.withColumn("_src", F.lit(0))
-            .unionByName(new.withColumn("_src", F.lit(1)))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_src")
+        self.add_entries(
+            [
+                {
+                    "exchange": exchange,
+                    "market": market,
+                    "symbol": symbol,
+                    "path": path,
+                    "data_type": data_type,
+                    "time_from": time_from,
+                    "time_to": time_to,
+                    "version": version,
+                    "checksum": checksum,
+                    "script_git_hash": script_git_hash,
+                    "metadata": metadata,
+                }
+            ]
         )
-        self._store(merged)
+
+    def add_entries(self, rows: list[dict[str, Any]]) -> None:
+        """Batched path-keyed upsert: N dataset rows in ONE catalog
+        lock + load + merge + store cycle — the MERGE-style union a
+        multi-dataset write (writer.write_ohlc_multi) needs, instead of
+        N sequential lock/load/store round-trips. Each dict takes the
+        add_entry keyword names; `path` must be unique within a batch
+        (last write wins is undefined inside one MERGE)."""
+        if not rows:
+            return
+        paths = [r["path"] for r in rows]
+        if len(set(paths)) != len(paths):
+            raise ValueError("add_entries: duplicate path within one batch")
+        with _catalog_lock(self.path):
+            current = self.load()
+            max_id = current.agg(F.max("id")).collect()[0][0] or 0
+            # a path-keyed upsert REPLACES the row, so each range must
+            # widen monotonically across writes — otherwise a second
+            # write's narrower touched-partition range would shadow
+            # earlier data and break time-range pruning
+            # (plans/manifest_pruning.py) and the resume watermark
+            existing = {
+                r["path"]: (r["t0"], r["t1"])
+                for r in current.where(F.col("path").isin(paths))
+                .groupBy("path")
+                .agg(F.min("time_from").alias("t0"), F.max("time_to").alias("t1"))
+                .collect()
+            }
+            data = []
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            for i, r in enumerate(rows):
+                tf, tt = r.get("time_from"), r.get("time_to")
+                old = existing.get(r["path"])
+                if old is not None:
+                    if tf is not None and old[0] is not None:
+                        tf = min(tf, old[0])
+                    if tt is not None and old[1] is not None:
+                        tt = max(tt, old[1])
+                data.append(
+                    (
+                        max_id + 1 + i,
+                        r["exchange"].upper(),
+                        r["market"].upper(),
+                        r["symbol"].upper(),
+                        r["path"],
+                        r.get("data_type", "raw"),
+                        tf,
+                        tt,
+                        r.get("version", "1.0.0"),
+                        r.get("checksum"),
+                        now,
+                        r.get("script_git_hash") or current_git_hash(),
+                        json.dumps(r.get("metadata") or {}),
+                    )
+                )
+            new = self.spark.createDataFrame(data, MANIFEST_SCHEMA)
+            # path-keyed upsert: new row wins (manifest.py:63-99 semantics)
+            w = Window.partitionBy("path").orderBy(F.desc("_src"))
+            merged = (
+                current.withColumn("_src", F.lit(0))
+                .unionByName(new.withColumn("_src", F.lit(1)))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+            self._store(merged)
 
     def list_entries(
         self,

@@ -74,6 +74,115 @@ class LakeWriter:
             k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
         return self._write(df, k, mode=mode)
 
+    def write_ohlc_multi(
+        self,
+        df: DataFrame,
+        exchange: str,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+        mode: str = "upsert",
+        symbol_col: str = "symbol",
+    ) -> dict[str, WriteResult]:
+        """ONE write job for MANY symbols' datasets.
+
+        `df` carries a symbol column; every other dataset coordinate is
+        shared. The per-symbol `write_ohlc` loop costs one lock +
+        read-back + overwrite commit per symbol — 1,000 symbols means
+        1,000 sequential Spark jobs. Here the keep-last merge, stats,
+        and dynamic-partition overwrite each run once across all
+        symbols (partitionBy already fans rows out to each dataset's
+        directories), and the manifest rows land in one batched MERGE
+        (`manifest.add_entries`). Locks for all touched datasets are
+        taken in sorted order (deadlock-free) for the whole commit.
+
+        Returns {sanitized_symbol: WriteResult}, same shape as calling
+        write_ohlc per symbol.
+        """
+        from contextlib import ExitStack
+
+        ts_col = _require_ts(df, "ts")
+        ex, mk = exchange.upper(), market.upper()
+        t = F.timestamp_millis(F.col(ts_col).cast("long"))
+        batch = (
+            # engine-side sanitize_symbol (paths.py): BTC/USDT → BTC_USDT
+            df.withColumn(
+                "symbol", F.upper(F.regexp_replace(F.col(symbol_col), "[/: ]", "_"))
+            )
+            .withColumn("exchange", F.lit(ex))
+            .withColumn("market", F.lit(mk))
+            .withColumn("data_type", F.lit(data_type))
+            .withColumn("period", F.lit(period))
+            .withColumn("year", F.year(t))
+            .withColumn("month", F.month(t))
+        )
+        symbols = sorted(r["symbol"] for r in batch.select("symbol").distinct().collect())
+        if not symbols:
+            return {}
+        keys = [DatasetKey(ex, mk, s, data_type, period) for s in symbols]
+
+        with ExitStack() as stack:
+            for k in keys:
+                stack.enter_context(path_lock(self.dataset_path(k)))
+            if mode == "upsert":
+                merged = self._merge_keep_last_multi(batch, keys, ts_col)
+            elif mode in ("append", "overwrite"):
+                merged = batch
+            else:
+                raise ValueError(f"unknown write mode: {mode}")
+
+            merged = merged.persist()
+            try:
+                stats = {
+                    r["symbol"]: r
+                    for r in merged.groupBy("symbol")
+                    .agg(
+                        F.min(ts_col).alias("t0"),
+                        F.max(ts_col).alias("t1"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
+                }
+                out = merged.sortWithinPartitions(ts_col)
+                writer = out.write.partitionBy(*PARTITION_COLS).option(
+                    "compression", "snappy"
+                )
+                if mode == "append":
+                    writer.mode("append").parquet(self.base_path)
+                else:
+                    writer.mode("overwrite").parquet(self.base_path)
+            finally:
+                merged.unpersist()
+
+        results: dict[str, WriteResult] = {}
+        manifest_rows = []
+        for k in keys:
+            s = stats.get(k.symbol)
+            if s is None:
+                continue
+            res = WriteResult(
+                path=self.dataset_path(k),
+                time_from=s["t0"],
+                time_to=s["t1"],
+                rows=s["n"],
+            )
+            results[k.symbol] = res
+            manifest_rows.append(
+                {
+                    "exchange": k.exchange,
+                    "market": k.market,
+                    "symbol": k.symbol,
+                    "path": res.path,
+                    "data_type": k.data_type,
+                    "time_from": res.time_from,
+                    "time_to": res.time_to,
+                    "metadata": {"timeframe": k.period, "rows": res.rows},
+                }
+            )
+        if self.manifest is not None:
+            self.manifest.add_entries(manifest_rows)
+        return results
+
     # -- core ---------------------------------------------------------------
 
     def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
@@ -172,6 +281,44 @@ class LakeWriter:
         new = batch.withColumn("_src", F.lit(1))
         unioned = old.unionByName(new, allowMissingColumns=True)
         w = Window.partitionBy("symbol", "data_type", "period", ts_col).orderBy(F.desc("_src"))
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+
+    def _merge_keep_last_multi(
+        self, batch: DataFrame, keys: list[DatasetKey], ts_col: str
+    ) -> DataFrame:
+        """Multi-dataset keep-last merge: ONE read-back over every
+        existing touched dataset subtree (still pruned to the batch's
+        year/month partitions), one union, one window. The keep-last
+        window partitions by symbol as well, so per-symbol precedence
+        is identical to N separate _merge_keep_last calls."""
+        paths = [p for p in (self.dataset_path(k) for k in keys) if os.path.isdir(p)]
+        if not paths:
+            return batch
+        months = [
+            (r["year"], r["month"])
+            for r in batch.select("year", "month").distinct().collect()
+        ]
+        if not months:
+            return batch
+        month_pred = F.lit(False)
+        for y, m in months:
+            month_pred = month_pred | ((F.col("year") == y) & (F.col("month") == m))
+        existing = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(*paths)
+            .where(month_pred)
+        )
+        old = existing.withColumn("_src", F.lit(0))
+        new = batch.withColumn("_src", F.lit(1))
+        unioned = old.unionByName(new, allowMissingColumns=True)
+        w = Window.partitionBy("symbol", "data_type", "period", ts_col).orderBy(
+            F.desc("_src")
+        )
         return (
             unioned.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

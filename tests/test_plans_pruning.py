@@ -129,5 +129,5 @@ def test_pareto_prefix_sum_has_no_corpus_global_window(spark):
     # over the per-bucket offsets aggregate (they mention _bs/_bc)
     windows = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert windows, "expected window operators in the plan"
-    per_row = [ln for ln in windows if "revenue" in ln]
+    per_row = [ln for ln in windows if "rev_c" in ln]
     assert per_row and all("windowspecdefinition(_b#" in ln for ln in per_row), per_row
