@@ -51,9 +51,57 @@ FEATURE_SCHEMA = T.StructType(
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real image/audio decoder: derives a
     feature vector from the payload digest. Replace with a real codec
-    (PIL/torchaudio/ffmpeg) via the `decoder` argument."""
+    (PIL/torchaudio/ffmpeg) via the `decoder` argument or
+    register_codec()."""
     d = hashlib.sha256(payload or b"").digest()
     return [d[i] / 255.0 for i in range(dim)]
+
+
+# ---------------------------------------------------------------------------
+# codec plug-in registry: a real decoder/resizer drops in WITHOUT
+# editing the operators. Keyed by (kind, mime_prefix); operators
+# snapshot the registry at PLAN-BUILD time (driver side) and cloudpickle
+# ships the snapshot by value into the worker closure — so registered
+# callables must be self-contained (no module-global references),
+# exactly like the operators' own closures.
+#
+# Resolution order inside an operator:
+#   explicit callable argument > longest registered mime-prefix match
+#   for the row's meta.mime > the deterministic stub.
+# ---------------------------------------------------------------------------
+_CODECS: dict[tuple[str, str], Callable] = {}
+
+DECODER = "decode"   # Callable[[bytes], list[float]]
+RESIZER = "resize"   # Callable[[bytes, int, int], bytes]
+
+
+def register_codec(kind: str, mime_prefix: str, fn: Callable) -> None:
+    """Register a codec for all payloads whose meta.mime starts with
+    `mime_prefix` (e.g. ("decode", "image/", pil_decode)). Longest
+    prefix wins when several match; "" matches everything."""
+    if kind not in (DECODER, RESIZER):
+        raise ValueError(f"kind must be {DECODER!r} or {RESIZER!r}, got {kind!r}")
+    _CODECS[(kind, mime_prefix)] = fn
+
+
+def unregister_codec(kind: str, mime_prefix: str) -> None:
+    _CODECS.pop((kind, mime_prefix), None)
+
+
+def _codec_snapshot(kind: str) -> dict[str, Callable]:
+    """Driver-side snapshot for capture-by-value into worker closures."""
+    return {m: f for (k, m), f in _CODECS.items() if k == kind}
+
+
+def _pick_codec(snapshot: dict[str, Callable], mime: str | None):
+    """Longest registered mime-prefix match, or None. Self-contained —
+    safe to call inside worker closures (snapshot is a plain dict)."""
+    best, best_len = None, -1
+    m = mime or ""
+    for prefix, fn in snapshot.items():
+        if m.startswith(prefix) and len(prefix) > best_len:
+            best, best_len = fn, len(prefix)
+    return best
 
 
 def attach_binary_column(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,14 +124,22 @@ def extract_features(
     decoder: Callable[[bytes], list[float]] | None = None,
     feat_dim: int = 8,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-batched feature extraction over the binary column.
+
+    Decoder resolution: explicit `decoder` argument > registered codec
+    (register_codec(DECODER, mime_prefix, fn), matched per row against
+    meta.mime) > deterministic stub."""
     decode = decoder
     dim = feat_dim
+    registered = _codec_snapshot(DECODER)  # captured by value, driver-side
+    pick = _pick_codec
+    has_meta = "meta" in media.columns
 
     # NOTE: this closure executes on Python workers, which may not have
     # this package importable (driver-owned sessions started outside the
     # repo). Keep it self-contained: stdlib/pandas imports inside, no
-    # module-global references — cloudpickle then ships it by value.
+    # module-global references — cloudpickle then ships it by value
+    # (including the registry snapshot and `pick`, which is pure).
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -93,10 +149,21 @@ def extract_features(
             d = hashlib.sha256(payload or b"").digest()
             return [d[i] / 255.0 for i in range(dim)]
 
-        decode_fn = decode or fake_decode
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [decode_fn(bytes(p) if p is not None else b"") for p in payloads]
+            if decode is not None:
+                fns = [decode] * len(pdf)
+            elif registered and has_meta:
+                mimes = [(m or {}).get("mime") for m in pdf["meta"]]
+                fns = [pick(registered, m) or fake_decode for m in mimes]
+            elif registered:
+                fns = [pick(registered, None) or fake_decode] * len(pdf)
+            else:
+                fns = [fake_decode] * len(pdf)
+            feats = [
+                fn(bytes(p) if p is not None else b"")
+                for fn, p in zip(fns, payloads)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -130,11 +197,14 @@ def resize_images(
     """Arrow-batched image resize over the binary column.
 
     `resizer(payload, w, h) -> payload` is the real codec hook
-    (PIL/opencv — not in this container). Without one, the payload
-    passes through unchanged and only the metadata is rewritten, which
-    keeps the plumbing (schema, batch shape, narrow no-shuffle map)
-    real and testable; a production caller injects the actual codec.
+    (PIL/opencv — not in this container). Resolution: explicit argument
+    > registered codec (register_codec(RESIZER, mime_prefix, fn)) >
+    pass-through. Without a codec the payload passes through unchanged
+    and only the metadata is rewritten, which keeps the plumbing
+    (schema, batch shape, narrow no-shuffle map) real and testable.
     """
+    registered = _codec_snapshot(RESIZER)  # captured by value, driver-side
+    pick = _pick_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # worker-side closure: self-contained imports (see extract_features)
@@ -145,6 +215,17 @@ def resize_images(
             if resizer is not None:
                 payloads = payloads.map(
                     lambda p: resizer(bytes(p) if p is not None else b"", width, height)
+                )
+            elif registered:
+                mimes = [(m or {}).get("mime") for m in pdf["meta"]]
+                payloads = pd.Series(
+                    [
+                        fn(bytes(p) if p is not None else b"", width, height)
+                        if (fn := pick(registered, m)) is not None
+                        else p
+                        for p, m in zip(payloads, mimes)
+                    ],
+                    index=payloads.index,
                 )
             meta = pdf["meta"].map(
                 lambda m: {**(m or {}), "width": width, "height": height}

@@ -19,6 +19,7 @@ from dl_datalake_spark.queries import temporal  # noqa: F401, E402
 from dl_datalake_spark.queries import textops  # noqa: F401, E402
 from dl_datalake_spark.queries import curation  # noqa: F401, E402
 from dl_datalake_spark.queries import curation2  # noqa: F401, E402
+from dl_datalake_spark.queries import curation3  # noqa: F401, E402
 from dl_datalake_spark.queries import multimodalq  # noqa: F401, E402
 from dl_datalake_spark.queries import dedupq  # noqa: F401, E402
 from dl_datalake_spark.queries import simq  # noqa: F401, E402

@@ -445,3 +445,54 @@ def test_incremental_mv_distinct_count_sketch(spark, tmp_path):
     compact_mv(spark, mv_path, ["k"])
     row2 = read_mv(spark, mv_path, ["k"]).collect()[0]
     assert (row2["n"], row2["approx_distinct"]) == (5, 4)
+
+
+def test_codec_registry_injects_decoder_and_resizer(spark):
+    """A production codec drops in through register_codec WITHOUT
+    touching the operators or their call sites; longest mime-prefix
+    wins; unregistering restores the stub."""
+    from dl_datalake_spark.operators.multimodal import (
+        DECODER,
+        RESIZER,
+        register_codec,
+        unregister_codec,
+    )
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    media = attach_binary_column(docs)  # meta.mime = text/plain
+
+    # self-contained callables (shipped by value to workers)
+    def len_decoder(payload):
+        return [float(len(payload or b""))] * 8
+
+    def exact_decoder(payload):
+        return [-1.0] * 8
+
+    register_codec(DECODER, "text/", len_decoder)
+    register_codec(DECODER, "text/plain", exact_decoder)  # longer prefix wins
+    try:
+        feats = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert feats[1]["features"] == [-1.0] * 8
+        # explicit argument still beats the registry
+        arg = {
+            r["media_id"]: r
+            for r in extract_features(media, decoder=len_decoder).collect()
+        }
+        assert arg[1]["features"] == [3.0] * 8 and arg[2]["features"] == [4.0] * 8
+    finally:
+        unregister_codec(DECODER, "text/")
+        unregister_codec(DECODER, "text/plain")
+
+    # registry empty again -> deterministic stub (digest-derived)
+    stub = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert stub[1]["features"] != [-1.0] * 8
+
+    def trunc_resizer(payload, w, h):
+        return (payload or b"")[:1]
+
+    register_codec(RESIZER, "text/", trunc_resizer)
+    try:
+        out = {r["media_id"]: r for r in resize_images(media, 64, 48).collect()}
+        assert bytes(out[1]["payload"]) == b"a"
+    finally:
+        unregister_codec(RESIZER, "text/")
