@@ -129,8 +129,23 @@ def incremental_mv(
 
 def read_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> DataFrame:
     """The view: merge partial states across batch partitions. avg is
-    derived from merged sum/count — never averaged across batches."""
-    partials = spark.read.parquet(mv_path)
+    derived from merged sum/count — never averaged across batches.
+
+    Retries the directory open briefly: compact_mv swaps the view with
+    two atomic renames, so a reader landing exactly between them sees
+    ENOENT for under a millisecond — never partial data."""
+    import time as _time
+
+    partials = None
+    for attempt in range(5):
+        try:
+            partials = spark.read.parquet(mv_path)
+            break
+        except Exception:
+            if attempt == 4:
+                raise
+            _time.sleep(0.05 * (attempt + 1))
+    assert partials is not None
     aggs = [
         F.sum("_n").alias("n"),
         F.sum("_sum").alias("sum_value"),

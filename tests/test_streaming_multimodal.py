@@ -404,6 +404,20 @@ def test_incremental_mv_exactly_once_and_compaction(spark, tmp_path):
     mv5 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
     assert mv5 == {"a": (3, 13.0), "b": (2, 4.0), "c": (1, 7.0)}
 
+    # POST-COMPACTION replay guard: a crash-replay of a batch the
+    # baseline already absorbed must be a no-op — the persisted
+    # compaction watermark (_compacted_through) makes write_mv_batch
+    # skip it instead of stacking a fresh partition on the baseline
+    write_mv_batch(replay, 0, ["k"], "v", mv_path)
+    write_mv_batch(replay, 1, ["k"], "v", mv_path)
+    mv6 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv6 == mv5
+    # a genuinely NEW batch id (above the watermark) still lands
+    new_batch = spark.createDataFrame([("d", 4.0)], schema)
+    write_mv_batch(new_batch, 99, ["k"], "v", mv_path)
+    mv7 = {r["k"]: (r["n"], r["sum_value"]) for r in read_mv(spark, mv_path, ["k"]).collect()}
+    assert mv7 == {**mv5, "d": (1, 4.0)}
+
 
 def test_incremental_mv_distinct_count_sketch(spark, tmp_path):
     """HLL distinct-count state rides the same per-batch partials:
