@@ -496,3 +496,98 @@ def emb_dimension_stats(spark: SparkSession, sf_dir: str):
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit: recall@5 of the IVF (nprobe=1, label-mean cells)
+# retrieval against the exact k-NN for the first 20 query vectors —
+# the accuracy dial every ANN deployment reports next to its speedup.
+# Both retrievals are deterministic functions of the input, so the
+# audit oracles exactly like emb_ivf_topk + emb_knn_join do.
+# ---------------------------------------------------------------------------
+def _ivf_recall_sql() -> str:
+    a_cos = _COS_SQL.replace("qv", "a.qv").replace("cv", "c.cv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(mean_v ORDER BY i) AS cv FROM (
+    SELECT label, i, AVG(v) AS mean_v FROM (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+    GROUP BY label, i)
+  GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+assigned AS (
+  SELECT q_id, qv, label AS cell FROM (
+    SELECT q.q_id, q.qv, cent.label,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {_COS_SQL} DESC, cent.label) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn = 1
+),
+c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv FROM e),
+approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT a.q_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY a.q_id
+                              ORDER BY {a_cos} DESC, c.c_id) AS rank
+    FROM assigned a JOIN c ON c.c_label = a.cell AND c.c_id <> a.q_id)
+  WHERE rank <= 5
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY {_COS_SQL} DESC, c_id) AS rank
+    FROM q JOIN c ON c_id <> q_id)
+  WHERE rank <= 5
+),
+hits AS (
+  SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM approx a JOIN exact e2 ON a.q_id = e2.q_id AND a.c_id = e2.c_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) / 5.0 AS recall
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits USING (q_id)
+ORDER BY q_id
+"""
+
+
+@register("emb_ivf_recall_audit", sql=_ivf_recall_sql())
+def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str):
+    """recall@5 per query: |IVF top-5 ∩ exact top-5| / 5. Both sides
+    reuse the registry's retrieval operators (ivf_topk /
+    pairwise_topk_join); the audit itself is one equi-join + one
+    20-group agg — negligible next to the retrievals."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 20)
+    approx = ivf_topk(q, emb, k=5).select("q_id", "c_id")
+    exact = pairwise_topk_join(q, emb, k=5).select(
+        F.col("q_id").alias("eq_id"), F.col("c_id").alias("ec_id")
+    )
+    hits = (
+        approx.join(
+            exact,
+            (F.col("q_id") == F.col("eq_id")) & (F.col("c_id") == F.col("ec_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = q.select(F.col("vec_id").alias("q_id"))
+    return (
+        qs.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
