@@ -331,3 +331,38 @@ def test_lock_timeout_is_clean_and_leaves_no_partial_write(lake, spark, ohlc_df)
     res = writer.write_ohlc(replacement, KEY)
     assert res.rows == 100
     assert reader.read_dataset(KEY).where(F.col("open") == 99.0).count() == 100
+
+
+def test_concurrent_multi_writes_with_overlapping_symbols(lake, spark):
+    """Two write_ohlc_multi calls whose symbol sets OVERLAP, run from
+    two threads: sorted-order lock acquisition serializes them without
+    deadlock and both batches' disjoint ts ranges survive on the shared
+    symbol."""
+    import threading
+
+    writer, reader, manifest = lake
+    d1 = _multi_df(spark, ["AAA/USD", "BBB/USD"], n=10)                       # ts 0..9
+    d2 = _multi_df(spark, ["BBB/USD", "CCC/USD"], n=10,
+                   start=1672574400000 + 10 * 60000)                          # ts 10..19
+    errs = []
+
+    def work(df):
+        try:
+            writer.write_ohlc_multi(df, "binance", "spot", "raw", "1m")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(d,)) for d in (d1, d2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert errs == []
+    for sym, expect in (("AAA_USD", 10), ("BBB_USD", 20), ("CCC_USD", 10)):
+        key = DatasetKey("BINANCE", "SPOT", sym, "raw", "1m")
+        assert reader.read_dataset(key).count() == expect
+        assert manifest.list_entries(symbol=sym, data_type="raw").count() == 1
+    # the shared symbol's manifest range spans BOTH batches
+    e = manifest.list_entries(symbol="BBB_USD", data_type="raw").collect()[0]
+    assert e["time_from"] == 1672574400000
+    assert e["time_to"] == 1672574400000 + 19 * 60000
