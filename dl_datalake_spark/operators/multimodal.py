@@ -94,8 +94,14 @@ def _codec_snapshot(kind: str) -> dict[str, Callable]:
 
 
 def _pick_codec(snapshot: dict[str, Callable], mime: str | None):
-    """Longest registered mime-prefix match, or None. Self-contained —
-    safe to call inside worker closures (snapshot is a plain dict)."""
+    """Longest registered mime-prefix match, or None.
+
+    NOTE: driver-side use only. Worker closures must NOT reference this
+    module-level function — cloudpickle serializes module functions BY
+    IMPORT PATH, and the Python workers of a driver-owned session may
+    not have this package importable. Each operator inlines the same
+    three-line picker inside its closure instead.
+    """
     best, best_len = None, -1
     m = mime or ""
     for prefix, fn in snapshot.items():
@@ -132,14 +138,14 @@ def extract_features(
     decode = decoder
     dim = feat_dim
     registered = _codec_snapshot(DECODER)  # captured by value, driver-side
-    pick = _pick_codec
     has_meta = "meta" in media.columns
 
     # NOTE: this closure executes on Python workers, which may not have
     # this package importable (driver-owned sessions started outside the
     # repo). Keep it self-contained: stdlib/pandas imports inside, no
-    # module-global references — cloudpickle then ships it by value
-    # (including the registry snapshot and `pick`, which is pure).
+    # module-global references (the mime picker is INLINED — a module
+    # function would pickle by import path and fail on the worker) —
+    # cloudpickle then ships it by value, registry snapshot included.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -148,6 +154,14 @@ def extract_features(
         def fake_decode(payload: bytes) -> list[float]:
             d = hashlib.sha256(payload or b"").digest()
             return [d[i] / 255.0 for i in range(dim)]
+
+        def pick(snapshot, mime):
+            best, best_len = None, -1
+            m = mime or ""
+            for prefix, fn in snapshot.items():
+                if m.startswith(prefix) and len(prefix) > best_len:
+                    best, best_len = fn, len(prefix)
+            return best
 
         for pdf in batches:
             payloads = pdf["payload"]
@@ -204,11 +218,19 @@ def resize_images(
     (schema, batch shape, narrow no-shuffle map) real and testable.
     """
     registered = _codec_snapshot(RESIZER)  # captured by value, driver-side
-    pick = _pick_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # worker-side closure: self-contained imports (see extract_features)
+        # worker-side closure: self-contained imports, inlined picker
+        # (see extract_features for why it can't reference the module)
         import pandas as pd
+
+        def pick(snapshot, mime):
+            best, best_len = None, -1
+            m = mime or ""
+            for prefix, fn in snapshot.items():
+                if m.startswith(prefix) and len(prefix) > best_len:
+                    best, best_len = fn, len(prefix)
+            return best
 
         for pdf in batches:
             payloads = pdf["payload"]

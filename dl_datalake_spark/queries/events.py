@@ -1016,3 +1016,59 @@ def events_type_user_overlap(spark: SparkSession, sf_dir: str):
             ratio_round(F.col("inter"), union_sz).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once dedup, oracle-checked (SURVEY §2.9 T3's
+# registry twin): the same events directory is read as TWO file
+# streams and unioned — a faithful model of at-least-once redelivery
+# (every event arrives twice) — then dropDuplicates(event_id) restores
+# exactly-once before a keyed aggregate. availableNow replays the full
+# history, so the deduped streaming result hash-matches the plain
+# batch aggregate over the ORIGINAL table. On a live source the same
+# plan bounds state with dropDuplicatesWithinWatermark
+# (streaming/ingest.py:86).
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_dedup",
+    sql="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+    import uuid
+
+    static = load_table(spark, sf_dir, "events")
+
+    def source():
+        return (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+
+    doubled = source().unionByName(source())  # at-least-once: 2x delivery
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dl_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
