@@ -113,7 +113,7 @@ def build_parser() -> argparse.ArgumentParser:
         "index",
         help="build or search a persistent IVF ANN index over an embedding table",
     )
-    ix.add_argument("action", choices=["build", "search"])
+    ix.add_argument("action", choices=["build", "search", "upsert"])
     ix.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--cells", type=int, default=16)
@@ -253,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
         from dl_datalake_spark.operators.ivf_index import (
             search_ivf_index,
             train_ivf,
+            upsert_ivf_index,
             write_ivf_index,
         )
 
@@ -262,6 +263,10 @@ def main(argv: list[str] | None = None) -> int:
             write_ivf_index(vecs, cents, args.index)
             print(json.dumps({"index": args.index, "cells": args.cells,
                               "vectors": vecs.count()}))
+        elif args.action == "upsert":
+            n = upsert_ivf_index(spark, vecs, args.index)
+            print(json.dumps({"index": args.index, "upserted_batch": vecs.count(),
+                              "rows_in_touched_cells": n}))
         else:
             q = vecs
             if args.query_ids:

@@ -215,3 +215,68 @@ def search_ivf_index(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally absorb a batch of vectors into a persisted index —
+    the 100 TB maintenance path: a daily embedding batch must NOT cost
+    a full retrain + rewrite.
+
+    Mechanics mirror the lake writer's upsert: new vectors are assigned
+    to cells against the EXISTING (frozen) centroids, only the touched
+    cell partitions are read back, keep-last per vec_id resolves
+    re-inserts, and dynamic partition overwrite rewrites just those
+    cells. Cost is O(batch + touched cells), never O(index).
+
+    Contract: embeddings are immutable per vec_id. A re-insert of an
+    existing id with the SAME vector replaces it in place (dedup). A
+    CHANGED vector would re-assign to a different cell while the stale
+    copy sits in an untouched partition — that is a retrain/rebuild
+    (`train_ivf` + `write_ivf_index`), not an upsert; centroid drift
+    from accumulated inserts is likewise the scheduled-retrain signal.
+
+    Returns the number of rows now present in the touched cells.
+    """
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = _assign(vecs, cents)
+    cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    if not cells:
+        return 0
+    vdir = os.path.join(path, VECTORS_DIR)
+    existing = spark.read.parquet(vdir).where(F.col("cell").isin(cells))
+    old = existing.withColumn("_src", F.lit(0))
+    new = assigned.withColumn("_src", F.lit(1))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_src"))
+    merged = (
+        old.unionByName(new)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+        .persist()
+    )
+    try:
+        n = merged.count()  # pin rows before the overwrite drops inputs
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(vdir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        merged.unpersist()
+    return n

@@ -209,3 +209,67 @@ def test_ivf_full_probe_equals_brute_force(spark, tmp_path):
     )
     truth = {(r["q_id"], r["c_id"], r["rank"]) for r in exact.collect()}
     assert found == truth
+
+
+def test_ivf_index_incremental_upsert(spark, tmp_path):
+    """Daily-batch maintenance: new vectors land in their cells via
+    dynamic partition overwrite of ONLY the touched cells; re-inserts
+    dedupe; untouched cells' files are not rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import (
+        read_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _load_emb(spark)
+    base = emb.where(F.col("vec_id") < 80)
+    cents = train_ivf(base, num_cells=4, iters=2)
+    path = str(tmp_path / "ivf_up")
+    write_ivf_index(base, cents, path)
+    _, vectors = read_ivf_index(spark, path)
+    n0 = vectors.count()
+    assert n0 == 80
+
+    # snapshot per-cell file mtimes to prove untouched cells survive
+    vdir = os.path.join(path, "vectors")
+    def cell_files():
+        out = {}
+        for d in os.listdir(vdir):
+            if d.startswith("cell="):
+                full = os.path.join(vdir, d)
+                out[d] = sorted(os.listdir(full))
+        return out
+    before = cell_files()
+
+    batch = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    upsert_ivf_index(spark, batch, path)
+    _, vectors = read_ivf_index(spark, path)
+    assert vectors.count() == 100
+    # every new id present exactly once
+    news = vectors.where(F.col("vec_id") >= 80)
+    assert news.count() == 20
+    assert news.select("vec_id").distinct().count() == 20
+
+    # touched cells = the batch's assigned cells; other cells untouched
+    touched = {f"cell={r['cell']}" for r in news.select("cell").distinct().collect()}
+    after = cell_files()
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched {d} was rewritten"
+
+    # idempotent re-upsert: same batch again -> no duplicates
+    upsert_ivf_index(spark, batch, path)
+    _, vectors = read_ivf_index(spark, path)
+    assert vectors.count() == 100
+
+    # search serves the new vectors (a new vector is its own best hit's
+    # neighborhood; just assert k results per query from probed cells)
+    res = search_ivf_index(spark, batch.limit(3), path, k=3, nprobe=2)
+    got = res.groupBy("q_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == 3 for r in got)
