@@ -366,3 +366,58 @@ def test_concurrent_multi_writes_with_overlapping_symbols(lake, spark):
     e = manifest.list_entries(symbol="BBB_USD", data_type="raw").collect()[0]
     assert e["time_from"] == 1672574400000
     assert e["time_to"] == 1672574400000 + 19 * 60000
+
+
+def test_expectations_null_predicate_counts_as_violation(spark):
+    """Three-valued logic: a custom() predicate that evaluates to NULL
+    must count as a violation AND land in the quarantine bad split —
+    without the coalesce the row silently vanishes from both outputs
+    while the report claims it passed."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.expectations import check, custom
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id long, px double"
+    )
+    # px > 0 is NULL for the NULL px row
+    exps = [custom("px_positive", F.col("px") > 0)]
+    report = {r["name"]: r for r in check(df, exps).collect()}
+    assert report["px_positive"]["violations"] == 2  # NULL + negative
+
+    good, bad, rep = check(df, exps, enforce="quarantine")
+    assert sorted(r["id"] for r in good.collect()) == [1]
+    assert sorted(r["id"] for r in bad.collect()) == [2, 3]  # none dropped
+    assert good.count() + bad.count() == df.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check(df, exps, enforce="nonsense")
+
+
+def test_ingest_flow_quarantine_mode(spark, tmp_path):
+    """ingest_pipeline_flow(enforce='quarantine') surfaces the split
+    instead of raising AttributeError on the tuple return."""
+    from dl_datalake_spark.client import DataLakeClient
+    from dl_datalake_spark.flows import ingest_pipeline_flow
+    from dl_datalake_spark.lake.expectations import accepted_range
+
+    csv = tmp_path / "q.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(
+            f"{1672574400000 + i * 60000},1,2,0.5,{-1.5 if i < 3 else 1.5},10"
+            for i in range(10)
+        )
+    )
+    client = DataLakeClient(spark, str(tmp_path / "base"))
+    out = ingest_pipeline_flow(
+        client, str(csv), "BINANCE", "SPOT", "BTCUSDT",
+        targets=(),
+        expectations=[accepted_range("close", 0.0, 100.0)],
+        enforce="quarantine",
+    )
+    assert out["quarantined"] == 3 and out["good_rows"] == 7
+    names = {e["name"]: e for e in out["expectations"]}
+    assert names["range_close"]["violations"] == 3
