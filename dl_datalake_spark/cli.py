@@ -155,6 +155,18 @@ def build_parser() -> argparse.ArgumentParser:
     skw.add_argument("--keys", required=True, help="comma-separated key columns")
     skw.add_argument("--top", type=int, default=10)
 
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation: dedup -> quality/repetition filter -> "
+        "deterministic sample -> split -> sharded parquet",
+    )
+    cu.add_argument("--docs", required=True, help="parquet with (doc_id, text, lang, source)")
+    cu.add_argument("--out", required=True, help="output dir (split=/shard= parquet)")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--max-rep", type=float, default=0.2, help="max duplicate-3-gram ratio")
+    cu.add_argument("--sample-cutoff", default="cc", help="md5-hex keep cutoff (cc = 80%%)")
+    cu.add_argument("--shards", type=int, default=8)
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -276,6 +288,33 @@ def main(argv: list[str] | None = None) -> int:
                 spark, q, args.index, k=args.k, nprobe=args.nprobe
             )
             res.show(100, truncate=False)
+    elif args.cmd == "curate":
+        from dl_datalake_spark.operators.curation import (
+            curate_corpus,
+            shard_for_training,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        kept = curate_corpus(
+            docs,
+            min_quality=args.min_quality,
+            max_rep_micros=int(args.max_rep * 1_000_000),
+            sample_cutoff=args.sample_cutoff,
+        )
+        sharded = shard_for_training(kept, args.shards)
+        # one job: splits and shards fan out as partition directories
+        sharded.write.partitionBy("split", "shard").mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        summary = {
+            f"{r['split']}/{r['lang']}": {"n_docs": r["n"], "tokens": r["toks"]}
+            for r in spark.read.parquet(args.out)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks"))
+            .collect()
+        }
+        print(json.dumps({"out": args.out, "n_in": docs.count(),
+                          "n_kept": kept.count(), "splits": summary}, sort_keys=True))
     elif args.cmd == "expect":
         from dl_datalake_spark.lake.expectations import (
             accepted_range,

@@ -168,3 +168,47 @@ def iter_training_shard(path: str, shard: int, batch_rows: int = 1024):
     table = table.take(pc.sort_indices(order))
     for batch in table.to_batches(max_chunksize=batch_rows):
         yield batch
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_rep_micros: int = 200_000,
+    sample_cutoff: str = "cc",
+) -> DataFrame:
+    """End-to-end curation in one lazy plan: exact dedup (md5 keeper) →
+    quality floor → repetition cap (distinct/total word-3-gram ratio,
+    exact integer micros) → deterministic md5 downsample →
+    train/val/test split. Returns the kept documents with text intact
+    plus (n_tokens, quality, split) — ready for write_training_shards.
+
+    Every stage is a hash agg or semi-join over the doc_id key; the
+    whole pipeline is the oracled docs_curation_pipeline shape
+    (queries/curation.py) with the rows kept instead of summarized.
+    """
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.functions.exact import ratio_units
+    from dl_datalake_spark.operators.dedup import exact_dedup, word_shingles
+    from dl_datalake_spark.operators.text import with_quality_score
+
+    q = with_quality_score(docs)
+    sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
+    rep = sh.groupBy("doc_id").agg(
+        (
+            F.lit(1_000_000)
+            - ratio_units(F.countDistinct("shingle"), F.count(F.lit(1)))
+        ).alias("rep_micros")
+    )
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = (
+        q.join(rep, "doc_id", "left")
+        .join(keepers, "doc_id", "leftsemi")
+        .where(
+            (F.col("quality") >= min_quality)
+            & (F.coalesce(F.col("rep_micros"), F.lit(0)) <= max_rep_micros)
+            & (hash_key("doc_id") < F.lit(sample_cutoff))
+        )
+        .drop("rep_micros", "punct_count", "mean_token_len")
+    )
+    return assign_split(kept)

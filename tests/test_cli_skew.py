@@ -201,3 +201,35 @@ def test_cli_history_and_skew_commands(spark, tmp_path, capsys):
     assert main(["--base", base, "skew", "--path", path, "--keys", "k"]) == 0
     out = capsys.readouterr().out
     assert "share" in out and "x_mean" in out
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """curate: documents parquet -> deduped/filtered/split/sharded
+    training parquet + JSON summary."""
+    base = str(tmp_path / "lake")
+    out = str(tmp_path / "curated")
+    docs = str(tmp_path / "docs_in")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs)
+
+    assert main([
+        "--base", base, "curate", "--docs", docs, "--out", out, "--shards", "4",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["n_kept"] > 0 and summary["n_kept"] < summary["n_in"]
+
+    curated = spark.read.parquet(out)
+    # splits + shards materialized as partition dirs; text survives
+    assert set(r["split"] for r in curated.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    assert curated.where(F.col("shard") >= 4).count() == 0
+    assert "text" in curated.columns and "quality" in curated.columns
+    assert curated.count() == summary["n_kept"]
+    # deterministic: re-running lands the identical corpus
+    out2 = str(tmp_path / "curated2")
+    assert main([
+        "--base", base, "curate", "--docs", docs, "--out", out2, "--shards", "4",
+    ]) == 0
+    a = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect())
+    assert a == b
