@@ -294,3 +294,24 @@ def test_download_routes_503_when_unconfigured(app_client):
     assert http.post("/ingest/download", json={}).status_code == 503
     assert http.get("/ingest/status").status_code == 503
     assert http.get("/exchanges").status_code == 503
+
+
+def test_exchange_catalog_fallbacks():
+    """No CCXT in this sandbox: exchanges come from the seeded list;
+    a failing market probe falls back to the reference's static types;
+    a failing symbol probe raises (the route 500s)."""
+    from dl_datalake_spark.sources.catalog import ExchangeCatalog
+
+    def boom(ex):
+        raise ConnectionError("probe failed")
+
+    cat = ExchangeCatalog(client_factory=boom, known_exchanges=["kraken"])
+    assert cat.exchanges() == [{"id": "kraken", "name": "Kraken"}]
+    assert cat.markets("kraken") == [
+        {"id": "future", "name": "Future"},
+        {"id": "spot", "name": "Spot"},
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        cat.symbols("kraken")
