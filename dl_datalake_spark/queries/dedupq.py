@@ -769,3 +769,48 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str):
             F.count(F.coalesce(F.col("ex"), F.col("near"))).alias("drop_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# candidate-graph degree histogram: log2-bucketed distribution of how
+# many LSH candidate pairs each document participates in. THE skew
+# audit for distributed dedup — a fat top bucket means hot nodes whose
+# pair lists (and the later connected-components propagation) will
+# straggle; it is the dial behind dedup_minhash_lsh's max_bucket_docs
+# cap. Buckets come from length(bin(deg))-1 — integer floor(log2) with
+# no float log in either engine.
+# ---------------------------------------------------------------------------
+def _degree_hist_sql() -> str:
+    return rf"""
+WITH pairs AS ({_minhash_sql().strip()}),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs)
+  GROUP BY doc_id)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("dedup_graph_degree_histogram", sql=_degree_hist_sql())
+def dedup_graph_degree_histogram(spark: SparkSession, sf_dir: str):
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.select(F.expr("length(bin(deg)) - 1").cast("long").alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )
