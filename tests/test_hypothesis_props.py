@@ -496,3 +496,33 @@ def test_expectations_partition_and_tally(spark, rows):
     assert b == {
         i for i, (v, _) in enumerate(rows) if v is None or not (0 <= v <= 9)
     }
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=0, max_value=10**12)),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    buckets=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_bucketed_cumsum_preserves_long_exactness(spark, vals, buckets):
+    """A LONG value column must come back as exact LONG prefix sums —
+    the drift-free money path (orders_pareto_share, orders_decile_lift
+    run over integer cents). A float literal in the offset coalesce
+    would silently widen cum_sum/tot_sum to double."""
+    from dl_datalake_spark.operators.windows import bucketed_cumsum
+
+    df = spark.createDataFrame(list(vals), "id long, v long").repartition(3)
+    out = bucketed_cumsum(df, "v", "id", num_buckets=buckets)
+    types = dict(out.dtypes)
+    assert types["cum_sum"] == "bigint" and types["tot_sum"] == "bigint"
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    # exact sequential check against python ints (no float involved)
+    ordered = sorted(vals, key=lambda t: (-t[1], t[0]))
+    run = 0
+    tot = sum(v for _, v in vals)
+    for r, (i, v) in zip(rows, ordered):
+        run += v
+        assert (r["id"], r["cum_sum"], r["tot_sum"]) == (i, run, tot)
