@@ -134,6 +134,10 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         assert joined.count() == 4000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # don't leave warehouse dirs behind (one pair accrues per run)
+        for t in (t_orders, t_items):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
 
 
 def test_no_cartesian_product_in_any_registered_query(spark):
