@@ -155,6 +155,17 @@ def build_parser() -> argparse.ArgumentParser:
     skw.add_argument("--keys", required=True, help="comma-separated key columns")
     skw.add_argument("--top", type=int, default=10)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="lake maintenance: small-file compaction and/or orphan vacuum",
+    )
+    mt.add_argument("action", choices=["compact", "vacuum"])
+    mt.add_argument("--files-per-partition", type=int, default=1)
+    mt.add_argument("--in-place", action="store_true",
+                    help="compact into the live tree instead of a staged swap")
+    mt.add_argument("--apply", action="store_true",
+                    help="vacuum: actually delete (default is dry-run report)")
+
     cu = sub.add_parser(
         "curate",
         help="training-data curation: dedup -> quality/repetition filter -> "
@@ -288,6 +299,21 @@ def main(argv: list[str] | None = None) -> int:
                 spark, q, args.index, k=args.k, nprobe=args.nprobe
             )
             res.show(100, truncate=False)
+    elif args.cmd == "maintain":
+        if args.action == "compact":
+            from dl_datalake_spark.lake.maintenance import compact
+
+            out = compact(
+                spark, args.base,
+                target_files_per_partition=args.files_per_partition,
+                in_place=args.in_place,
+            )
+            print(json.dumps({"compacted": out}))
+        else:
+            from dl_datalake_spark.lake.maintenance import vacuum
+
+            rep = vacuum(spark, args.base, client.manifest, dry_run=not args.apply)
+            print(json.dumps({"dry_run": not args.apply, **rep}))
     elif args.cmd == "curate":
         from dl_datalake_spark.operators.curation import (
             curate_corpus,

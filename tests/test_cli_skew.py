@@ -233,3 +233,34 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     a = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect())
     assert a == b
+
+
+def test_cli_maintain_compact_and_vacuum(spark, tmp_path, capsys):
+    base = str(tmp_path / "lake")
+    csv = tmp_path / "m.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(20))
+    )
+    assert main(["--base", base, "init"]) == 0
+    capsys.readouterr()
+    assert main([
+        "--base", base, "ingest", str(csv),
+        "--exchange", "binance", "--symbol", "BTCUSDT",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["--base", base, "maintain", "compact"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["compacted"]
+
+    assert main(["--base", base, "maintain", "vacuum"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["dry_run"] is True
+    # a healthy lake reports nothing to reclaim
+    assert rep.get("orphan_dirs", []) == [] and rep.get("dead_links", []) == []
+
+    # data intact after compaction
+    assert spark.read.option("basePath", base).parquet(
+        base + "/exchange=BINANCE/market=SPOT/symbol=BTCUSDT/data_type=raw/period=1m"
+    ).count() == 20
