@@ -961,3 +961,69 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str):
         F.round(F.col("q")[2], 4).alias("q3"),
         F.round(F.col("q")[2] - F.col("q")[0], 4).alias("iqr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-concentration audit: Herfindahl-Hirschman index of supplier
+# revenue share within each nation. Shares are quantized to exact
+# integer micros BEFORE squaring, so the HHI is a pure integer sum
+# (u_i^2 <= 1e12, hundreds of suppliers per nation -> far inside long)
+# divided once by 1e12 at the end — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_concentration_hhi",
+    sql=f"""
+WITH rev AS (
+  SELECT n.n_name,
+         l.l_suppkey,
+         CAST(ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) * 100)
+              AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_suppkey),
+tot AS (
+  SELECT n_name, CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev GROUP BY n_name),
+sh AS (
+  SELECT rev.n_name,
+         {{share_u}} AS share_u
+  FROM rev JOIN tot USING (n_name))
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       MAX(share_u) / 1000000.0 AS top_share,
+       CAST(SUM(share_u * share_u) AS BIGINT) / 1000000000000.0 AS hhi
+FROM sh GROUP BY n_name ORDER BY n_name
+""".format(share_u="(2 * CAST(rev_c AS BIGINT) * 1000000 + CAST(tot_c AS BIGINT)) // (2 * CAST(tot_c AS BIGINT))"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.functions.exact import ratio_units
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                * 100
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("rev_c").alias("tot_c"))
+    sh = rev.join(tot, "n_name").withColumn(
+        "share_u", ratio_units(F.col("rev_c"), F.col("tot_c"))
+    )
+    return (
+        sh.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.max("share_u") / F.lit(1e6)).alias("top_share"),
+            (F.sum(F.col("share_u") * F.col("share_u")) / F.lit(1e12)).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
