@@ -814,3 +814,67 @@ def dedup_graph_degree_histogram(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality x duplication calibration: near-dup rate per quality-score
+# decile — the cross-signal audit that tells you whether your quality
+# filter and your dedup stage are removing the SAME documents (wasted
+# compute) or complementary ones. Buckets are fixed 0.1-wide quality
+# bands (floor(quality*10) on the 6-digit-rounded score — identical
+# doubles on both engines), never a data-dependent NTILE.
+# ---------------------------------------------------------------------------
+def _quality_dup_sql() -> str:
+    from dl_datalake_spark.queries.textops import _STOP_EN
+
+    return rf"""
+WITH pairs AS ({_minhash_sql().strip()}),
+dup_docs AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b AS doc_id FROM pairs),
+t AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS punct_count,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> lower(w) IN {_STOP_EN})) AS INTEGER) AS stop_hits
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              ELSE ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(punct_count / GREATEST(n_chars, 1), 1.0))
+                       + 0.3 * LEAST(stop_hits / GREATEST(n_tokens, 1) * 10, 1.0), 6)
+         END AS quality
+  FROM t)
+SELECT CAST(floor(q.quality * 10) AS BIGINT) AS q_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dups,
+       ((2 * CAST(COUNT(dd.doc_id) AS BIGINT) * 1000000 + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) / 1000000.0 AS dup_rate
+FROM q LEFT JOIN dup_docs dd USING (doc_id)
+GROUP BY q_bucket ORDER BY q_bucket
+"""
+
+
+@register("docs_quality_dup_calibration", sql=_quality_dup_sql())
+def docs_quality_dup_calibration(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    q = with_quality_score(docs).select("doc_id", "quality")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        q.join(dup_docs, "doc_id", "left")
+        .groupBy(F.floor(F.col("quality") * 10).cast("long").alias("q_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dups"),
+            ratio_round(F.count("is_dup"), F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("q_bucket")
+    )
