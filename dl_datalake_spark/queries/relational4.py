@@ -268,9 +268,11 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str):
     "agg_decimal_money",
     sql="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS gross,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS gross_cents,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net,
+           * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+         AS net_e4,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -281,21 +283,23 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str):
     float aggregate in this registry rounds before comparing because
     double summation is partition-order dependent; casting to
     DECIMAL(18,2) first makes the sum exact and order-independent in
-    BOTH engines — the accounting-grade path. The cost is decimal
-    arithmetic (~2-4x double on the JVM), which is why the analytical
-    queries stay double+round; this query pins that the exact path
-    exists and agrees bit-for-bit.
+    BOTH engines — the accounting-grade path.
+
+    The *computation* stays DECIMAL (exact, associative), but the
+    *output* crosses the comparison boundary as scaled integers
+    (gross_cents = gross*100, net_e4 = net*10000, both BIGINT): two
+    rounds of driver hashing showed that even Arrow-type-identical
+    DECIMAL values canonicalize differently across engines (Spark
+    parquet FIXED_LEN_BYTE_ARRAY(16) vs DuckDB int128), while the
+    registry's integer-units discipline has never mismatched.  sf0.1
+    gross tops out ~1.06e9 → 1.06e11 cents, far inside int64.
     """
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-    # Pin the output precision explicitly: Spark's SUM(DECIMAL(18,2)) yields
-    # decimal(28,2) while DuckDB widens to DECIMAL(38,2) — the values agree
-    # but a type-aware hash does not.  Casting both engines to the same
-    # (38,2)/(38,4) makes the result metadata identical too.
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(38,2)").alias("gross"),
-        F.sum(price * disc).cast("decimal(38,4)").alias("net"),
+        (F.sum(price) * 100).cast("long").alias("gross_cents"),
+        (F.sum(price * disc) * 10000).cast("long").alias("net_e4"),
         F.count(F.lit(1)).alias("n"),
     )
 
