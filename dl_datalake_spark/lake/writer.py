@@ -154,33 +154,39 @@ class LakeWriter:
             finally:
                 merged.unpersist()
 
-        results: dict[str, WriteResult] = {}
-        manifest_rows = []
-        for k in keys:
-            s = stats.get(k.symbol)
-            if s is None:
-                continue
-            res = WriteResult(
-                path=self.dataset_path(k),
-                time_from=s["t0"],
-                time_to=s["t1"],
-                rows=s["n"],
-            )
-            results[k.symbol] = res
-            manifest_rows.append(
-                {
-                    "exchange": k.exchange,
-                    "market": k.market,
-                    "symbol": k.symbol,
-                    "path": res.path,
-                    "data_type": k.data_type,
-                    "time_from": res.time_from,
-                    "time_to": res.time_to,
-                    "metadata": {"timeframe": k.period, "rows": res.rows},
-                }
-            )
-        if self.manifest is not None:
-            self.manifest.add_entries(manifest_rows)
+            # Manifest registration happens while the dataset locks are
+            # still held — same data-then-manifest ordering contract as
+            # _write_locked.  Registering after lock release would let a
+            # concurrent writer commit data+manifest in the gap and then
+            # have its manifest row clobbered by this (older) commit's
+            # stale rows/metadata.
+            results: dict[str, WriteResult] = {}
+            manifest_rows = []
+            for k in keys:
+                s = stats.get(k.symbol)
+                if s is None:
+                    continue
+                res = WriteResult(
+                    path=self.dataset_path(k),
+                    time_from=s["t0"],
+                    time_to=s["t1"],
+                    rows=s["n"],
+                )
+                results[k.symbol] = res
+                manifest_rows.append(
+                    {
+                        "exchange": k.exchange,
+                        "market": k.market,
+                        "symbol": k.symbol,
+                        "path": res.path,
+                        "data_type": k.data_type,
+                        "time_from": res.time_from,
+                        "time_to": res.time_to,
+                        "metadata": {"timeframe": k.period, "rows": res.rows},
+                    }
+                )
+            if self.manifest is not None:
+                self.manifest.add_entries(manifest_rows)
         return results
 
     # -- core ---------------------------------------------------------------
@@ -298,20 +304,40 @@ class LakeWriter:
         paths = [p for p in (self.dataset_path(k) for k in keys) if os.path.isdir(p)]
         if not paths:
             return batch
-        months = [
-            (r["year"], r["month"])
-            for r in batch.select("year", "month").distinct().collect()
+        # Prune PER SYMBOL, not by the global month union: with a skewed
+        # batch (one symbol touching many months, others one), a global
+        # month predicate reads back and identically rewrites partitions
+        # of symbols that never touched those months — pure write
+        # amplification.  The (symbol, year, month) triples actually in
+        # the batch are exactly the partitions the keep-last merge may
+        # change; everything else stays untouched on disk (dynamic
+        # partition overwrite only replaces partitions present in the
+        # output).  Bounded driver state: symbols x months, the same
+        # cardinality the dynamic-overwrite commit enumerates anyway.
+        triples = [
+            (r["symbol"], r["year"], r["month"])
+            for r in batch.select("symbol", "year", "month").distinct().collect()
         ]
-        if not months:
+        if not triples:
             return batch
-        month_pred = F.lit(False)
-        for y, m in months:
-            month_pred = month_pred | ((F.col("year") == y) & (F.col("month") == m))
+        if len(triples) <= 1024:
+            pred = F.lit(False)
+            for s, y, m in triples:
+                pred = pred | (
+                    (F.col("symbol") == s) & (F.col("year") == y) & (F.col("month") == m)
+                )
+        else:
+            # Predicate-size fallback for very wide batches: static
+            # per-month pruning (correct, coarser — bounded read
+            # amplification instead of a 10k-term Catalyst expression).
+            pred = F.lit(False)
+            for y, m in {(y, m) for _, y, m in triples}:
+                pred = pred | ((F.col("year") == y) & (F.col("month") == m))
         existing = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
             .parquet(*paths)
-            .where(month_pred)
+            .where(pred)
         )
         old = existing.withColumn("_src", F.lit(0))
         new = batch.withColumn("_src", F.lit(1))

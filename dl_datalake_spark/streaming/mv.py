@@ -35,18 +35,31 @@ MV_AGG_COLS = ("_n", "_sum", "_min", "_max")
 # batch the baseline already absorbed, and without the watermark that
 # replay would land a fresh _batch_id=N partition on top of the
 # baseline and double-count.
+#
+# Line 2 (optional) records the RUN IDENTITY (checkpoint location) of
+# the stream whose batches were folded.  Batch ids only mean "already
+# absorbed" within the checkpoint that numbered them: a stream restarted
+# from a NEW checkpoint renumbers from 0, and its batch 0 is fresh data,
+# not a replay.  The skip therefore only applies when the identity
+# matches; a known-different identity over a nonzero watermark fails
+# loudly instead of silently dropping the new run's first batches.
 _WATERMARK_FILE = "_compacted_through"
 
 
-def _compacted_through(mv_path: str) -> int:
+def _read_watermark(mv_path: str) -> tuple[int, str | None]:
     import os
 
     p = os.path.join(mv_path, _WATERMARK_FILE)
     try:
         with open(p) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+            lines = fh.read().splitlines()
+        return int(lines[0].strip()), (lines[1].strip() if len(lines) > 1 else None)
+    except (OSError, ValueError, IndexError):
+        return -1, None
+
+
+def _compacted_through(mv_path: str) -> int:
+    return _read_watermark(mv_path)[0]
 
 
 def _partials(
@@ -76,13 +89,38 @@ def write_mv_batch(
     value_col: str,
     mv_path: str,
     distinct_col: str | None = None,
+    run_identity: str | None = None,
 ) -> None:
     """One micro-batch → one partial-state partition. Safe to replay:
     same batch_id always lands in (and fully replaces) one partition,
     and batches already folded into a compacted baseline are skipped
     (see _WATERMARK_FILE) so a post-compaction replay cannot
-    double-count."""
-    if int(batch_id) <= _compacted_through(mv_path):
+    double-count.
+
+    `run_identity` (the checkpoint location, threaded automatically by
+    incremental_mv) scopes the skip: batch numbering restarts at 0 under
+    a new checkpoint, so "batch_id <= watermark" only means "replayed"
+    when the identity matches the one the watermark was written under.
+    A known-different identity over a nonzero watermark raises — the
+    new run would silently lose its first `watermark+1` batches
+    otherwise.  Identity-less calls (direct test/tooling use, legacy
+    watermark files) keep the old skip behavior.
+    """
+    wm_batch, wm_identity = _read_watermark(mv_path)
+    if int(batch_id) <= wm_batch:
+        if (
+            run_identity is not None
+            and wm_identity is not None
+            and run_identity != wm_identity
+        ):
+            raise ValueError(
+                f"MV at {mv_path} was compacted through batch {wm_batch} of "
+                f"checkpoint {wm_identity!r}, but batch {batch_id} arrived from "
+                f"a different checkpoint {run_identity!r}. Its data is NOT a "
+                "replay and would be dropped by the compaction watermark. "
+                "Resume the stream from the original checkpoint, or start the "
+                "new run against a fresh mv_path and merge."
+            )
         return
     spark = batch_df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -115,7 +153,15 @@ def incremental_mv(
     maintenance — the same upsert code path either way."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        write_mv_batch(batch_df, batch_id, group_cols, value_col, mv_path, distinct_col)
+        write_mv_batch(
+            batch_df,
+            batch_id,
+            group_cols,
+            value_col,
+            mv_path,
+            distinct_col,
+            run_identity=checkpoint_dir,
+        )
 
     writer = stream_df.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_dir
@@ -160,7 +206,12 @@ def read_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> DataFra
     return partials.groupBy(*group_cols).agg(*aggs)
 
 
-def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None:
+def compact_mv(
+    spark: SparkSession,
+    mv_path: str,
+    group_cols: list[str],
+    run_identity: str | None = None,
+) -> None:
     """Fold every batch partition into a single `_batch_id=-1` baseline.
 
     MUST run against a STOPPED, fully-committed stream: compaction and
@@ -182,10 +233,15 @@ def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None
     import uuid
 
     partials = spark.read.parquet(mv_path)
+    prev_batch, prev_identity = _read_watermark(mv_path)
     max_batch = max(
-        _compacted_through(mv_path),
+        prev_batch,
         int(partials.agg(F.max("_batch_id")).collect()[0][0]),
     )
+    # Identity of the run whose batch numbering the watermark is scoped
+    # to: caller-supplied (pass the stream's checkpoint dir), else carry
+    # the previous watermark's identity forward.
+    identity = run_identity if run_identity is not None else prev_identity
     aggs = [
         F.sum("_n").alias("_n"),
         F.sum("_sum").alias("_sum"),
@@ -202,7 +258,7 @@ def compact_mv(spark: SparkSession, mv_path: str, group_cols: list[str]) -> None
     tmp = mv_path.rstrip("/") + f".staging.{uuid.uuid4().hex}"
     merged.coalesce(1).write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
     with open(os.path.join(tmp, _WATERMARK_FILE), "w") as fh:
-        fh.write(str(max_batch))
+        fh.write(str(max_batch) if identity is None else f"{max_batch}\n{identity}")
     old = mv_path.rstrip("/") + f".old.{uuid.uuid4().hex}"
     os.rename(mv_path, old)
     os.rename(tmp, mv_path)

@@ -419,6 +419,36 @@ def test_incremental_mv_exactly_once_and_compaction(spark, tmp_path):
     assert mv7 == {**mv5, "d": (1, 4.0)}
 
 
+def test_incremental_mv_fresh_checkpoint_guard(spark, tmp_path):
+    """The compaction watermark is scoped to the checkpoint that numbered
+    the batches: a replay from the SAME checkpoint is skipped, but a
+    batch 0 arriving from a DIFFERENT checkpoint is fresh data that the
+    skip would silently drop — it must fail loudly instead."""
+    import pytest
+
+    from dl_datalake_spark.streaming.mv import compact_mv, read_mv, write_mv_batch
+
+    mv_path = str(tmp_path / "mv")
+    schema = "k string, v double"
+    b0 = spark.createDataFrame([("a", 1.0)], schema)
+    b1 = spark.createDataFrame([("a", 2.0)], schema)
+    write_mv_batch(b0, 0, ["k"], "v", mv_path, run_identity="ckptA")
+    write_mv_batch(b1, 1, ["k"], "v", mv_path, run_identity="ckptA")
+    compact_mv(spark, mv_path, ["k"], run_identity="ckptA")
+
+    # same-checkpoint replay of an absorbed batch: silent no-op
+    write_mv_batch(b0, 0, ["k"], "v", mv_path, run_identity="ckptA")
+    assert {(r["k"], r["n"]) for r in read_mv(spark, mv_path, ["k"]).collect()} == {("a", 2)}
+
+    # new checkpoint's batch 0 over a nonzero watermark: NOT a replay
+    with pytest.raises(ValueError, match="different checkpoint"):
+        write_mv_batch(b0, 0, ["k"], "v", mv_path, run_identity="ckptB")
+
+    # identity-less legacy call keeps the old (skip) behavior
+    write_mv_batch(b0, 0, ["k"], "v", mv_path)
+    assert {(r["k"], r["n"]) for r in read_mv(spark, mv_path, ["k"]).collect()} == {("a", 2)}
+
+
 def test_incremental_mv_distinct_count_sketch(spark, tmp_path):
     """HLL distinct-count state rides the same per-batch partials:
     overlapping keys across batches are NOT double-counted (sketches
