@@ -217,11 +217,24 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
         if download_manager is None:
             return jsonify({"error": "download manager not configured"}), 503
         body = request.get_json(force=True)
+        # Validate the WHOLE request before queueing anything: submitting
+        # inside the loop would let a mid-list validation error return
+        # 422 while the already-submitted downloads keep running — the
+        # error response would hide that work was queued.
         try:
             symbols = body["symbols"]
-            tasks = [_submit_download({**body, "symbol": s}) for s in symbols]
+            _ = body["exchange"]
+            if not isinstance(symbols, list) or not symbols:
+                return jsonify({"error": "symbols must be a non-empty list"}), 422
+            int(body.get("timeframe_ms", 60_000))
+            for f in ("start_ms", "end_ms"):
+                if body.get(f) is not None:
+                    int(body[f])
         except KeyError as exc:
             return jsonify({"error": f"missing field {exc}"}), 422
+        except (TypeError, ValueError) as exc:
+            return jsonify({"error": f"invalid field: {exc}"}), 422
+        tasks = [_submit_download({**body, "symbol": s}) for s in symbols]
         return jsonify(
             {
                 "tasks": [_task_dict(t) for t in tasks],

@@ -272,6 +272,25 @@ def test_bulk_download_over_http(download_app):
     for sym in ("AAAUSDT", "BBBUSDT"):
         assert client.reader.read_range("BINANCE", sym, "raw").count() == 5
 
+    # invalid requests are rejected BEFORE anything is queued: a 422 must
+    # not leave half the symbol list silently downloading
+    before = len(mgr.list_tasks())
+    assert http.post("/ingest/bulk-download", json={"symbols": ["X"]}).status_code == 422
+    assert (
+        http.post(
+            "/ingest/bulk-download", json={"exchange": "BINANCE", "symbols": []}
+        ).status_code
+        == 422
+    )
+    assert (
+        http.post(
+            "/ingest/bulk-download",
+            json={"exchange": "BINANCE", "symbols": ["X"], "start_ms": "soon"},
+        ).status_code
+        == 422
+    )
+    assert len(mgr.list_tasks()) == before
+
 
 def test_exchange_discovery_routes(download_app):
     http, _, _, _ = download_app
