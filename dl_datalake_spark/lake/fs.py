@@ -1,0 +1,291 @@
+"""Filesystem abstraction for driver-side lake path discovery.
+
+Executors never touch this module — data-plane IO goes through Spark's
+own Hadoop-FS readers/writers, which already speak s3a/gs/abfs/hdfs.
+What binds the lake to a *local* filesystem is the DRIVER-side path
+discovery sprinkled through reader/writer/maintenance/manifest
+(``os.listdir`` to enumerate Hive partition values, ``os.path.isdir``
+to probe dataset existence, ``os.walk`` for orphan scans, atomic
+renames for compaction swaps).  At 100 TB the lake lives on object
+storage, so every one of those sites now goes through the
+:class:`Filesystem` interface below.
+
+Implementations:
+
+- :class:`LocalFS` — the default; plain ``os``/``shutil``.  Chosen
+  automatically for scheme-less paths and ``file:`` URIs.
+- :class:`HadoopFS` — backed by the JVM's ``org.apache.hadoop.fs.
+  FileSystem`` via the active SparkSession, so an ``s3a://bucket/lake``
+  base path works with whatever credentials/committers the Spark conf
+  already carries.  Chosen automatically for ``scheme://`` paths.
+  Atomicity caveats are per-store and documented on each method:
+  rename is atomic on HDFS, copy+delete (non-atomic, O(bytes)) on S3A;
+  ``create(overwrite=false)`` is atomic on HDFS and on S3A with
+  conditional-write support (Hadoop 3.4.1+/S3 conditional puts), but
+  check-then-create on ``RawLocalFileSystem``.
+
+``get_fs(path, spark)`` picks the implementation from the path scheme;
+every lake component takes an optional ``fs`` argument so tests can
+inject fakes and deployments can pin a tuned implementation.
+
+The reference has the same limitation this removes: its reader globs
+the local filesystem directly (``storage/reader.py:41-48``) and cannot
+point at object storage at all.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterator
+
+
+class Filesystem:
+    """Driver-side filesystem operations the lake needs.
+
+    Paths are plain strings in the lake's own layout (``base/exchange=X/
+    market=Y/...``); implementations map them to their store's API.
+    """
+
+    # -- discovery ---------------------------------------------------------
+    def listdir(self, path: str) -> list[str]:
+        """Child NAMES (not paths) of a directory; [] if it does not exist."""
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, str]]:
+        """Yield (dirpath, filename) for every file under `path`."""
+        raise NotImplementedError
+
+    def getmtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def getsize(self, path: str) -> int:
+        raise NotImplementedError
+
+    # -- mutation ----------------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic move where the store supports it (see class docs)."""
+        raise NotImplementedError
+
+    # -- small control files (commit log, watermarks) ----------------------
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """Write via tmp file + rename so readers never see a partial file."""
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Create `path` with `data` iff it does not exist; atomically where
+        the store supports it.  Returns False (writing nothing) if the
+        path already exists."""
+        raise NotImplementedError
+
+
+class LocalFS(Filesystem):
+    """POSIX-backed default. All primitives are genuinely atomic here:
+    ``O_EXCL`` create, same-directory ``os.replace`` rename."""
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, str]]:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                yield root, f
+
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+
+class HadoopFS(Filesystem):
+    """``org.apache.hadoop.fs.FileSystem`` via the SparkSession's JVM.
+
+    Works for any URI scheme the Spark conf can resolve (``s3a://``,
+    ``hdfs://``, ``gs://``, ``file://``), reusing the session's
+    credentials.  Per-store atomicity: ``rename`` is atomic on HDFS and
+    POSIX, copy+delete on S3A (compaction swaps on S3 should instead use
+    versioned directories + manifest pointer flips — see
+    maintenance.compact docstring); ``create_exclusive`` maps to
+    ``create(path, overwrite=false)``, atomic on HDFS, conditional-put
+    on recent S3A, check-then-create on RawLocalFileSystem (use LocalFS
+    for local paths).
+    """
+
+    def __init__(self, spark, base_uri: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(base_uri).getFileSystem(conf)
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, str]]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return
+        it = self._fs.listFiles(p, True)  # recursive RemoteIterator
+        while it.hasNext():
+            st = it.next()
+            fp = st.getPath()
+            yield fp.getParent().toUri().getPath(), fp.getName()
+
+    def getmtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+
+    def getsize(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._p(path))
+        try:
+            out = bytearray()
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            out.extend(ioutils.toByteArray(stream))
+            return bytes(out)
+        finally:
+            stream.close()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        stream = self._fs.create(self._p(tmp), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        if not self._fs.rename(self._p(tmp), self._p(path)):
+            # destination existed (HDFS rename does not clobber files):
+            # replace explicitly — last writer wins, matching os.replace
+            self._fs.delete(self._p(path), False)
+            if not self._fs.rename(self._p(tmp), self._p(path)):
+                raise OSError(f"atomic write failed: {path}")
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        try:
+            stream = self._fs.create(self._p(path), False)
+        except Exception:
+            return False
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        return True
+
+
+def has_visible_children(fs: Filesystem, path: str) -> bool:
+    """True iff `path` has at least one child Spark's file index would
+    NOT hide.  A dataset directory holding only control state (the
+    ``_commits`` log, ``.tmp`` staging) has no data yet — reading it as
+    parquet would fail with UNABLE_TO_INFER_SCHEMA, so existence checks
+    must look for visible children, not just the directory."""
+    return any(not c.startswith(("_", ".")) for c in fs.listdir(path))
+
+
+def get_fs(path: str, spark=None) -> Filesystem:
+    """Pick a Filesystem from the path's scheme.
+
+    Scheme-less and ``file:`` paths get LocalFS (fully atomic
+    primitives); anything with a ``scheme://`` needs the JVM-backed
+    HadoopFS, which requires an active SparkSession to borrow the
+    Hadoop conf from.
+    """
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        return LocalFS()
+    if spark is None:
+        raise ValueError(
+            f"{path!r} needs a SparkSession to build a Hadoop filesystem for "
+            f"scheme {scheme!r}; pass fs=HadoopFS(spark, base) explicitly"
+        )
+    return HadoopFS(spark, path)

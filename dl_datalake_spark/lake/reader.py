@@ -25,12 +25,12 @@ standardized per SURVEY §7.1).
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.paths import DatasetKey, sanitize_symbol
 
 
@@ -42,18 +42,17 @@ def iso_to_epoch_ms(s: str) -> int:
 
 
 class LakeReader:
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str, fs: Filesystem | None = None):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
-
-    # -- path helpers (driver-side dir listing = the reference's glob; on
-    # cloud storage swap os.listdir for the Hadoop FS listStatus API) ----
+        # Driver-side dir listing = the reference's glob; the Filesystem
+        # abstraction (lake/fs.py) makes an s3a://... base_path work via
+        # the JVM Hadoop FileSystem instead of os.listdir.
+        self.fs = fs if fs is not None else get_fs(self.base_path, spark)
 
     def _level_values(self, prefix: str, level: str) -> list[str]:
-        if not os.path.isdir(prefix):
-            return []
         out = []
-        for d in os.listdir(prefix):
+        for d in self.fs.listdir(prefix):
             if d.startswith(f"{level}="):
                 out.append(d.split("=", 1)[1])
         return sorted(out)
@@ -74,7 +73,9 @@ class LakeReader:
             periods = [period] if period else self._level_values(sym_dir, "period")
             for p in periods:
                 d = f"{sym_dir}/period={p}"
-                if os.path.isdir(d):
+                # visible children, not bare existence: a dataset dir
+                # holding only its _commits log has no data to scan yet
+                if has_visible_children(self.fs, d):
                     paths.append(d)
         return paths
 

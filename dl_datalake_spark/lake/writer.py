@@ -24,13 +24,13 @@ row-group min/max pruning.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.lake.locks import path_lock
+from dl_datalake_spark.lake.commitlog import CommitLog
+from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS, DatasetKey
 
@@ -54,10 +54,24 @@ def _require_ts(df: DataFrame, ts_col: str) -> str:
 class LakeWriter:
     """Writes time-series batches into the partitioned lake with upsert."""
 
-    def __init__(self, spark: SparkSession, base_path: str, manifest: ManifestManager | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        manifest: ManifestManager | None = None,
+        fs: Filesystem | None = None,
+        commit_timeout_s: float = 60.0,
+    ):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
+        self.fs = fs if fs is not None else get_fs(self.base_path, spark)
+        self.commit_timeout_s = commit_timeout_s
+
+    def commit_log(self, key: DatasetKey) -> CommitLog:
+        """The dataset's optimistic commit log (audit surface: use
+        .history() to list finalized commits with rows/time ranges)."""
+        return CommitLog(self.dataset_path(key), fs=self.fs)
 
     # -- public API (reference: write_ohlc / write_ticks / write_table) ----
 
@@ -87,14 +101,15 @@ class LakeWriter:
         """ONE write job for MANY symbols' datasets.
 
         `df` carries a symbol column; every other dataset coordinate is
-        shared. The per-symbol `write_ohlc` loop costs one lock +
-        read-back + overwrite commit per symbol — 1,000 symbols means
+        shared. The per-symbol `write_ohlc` loop costs one commit +
+        read-back + overwrite per symbol — 1,000 symbols means
         1,000 sequential Spark jobs. Here the keep-last merge, stats,
         and dynamic-partition overwrite each run once across all
         symbols (partitionBy already fans rows out to each dataset's
         directories), and the manifest rows land in one batched MERGE
-        (`manifest.add_entries`). Locks for all touched datasets are
-        taken in sorted order (deadlock-free) for the whole commit.
+        (`manifest.add_entries`). Commit-log transactions for all
+        touched datasets are claimed in sorted order (deadlock-free)
+        for the whole commit.
 
         Returns {sanitized_symbol: WriteResult}, same shape as calling
         write_ohlc per symbol.
@@ -122,8 +137,15 @@ class LakeWriter:
         keys = [DatasetKey(ex, mk, s, data_type, period) for s in symbols]
 
         with ExitStack() as stack:
-            for k in keys:
-                stack.enter_context(path_lock(self.dataset_path(k)))
+            metas = [
+                stack.enter_context(
+                    self.commit_log(k).transaction(
+                        timeout=self.commit_timeout_s,
+                        payload={"mode": mode, "multi": True},
+                    )
+                )
+                for k in keys  # sorted symbol order: deadlock-free
+            ]
             if mode == "upsert":
                 merged = self._merge_keep_last_multi(batch, keys, ts_col)
             elif mode in ("append", "overwrite"):
@@ -162,10 +184,11 @@ class LakeWriter:
             # stale rows/metadata.
             results: dict[str, WriteResult] = {}
             manifest_rows = []
-            for k in keys:
+            for k, meta in zip(keys, metas):
                 s = stats.get(k.symbol)
                 if s is None:
                     continue
+                meta.update(rows=s["n"], time_from=s["t0"], time_to=s["t1"])
                 res = WriteResult(
                     path=self.dataset_path(k),
                     time_from=s["t0"],
@@ -207,11 +230,21 @@ class LakeWriter:
         # Serialize same-dataset upserts: the merge is read-modify-write
         # over the dataset's partitions, so two concurrent writers to one
         # dataset would each read the pre-state and the last overwrite
-        # would drop the other's rows. Lock key = dataset path — writes
-        # to different datasets stay fully parallel. (Delta/Iceberg
-        # would replace this with optimistic commit conflict detection.)
-        with path_lock(self.dataset_path(key)):
-            return self._write_locked(df, key, mode)
+        # would drop the other's rows.  Serialization is the dataset's
+        # OPTIMISTIC COMMIT LOG (lake/commitlog.py): claim the next
+        # numbered commit slot, run the merge+overwrite exclusively,
+        # finalize; a lost claim means another writer committed after our
+        # read, so the transaction re-reads and retries.  Multi-process
+        # and multi-host safe on shared storage — the log lives inside
+        # the dataset directory.  Writes to different datasets stay
+        # fully parallel (per-dataset logs).
+        log = self.commit_log(key)
+        with log.transaction(timeout=self.commit_timeout_s, payload={"mode": mode}) as meta:
+            res = self._write_locked(df, key, mode)
+            meta.update(
+                rows=res.rows, time_from=res.time_from, time_to=res.time_to
+            )
+        return res
 
     def _write_locked(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
         ts_col = _require_ts(df, "ts")
@@ -301,7 +334,7 @@ class LakeWriter:
         year/month partitions), one union, one window. The keep-last
         window partitions by symbol as well, so per-symbol precedence
         is identical to N separate _merge_keep_last calls."""
-        paths = [p for p in (self.dataset_path(k) for k in keys) if os.path.isdir(p)]
+        paths = [p for p in (self.dataset_path(k) for k in keys) if has_visible_children(self.fs, p)]
         if not paths:
             return batch
         # Prune PER SYMBOL, not by the global month union: with a skewed
@@ -356,7 +389,7 @@ class LakeWriter:
         cross-dataset schema merging — upsert cost is bounded by the
         dataset, not the lake."""
         path = self.dataset_path(key)
-        if not os.path.isdir(path):
+        if not has_visible_children(self.fs, path):
             return None  # first write for this dataset
         return (
             self.spark.read.option("mergeSchema", "true")

@@ -1,0 +1,342 @@
+"""Commit-log protocol tests: multi-process conflict detection & retry.
+
+These run WITHOUT Spark — the protocol is pure filesystem — so the
+cross-process test can hammer the log hard (many real OS processes,
+every transaction a read-modify-write) in a couple of seconds.  The
+Spark-level concurrent writer behavior is covered in test_lake_writer
+(threads) and test_commitlog_multiprocess_spark (two driver processes).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+
+import pytest
+
+from dl_datalake_spark.lake.commitlog import CommitLog, CommitTimeout
+from dl_datalake_spark.lake.fs import Filesystem, LocalFS, get_fs, has_visible_children
+
+
+# ---------------------------------------------------------------------------
+# single-process protocol basics
+# ---------------------------------------------------------------------------
+def test_commit_versions_are_contiguous_and_payload_persisted(tmp_path):
+    log = CommitLog(str(tmp_path / "ds"))
+    assert log.latest_version() == -1
+    for i in range(3):
+        with log.transaction(payload={"mode": "upsert"}) as meta:
+            meta["rows"] = i * 10
+    hist = log.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["rows"] for h in hist] == [0, 10, 20]
+    assert all(h["mode"] == "upsert" for h in hist)
+    assert log.latest_version() == 2
+
+
+def test_failed_transaction_releases_slot(tmp_path):
+    log = CommitLog(str(tmp_path / "ds"))
+    with pytest.raises(RuntimeError):
+        with log.transaction():
+            raise RuntimeError("writer blew up")
+    # slot was released, next transaction takes version 0
+    with log.transaction():
+        pass
+    assert log.latest_version() == 0
+
+
+def test_pending_claim_blocks_until_timeout(tmp_path):
+    log = CommitLog(str(tmp_path / "ds"))
+    with log.transaction():
+        pass
+    assert log._claim(1)  # stuck writer
+    with pytest.raises(CommitTimeout):
+        with log.transaction(timeout=0.3):
+            pass
+
+
+def test_commits_dir_is_invisible_to_data_checks(tmp_path):
+    ds = tmp_path / "ds"
+    log = CommitLog(str(ds))
+    with log.transaction():
+        pass
+    fs = LocalFS()
+    assert fs.isdir(str(ds))
+    assert not has_visible_children(fs, str(ds))  # only _commits inside
+    (ds / "year=2023").mkdir()
+    assert has_visible_children(fs, str(ds))
+
+
+# ---------------------------------------------------------------------------
+# cross-process: N real processes, each doing read-modify-write increments
+# through transactions; conflicts must retry, nothing may be lost
+# ---------------------------------------------------------------------------
+def _worker(ds_path: str, n_iters: int, out_q) -> None:
+    log = CommitLog(ds_path)
+    counter = os.path.join(ds_path, "counter.json")
+    conflicts = 0
+    for _ in range(n_iters):
+        with log.transaction(timeout=60.0) as meta:
+            # read-modify-write under the claimed slot: this is exactly
+            # the writer's merge-and-overwrite shape
+            try:
+                with open(counter) as fh:
+                    state = json.load(fh)
+            except FileNotFoundError:
+                state = {"total": 0}
+            state["total"] += 1
+            tmp = f"{counter}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, counter)
+            conflicts += meta.get("claim_conflicts", 0)
+    out_q.put(conflicts)
+
+
+def test_two_process_writers_lose_nothing_and_detect_conflicts(tmp_path):
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    n_procs, n_iters = 4, 25
+    ctx = mp.get_context("spawn")  # no inherited fds/locks: real isolation
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_worker, args=(str(ds), n_iters, q))
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=180)
+        assert p.exitcode == 0
+    conflict_counts = [q.get(timeout=10) for _ in procs]
+
+    with open(ds / "counter.json") as fh:
+        total = json.load(fh)["total"]
+    assert total == n_procs * n_iters  # every increment survived
+
+    log = CommitLog(str(ds))
+    hist = log.history()
+    assert [h["version"] for h in hist] == list(range(n_procs * n_iters))
+    # with 4 processes hammering one log, at least one claim race must
+    # have happened and been retried (recorded in the commit payloads)
+    assert sum(conflict_counts) > 0 or any("claim_conflicts" in h for h in hist)
+
+
+# ---------------------------------------------------------------------------
+# Filesystem abstraction: a non-os fake backend drives the whole protocol
+# ---------------------------------------------------------------------------
+class DictFS(Filesystem):
+    """In-memory Filesystem: proves the lake's driver-side discovery and
+    the commit log run entirely through the abstraction (no os calls)."""
+
+    def __init__(self):
+        self.files: dict[str, bytes] = {}
+        self.dirs: set[str] = set()
+        self.mtimes: dict[str, float] = {}
+        self._clock = 0.0
+
+    def _children(self, path):
+        path = path.rstrip("/") + "/"
+        names = set()
+        for p in list(self.files) + list(self.dirs):
+            if p.startswith(path):
+                names.add(p[len(path):].split("/", 1)[0])
+        return names
+
+    def listdir(self, path):
+        return sorted(self._children(path))
+
+    def isdir(self, path):
+        return path.rstrip("/") in self.dirs or bool(self._children(path))
+
+    def exists(self, path):
+        return path in self.files or self.isdir(path)
+
+    def walk_files(self, path):
+        path = path.rstrip("/") + "/"
+        for p in sorted(self.files):
+            if p.startswith(path):
+                d, _, f = p.rpartition("/")
+                yield d, f
+
+    def getmtime(self, path):
+        if path not in self.mtimes:
+            raise OSError(path)
+        return self.mtimes[path]
+
+    def getsize(self, path):
+        return len(self.files[path])
+
+    def makedirs(self, path):
+        self.dirs.add(path.rstrip("/"))
+
+    def remove(self, path):
+        if path not in self.files:
+            raise OSError(path)
+        del self.files[path]
+        self.mtimes.pop(path, None)
+
+    def rmtree(self, path):
+        path = path.rstrip("/")
+        for p in [p for p in self.files if p.startswith(path + "/")]:
+            del self.files[p]
+        self.dirs = {d for d in self.dirs if not (d == path or d.startswith(path + "/"))}
+
+    def rename(self, src, dst):
+        if src in self.files:
+            if dst in self.files:
+                raise OSError(f"exists: {dst}")
+            self.files[dst] = self.files.pop(src)
+            self.mtimes[dst] = self.mtimes.pop(src)
+        elif self.isdir(src):
+            for p in [p for p in self.files if p.startswith(src + "/")]:
+                self.files[dst + p[len(src):]] = self.files.pop(p)
+            self.dirs = {dst + d[len(src):] if d.startswith(src) else d for d in self.dirs}
+        else:
+            raise OSError(f"missing: {src}")
+
+    def read_bytes(self, path):
+        if path not in self.files:
+            raise OSError(path)
+        return self.files[path]
+
+    def write_bytes_atomic(self, path, data):
+        self._clock += 1
+        self.files[path] = data
+        self.mtimes[path] = self._clock
+
+    def create_exclusive(self, path, data):
+        if path in self.files:
+            return False
+        self._clock += 1
+        self.files[path] = data
+        self.mtimes[path] = self._clock
+        return True
+
+
+def test_commitlog_runs_on_fake_filesystem():
+    fs = DictFS()
+    log = CommitLog("/lake/ds", fs=fs)
+    with log.transaction(payload={"mode": "upsert"}) as meta:
+        meta["rows"] = 5
+    with log.transaction() as meta:
+        meta["rows"] = 7
+    assert [h["rows"] for h in log.history()] == [5, 7]
+    assert log.latest_version() == 1
+    # claims + finalized files all went through the fake
+    assert all(p.startswith("/lake/ds/_commits/") for p in fs.files)
+
+
+def test_reader_path_discovery_on_fake_filesystem():
+    """LakeReader's partition-level discovery (list symbols, probe
+    dataset dirs) works against a backend that is not `os` at all."""
+    from dl_datalake_spark.lake.reader import LakeReader
+
+    fs = DictFS()
+    base = "/lake"
+    for sym in ("AAA_USD", "BBB_USD"):
+        fs.makedirs(f"{base}/exchange=BINANCE/market=SPOT/symbol={sym}"
+                    f"/data_type=raw/period=1m/year=2023/month=1")
+        fs.files[
+            f"{base}/exchange=BINANCE/market=SPOT/symbol={sym}"
+            f"/data_type=raw/period=1m/year=2023/month=1/part-0.parquet"
+        ] = b""
+    # control dirs must stay invisible to discovery
+    fs.makedirs(f"{base}/exchange=BINANCE/market=SPOT/symbol=AAA_USD"
+                f"/data_type=raw/period=1m/_commits")
+
+    reader = LakeReader.__new__(LakeReader)
+    reader.spark = None
+    reader.base_path = base
+    reader.fs = fs
+    assert reader.list_symbols() == ["AAA_USD", "BBB_USD"]
+    assert reader.list_symbols("binance") == ["AAA_USD", "BBB_USD"]
+    paths = reader._dataset_paths("BINANCE", "AAA_USD", "raw", None, None)
+    assert paths == [
+        f"{base}/exchange=BINANCE/market=SPOT/symbol=AAA_USD/data_type=raw/period=1m"
+    ]
+    # a dataset dir holding only its commit log is NOT scannable data
+    fs.makedirs(f"{base}/exchange=BINANCE/market=SPOT/symbol=CCC_USD"
+                f"/data_type=raw/period=9m/_commits")
+    assert reader._dataset_paths("BINANCE", "CCC_USD", "raw", None, None) == []
+
+
+def test_get_fs_scheme_dispatch(tmp_path):
+    assert isinstance(get_fs(str(tmp_path)), LocalFS)
+    assert isinstance(get_fs("file:///x"), LocalFS)
+    with pytest.raises(ValueError):
+        get_fs("s3a://bucket/lake")  # needs a SparkSession for Hadoop conf
+
+
+# ---------------------------------------------------------------------------
+# two REAL Spark driver processes upserting the same dataset concurrently
+# ---------------------------------------------------------------------------
+_SPARK_WRITER_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.lake.writer import LakeWriter
+
+offset = int(sys.argv[1]); base = sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("two-proc-writer-" + str(offset))
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .getOrCreate()
+)
+start = 1672574400000
+rows = [(start + (offset + i) * 60000, float(offset + i)) for i in range(30)]
+df = spark.createDataFrame(rows, "ts long, price double")
+w = LakeWriter(spark, base, commit_timeout_s=300.0)
+res = w.write_ticks(df, DatasetKey("BINANCE", "SPOT", "XYZUSDT", "ticks", "1m"))
+assert res.rows >= 30, res
+spark.stop()
+"""
+
+
+def test_two_spark_driver_processes_upsert_without_losing_rows(tmp_path):
+    """Two independent Spark DRIVER processes (separate JVMs — the
+    single-host stand-in for two hosts sharing object storage) upsert
+    disjoint ts ranges of the SAME dataset concurrently.  The old
+    advisory lock lived in each process's tempdir view; the commit log
+    lives in the dataset directory, so the writers serialize through it
+    and both batches survive."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = str(tmp_path / "lake")
+    script = _SPARK_WRITER_SCRIPT.format(repo=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(off), base],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for off in (0, 30)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors="replace")[-3000:]
+
+    # verify from a THIRD session: all 60 rows present, none clobbered
+    from dl_datalake_spark.lake.commitlog import CommitLog
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.session import get_spark
+
+    spark = get_spark("two-proc-verify")
+    w = LakeWriter(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "XYZUSDT", "ticks", "1m")
+    got = spark.read.option("basePath", base).parquet(w.dataset_path(key))
+    assert got.count() == 60
+    assert got.select("ts").distinct().count() == 60
+
+    hist = CommitLog(w.dataset_path(key)).history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert sum(h["rows"] for h in hist) >= 60  # second commit saw 60 merged

@@ -298,39 +298,64 @@ def test_concurrent_upserts_serialize_to_correct_final_state(lake, spark):
     assert got.select("ts").distinct().count() == 40
 
 
-def test_lock_timeout_is_clean_and_leaves_no_partial_write(lake, spark, ohlc_df):
-    """A writer that cannot acquire the dataset lock fails with
-    TimeoutError BEFORE any read/merge/overwrite starts — the dataset
-    is untouched (no partial partition overwrite)."""
-    from dl_datalake_spark.lake.locks import path_lock
+def test_commit_timeout_is_clean_and_leaves_no_partial_write(lake, spark, ohlc_df):
+    """A writer that cannot claim a commit slot (another writer's claim
+    is in flight) fails with CommitTimeout BEFORE any read/merge/
+    overwrite starts — the dataset is untouched (no partial partition
+    overwrite).  After the blocker finalizes, a normal upsert succeeds."""
+    from dl_datalake_spark.lake.commitlog import CommitTimeout
 
     writer, reader, _ = lake
     writer.write_ohlc(ohlc_df, KEY)
     before = [r["ts"] for r in reader.read_dataset(KEY).select("ts").collect()]
 
     replacement = ohlc_df.withColumn("open", F.lit(99.0))
-    with path_lock(writer.dataset_path(KEY)):  # simulate a stuck writer
-        with pytest.raises(TimeoutError):
-            # zero-second timeout via monkey-free direct call: _write
-            # honors the module default, so patch through a tiny wrapper
-            from dl_datalake_spark.lake import locks as _locks
-
-            old = _locks.LOCK_TIMEOUT_S
-            _locks.LOCK_TIMEOUT_S = 0.2
-            try:
-                with _locks.path_lock(writer.dataset_path(KEY), timeout=0.2):
-                    pass
-            finally:
-                _locks.LOCK_TIMEOUT_S = old
+    log = writer.commit_log(KEY)
+    v0 = log.latest_version()
+    assert v0 == 0  # the first write committed version 0
+    # simulate a stuck concurrent writer: claim the next slot, never finalize
+    assert log._claim(v0 + 1)
+    old_timeout = writer.commit_timeout_s
+    writer.commit_timeout_s = 0.5
+    try:
+        with pytest.raises(CommitTimeout):
+            writer.write_ohlc(replacement, KEY)
+    finally:
+        writer.commit_timeout_s = old_timeout
+        log._abort(v0 + 1)  # stuck writer dies; slot released
 
     # dataset unchanged: same rows, original values
     after = reader.read_dataset(KEY)
     assert sorted(r["ts"] for r in after.select("ts").collect()) == sorted(before)
     assert after.where(F.col("open") == 99.0).count() == 0
-    # and the lock is released: a normal upsert now succeeds
+    # and the slot is free again: a normal upsert now succeeds
     res = writer.write_ohlc(replacement, KEY)
     assert res.rows == 100
     assert reader.read_dataset(KEY).where(F.col("open") == 99.0).count() == 100
+    # the commit log recorded both finalized commits with their stats
+    hist = writer.commit_log(KEY).history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[-1]["rows"] == 100
+
+
+def test_stale_claim_is_rolled_aside_and_taken_over(lake, spark, ohlc_df):
+    """A claim whose owner crashed (no finalize, older than the stale
+    timeout) must not wedge the dataset forever: the next writer rolls
+    it aside atomically and takes the slot over."""
+    writer, reader, _ = lake
+    writer.write_ohlc(ohlc_df, KEY)
+    log = writer.commit_log(KEY)
+    assert log._claim(1)  # crashed writer's leftover claim
+    log.stale_timeout_s = 0.0  # age out immediately for the test
+
+    # writer._write builds its own CommitLog with the default stale
+    # timeout, so drive the takeover through a transaction on this log
+    with log.transaction(timeout=5.0) as meta:
+        meta["note"] = "takeover"
+    assert log.latest_version() == 1
+    # normal writes proceed afterwards
+    res = writer.write_ohlc(ohlc_df.withColumn("open", F.lit(7.0)), KEY)
+    assert res.rows == 100
 
 
 def test_concurrent_multi_writes_with_overlapping_symbols(lake, spark):
