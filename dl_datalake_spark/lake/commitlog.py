@@ -82,9 +82,14 @@ class CommitLog:
         dataset_path: str,
         fs: Filesystem | None = None,
         stale_timeout_s: float = STALE_TIMEOUT_S,
+        log_dir: str | None = None,
     ):
+        """`log_dir` defaults to `<dataset_path>/_commits`.  Override it
+        when the coordinated state is itself replaced by directory swap
+        (e.g. the manifest catalog) — the log must then live OUTSIDE the
+        swapped tree or every commit would erase its own history."""
         self.dataset_path = dataset_path.rstrip("/")
-        self.log_dir = f"{self.dataset_path}/{LOG_DIR}"
+        self.log_dir = log_dir.rstrip("/") if log_dir else f"{self.dataset_path}/{LOG_DIR}"
         self.fs = fs if fs is not None else LocalFS()
         self.stale_timeout_s = stale_timeout_s
 

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dl_datalake_spark.lake.fs import Filesystem, get_fs
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS
 
@@ -94,16 +95,22 @@ def _dataset_prefix(leaf_dir: str) -> str:
     return "/".join(kept)
 
 
-def audit(spark: SparkSession, base_path: str, manifest: ManifestManager) -> dict[str, DataFrame]:
+def audit(
+    spark: SparkSession,
+    base_path: str,
+    manifest: ManifestManager,
+    fs: Filesystem | None = None,
+) -> dict[str, DataFrame]:
     """Orphans (on disk, not cataloged) and dead links (cataloged, gone)
     — the reference's set-difference fsck (test_09_audit.py:26-53) as
     anti-joins over metadata. Returns the anti-join DataFrames unrealized:
     a 100 TB lake can hold millions of dataset paths, so callers decide
     how much to materialize (see audit_lists for the bounded CLI path).
     """
+    fs = fs if fs is not None else get_fs(base_path, spark)
     disk = set()
-    for root, _dirs, files in os.walk(base_path):
-        if any(f.endswith(".parquet") for f in files):
+    for root, f in fs.walk_files(base_path):
+        if f.endswith(".parquet"):
             disk.add(_dataset_prefix(root))
     disk_df = spark.createDataFrame([(p,) for p in sorted(disk)] or [("",)], ["path"]).where(
         F.col("path") != ""
@@ -120,11 +127,12 @@ def audit_lists(
     base_path: str,
     manifest: ManifestManager,
     limit: int | None = 10_000,
+    fs: Filesystem | None = None,
 ) -> dict[str, list[str]]:
     """Driver-side view of audit() for the CLI/API: sorted path lists,
     capped at `limit` per category so a badly drifted lake can't blow
     driver memory (limit=None for the full set)."""
-    frames = audit(spark, base_path, manifest)
+    frames = audit(spark, base_path, manifest, fs=fs)
     out = {}
     for name, df in frames.items():
         df = df.orderBy("path")
@@ -139,6 +147,7 @@ def compact(
     base_path: str,
     target_files_per_partition: int = 1,
     in_place: bool = False,
+    fs: Filesystem | None = None,
 ) -> str:
     """Partition-preserving small-file compaction (reference:
     unimplemented placeholder, flows.py:127-130). Rewrites every
@@ -152,9 +161,9 @@ def compact(
     dataset DIRECTORIES, not files, so no catalog rewrite is needed.
     Returns the path now holding the compacted data.
     """
-    import shutil as _shutil
     import uuid as _uuid
 
+    fs = fs if fs is not None else get_fs(base_path, spark)
     # One rewrite PER DATASET directory: a single mergeSchema read of the
     # whole lake would rewrite every dataset with the UNION schema of all
     # of them (ticks gaining OHLC columns as nulls, etc.). mergeSchema
@@ -162,12 +171,12 @@ def compact(
     datasets = sorted(
         {
             _dataset_prefix(root)
-            for root, _dirs, files in os.walk(base_path)
-            if any(f.endswith(".parquet") for f in files)
+            for root, f in fs.walk_files(base_path)
+            if f.endswith(".parquet")
         }
     )
     out = base_path + "_compacted"
-    _shutil.rmtree(out, ignore_errors=True)
+    fs.rmtree(out)
     for ds in datasets:
         df = spark.read.option("mergeSchema", "true").option("basePath", base_path).parquet(ds)
         part_cols = [c for c in PARTITION_COLS if c in df.columns]
@@ -181,10 +190,13 @@ def compact(
         )
     if not in_place:
         return out
+    # In-place swap: atomic renames on POSIX/HDFS; on S3A rename is
+    # copy+delete, so there prefer in_place=False + a manifest pointer
+    # flip to the compacted tree.
     old = base_path + f".precompact.{_uuid.uuid4().hex}"
-    os.rename(base_path, old)
-    os.rename(out, base_path)
-    _shutil.rmtree(old, ignore_errors=True)
+    fs.rename(base_path, old)
+    fs.rename(out, base_path)
+    fs.rmtree(old)
     return base_path
 
 
@@ -193,6 +205,7 @@ def vacuum(
     base_path: str,
     manifest: ManifestManager,
     dry_run: bool = True,
+    fs: Filesystem | None = None,
 ) -> dict[str, list[str]]:
     """Reclaim the audit's findings: delete orphan dataset directories
     (files on disk the catalog doesn't know) and drop dead links
@@ -201,20 +214,19 @@ def vacuum(
     FSCK REPAIR. dry_run=True (default) reports without touching
     anything — destructive maintenance should never be the default.
     """
-    import shutil as _shutil
-
-    report = audit_lists(spark, base_path, manifest, limit=None)
+    fs = fs if fs is not None else get_fs(base_path, spark)
+    report = audit_lists(spark, base_path, manifest, limit=None, fs=fs)
     if dry_run:
         return report
-    root = os.path.realpath(base_path)
+    root = os.path.realpath(base_path) if "://" not in base_path else base_path.rstrip("/")
     for orphan in report["orphan_files"]:
         # audit paths are dataset prefixes under base_path; refuse
         # anything that escaped the lake root (os.sep suffix so a
         # sibling like `<base>_manifest` can't pass a prefix check)
-        full = orphan if os.path.isabs(orphan) else os.path.join(base_path, orphan)
-        rp = os.path.realpath(full)
+        full = orphan if (os.path.isabs(orphan) or "://" in orphan) else os.path.join(base_path, orphan)
+        rp = os.path.realpath(full) if "://" not in full else full
         if rp.startswith(root + os.sep):  # strict subdir: never the root itself
-            _shutil.rmtree(full, ignore_errors=True)
+            fs.rmtree(full)
     for dead in report["dead_links"]:
         manifest.delete_entries(path=dead)
     return report

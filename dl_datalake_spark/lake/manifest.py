@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 import uuid
 from datetime import datetime, timezone
 from typing import Any
@@ -27,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dl_datalake_spark.lake.locks import path_lock
+from dl_datalake_spark.lake.commitlog import CommitLog
+from dl_datalake_spark.lake.fs import Filesystem, get_fs
 from dl_datalake_spark.lake.paths import sanitize_symbol
 
 MANIFEST_SCHEMA = T.StructType(
@@ -47,12 +46,6 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("metadata_json", T.StringType()),
     ]
 )
-
-
-# Catalog mutations are read-modify-write; without mutual exclusion two
-# concurrent add_entry calls lose one row (the reference serializes the
-# same section behind SQLite's file lock, manifest.py:52-55).
-_catalog_lock = path_lock
 
 
 _GIT_HASH_CACHE: dict[str, str | None] = {}
@@ -95,19 +88,31 @@ def _version_sort_key(v: str) -> tuple:
 
 class ManifestManager:
     def __init__(
-        self, spark: SparkSession, manifest_path: str, keep_history: bool = True
+        self,
+        spark: SparkSession,
+        manifest_path: str,
+        keep_history: bool = True,
+        fs: Filesystem | None = None,
     ):
         self.spark = spark
         self.path = manifest_path.rstrip("/")
         self.keep_history = keep_history
         self._next_id = None
+        self.fs = fs if fs is not None else get_fs(self.path, spark)
+        # Catalog mutations are read-modify-write; the commit log
+        # serializes them across processes AND hosts (the reference
+        # serializes the same section behind SQLite's single-host file
+        # lock, manifest.py:52-55).  The log dir is a SIBLING of the
+        # manifest dir because _store replaces the manifest dir wholesale.
+        self._log = CommitLog(self.path, fs=self.fs, log_dir=self.path + "_commits")
+
+    def _txn(self):
+        return self._log.transaction(timeout=60.0)
 
     # -- storage ------------------------------------------------------------
 
     def _exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        return any(f.endswith(".parquet") for f in self.fs.listdir(self.path))
 
     def load(self) -> DataFrame:
         if not self._exists():
@@ -115,17 +120,16 @@ class ManifestManager:
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
 
     def _store(self, df: DataFrame) -> None:
-        """Atomic replace: write to tmp, swap directories."""
-        tmp = os.path.join(
-            tempfile.gettempdir(), f"_manifest_tmp_{uuid.uuid4().hex}"
-        )
+        """Atomic replace: write to a staging dir NEXT TO the manifest
+        (same filesystem, so both swap steps are atomic renames — a
+        tempdir stage would degrade to a cross-mount copy), then swap."""
+        tmp = self.path + f".staging.{uuid.uuid4().hex}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = self.path + f".old.{uuid.uuid4().hex}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        shutil.move(tmp, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        if self.fs.exists(self.path):
+            self.fs.rename(self.path, old)
+        self.fs.rename(tmp, self.path)
+        self.fs.rmtree(old)
         if self.keep_history:
             # re-read the committed files: `df`'s lineage still points at
             # the pre-swap manifest files, which no longer exist
@@ -159,7 +163,7 @@ class ManifestManager:
 
     def _history_df(self) -> DataFrame | None:
         hp = self.history_path
-        if not os.path.exists(hp):
+        if not self.fs.exists(hp):
             return None
         return self.spark.read.schema(MANIFEST_SCHEMA).option(
             "basePath", hp
@@ -172,11 +176,8 @@ class ManifestManager:
     def snapshots(self) -> list[int]:
         """Committed snapshot timestamps (epoch µs), ascending — read
         from the partition directory names, no data scan."""
-        hp = self.history_path
-        if not os.path.exists(hp):
-            return []
         out = []
-        for d in os.listdir(hp):
+        for d in self.fs.listdir(self.history_path):
             if d.startswith("snapshot_ts="):
                 try:
                     out.append(int(d.split("=", 1)[1]))
@@ -200,10 +201,7 @@ class ManifestManager:
         snaps = self.snapshots()
         drop = snaps[:-keep_last] if keep_last > 0 else snaps
         for s in drop:
-            shutil.rmtree(
-                os.path.join(self.history_path, f"snapshot_ts={s}"),
-                ignore_errors=True,
-            )
+            self.fs.rmtree(os.path.join(self.history_path, f"snapshot_ts={s}"))
         return len(drop)
 
     # -- API (reference manifest.py:42-173 parity) --------------------------
@@ -252,7 +250,7 @@ class ManifestManager:
         paths = [r["path"] for r in rows]
         if len(set(paths)) != len(paths):
             raise ValueError("add_entries: duplicate path within one batch")
-        with _catalog_lock(self.path):
+        with self._txn():
             current = self.load()
             max_id = current.agg(F.max("id")).collect()[0][0] or 0
             # a path-keyed upsert REPLACES the row, so each range must
@@ -338,7 +336,7 @@ class ManifestManager:
         return df.orderBy("id")
 
     def delete_entries(self, **filters) -> int:
-        with _catalog_lock(self.path):
+        with self._txn():
             keep = self.load()
             drop = self.list_entries(**filters)
             n = drop.count()
