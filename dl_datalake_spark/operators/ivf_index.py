@@ -31,10 +31,31 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dl_datalake_spark.lake.commitlog import CommitLog
+from dl_datalake_spark.lake.fs import get_fs
 from dl_datalake_spark.operators.similarity import _with_norm, cosine, cosine_scored
 
 CENTROIDS_DIR = "centroids"
 VECTORS_DIR = "vectors"
+
+
+def _index_log(path: str, spark: SparkSession | None = None) -> CommitLog:
+    """The index's commit log. It lives in a SIBLING dir (`<path>_commits`)
+    because write_ivf_index replaces the index dir wholesale by rename —
+    an in-tree log would be destroyed by every rebuild.  Serializes
+    rebuilds, upserts, and repairs across processes/hosts, the same
+    discipline as LakeWriter (lake/commitlog.py)."""
+    p = path.rstrip("/")
+    return CommitLog(p, fs=get_fs(p, spark), log_dir=p + "_commits")
+
+
+def _vectors_with_seq(spark: SparkSession, vdir: str) -> DataFrame:
+    """Vectors with their ingest sequence; indexes written before the
+    _ingest_seq column existed read as seq 0 (mergeSchema + coalesce)."""
+    v = spark.read.option("mergeSchema", "true").parquet(vdir)
+    if "_ingest_seq" not in v.columns:
+        v = v.withColumn("_ingest_seq", F.lit(0).cast("long"))
+    return v.withColumn("_ingest_seq", F.coalesce(F.col("_ingest_seq"), F.lit(0)).cast("long"))
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -133,39 +154,44 @@ def write_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the index: centroids (tiny) + vectors partitioned by
-    cell — the partition layout IS the inverted file."""
-    import shutil
+    cell — the partition layout IS the inverted file.  Runs as a commit
+    transaction so a rebuild and a concurrent upsert/repair serialize
+    instead of interleaving."""
     import uuid
 
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    assigned = _assign(vecs, cents)
-    # build the whole index in a staging dir NEXT TO the destination
-    # (same parent => same filesystem), then swap with os.rename —
-    # a rebuild never leaves a reader facing half-written cells.
-    # Staging in /tmp would make the final move a recursive copy when
-    # the index lives on a different mount, voiding the atomicity.
-    tmp = path.rstrip("/") + f".staging.{uuid.uuid4().hex}"
-    cents.write.mode("overwrite").parquet(os.path.join(tmp, CENTROIDS_DIR))
-    (
-        assigned.repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(tmp, VECTORS_DIR))
-    )
-    old_dir = path.rstrip("/") + f".old.{uuid.uuid4().hex}"
-    if os.path.exists(path):
-        os.rename(path, old_dir)
-    os.rename(tmp, path)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    assigned = _assign(vecs, cents).withColumn("_ingest_seq", F.lit(0).cast("long"))
+    spark = df.sparkSession
+    fs = get_fs(path.rstrip("/"), spark)
+    with _index_log(path, spark).transaction(payload={"op": "rebuild"}) as meta:
+        # build the whole index in a staging dir NEXT TO the destination
+        # (same parent => same filesystem), then swap with an atomic
+        # rename — a rebuild never leaves a reader facing half-written
+        # cells. Staging in /tmp would make the final move a recursive
+        # copy when the index lives on a different mount, voiding the
+        # atomicity.
+        tmp = path.rstrip("/") + f".staging.{uuid.uuid4().hex}"
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, CENTROIDS_DIR))
+        (
+            assigned.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, VECTORS_DIR))
+        )
+        old_dir = path.rstrip("/") + f".old.{uuid.uuid4().hex}"
+        if fs.exists(path):
+            fs.rename(path, old_dir)
+        fs.rename(tmp, path)
+        fs.rmtree(old_dir)
+        meta["cells"] = cents.count()
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
-    vectors = spark.read.parquet(os.path.join(path, VECTORS_DIR))
-    return cents, vectors
+    return cents, _vectors_with_seq(spark, os.path.join(path, VECTORS_DIR))
 
 
 def search_ivf_index(
@@ -179,7 +205,8 @@ def search_ivf_index(
 ) -> DataFrame:
     """Top-k cosine neighbors from the persisted index, touching only
     the probed cells' files. Returns (q_id, c_id, cos_sim, rank)."""
-    cents, vectors = read_ivf_index(spark, path)
+    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    vectors = _vectors_with_seq(spark, os.path.join(path, VECTORS_DIR))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -196,7 +223,22 @@ def search_ivf_index(
     # is what lets the file source prune partition directories
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     cand = vectors.where(F.col("cell").isin(cells)).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv2"), "cell"
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv2"),
+        "cell",
+        "_ingest_seq",
+    )
+    # Keep-latest per candidate id: if an upserted vector changed cell,
+    # its stale copy may still sit in another probed cell — the newest
+    # _ingest_seq wins, so search never returns the superseded vector
+    # when both copies are in view (fsck_ivf_index finds the stale set;
+    # repair_ivf_index removes it).  Cost: one extra shuffle over the
+    # PROBED candidates only, not the index.
+    dw = Window.partitionBy("c_id").orderBy(F.desc("_ingest_seq"), F.desc("cell"))
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(dw))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_ingest_seq")
     )
     scored = (
         _with_norm(probed, "qv", "q_nrm")
@@ -236,47 +278,148 @@ def upsert_ivf_index(
 
     Contract: embeddings are immutable per vec_id. A re-insert of an
     existing id with the SAME vector replaces it in place (dedup). A
-    CHANGED vector would re-assign to a different cell while the stale
-    copy sits in an untouched partition — that is a retrain/rebuild
-    (`train_ivf` + `write_ivf_index`), not an upsert; centroid drift
-    from accumulated inserts is likewise the scheduled-retrain signal.
+    CHANGED vector re-assigns to a new cell; if the old copy's cell is
+    not touched by this batch, it stays on disk as a STALE copy — but
+    the contract is now enforced rather than merely documented: every
+    upserted row carries a monotone `_ingest_seq` (the commit-log
+    version), search keeps only the newest copy per vec_id among its
+    candidates, `fsck_ivf_index` lists every vec_id with a superseded
+    copy, and `repair_ivf_index` rewrites exactly the cells holding
+    stale copies. Full retrain remains the answer to centroid drift.
+
+    The read-merge-overwrite cycle runs inside a commit-log transaction
+    (same discipline as LakeWriter): two concurrent upserts into an
+    overlapping cell can no longer lose one batch's vectors, and a
+    rebuild/repair cannot interleave with an upsert.
 
     Returns the number of rows now present in the touched cells.
     """
-    cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    assigned = _assign(vecs, cents)
-    cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
-    if not cells:
-        return 0
-    vdir = os.path.join(path, VECTORS_DIR)
-    existing = spark.read.parquet(vdir).where(F.col("cell").isin(cells))
-    old = existing.withColumn("_src", F.lit(0))
-    new = assigned.withColumn("_src", F.lit(1))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_src"))
-    merged = (
-        old.unionByName(new)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-        .persist()
-    )
-    try:
-        n = merged.count()  # pin rows before the overwrite drops inputs
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    log = _index_log(path, spark)
+    with log.transaction(payload={"op": "upsert"}) as meta:
+        cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+        new_seq = log.latest_version() + 1  # monotone across commits
+        assigned = _assign(vecs, cents).withColumn(
+            "_ingest_seq", F.lit(new_seq).cast("long")
+        )
+        cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+        if not cells:
+            meta["rows"] = 0
+            return 0
+        vdir = os.path.join(path, VECTORS_DIR)
+        existing = _vectors_with_seq(spark, vdir).where(F.col("cell").isin(cells))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_ingest_seq"))
+        merged = (
+            existing.unionByName(assigned)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
         try:
-            (
-                merged.repartition("cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(vdir)
-            )
+            n = merged.count()  # pin rows before the overwrite drops inputs
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    merged.repartition("cell")
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(vdir)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    finally:
-        merged.unpersist()
+            merged.unpersist()
+        meta["rows"] = n
+        meta["cells"] = len(cells)
     return n
+
+
+def fsck_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Index consistency check: vec_ids present in MORE THAN ONE cell —
+    the stale-copy state a cell-changing upsert can leave behind.
+
+    One O(index keys) hash aggregation over (vec_id, cell, seq); the
+    embedding payloads are never shuffled.  Returns
+    (vec_id, n_copies, cells array, live_seq, live_cell) per violation —
+    empty means the documented immutability contract holds.
+    """
+    v = _vectors_with_seq(spark, os.path.join(path, VECTORS_DIR))
+    per_copy = v.select("vec_id", "cell", "_ingest_seq")
+    return (
+        per_copy.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_sort(F.collect_set("cell")).alias("cells"),
+            F.max("_ingest_seq").alias("live_seq"),
+            F.max_by("cell", F.struct("_ingest_seq", "cell")).alias("live_cell"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def repair_ivf_index(spark: SparkSession, path: str) -> int:
+    """Remove superseded copies found by fsck: rewrite ONLY the cells
+    holding a stale copy, keeping the max-_ingest_seq row per vec_id.
+    O(stale cells), never O(index).  Returns the number of stale rows
+    removed.  Runs as a commit transaction (serialized vs upserts)."""
+    log = _index_log(path, spark)
+    with log.transaction(payload={"op": "repair"}) as meta:
+        vdir = os.path.join(path, VECTORS_DIR)
+        bad = fsck_ivf_index(spark, path)
+        # cells containing a NON-live copy are the ones to rewrite
+        stale_cells_df = (
+            _vectors_with_seq(spark, vdir)
+            .join(bad.select("vec_id", "live_seq", "live_cell"), "vec_id")
+            .where(
+                (F.col("_ingest_seq") != F.col("live_seq"))
+                | (F.col("cell") != F.col("live_cell"))
+            )
+            .select("cell")
+            .distinct()
+        )
+        cells = [r["cell"] for r in stale_cells_df.collect()]
+        if not cells:
+            meta["removed"] = 0
+            return 0
+        sub = _vectors_with_seq(spark, vdir).where(F.col("cell").isin(cells))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_ingest_seq"), F.desc("cell"))
+        keep = (
+            sub.join(bad.select("vec_id", "live_cell"), "vec_id", "left")
+            # a row survives iff it is not a superseded copy: either its
+            # vec_id is clean, or this row IS the live copy
+            .where(F.col("live_cell").isNull() | (F.col("cell") == F.col("live_cell")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "live_cell")
+            .persist()
+        )
+        try:
+            before = sub.count()
+            after = keep.count()
+            keep_cells = {r["cell"] for r in keep.select("cell").distinct().collect()}
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    keep.repartition("cell")
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(vdir)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output — a cell whose every row was stale produces nothing,
+            # so its directory must be dropped explicitly
+            fs = get_fs(vdir, spark)
+            for c in set(cells) - keep_cells:
+                fs.rmtree(os.path.join(vdir, f"cell={c}"))
+        finally:
+            keep.unpersist()
+        meta["removed"] = before - after
+    return before - after

@@ -273,3 +273,73 @@ def test_ivf_index_incremental_upsert(spark, tmp_path):
     res = search_ivf_index(spark, batch.limit(3), path, k=3, nprobe=2)
     got = res.groupBy("q_id").count().collect()
     assert len(got) == 3 and all(r["count"] == 3 for r in got)
+
+
+def test_ivf_changed_vector_fsck_search_and_repair(spark, tmp_path):
+    """The documented staleness hole, now enforced: re-inserting a
+    vec_id with a CHANGED vector leaves the old copy in its former cell;
+    fsck flags it, search returns only the newest copy, and repair
+    removes the stale one (rewriting only the affected cells)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import (
+        fsck_ivf_index,
+        read_ivf_index,
+        repair_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _load_emb(spark)
+    base = emb.where(F.col("vec_id") < 80)
+    cents = train_ivf(base, num_cells=4, iters=2)
+    path = str(tmp_path / "ivf_stale")
+    write_ivf_index(base, cents, path)
+    assert fsck_ivf_index(spark, path).count() == 0  # clean index
+
+    # pick a vec_id and replace its embedding with another cell's vector
+    # (guaranteed cell change: use the embedding of a vector in a
+    # different cell)
+    _, vectors = read_ivf_index(spark, path)
+    two = vectors.select("vec_id", "cell").orderBy("cell", "vec_id").collect()
+    victim = two[0]
+    donor = next(r for r in two if r["cell"] != victim["cell"])
+    donor_emb = (
+        vectors.where(F.col("vec_id") == donor["vec_id"]).select("embedding").first()[0]
+    )
+    changed = spark.createDataFrame(
+        [(victim["vec_id"], donor_emb)], "vec_id long, embedding array<double>"
+    )
+    upsert_ivf_index(spark, changed, path)
+
+    # stale copy exists: fsck flags exactly the victim
+    bad = fsck_ivf_index(spark, path).collect()
+    assert [r["vec_id"] for r in bad] == [victim["vec_id"]]
+    assert bad[0]["n_copies"] == 2
+    assert bad[0]["live_cell"] == donor["cell"]  # newest copy in donor's cell
+
+    # search with full probe sees both copies but returns ONLY the new
+    # one (keep-latest per candidate id)
+    q = spark.createDataFrame([(999999, donor_emb)], "vec_id long, embedding array<double>")
+    res = search_ivf_index(spark, q, path, k=80, nprobe=4).collect()
+    hits = [r for r in res if r["c_id"] == victim["vec_id"]]
+    assert len(hits) == 1  # not two copies
+    assert hits[0]["cos_sim"] == 1.0  # it's the NEW (donor-equal) vector
+
+    # repair removes exactly the stale row, touching only its cell
+    vdir = os.path.join(path, "vectors")
+    untouched = f"cell={donor['cell']}"
+    files_before = sorted(os.listdir(os.path.join(vdir, untouched)))
+    removed = repair_ivf_index(spark, path)
+    assert removed == 1
+    assert fsck_ivf_index(spark, path).count() == 0
+    _, vectors2 = read_ivf_index(spark, path)
+    assert vectors2.count() == 80  # no row lost, one duplicate gone
+    assert sorted(os.listdir(os.path.join(vdir, untouched))) == files_before
+
+    # idempotent: second repair is a no-op
+    assert repair_ivf_index(spark, path) == 0
