@@ -170,3 +170,77 @@ def running_symbol_vwap(candles: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+VWAP_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("pv", T.DoubleType()),
+        T.StructField("vol", T.DoubleType()),
+        T.StructField("hi", T.DoubleType()),
+        T.StructField("lo", T.DoubleType()),
+    ]
+)
+
+
+def running_symbol_vwap_compat(candles: DataFrame) -> DataFrame:
+    """Per-symbol running VWAP/high/low — SAME contract as
+    running_symbol_vwap (identical VWAP_OUTPUT schema and semantics),
+    carried by applyInPandasWithState instead of
+    transformWithStateInPandas.  This is the protobuf-free path: the
+    transformWithState state protocol speaks protobuf between JVM and
+    Python, so environments without `google.protobuf` run this variant;
+    both are state-per-symbol (O(symbols) store) and emit one updated
+    row per symbol per micro-batch.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (symbol,) = key
+        if state.exists:
+            n, pv, vol, hi, lo = state.get
+        else:
+            n, pv, vol, hi, lo = 0, 0.0, 0.0, float("-inf"), float("inf")
+        for pdf in pdfs:
+            typical = (pdf["high"] + pdf["low"] + pdf["close"]) / 3.0
+            n += len(pdf)
+            pv += float((typical * pdf["volume"]).sum())
+            vol += float(pdf["volume"].sum())
+            hi = max(hi, float(pdf["high"].max()))
+            lo = min(lo, float(pdf["low"].min()))
+        state.update((n, pv, vol, hi, lo))
+        yield pd.DataFrame(
+            {
+                "symbol": [symbol],
+                "n_candles": [n],
+                "vwap": [pv / vol if vol else 0.0],
+                "high": [hi],
+                "low": [lo],
+            }
+        )
+
+    return candles.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=VWAP_OUTPUT,
+        stateStructType=VWAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_symbol_vwap_auto(candles: DataFrame) -> DataFrame:
+    """The VWAP operator on the best available API: Spark 4's
+    transformWithStateInPandas when its protobuf dependency is present,
+    else the applyInPandasWithState compat path — one contract, two
+    carriers, chosen at call time."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return running_symbol_vwap(candles)
+    except ImportError:
+        return running_symbol_vwap_compat(candles)
