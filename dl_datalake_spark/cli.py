@@ -113,8 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
         "index",
         help="build or search a persistent IVF ANN index over an embedding table",
     )
-    ix.add_argument("action", choices=["build", "search", "upsert"])
-    ix.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
+    ix.add_argument("action", choices=["build", "search", "upsert", "fsck", "repair"])
+    ix.add_argument("--vectors", default=None, help="parquet with (vec_id, embedding); required for build/search/upsert")
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--cells", type=int, default=16)
     ix.add_argument("--iters", type=int, default=3)
@@ -177,6 +177,17 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--max-rep", type=float, default=0.2, help="max duplicate-3-gram ratio")
     cu.add_argument("--sample-cutoff", default="cc", help="md5-hex keep cutoff (cc = 80%%)")
     cu.add_argument("--shards", type=int, default=8)
+
+    cm = sub.add_parser(
+        "commits",
+        help="show a dataset's optimistic commit-log history (who wrote what, when)",
+    )
+    cm.add_argument("--exchange", required=True)
+    cm.add_argument("--market", default="SPOT")
+    cm.add_argument("--symbol", required=True)
+    cm.add_argument("--data-type", default="raw")
+    cm.add_argument("--period", default="1m")
+    cm.add_argument("--limit", type=int, default=50)
 
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
@@ -274,12 +285,33 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from dl_datalake_spark.operators.ivf_index import (
+            fsck_ivf_index,
+            repair_ivf_index,
             search_ivf_index,
             train_ivf,
             upsert_ivf_index,
             write_ivf_index,
         )
 
+        if args.action == "fsck":
+            bad = fsck_ivf_index(spark, args.index)
+            rows = bad.orderBy("vec_id").limit(1000).collect()
+            print(json.dumps({
+                "index": args.index,
+                "stale_vec_ids": len(rows),
+                "violations": [
+                    {"vec_id": r["vec_id"], "n_copies": r["n_copies"],
+                     "cells": list(r["cells"]), "live_cell": r["live_cell"]}
+                    for r in rows
+                ],
+            }))
+            return 0
+        if args.action == "repair":
+            removed = repair_ivf_index(spark, args.index)
+            print(json.dumps({"index": args.index, "stale_removed": removed}))
+            return 0
+        if not args.vectors:
+            raise SystemExit("--vectors is required for build/search/upsert")
         vecs = spark.read.parquet(args.vectors)
         if args.action == "build":
             cents = train_ivf(vecs, num_cells=args.cells, iters=args.iters)
@@ -299,6 +331,13 @@ def main(argv: list[str] | None = None) -> int:
                 spark, q, args.index, k=args.k, nprobe=args.nprobe
             )
             res.show(100, truncate=False)
+    elif args.cmd == "commits":
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(args.exchange, args.market, args.symbol, args.data_type, args.period)
+        hist = client.writer.commit_log(key).history()
+        print(json.dumps({"dataset": client.writer.dataset_path(key),
+                          "commits": hist[-args.limit:]}))
     elif args.cmd == "maintain":
         if args.action == "compact":
             from dl_datalake_spark.lake.maintenance import compact
