@@ -14,6 +14,7 @@ from dl_datalake_spark.queries import relational2  # noqa: F401, E402
 from dl_datalake_spark.queries import relational3  # noqa: F401, E402
 from dl_datalake_spark.queries import relational4  # noqa: F401, E402
 from dl_datalake_spark.queries import relational5  # noqa: F401, E402
+from dl_datalake_spark.queries import relational6  # noqa: F401, E402
 from dl_datalake_spark.queries import events  # noqa: F401, E402
 from dl_datalake_spark.queries import temporal  # noqa: F401, E402
 from dl_datalake_spark.queries import textops  # noqa: F401, E402

@@ -1,0 +1,269 @@
+"""Round-4 analytic additions: graph power-iteration, exact weighted
+moving averages, array-function battery, robust (median/MAD) stats.
+
+Each is a shape the engine should own at 100 TB and the reference
+cannot express at all (its query surface is scan/filter/resample,
+SURVEY §2): one PageRank step is two hash joins + two hash aggs (the
+building block of iterative graph jobs on a relational engine), the
+EWMA is pure window lag arithmetic in integer micro-units, the array
+battery runs inside codegen (no explode round-trip for the per-order
+ops), and MAD is the classic two-phase holistic aggregate (median,
+broadcast back, median of deviations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table, with_tsu
+
+
+# ---------------------------------------------------------------------------
+# one PageRank power-iteration over the part co-purchase graph.
+# Nodes = parts; edges = distinct (a,b) pairs co-occurring in an order.
+# Fully integer-exact: each neighbor contributes round(1e6/out_degree)
+# micro-units; pr_e8 = 0.15*1e8 + 0.85 * (sum of contributions) * 100
+# = 15_000_000 + 85 * S, with S summed exactly as BIGINT.
+# Scale shape: per-order self-join (bounded by lines-per-order), then
+# hash aggs keyed by part — shards cleanly; no iteration-order floats.
+# ---------------------------------------------------------------------------
+@register(
+    "part_copurchase_pagerank_step",
+    sql="""
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+contrib AS (
+  SELECT e.dst AS part,
+         (2 * 1000000 + d) // (2 * d) AS u
+  FROM e JOIN deg USING (src))
+SELECT part,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(15000000 + 85 * SUM(u) AS BIGINT) AS pr_e8
+FROM contrib
+GROUP BY part
+ORDER BY pr_e8 DESC, part
+LIMIT 20
+""",
+)
+def part_copurchase_pagerank_step(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # round(1e6/d) half-up via integer arithmetic (exact both engines)
+    contrib = e.join(deg, "src").select(
+        F.col("dst").alias("part"),
+        ((F.lit(2_000_000) + F.col("d")) / (2 * F.col("d")))
+        .cast("long")
+        .alias("_q"),  # floor of the double quotient; exact: d <= ~1e5
+    )
+    # floor((2m+d)/(2d)) == round(m/d) half-up; the double division is
+    # exact here because numerator < 2^53 by orders of magnitude
+    return (
+        contrib.withColumnRenamed("_q", "u")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            (F.lit(15_000_000) + 85 * F.sum("u")).cast("long").alias("pr_e8"),
+        )
+        .orderBy(F.desc("pr_e8"), F.asc("part"))
+        .limit(20)
+        .select("part", "n_in", "pr_e8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact weighted moving average (EWMA-style 8/4/2/1 kernel) per user in
+# integer micro-units: value -> round(v*1e6), kernel weights halve per
+# lag, denominator adapts to missing lags at the partition head, final
+# division is the exact half-up integer ratio. No float accumulates
+# across rows, so the result is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ewma_weighted",
+    sql="""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu
+  FROM events WHERE event_type = 'purchase'),
+l AS (
+  SELECT user_id, tsu, vu,
+         lag(vu, 1) OVER w AS v1,
+         lag(vu, 2) OVER w AS v2,
+         lag(vu, 3) OVER w AS v3
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+wma AS (
+  SELECT user_id, tsu,
+         (2 * (8 * vu + 4 * COALESCE(v1, 0) + 2 * COALESCE(v2, 0) + COALESCE(v3, 0))
+            + (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END))
+         // (2 * (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                    + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                    + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END)) AS wma_u,
+         row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC) AS rn
+  FROM l)
+SELECT user_id, tsu AS last_tsu, CAST(wma_u AS BIGINT) AS wma_u
+FROM wma WHERE rn = 1
+ORDER BY wma_u DESC, user_id
+LIMIT 20
+""",
+)
+def events_ewma_weighted(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    v = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "tsu",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("vu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    l = v.select(
+        "user_id",
+        "tsu",
+        "vu",
+        F.lag("vu", 1).over(w).alias("v1"),
+        F.lag("vu", 2).over(w).alias("v2"),
+        F.lag("vu", 3).over(w).alias("v3"),
+    )
+    den = (
+        F.lit(8)
+        + F.when(F.col("v1").isNull(), 0).otherwise(4)
+        + F.when(F.col("v2").isNull(), 0).otherwise(2)
+        + F.when(F.col("v3").isNull(), 0).otherwise(1)
+    )
+    num = (
+        8 * F.col("vu")
+        + 4 * F.coalesce(F.col("v1"), F.lit(0))
+        + 2 * F.coalesce(F.col("v2"), F.lit(0))
+        + F.coalesce(F.col("v3"), F.lit(0))
+    )
+    # exact half-up integer ratio: floor((2*num + den) / (2*den));
+    # magnitudes stay < 2^53 so the double quotient floors exactly
+    wma_u = F.floor((2 * num + den) / (2 * den)).cast("long")
+    rw = Window.partitionBy("user_id").orderBy(F.desc("tsu"))
+    return (
+        l.withColumn("wma_u", wma_u)
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("tsu").alias("last_tsu"), "wma_u")
+        .orderBy(F.desc("wma_u"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# array-function battery per order: sorted quantity vector, top-3 sum,
+# has-max-quantity flag, line count — collect_list + array_sort +
+# slice + aggregate on the Spark side (codegen array exprs, no second
+# explode), list_sort/list_slice/list_sum in DuckDB. Quantities are
+# integral doubles, so the sums are exact.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_quantity_array_ops",
+    sql="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(l_quantity)) AS qs
+  FROM lineitem GROUP BY l_orderkey),
+m AS (
+  SELECT l_orderkey,
+         CAST(len(qs) AS INTEGER) AS n_lines,
+         CAST(list_sum(list_slice(list_reverse(list_sort(qs)), 1, 3)) AS BIGINT)
+           AS top3_qty,
+         CAST(list_contains(qs, 50.0) AS BOOLEAN) AS has_qty50
+  FROM per_order)
+SELECT l_orderkey, n_lines, top3_qty, has_qty50
+FROM m
+ORDER BY top3_qty DESC, l_orderkey
+LIMIT 25
+""",
+)
+def orders_quantity_array_ops(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qs")
+    )
+    desc_qs = F.reverse(F.col("qs"))
+    return (
+        per.select(
+            "l_orderkey",
+            F.size("qs").alias("n_lines"),
+            F.aggregate(
+                F.slice(desc_qs, 1, 3), F.lit(0.0), lambda acc, x: acc + x
+            )
+            .cast("long")
+            .alias("top3_qty"),
+            F.array_contains("qs", 50.0).alias("has_qty50"),
+        )
+        .orderBy(F.desc("top3_qty"), F.asc("l_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: exact median + MAD (median absolute deviation) of
+# extended price per return flag. Two-phase holistic aggregate: group
+# medians via exact interpolating percentile, broadcast join back,
+# median of |x - med|. Prices are 2-decimal, so both engines'
+# linear-interpolated medians land on exact .xx5-at-worst values;
+# work in integer cents to keep the interpolation itself exact.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_mad_robust",
+    sql="""
+WITH c AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+med AS (
+  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med_c
+  FROM c GROUP BY l_returnflag),
+dev AS (
+  SELECT c.l_returnflag,
+         ABS(c.cents - m.med_c) AS adev
+  FROM c JOIN med m USING (l_returnflag))
+SELECT d.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(m.med_c) / 100.0, 2) AS median_price,
+       ROUND(quantile_cont(d.adev, 0.5) / 100.0, 2) AS mad_price
+FROM dev d JOIN med m USING (l_returnflag)
+GROUP BY d.l_returnflag
+ORDER BY d.l_returnflag
+""",
+)
+def lineitem_mad_robust(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    med = c.groupBy("l_returnflag").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_c")
+    )
+    dev = c.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med_c", F.abs(F.col("cents") - F.col("med_c")).alias("adev")
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med_c") / 100.0, 2).alias("median_price"),
+            F.round(F.percentile("adev", F.lit(0.5)) / 100.0, 2).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+        .select("l_returnflag", "n", "median_price", "mad_price")
+    )
