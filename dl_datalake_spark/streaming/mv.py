@@ -229,9 +229,11 @@ def compact_mv(
     see ENOENT, not partial data — retry on the reader side.
     """
     import os
-    import shutil
     import uuid
 
+    from dl_datalake_spark.lake.fs import get_fs
+
+    fs = get_fs(mv_path, spark)
     partials = spark.read.parquet(mv_path)
     prev_batch, prev_identity = _read_watermark(mv_path)
     max_batch = max(
@@ -260,6 +262,6 @@ def compact_mv(
     with open(os.path.join(tmp, _WATERMARK_FILE), "w") as fh:
         fh.write(str(max_batch) if identity is None else f"{max_batch}\n{identity}")
     old = mv_path.rstrip("/") + f".old.{uuid.uuid4().hex}"
-    os.rename(mv_path, old)
-    os.rename(tmp, mv_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.rename(mv_path, old)
+    fs.rename(tmp, mv_path)
+    fs.rmtree(old)

@@ -261,8 +261,8 @@ def test_refresh_rollup_all_never_calls_per_symbol_write(spark, tmp_path, monkey
 
 
 # ---------------------------------------------------------------------------
-# concurrent-writer failure modes: the documented Delta substitute's
-# contract (lake/locks.py) — serialized upserts, clean lock timeout
+# concurrent-writer failure modes: the optimistic commit log's contract
+# (lake/commitlog.py) — serialized upserts, clean claim timeout
 # ---------------------------------------------------------------------------
 def test_concurrent_upserts_serialize_to_correct_final_state(lake, spark):
     """Two threads upserting DISJOINT ts ranges of the same dataset:
