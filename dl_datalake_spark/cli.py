@@ -159,12 +159,14 @@ def build_parser() -> argparse.ArgumentParser:
         "maintain",
         help="lake maintenance: small-file compaction and/or orphan vacuum",
     )
-    mt.add_argument("action", choices=["compact", "vacuum"])
+    mt.add_argument("action", choices=["compact", "vacuum", "prune-commits"])
     mt.add_argument("--files-per-partition", type=int, default=1)
     mt.add_argument("--in-place", action="store_true",
                     help="compact into the live tree instead of a staged swap")
     mt.add_argument("--apply", action="store_true",
                     help="vacuum: actually delete (default is dry-run report)")
+    mt.add_argument("--keep-last", type=int, default=100,
+                    help="prune-commits: finalized commit files to retain per dataset")
 
     cu = sub.add_parser(
         "curate",
@@ -348,6 +350,12 @@ def main(argv: list[str] | None = None) -> int:
                 in_place=args.in_place,
             )
             print(json.dumps({"compacted": out}))
+        elif args.action == "prune-commits":
+            from dl_datalake_spark.lake.maintenance import prune_commit_logs
+
+            rep = prune_commit_logs(spark, args.base, keep_last=args.keep_last)
+            print(json.dumps({"keep_last": args.keep_last,
+                              "files_removed": sum(rep.values()), "datasets": rep}))
         else:
             from dl_datalake_spark.lake.maintenance import vacuum
 

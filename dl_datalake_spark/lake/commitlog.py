@@ -126,6 +126,34 @@ class CommitLog:
                 out.append({"version": v, **{k: e[k] for k in e if k != "status"}})
         return out
 
+    def prune(self, keep_last: int = 100) -> int:
+        """Drop all but the newest `keep_last` FINALIZED commit files,
+        plus any rolled-aside `.abandoned.*` leftovers.  Version
+        numbering is unaffected (the newest files stay, and new claims
+        build on the highest retained version).  One tiny file per
+        commit adds up — a dataset ingested every minute for a year is
+        ~0.5 M files — so this belongs in the same maintenance cadence
+        as compaction (`cli maintain`).  Returns files removed."""
+        committed = [
+            v for v in self._entries() if self._read_entry(v).get("status") == "committed"
+        ]
+        drop = committed[:-keep_last] if keep_last > 0 else []
+        removed = 0
+        for v in drop:
+            try:
+                self.fs.remove(f"{self.log_dir}/{_fmt(v)}")
+                removed += 1
+            except OSError:
+                pass
+        for name in self.fs.listdir(self.log_dir):
+            if ".abandoned." in name:
+                try:
+                    self.fs.remove(f"{self.log_dir}/{name}")
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
     # -- claim / finalize --------------------------------------------------
 
     def _try_rollback_stale(self, version: int) -> None:

@@ -230,3 +230,29 @@ def vacuum(
     for dead in report["dead_links"]:
         manifest.delete_entries(path=dead)
     return report
+
+
+def prune_commit_logs(
+    spark: SparkSession,
+    base_path: str,
+    keep_last: int = 100,
+    fs: Filesystem | None = None,
+) -> dict[str, int]:
+    """Prune every dataset commit log under the lake to its newest
+    `keep_last` finalized entries (see CommitLog.prune). Returns
+    {dataset_path: files_removed} for datasets that had anything to
+    drop."""
+    from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
+
+    fs = fs if fs is not None else get_fs(base_path, spark)
+    datasets = {
+        root[: -len("/" + LOG_DIR)]
+        for root, f in fs.walk_files(base_path)
+        if root.endswith("/" + LOG_DIR)
+    }
+    out: dict[str, int] = {}
+    for ds in sorted(datasets):
+        n = CommitLog(ds, fs=fs).prune(keep_last=keep_last)
+        if n:
+            out[ds] = n
+    return out

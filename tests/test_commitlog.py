@@ -340,3 +340,39 @@ def test_two_spark_driver_processes_upsert_without_losing_rows(tmp_path):
     hist = CommitLog(w.dataset_path(key)).history()
     assert [h["version"] for h in hist] == [0, 1]
     assert sum(h["rows"] for h in hist) >= 60  # second commit saw 60 merged
+
+
+def test_prune_keeps_newest_and_numbering_continues(tmp_path):
+    ds = tmp_path / "ds"
+    log = CommitLog(str(ds))
+    for i in range(7):
+        with log.transaction() as meta:
+            meta["i"] = i
+    # leave an abandoned roll-aside behind too
+    assert log._claim(7)
+    log.stale_timeout_s = 0.0
+    log._try_rollback_stale(7)
+    removed = log.prune(keep_last=3)
+    assert removed == 4 + 1  # four old commits + one abandoned file
+    assert [h["version"] for h in log.history()] == [4, 5, 6]
+    assert log.latest_version() == 6
+    with log.transaction() as meta:
+        meta["i"] = 7
+    assert log.latest_version() == 7
+
+
+def test_prune_commit_logs_walks_lake(tmp_path, spark):
+    from dl_datalake_spark.lake.maintenance import prune_commit_logs
+
+    base = tmp_path / "lake"
+    for sym in ("AAA", "BBB"):
+        ds = base / f"exchange=X/market=SPOT/symbol={sym}/data_type=raw/period=1m"
+        log = CommitLog(str(ds))
+        for _ in range(5):
+            with log.transaction():
+                pass
+    rep = prune_commit_logs(spark, str(base), keep_last=2)
+    assert len(rep) == 2 and all(n == 3 for n in rep.values())
+    for sym in ("AAA", "BBB"):
+        ds = base / f"exchange=X/market=SPOT/symbol={sym}/data_type=raw/period=1m"
+        assert [h["version"] for h in CommitLog(str(ds)).history()] == [3, 4]
