@@ -267,3 +267,53 @@ def lineitem_mad_robust(spark: SparkSession, sf_dir: str):
         .orderBy("l_returnflag")
         .select("l_returnflag", "n", "median_price", "mad_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential path analytics: each user's first-3 event-type path and
+# the most common paths. Per-user ordered collect (sorted by (ts,
+# event_id) so the sequence is deterministic under any partitioning),
+# array slice + join inside codegen, then a hash-agg over path strings.
+# The classic "top user journeys" query — a window-free two-agg plan
+# that shards by user then by path at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_path_topk",
+    sql="""
+WITH paths AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY epoch_us(ts), event_id), 1, 3),
+           '>') AS path
+  FROM events GROUP BY user_id)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+""",
+)
+def events_user_path_topk(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tsu", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
