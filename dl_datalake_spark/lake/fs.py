@@ -97,50 +97,58 @@ class Filesystem:
         raise NotImplementedError
 
 
+def _local(path: str) -> str:
+    """Accept plain paths AND ``file://`` URIs (a lake base of
+    ``file:///data/lake`` must hit the same files whichever Filesystem
+    serves it)."""
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
 class LocalFS(Filesystem):
     """POSIX-backed default. All primitives are genuinely atomic here:
     ``O_EXCL`` create, same-directory ``os.replace`` rename."""
 
     def listdir(self, path: str) -> list[str]:
         try:
-            return os.listdir(path)
+            return os.listdir(_local(path))
         except FileNotFoundError:
             return []
 
     def isdir(self, path: str) -> bool:
-        return os.path.isdir(path)
+        return os.path.isdir(_local(path))
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(_local(path))
 
     def walk_files(self, path: str) -> Iterator[tuple[str, str]]:
-        for root, _dirs, files in os.walk(path):
+        for root, _dirs, files in os.walk(_local(path)):
             for f in files:
                 yield root, f
 
     def getmtime(self, path: str) -> float:
-        return os.path.getmtime(path)
+        return os.path.getmtime(_local(path))
 
     def getsize(self, path: str) -> int:
-        return os.path.getsize(path)
+        return os.path.getsize(_local(path))
 
     def makedirs(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(_local(path), exist_ok=True)
 
     def remove(self, path: str) -> None:
-        os.remove(path)
+        os.remove(_local(path))
 
     def rmtree(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(_local(path), ignore_errors=True)
 
     def rename(self, src: str, dst: str) -> None:
-        os.rename(src, dst)
+        os.rename(_local(src), _local(dst))
 
     def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as fh:
+        with open(_local(path), "rb") as fh:
             return fh.read()
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        path = _local(path)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as fh:
             fh.write(data)
@@ -150,7 +158,7 @@ class LocalFS(Filesystem):
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(_local(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
         try:
@@ -275,13 +283,15 @@ def has_visible_children(fs: Filesystem, path: str) -> bool:
 def get_fs(path: str, spark=None) -> Filesystem:
     """Pick a Filesystem from the path's scheme.
 
-    Scheme-less and ``file:`` paths get LocalFS (fully atomic
-    primitives); anything with a ``scheme://`` needs the JVM-backed
-    HadoopFS, which requires an active SparkSession to borrow the
-    Hadoop conf from.
+    Scheme-less paths get LocalFS (fully atomic primitives).
+    ``file://`` URIs get HadoopFS when a session is available — the
+    same JVM code path an ``s3a://`` base takes, which is what the
+    integration tests exercise — and URI-tolerant LocalFS otherwise.
+    Any other ``scheme://`` needs the JVM-backed HadoopFS, which
+    requires an active SparkSession to borrow the Hadoop conf from.
     """
     scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme in ("", "file"):
+    if scheme == "" or (scheme == "file" and spark is None):
         return LocalFS()
     if spark is None:
         raise ValueError(
