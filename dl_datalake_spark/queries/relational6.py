@@ -317,3 +317,66 @@ def events_user_path_topk(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# out-of-orderness audit: per user, how late events arrive relative to
+# the max event-time already seen. This is the measurement that SIZES A
+# STREAMING WATERMARK: the histogram's tail is the lateness bound
+# `withWatermark` must cover before state can be dropped
+# (streaming/ingest.py uses 10s-of-minutes defaults; this query is how
+# you'd tune them per corpus). The synthetic events table is generated
+# time-sorted, so arrival order is simulated with a deterministic LCG
+# permutation of event_id (computable identically in both engines) —
+# on a real ingest you'd use the arrival/file sequence. Shape: one
+# per-user running-max window + one hash-agg over log2 buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "events_out_of_order_audit",
+    sql="""
+WITH l AS (
+  SELECT user_id,
+         epoch_us(ts) AS tsu,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY (event_id * 48271) % 9973, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_max
+  FROM events),
+lat AS (
+  SELECT CASE
+           WHEN seen_max IS NULL OR seen_max <= tsu THEN -1
+           ELSE CAST(FLOOR(LOG2((seen_max - tsu) / 1000000.0 + 1.0)) AS INTEGER)
+         END AS late_bucket
+  FROM l)
+SELECT late_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM lat
+GROUP BY late_bucket
+ORDER BY late_bucket
+""",
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    arrival = (F.col("event_id") * 48271) % 9973
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l = ev.select(
+        "tsu", F.max("tsu").over(w).alias("seen_max")
+    )
+    late_s = (F.col("seen_max") - F.col("tsu")) / 1_000_000.0
+    bucket = (
+        F.when(
+            F.col("seen_max").isNull() | (F.col("seen_max") <= F.col("tsu")), -1
+        )
+        .otherwise(F.floor(F.log2(late_s + 1.0)).cast("int"))
+        .alias("late_bucket")
+    )
+    return (
+        l.select(bucket)
+        .groupBy("late_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("late_bucket")
+    )
