@@ -110,6 +110,34 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
         page = _rows(entries.offset(offset).limit(limit))
         return jsonify({"total": total, "offset": offset, "entries": page})
 
+    @app.get("/datasets/commits")
+    def dataset_commits():
+        """A dataset's optimistic commit-log history (version, mode,
+        rows, time range, committed_at) — the write-audit surface the
+        commit log gives for free."""
+        args = request.args
+        try:
+            from dl_datalake_spark.lake.paths import DatasetKey
+
+            key = DatasetKey(
+                args["exchange"],
+                args.get("market", "SPOT"),
+                args["symbol"],
+                args.get("data_type", "raw"),
+                args.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        hist = client.writer.commit_log(key).history()
+        limit = bounded_limit()
+        return jsonify(
+            {
+                "dataset": client.writer.dataset_path(key),
+                "total": len(hist),
+                "commits": hist[-limit:],
+            }
+        )
+
     @app.get("/preview")
     def preview():
         args = request.args

@@ -64,6 +64,16 @@ def test_datasets_preview_symbols(app_client):
 
     assert http.get("/symbols").get_json()["symbols"] == ["BTCUSDT"]
 
+    # commit-log audit: the ingest above is commit version 0
+    cm = http.get(
+        "/datasets/commits",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT"},
+    ).get_json()
+    assert cm["total"] == 1
+    assert cm["commits"][0]["version"] == 0
+    assert cm["commits"][0]["rows"] == 30
+    assert http.get("/datasets/commits").status_code == 422
+
 
 def test_ingest_export_delete_roundtrip(app_client, tmp_path):
     http, client, base = app_client
