@@ -11,10 +11,10 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dl_datalake_spark.lake.fs import Filesystem, get_fs
 from dl_datalake_spark.lake.manifest import ManifestManager
 
 
@@ -27,10 +27,17 @@ def _sha256_file(path: str, block: int = 4096) -> str:
 
 
 class FeatureStore:
-    def __init__(self, spark: SparkSession, base_path: str, manifest: ManifestManager):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        manifest: ManifestManager,
+        fs: Filesystem | None = None,
+    ):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
+        self.fs = fs if fs is not None else get_fs(self.base_path, spark)
 
     def upload_feature(
         self,
@@ -43,10 +50,13 @@ class FeatureStore:
     ) -> str:
         if not os.path.isfile(src_path):
             raise FileNotFoundError(f"feature source not found: {src_path}")
+        # src is by definition a LOCAL file (an upload); dest goes
+        # through the lake's Filesystem so an object-store base works
         dest_dir = os.path.join(self.base_path, "features", feature_set, version)
-        os.makedirs(dest_dir, exist_ok=True)
+        self.fs.makedirs(dest_dir)
         dest = os.path.join(dest_dir, os.path.basename(src_path))
-        shutil.copy2(src_path, dest)
+        with open(src_path, "rb") as fh:
+            self.fs.write_bytes_atomic(dest, fh.read())
         self.manifest.add_entry(
             exchange=exchange,
             market=market,
@@ -54,7 +64,7 @@ class FeatureStore:
             path=dest,
             data_type=feature_set,
             version=version,
-            checksum=_sha256_file(dest),
+            checksum=_sha256_file(src_path),
             metadata={"feature_set": feature_set},
         )
         return dest
@@ -96,7 +106,7 @@ class FeatureStore:
         if entry is None:
             return None
         path = entry["path"]
-        return path if os.path.isfile(path) else None
+        return path if (self.fs.exists(path) and not self.fs.isdir(path)) else None
 
     def read_feature_parquet(self, feature_set: str, version: str) -> DataFrame:
         return self.spark.read.parquet(
