@@ -20,7 +20,13 @@ def ratio_units_sql(a: str, b: str, digits: int = 6) -> str:
     """Integer form: round(a/b * 10^digits) half-up, as BIGINT SQL.
     Envelope: exact while 2*a*10^digits < 2^63 (a < ~4.6e12 at 6
     digits) — far beyond any per-group count this repo aggregates;
-    for larger magnitudes drop digits."""
+    for larger magnitudes drop digits.
+
+    NONNEGATIVE a only: DuckDB's // truncates toward zero on negative
+    numerators while Spark's floor() floors, so the two sides diverge
+    by one unit exactly when a < 0 (caught live building
+    emb_silhouette_by_label — shift the quantity into nonnegative
+    range first and shift back after, as that query does)."""
     m = 10 ** digits
     return (
         f"(2 * CAST({a} AS BIGINT) * {m} + CAST({b} AS BIGINT))"

@@ -380,3 +380,128 @@ def events_out_of_order_audit(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("late_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# clustering quality: centroid-based silhouette per label. a = distance
+# to own centroid, b = nearest other centroid, s = (b-a)/max(a,b).
+# INTEGER-EXACT pipeline: raw float32 values quantize to micro-units
+# (deterministic — no aggregation involved), per-dim centroid means are
+# exact half-up integer ratios, squared distances are integer sums of
+# 64 integer squares (< 2^63), and only then does sqrt produce a double
+# — of identical integers on both engines, so every downstream value is
+# bit-identical (a float AVG-based variant flipped one micro at sf0.01).
+# Shape: one explode agg for centroids (labels x dims rows), then a
+# broadcast of ~10 centroid rows against the corpus — no pairwise
+# vector distances anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_silhouette_by_label",
+    sql="""
+WITH ex0 AS (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+ex AS (SELECT label, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vu, i FROM ex0),
+d AS (SELECT label, i,
+             -- exact half-up mean; the +10^7 shift keeps the numerator
+             -- nonnegative (DuckDB's // truncates toward zero while
+             -- Spark's floor() floors — they only agree on nonnegatives)
+             (2 * CAST(SUM(vu + 10000000) AS BIGINT) + CAST(COUNT(*) AS BIGINT))
+               // (2 * CAST(COUNT(*) AS BIGINT)) - 10000000 AS mean_u
+      FROM ex GROUP BY label, i),
+cent AS (SELECT label AS clabel, list(mean_u ORDER BY i) AS cu FROM d GROUP BY label),
+e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS vu
+      FROM embeddings),
+dist AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         list_sum([(e.vu[j] - c.cu[j]) * (e.vu[j] - c.cu[j])
+                   for j in generate_series(1, len(e.vu))]) AS d2
+  FROM e CROSS JOIN cent c),
+ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+         MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+  FROM dist GROUP BY vec_id, label),
+s AS (SELECT label,
+             CAST(FLOOR((SQRT(b2) - SQRT(a2)) / SQRT(GREATEST(a2, b2)) * 1000000 + 0.5) AS BIGINT) AS su
+      FROM ab),
+"""
+    + """
+agg AS (
+  -- su >= -10^6, so the +10^6 shift keeps the ratio numerator
+  -- nonnegative (floor/truncate divergence again)
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(su + 1000000) AS BIGINT) AS ssum
+  FROM s GROUP BY label)
+SELECT label, n,
+       (((2 * ssum * 1000000 + n) // (2 * n)) - CAST(1000000000000 AS BIGINT)) / 1000000.0
+         AS avg_silhouette
+FROM agg ORDER BY label
+""",
+)
+def emb_silhouette_by_label(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.queries.registry import ratio_round
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    to_u = lambda c: F.floor(c.cast("double") * 1_000_000 + 0.5).cast("long")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v_raw")
+    ).select("label", (F.col("i0") + 1).alias("i"), to_u(F.col("v_raw")).alias("vu"))
+    # exact half-up integer mean per (label, dim); shifted by +10^7 so
+    # the numerator is nonnegative — floor and truncate agree there
+    # (DuckDB's // truncates toward zero on negatives, Spark floors)
+    shift = F.lit(10_000_000)
+    d = ex.groupBy("label", "i").agg(
+        (
+            F.floor(
+                (2 * F.sum(F.col("vu") + shift) + F.count(F.lit(1)))
+                / (2 * F.count(F.lit(1)))
+            ).cast("long")
+            - shift
+        ).alias("mean_u")
+    )
+    cent = d.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mean_u"))), lambda st: st.mean_u
+        ).alias("cu")
+    ).select(F.col("label").alias("clabel"), "cu")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: to_u(x)).alias("vu"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("vu", "cu", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = e.crossJoin(F.broadcast(cent)).select("vec_id", "label", "clabel", d2.alias("d2"))
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    s = ab.select(
+        "label",
+        F.floor(
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.sqrt(F.greatest("a2", "b2"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("su"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                ratio_round(F.sum(F.col("su") + F.lit(1_000_000)), F.count(F.lit(1)))
+                - F.lit(1_000_000.0)
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
