@@ -144,6 +144,59 @@ class LakeReader:
                 )
         return sorted(symbols)
 
+
+    def read_changes_since(
+        self, key: DatasetKey, after_version: int
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental (CDC-lite) read: rows from exactly the partitions
+        touched by commits AFTER `after_version`, plus the current latest
+        version to persist as the consumer's next cursor.
+
+        Every commit records its touched [year, month] partitions
+        (lake/writer.py), so an incremental consumer — a rollup refresh, a
+        feature builder, a training-data exporter — re-reads only the
+        changed slice of the dataset instead of scanning it.  At 100 TB
+        this is the difference between a minutes-long catch-up and a full
+        rescan; the cost is O(commits since cursor + touched partitions).
+
+        Returns (None, latest) when nothing changed.  Rows from a touched
+        partition include pre-existing rows of that partition (partition-
+        level granularity, like Delta's file-level CDF without the
+        per-row change type); keep-last consumers are idempotent to that.
+        """
+        from dl_datalake_spark.lake.commitlog import CommitLog
+
+        k = key.normalized()
+        path = self._dataset_paths(k.exchange, k.symbol, k.data_type, k.market, k.period)
+        log = CommitLog(
+            f"{self.base_path}/exchange={k.exchange}/market={k.market}"
+            f"/symbol={k.symbol}/data_type={k.data_type}/period={k.period}",
+            fs=self.fs,
+        )
+        latest = log.latest_version()
+        if latest <= after_version or not path:
+            return None, latest
+        touched: set[tuple[int, int]] = set()
+        unknown = False
+        for c in log.history():
+            if c["version"] <= after_version:
+                continue
+            parts = c.get("partitions")
+            if parts is None:
+                unknown = True  # legacy commit without partition metadata
+            else:
+                touched.update((int(y), int(m)) for y, m in parts)
+        df = self._scan_paths(path)
+        if df is None:
+            return None, latest
+        if unknown or not touched:
+            # cannot prove a narrower slice: fall back to the full dataset
+            return df, latest
+        pred = F.lit(False)
+        for y, m in sorted(touched):
+            pred = pred | ((F.col("year") == y) & (F.col("month") == m))
+        return df.where(pred), latest
+
     def preview(self, df: DataFrame, offset: int, limit: int) -> tuple[int, DataFrame]:
         """Paginate without materializing (reference data.py:135-142)."""
         total = df.count()

@@ -41,6 +41,7 @@ class WriteResult:
     time_from: int | None
     time_to: int | None
     rows: int
+    partitions: list[list[int]] | None = None  # touched [year, month] pairs
 
 
 def _require_ts(df: DataFrame, ts_col: str) -> str:
@@ -131,9 +132,16 @@ class LakeWriter:
             .withColumn("year", F.year(t))
             .withColumn("month", F.month(t))
         )
-        symbols = sorted(r["symbol"] for r in batch.select("symbol").distinct().collect())
+        triples = [
+            (r["symbol"], int(r["year"]), int(r["month"]))
+            for r in batch.select("symbol", "year", "month").distinct().collect()
+        ]
+        symbols = sorted({t[0] for t in triples})
         if not symbols:
             return {}
+        parts_by_symbol: dict[str, list[list[int]]] = {}
+        for sym, y, m in sorted(triples):
+            parts_by_symbol.setdefault(sym, []).append([y, m])
         keys = [DatasetKey(ex, mk, s, data_type, period) for s in symbols]
 
         with ExitStack() as stack:
@@ -147,7 +155,7 @@ class LakeWriter:
                 for k in keys  # sorted symbol order: deadlock-free
             ]
             if mode == "upsert":
-                merged = self._merge_keep_last_multi(batch, keys, ts_col)
+                merged = self._merge_keep_last_multi(batch, keys, ts_col, triples=triples)
             elif mode in ("append", "overwrite"):
                 merged = batch
             else:
@@ -188,12 +196,18 @@ class LakeWriter:
                 s = stats.get(k.symbol)
                 if s is None:
                     continue
-                meta.update(rows=s["n"], time_from=s["t0"], time_to=s["t1"])
                 res = WriteResult(
                     path=self.dataset_path(k),
                     time_from=s["t0"],
                     time_to=s["t1"],
                     rows=s["n"],
+                    partitions=parts_by_symbol.get(k.symbol),
+                )
+                meta.update(
+                    rows=s["n"],
+                    time_from=s["t0"],
+                    time_to=s["t1"],
+                    partitions=res.partitions,
                 )
                 results[k.symbol] = res
                 manifest_rows.append(
@@ -241,8 +255,14 @@ class LakeWriter:
         log = self.commit_log(key)
         with log.transaction(timeout=self.commit_timeout_s, payload={"mode": mode}) as meta:
             res = self._write_locked(df, key, mode)
+            # touched partitions in the commit record = the CDC surface:
+            # an incremental consumer (reader.read_changes_since) re-reads
+            # exactly these partitions, never the dataset
             meta.update(
-                rows=res.rows, time_from=res.time_from, time_to=res.time_to
+                rows=res.rows,
+                time_from=res.time_from,
+                time_to=res.time_to,
+                partitions=res.partitions,
             )
         return res
 
@@ -265,6 +285,14 @@ class LakeWriter:
         stats = merged.agg(
             F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
+        # the batch's (year, month) set = the partitions this commit
+        # replaces (dynamic overwrite touches nothing else); bounded
+        # driver state, same cardinality the overwrite commit enumerates
+        touched = sorted(
+            (int(r["year"]), int(r["month"]))
+            for r in batch.select("year", "month").distinct().collect()
+            if r["year"] is not None
+        )
 
         out = merged.sortWithinPartitions(ts_col)
         writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
@@ -283,6 +311,7 @@ class LakeWriter:
             time_from=stats["t0"],
             time_to=stats["t1"],
             rows=stats["n"],
+            partitions=[list(p) for p in touched],
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -327,7 +356,11 @@ class LakeWriter:
         )
 
     def _merge_keep_last_multi(
-        self, batch: DataFrame, keys: list[DatasetKey], ts_col: str
+        self,
+        batch: DataFrame,
+        keys: list[DatasetKey],
+        ts_col: str,
+        triples: list[tuple[str, int, int]] | None = None,
     ) -> DataFrame:
         """Multi-dataset keep-last merge: ONE read-back over every
         existing touched dataset subtree (still pruned to the batch's
@@ -347,10 +380,11 @@ class LakeWriter:
         # partition overwrite only replaces partitions present in the
         # output).  Bounded driver state: symbols x months, the same
         # cardinality the dynamic-overwrite commit enumerates anyway.
-        triples = [
-            (r["symbol"], r["year"], r["month"])
-            for r in batch.select("symbol", "year", "month").distinct().collect()
-        ]
+        if triples is None:  # caller usually already collected these
+            triples = [
+                (r["symbol"], r["year"], r["month"])
+                for r in batch.select("symbol", "year", "month").distinct().collect()
+            ]
         if not triples:
             return batch
         if len(triples) <= 1024:

@@ -435,3 +435,61 @@ def test_lake_write_read_over_hadoopfs_scheme_base(spark, tmp_path):
     assert r.list_symbols("BINANCE") == ["BTCUSDT"]
     hist = w.commit_log(key).history()
     assert [h["version"] for h in hist] == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# CDC-lite: commits record touched partitions; consumers read only them
+# ---------------------------------------------------------------------------
+def test_read_changes_since_reads_only_touched_partitions(spark, tmp_path):
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTCUSDT", "ticks", "1m")
+    jan = 1672574400000  # 2023-01-01
+    mar = 1677660000000  # 2023-03-01
+
+    # commit 0: january data
+    w.write_ticks(
+        spark.createDataFrame(
+            [(jan + i * 60000, 1.0) for i in range(10)], "ts long, price double"
+        ),
+        key,
+    )
+    # fresh consumer: everything since "before the beginning"
+    df, cursor = r.read_changes_since(key, after_version=-1)
+    assert cursor == 0 and df.count() == 10
+
+    # caught-up consumer: nothing new
+    df2, cursor2 = r.read_changes_since(key, after_version=cursor)
+    assert df2 is None and cursor2 == 0
+
+    # commit 1: march data — the incremental read returns ONLY march
+    w.write_ticks(
+        spark.createDataFrame(
+            [(mar + i * 60000, 2.0) for i in range(5)], "ts long, price double"
+        ),
+        key,
+    )
+    df3, cursor3 = r.read_changes_since(key, after_version=cursor)
+    assert cursor3 == 1
+    assert df3.count() == 5
+    months = {(x["year"], x["month"]) for x in df3.select("year", "month").distinct().collect()}
+    assert months == {(2023, 3)}
+    # the commit record itself carries the touched partitions
+    hist = w.commit_log(key).history()
+    assert hist[-1]["partitions"] == [[2023, 3]]
+    assert hist[0]["partitions"] == [[2023, 1]]
+
+    # commit 2 touches january again -> incremental read = january only
+    w.write_ticks(
+        spark.createDataFrame([(jan, 9.0)], "ts long, price double"), key
+    )
+    df4, cursor4 = r.read_changes_since(key, after_version=cursor3)
+    assert cursor4 == 2
+    assert {(x["year"], x["month"]) for x in df4.select("year", "month").distinct().collect()} == {(2023, 1)}
+    assert df4.where(F.col("price") == 9.0).count() == 1  # upserted row visible
+    assert df4.count() == 10  # partition granularity: whole month returned
