@@ -121,6 +121,43 @@ class DataLakeClient:
             agg, DatasetKey(exchange, "agg", symbol, "agg", target_period)
         )
 
+    def refresh_rollup_cdc(
+        self,
+        exchange: str,
+        market: str,
+        symbol: str,
+        source_period: str = "1m",
+        target_period: str = "15m",
+    ):
+        """Rollup refresh driven by the source dataset's COMMIT LOG
+        instead of the rollup watermark.
+
+        The watermark path (refresh_rollup) only sees data NEWER than
+        the last bucket — a backfill or correction upserted into an old
+        month never reaches the rollup.  Here the consumer cursor is
+        the source commit version: read_changes_since returns rows from
+        exactly the partitions touched since the last consumed commit
+        (old months included), the resample rebuilds those months'
+        buckets, and keep-last upsert replaces them.  The cursor itself
+        is persisted in the ROLLUP's commit payload (`source_version`),
+        so cursor advance is atomic with the rollup write — a crash
+        between them replays the slice idempotently.
+
+        Constraint (shared with the watermark path): target buckets
+        must not span month partitions (true for s/min/h buckets).
+        """
+        src_key = DatasetKey(exchange, market, symbol, "raw", source_period)
+        agg_key = DatasetKey(exchange, "agg", symbol, "agg", target_period)
+        hist = self.writer.commit_log(agg_key).history()
+        cursor = max((c.get("source_version", -1) for c in hist), default=-1)
+        changed, latest = self.reader.read_changes_since(src_key, cursor)
+        if changed is None:
+            return None
+        agg = resample_ohlcv(changed, target_period)
+        return self.writer.write_ohlc(
+            agg, agg_key, commit_meta={"source_version": latest}
+        )
+
     def refresh_rollup_all(
         self,
         exchange: str,

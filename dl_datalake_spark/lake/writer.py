@@ -76,8 +76,18 @@ class LakeWriter:
 
     # -- public API (reference: write_ohlc / write_ticks / write_table) ----
 
-    def write_ohlc(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
-        return self._write(df, key.normalized(), mode=mode)
+    def write_ohlc(
+        self,
+        df: DataFrame,
+        key: DatasetKey,
+        mode: str = "upsert",
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
+        """`commit_meta` is merged into the commit-log payload — the
+        atomic place to persist consumer cursors (e.g. the CDC
+        source_version a rollup was built from) WITH the write they
+        belong to."""
+        return self._write(df, key.normalized(), mode=mode, commit_meta=commit_meta)
 
     def write_ticks(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
         """Free-schema (ts + arbitrary columns) write. A key still
@@ -240,7 +250,13 @@ class LakeWriter:
             .withColumn("month", F.month(t))
         )
 
-    def _write(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
+    def _write(
+        self,
+        df: DataFrame,
+        key: DatasetKey,
+        mode: str,
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
         # Serialize same-dataset upserts: the merge is read-modify-write
         # over the dataset's partitions, so two concurrent writers to one
         # dataset would each read the pre-state and the last overwrite
@@ -253,7 +269,8 @@ class LakeWriter:
         # the dataset directory.  Writes to different datasets stay
         # fully parallel (per-dataset logs).
         log = self.commit_log(key)
-        with log.transaction(timeout=self.commit_timeout_s, payload={"mode": mode}) as meta:
+        payload = {"mode": mode, **(commit_meta or {})}
+        with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
             res = self._write_locked(df, key, mode)
             # touched partitions in the commit record = the CDC surface:
             # an incremental consumer (reader.read_changes_since) re-reads

@@ -190,3 +190,73 @@ def test_vacuum_reclaims_orphans_and_dead_links(client, tmp_path):
     # post-vacuum audit is clean
     after = vacuum(client.spark, client.base_path, client.manifest, dry_run=True)
     assert after == {"orphan_files": [], "dead_links": []}
+
+
+def test_refresh_rollup_cdc_catches_old_month_backfill(client, tmp_path, spark):
+    """The commit-log-driven refresh sees a correction upserted into an
+    OLD month — the case the rollup-watermark path structurally misses —
+    and rebuilds exactly that month's buckets."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.operators.resample import resample_ohlcv
+
+    jan = 1672574400000  # 2023-01-01T12:00Z
+    mar = 1677660000000  # 2023-03-01T08:40Z... march either way
+    client.ingest_csv(_csv(tmp_path, n=30, start=jan), "binance", "spot", "BTCUSDT")
+    p2 = tmp_path / "mar.csv"
+    p2.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{mar + i*60000},2,3,1.5,2.5,20" for i in range(30))
+    )
+    client.ingest_csv(str(p2), "binance", "spot", "BTCUSDT")
+
+    # initial CDC refresh consumes both commits
+    res = client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert res is not None
+    agg_key = DatasetKey("binance", "agg", "BTCUSDT", "agg", "15m")
+    before = {r["ts"]: r["close"] for r in client.reader.read_dataset(agg_key).collect()}
+
+    # caught up: no-op
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
+
+    # backfill-correct JANUARY (old month) while march stays untouched
+    p3 = tmp_path / "fix.csv"
+    p3.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{jan + i*60000},9,9,9,9,90" for i in range(5))
+    )
+    client.ingest_csv(str(p3), "binance", "spot", "BTCUSDT")
+
+    # the WATERMARK path misses it: its watermark sits in march, so it
+    # re-reads only the newest bucket boundary onward — january's
+    # corrected rows never reach the rollup
+    client.refresh_rollup("binance", "spot", "BTCUSDT", "1m", "15m")
+    jan_bucket = (jan // 900000) * 900000
+    stale = client.reader.read_dataset(agg_key).where(F.col("ts") == jan_bucket).collect()[0]
+    assert stale["open"] == 1.0  # still the pre-correction value
+
+    # the CDC path rebuilds january's buckets
+    res2 = client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert res2 is not None
+    got = client.reader.read_dataset(agg_key)
+    jan_first = got.where(F.col("ts") == (jan // 900000) * 900000).collect()[0]
+    # minutes 0-4 were corrected (open comes from minute 0, high from
+    # the max); minute 14 still owns the close
+    assert jan_first["open"] == 9.0 and jan_first["high"] == 9.0
+
+    # full-recompute oracle over all raw data agrees bucket-for-bucket
+    raw = client.reader.read_dataset(DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m"))
+    oracle = {
+        r["ts"]: (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in resample_ohlcv(raw, "15m").collect()
+    }
+    final = {
+        r["ts"]: (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in got.collect()
+    }
+    assert final == oracle
+    # march buckets kept their pre-correction values (untouched month)
+    for ts, close in before.items():
+        if ts >= mar:
+            assert final[ts][3] == close
