@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     rfr = sub.add_parser("refresh", help="incremental multi-symbol rollup refresh")
     rfr.add_argument("--exchange", required=True)
     rfr.add_argument("--target-period", default="15m")
+    rfr.add_argument("--cdc", action="store_true",
+                     help="per-symbol commit-log-driven refresh: also rebuilds "
+                          "buckets for backfills into OLD months, which the "
+                          "watermark path cannot see")
+    rfr.add_argument("--market", default="SPOT")
+    rfr.add_argument("--source-period", default="1m")
 
     qr = sub.add_parser(
         "query", help="run a registered analytics query against a table dir"
@@ -262,8 +268,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({sym: res.rows for sym, res in out.items()}))
     elif args.cmd == "refresh":
-        out = client.refresh_rollup_all(args.exchange, target_period=args.target_period)
-        print(json.dumps({sym: res.rows for sym, res in out.items()}))
+        if args.cdc:
+            results = {}
+            for sym in client.reader.list_symbols(args.exchange):
+                res = client.refresh_rollup_cdc(
+                    args.exchange, args.market, sym,
+                    args.source_period, args.target_period,
+                )
+                results[sym] = 0 if res is None else res.rows
+            print(json.dumps(results))
+        else:
+            out = client.refresh_rollup_all(args.exchange, target_period=args.target_period)
+            print(json.dumps({sym: res.rows for sym, res in out.items()}))
     elif args.cmd == "query":
         from dl_datalake_spark.queries import QUERIES
 
