@@ -368,6 +368,20 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
     def refresh():
         body = request.get_json(force=True)
         try:
+            if body.get("cdc"):
+                # commit-log-driven per symbol: also rebuilds buckets for
+                # backfills into old months (see client.refresh_rollup_cdc)
+                results = {}
+                for sym in client.reader.list_symbols(body["exchange"]):
+                    res = client.refresh_rollup_cdc(
+                        body["exchange"],
+                        body.get("market", "SPOT"),
+                        sym,
+                        body.get("source_period", "1m"),
+                        body.get("target_period", "15m"),
+                    )
+                    results[sym] = 0 if res is None else res.rows
+                return jsonify(results)
             out = client.refresh_rollup_all(
                 body["exchange"], target_period=body.get("target_period", "15m")
             )
