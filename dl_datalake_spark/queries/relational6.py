@@ -505,3 +505,90 @@ def emb_silhouette_by_label(spark: SparkSession, sf_dir: str):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# TWO damped PageRank iterations, integer-exact end to end — pins that
+# ITERATION (rank feedback through the contribution join) matches
+# cross-engine, not just one step. Iteration 1 contributions are
+# round(1e6/deg) micro-units; pr1_e8 = 15e6 + 85*S1 (exact). Iteration
+# 2 ships u2 = round(pr1_e8/deg) — nonnegative, so the half-up integer
+# division agrees between engines — and damps with
+# round(85*S2/100): pr2_e8 = 15_000_000 + that. The operator module
+# (operators/graph.py pagerank) runs the float N-iteration form; this
+# query is its exactness contract at depth 2. Envelope: the inline
+# floor((2*num+den)/(2*den)) is exact while 2*num < 2^53 — S2 stays
+# under ~5e13 until a vertex's in-degree reaches ~500k; past that use
+# functions/exact.ratio_units, which corrects the double quotient with
+# exact long comparisons.
+# ---------------------------------------------------------------------------
+@register(
+    "part_copurchase_pagerank_iter2",
+    sql="""
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+c1 AS (
+  SELECT e.dst AS part, (2 * 1000000 + d) // (2 * d) AS u
+  FROM e JOIN deg USING (src)),
+pr1 AS (
+  SELECT deg.src AS part, d,
+         15000000 + 85 * COALESCE(s.s1, 0) AS pr1_e8
+  FROM deg LEFT JOIN (SELECT part, CAST(SUM(u) AS BIGINT) AS s1
+                      FROM c1 GROUP BY part) s ON s.part = deg.src),
+c2 AS (
+  SELECT e.dst AS part,
+         (2 * pr1_e8 + d) // (2 * d) AS u2
+  FROM e JOIN pr1 ON e.src = pr1.part),
+pr2 AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(15000000 + (2 * 85 * CAST(SUM(u2) AS BIGINT) + 100) // 200 AS BIGINT)
+           AS pr2_e8
+  FROM c2 GROUP BY part)
+SELECT part, n_in, pr2_e8
+FROM pr2
+ORDER BY pr2_e8 DESC, part
+LIMIT 20
+""",
+)
+def part_copurchase_pagerank_iter2(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pp.alias("a")
+        .join(pp.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    half_up = lambda num, den: F.floor((2 * num + den) / (2 * den)).cast("long")
+    c1 = e.join(deg, "src").select(
+        F.col("dst").alias("part"), half_up(F.lit(1_000_000), F.col("d")).alias("u")
+    )
+    s1 = c1.groupBy("part").agg(F.sum("u").alias("s1"))
+    pr1 = deg.join(s1, deg["src"] == s1["part"], "left").select(
+        F.col("src").alias("part"),
+        "d",
+        (F.lit(15_000_000) + 85 * F.coalesce(F.col("s1"), F.lit(0))).alias("pr1_e8"),
+    )
+    c2 = e.join(pr1, e["src"] == pr1["part"]).select(
+        F.col("dst").alias("p2"), half_up(F.col("pr1_e8"), F.col("d")).alias("u2")
+    )
+    return (
+        c2.groupBy(F.col("p2").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            (
+                F.lit(15_000_000)
+                + F.floor((2 * 85 * F.sum("u2") + 100) / 200).cast("long")
+            )
+            .cast("long")
+            .alias("pr2_e8"),
+        )
+        .orderBy(F.desc("pr2_e8"), F.asc("part"))
+        .limit(20)
+    )
