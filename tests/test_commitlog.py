@@ -493,3 +493,77 @@ def test_read_changes_since_reads_only_touched_partitions(spark, tmp_path):
     assert {(x["year"], x["month"]) for x in df4.select("year", "month").distinct().collect()} == {(2023, 1)}
     assert df4.where(F.col("price") == 9.0).count() == 1  # upserted row visible
     assert df4.count() == 10  # partition granularity: whole month returned
+
+
+_MULTI_WRITER_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from dl_datalake_spark.lake.writer import LakeWriter
+
+offset = int(sys.argv[1]); base = sys.argv[2]; syms = sys.argv[3].split(",")
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("two-proc-multi-" + str(offset))
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .getOrCreate()
+)
+start = 1672574400000
+rows = [
+    (sym, start + (offset + i) * 60000, 1.0, 2.0, 0.5, 1.5, 10.0)
+    for sym in syms
+    for i in range(10)
+]
+df = spark.createDataFrame(
+    rows,
+    "symbol string, ts long, open double, high double, low double, close double, volume double",
+)
+w = LakeWriter(spark, base, commit_timeout_s=300.0)
+out = w.write_ohlc_multi(df, "BINANCE", "SPOT")
+assert set(out) == set(syms), out
+spark.stop()
+"""
+
+
+def test_two_process_multi_writes_with_overlapping_symbols(tmp_path):
+    """Two Spark DRIVER processes running write_ohlc_multi with
+    OVERLAPPING symbol sets: sorted-order commit-log claims serialize
+    the shared dataset across processes, disjoint ts ranges both
+    survive on it, and each touched dataset's log shows the commits."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = str(tmp_path / "lake")
+    script = _MULTI_WRITER_SCRIPT.format(repo=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(off), base, syms],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for off, syms in ((0, "AAA_USD,BBB_USD"), (10, "BBB_USD,CCC_USD"))
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors="replace")[-3000:]
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.session import get_spark
+
+    spark = get_spark("two-proc-multi-verify")
+    r = LakeReader(spark, base)
+    w = LakeWriter(spark, base)
+    # the shared symbol holds BOTH processes' disjoint ts ranges
+    shared = r.read_dataset(DatasetKey("BINANCE", "SPOT", "BBB_USD", "raw", "1m"))
+    assert shared.count() == 20
+    assert shared.select("ts").distinct().count() == 20
+    for sym, expect_commits in (("AAA_USD", 1), ("BBB_USD", 2), ("CCC_USD", 1)):
+        hist = w.commit_log(DatasetKey("BINANCE", "SPOT", sym, "raw", "1m")).history()
+        assert len(hist) == expect_commits, (sym, hist)
+        assert all(h["multi"] for h in hist)

@@ -526,3 +526,46 @@ def test_bucketed_cumsum_preserves_long_exactness(spark, vals, buckets):
     for r, (i, v) in zip(rows, ordered):
         run += v
         assert (r["id"], r["cum_sum"], r["tot_sum"]) == (i, run, tot)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=25)
+)
+@SETTINGS
+def test_shifted_ratio_handles_negative_means(spark, vals):
+    """The exact-ratio helpers contract nonnegative numerators (DuckDB's
+    // truncates toward zero on negatives while Spark floors — caught
+    live in emb_silhouette_by_label). This pins the documented
+    workaround: shift the summed quantity by C into nonnegative range,
+    take the exact half-up ratio, shift back — and the result equals
+    Python Decimal ROUND_HALF_UP on BOTH engines for signed means."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dl_datalake_spark.functions.exact import ratio_units
+
+    C, m = 2 * 10**9, 10**6
+    S, n = sum(vals), len(vals)
+    expect = int(
+        (Decimal(S) / Decimal(n)).quantize(Decimal(1).scaleb(-6), ROUND_HALF_UP)
+        * m
+    )
+
+    duck = duckdb.sql(
+        f"SELECT (2 * CAST({S + C * n} AS BIGINT) * {m} + {n}) // (2 * {n})"
+        f" - CAST({C} AS BIGINT) * {m}"
+    ).fetchone()[0]
+    assert duck == expect
+
+    got = (
+        spark.range(1)
+        .select(
+            (
+                ratio_units(F.lit(S + C * n).cast("long"), F.lit(n).cast("long"), 6)
+                - F.lit(C).cast("long") * m
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    assert got == expect
