@@ -592,3 +592,48 @@ def part_copurchase_pagerank_iter2(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("pr2_e8"), F.asc("part"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# activity heatmap: day-of-week x hour event counts with per-cell share
+# of the week in exact micros — the ops-dashboard query every event
+# store serves. Pure integer date-part bucketing (epoch-µs division,
+# no timezone ambiguity) + one hash-agg; shards by (dow, hour) at any
+# volume.
+# ---------------------------------------------------------------------------
+@register(
+    "events_dow_hour_heatmap",
+    sql="""
+WITH b AS (
+  SELECT ((epoch_us(ts) // 3600000000 // 24 + 4) % 7) AS dow,  -- epoch day 0 = Thursday
+         (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events),
+c AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY dow, hour),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT CAST(dow AS INTEGER) AS dow, CAST(hour AS INTEGER) AS hour, n,
+       ((2 * n * 1000000 + total) // (2 * total)) / 1000000.0 AS share
+FROM c, t
+ORDER BY dow, hour
+""",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.queries.registry import ratio_round
+
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    hours = (F.col("tsu") / 3_600_000_000).cast("long")
+    b = ev.select(
+        (((hours / 24).cast("long") + 4) % 7).cast("int").alias("dow"),
+        (hours % 24).cast("int").alias("hour"),
+    )
+    c = b.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            ratio_round(F.col("n"), F.col("total")).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
