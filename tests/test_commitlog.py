@@ -567,3 +567,46 @@ def test_two_process_multi_writes_with_overlapping_symbols(tmp_path):
         hist = w.commit_log(DatasetKey("BINANCE", "SPOT", sym, "raw", "1m")).history()
         assert len(hist) == expect_commits, (sym, hist)
         assert all(h["multi"] for h in hist)
+
+
+def test_sigkilled_writer_claim_is_taken_over(tmp_path):
+    """A writer killed with SIGKILL mid-transaction (no cleanup code
+    runs) leaves an unfinalized claim; after the stale timeout the next
+    writer rolls it aside and takes the slot — the lake cannot be
+    wedged by a dead process."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ds = str(tmp_path / "ds")
+    script = f"""
+import sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from dl_datalake_spark.lake.commitlog import CommitLog
+log = CommitLog({ds!r})
+with log.transaction() as meta:
+    print("claimed", flush=True)
+    time.sleep(300)  # hold the claim until killed
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.PIPE, text=True
+    )
+    assert proc.stdout.readline().strip() == "claimed"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    log = CommitLog(ds, stale_timeout_s=0.5)
+    # immediately after the kill the claim still blocks (not yet stale)
+    with pytest.raises(CommitTimeout):
+        with log.transaction(timeout=0.2):
+            pass
+    time.sleep(0.6)
+    # past the stale timeout: roll-aside + takeover
+    with log.transaction(timeout=10.0) as meta:
+        meta["recovered"] = True
+    hist = log.history()
+    assert [h["version"] for h in hist] == [0]
+    assert hist[0]["recovered"] is True
+    # the dead writer's claim was rolled aside, not silently reused
+    assert any(".abandoned." in n for n in os.listdir(os.path.join(ds, "_commits")))
