@@ -637,3 +637,178 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str):
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection on the event time series: hourly counts,
+# median + MAD over the series (discrete quantile — exact positional
+# parity with DuckDB's quantile_disc), hours flagged beyond
+# 3 * MAD * 1.4826. Counts are integers, so every statistic is exact;
+# the series itself is small (hours), so the holistic median runs on
+# the aggregated table, never the events.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_anomaly_mad",
+    sql="""
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY hour_id),
+m AS (SELECT quantile_disc(n, 0.5) AS med FROM h),
+d AS (SELECT h.hour_id, h.n, ABS(h.n - m.med) AS adev FROM h, m),
+md AS (SELECT quantile_disc(adev, 0.5) AS mad FROM d)
+SELECT d.hour_id, d.n,
+       CAST(m.med AS BIGINT) AS med,
+       CAST(md.mad AS BIGINT) AS mad,
+       (ABS(d.n - m.med) * 10000) > (3 * 14826 * md.mad) AS is_anomaly
+FROM d, m, md
+ORDER BY d.hour_id
+""",
+)
+def events_hourly_anomaly_mad(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    h = ev.groupBy(
+        (F.col("tsu") / 3_600_000_000).cast("long").alias("hour_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # discrete median == element at floor((cnt-1)/2)+1 of the sorted
+    # list (quantile_disc positional parity, verify-skill contract)
+    def disc_median(col):
+        arr = F.array_sort(F.collect_list(col))
+        return F.element_at(arr, (F.floor((F.size(arr) - 1) / 2) + 1).cast("int"))
+
+    med = h.agg(disc_median(F.col("n")).alias("med"))
+    d = h.crossJoin(F.broadcast(med)).select(
+        "hour_id", "n", "med", F.abs(F.col("n") - F.col("med")).alias("adev")
+    )
+    mad = d.agg(disc_median(F.col("adev")).alias("mad"))
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .select(
+            "hour_id",
+            "n",
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            (
+                F.abs(F.col("n") - F.col("med")) * 10000 > 3 * 14826 * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("hour_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection similarity: suppliers that stock overlapping
+# part sets, scored by exact-micros Jaccard. The supplier-part edge
+# list projects onto supplier pairs through a part-keyed self-join
+# (bounded by per-part supplier counts — the inverted-index shape, the
+# same discipline as the n-gram dedup joins: never all supplier pairs).
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_part_jaccard_topk",
+    sql="""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sp GROUP BY s),
+shared AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS sh
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s),
+j AS (
+  SELECT s1, s2, sh,
+         (2 * sh * 1000000 + (d1.d + d2.d - sh)) // (2 * (d1.d + d2.d - sh))
+           AS jac_u
+  FROM shared
+  JOIN deg d1 ON d1.s = shared.s1
+  JOIN deg d2 ON d2.s = shared.s2)
+SELECT s1, s2, sh, CAST(jac_u AS BIGINT) AS jac_u
+FROM j
+ORDER BY jac_u DESC, s1, s2
+LIMIT 20
+""",
+)
+def supplier_part_jaccard_topk(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = sp.select(F.col("s").alias("s1"), "p")
+    b = sp.select(F.col("s").alias("s2"), F.col("p").alias("p2"))
+    shared = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    union_sz = F.col("d1") + F.col("d2") - F.col("sh")
+    return (
+        shared.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "sh",
+            F.floor((2 * F.col("sh") * 1_000_000 + union_sz) / (2 * union_sz))
+            .cast("long")
+            .alias("jac_u"),
+        )
+        .orderBy(F.desc("jac_u"), F.asc("s1"), F.asc("s2"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel latency: per converting user the delay from FIRST click to the
+# first purchase at/after it; p50/p90/max of the delay distribution in
+# integer seconds via an EXPLICIT positional discrete quantile
+# (sorted list, index floor((n-1)*q)+1 on both engines — DuckDB's
+# quantile_disc picks a different element at q=0.9 for small n, caught
+# at sf0.001). Two tiny per-user aggs + one min-join — no window over
+# the event stream, shards by user at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "events_time_to_convert",
+    sql="""
+WITH c AS (SELECT user_id, MIN(epoch_us(ts)) AS first_click
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, epoch_us(ts) AS tsu
+      FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT c.user_id,
+         MIN(p.tsu - c.first_click) // 1000000 AS delay_s
+  FROM c JOIN p ON p.user_id = c.user_id AND p.tsu >= c.first_click
+  GROUP BY c.user_id),
+lst AS (SELECT list(delay_s ORDER BY delay_s) AS l, CAST(COUNT(*) AS BIGINT) AS n
+        FROM conv)
+SELECT n AS n_converters,
+       CAST(l[CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1] AS BIGINT) AS p50_s,
+       CAST(l[CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1] AS BIGINT) AS p90_s,
+       CAST(l[n] AS BIGINT) AS max_s
+FROM lst
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str):
+    ev = with_tsu(load_table(spark, sf_dir, "events"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("first_click"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "tsu")
+    conv = (
+        c.join(p, "user_id")
+        .where(F.col("tsu") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("tsu") - F.col("first_click")).alias("delay_us"))
+        .select((F.col("delay_us") / 1_000_000).cast("long").alias("delay_s"))
+    )
+
+    def disc_q(col, q):
+        arr = F.array_sort(F.collect_list(col))
+        pos = (F.floor((F.size(arr) - 1) * q) + 1).cast("int")
+        return F.element_at(arr, pos)
+
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        disc_q(F.col("delay_s"), 0.5).cast("long").alias("p50_s"),
+        disc_q(F.col("delay_s"), 0.9).cast("long").alias("p90_s"),
+        F.max("delay_s").alias("max_s"),
+    )
