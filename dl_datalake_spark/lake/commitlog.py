@@ -155,6 +155,21 @@ class CommitLog:
         return removed
 
     # -- claim / finalize --------------------------------------------------
+    #
+    # Fencing: every claim carries a unique `owner_token`.  A writer that
+    # outlives `stale_timeout_s` can be usurped (its claim rolled aside and
+    # the slot re-claimed by another writer); before finalize/abort we
+    # re-read the slot and verify the token, so a usurped zombie raises
+    # CommitConflict instead of overwriting the usurper's claim (which
+    # would run two read-modify-writes concurrently and misattribute the
+    # commit).  A heartbeat thread additionally touches the claim's mtime
+    # during the transaction so a LIVE long-running writer (a large Spark
+    # merge easily exceeds 300 s) never looks stale in the first place —
+    # touch() refuses to recreate a rolled-aside file, so the heartbeat
+    # cannot resurrect a lost claim.  Residual window: verify-then-write
+    # in _finalize is not CAS, so a usurpation landing in the microseconds
+    # between the check and the rename can still be misattributed — the
+    # store-level fix needs conditional writes (S3 If-None-Match / etag).
 
     def _try_rollback_stale(self, version: int) -> None:
         path = f"{self.log_dir}/{_fmt(version)}"
@@ -170,28 +185,74 @@ class CommitLog:
         except OSError:
             pass
 
-    def _claim(self, version: int) -> bool:
+    def _claim(self, version: int, token: str) -> bool:
         marker = json.dumps(
             {
                 "status": "in-progress",
                 "owner": f"{os.uname().nodename}:{os.getpid()}",
+                "owner_token": token,
                 "claimed_at": time.time(),
             }
         ).encode()
         self.fs.makedirs(self.log_dir)
         return self.fs.create_exclusive(f"{self.log_dir}/{_fmt(version)}", marker)
 
-    def _finalize(self, version: int, payload: dict | None) -> None:
+    def _owns_claim(self, version: int, token: str) -> bool:
+        """Re-read the slot file: do we still hold it?  Missing, unreadable,
+        or carrying a different token all mean a contender rolled our
+        stale claim aside and took over."""
+        try:
+            entry = json.loads(self.fs.read_bytes(f"{self.log_dir}/{_fmt(version)}"))
+        except (OSError, ValueError):
+            return False
+        return entry.get("owner_token") == token
+
+    def _finalize(self, version: int, payload: dict | None, token: str) -> None:
+        if not self._owns_claim(version, token):
+            raise CommitConflict(
+                f"claim on version {version} of {self.dataset_path} was usurped "
+                f"(transaction exceeded stale_timeout_s={self.stale_timeout_s}); "
+                f"this writer's output must not be trusted as committed"
+            )
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}
         self.fs.write_bytes_atomic(
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()
         )
 
-    def _abort(self, version: int) -> None:
+    def _abort(self, version: int, token: str) -> None:
+        # Never delete a slot we no longer own — it is the usurper's
+        # live claim now, not ours to release.
+        if not self._owns_claim(version, token):
+            return
         try:
             self.fs.remove(f"{self.log_dir}/{_fmt(version)}")
         except OSError:
             pass
+
+    def _start_heartbeat(self, version: int, token: str):
+        """Daemon thread refreshing the claim's mtime so a live writer
+        never crosses the stale threshold.  Returns a stop callable."""
+        import threading
+
+        path = f"{self.log_dir}/{_fmt(version)}"
+        interval = max(min(self.stale_timeout_s / 3.0, 60.0), 0.05)
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(interval):
+                try:
+                    self.fs.touch(path)  # raises if rolled aside: stop
+                except OSError:
+                    return
+
+        t = threading.Thread(target=beat, name=f"commit-heartbeat-{version}", daemon=True)
+        t.start()
+
+        def stopper():
+            stop.set()
+            t.join(timeout=5.0)
+
+        return stopper
 
     @contextmanager
     def transaction(self, timeout: float = 60.0, payload: dict | None = None):
@@ -203,6 +264,7 @@ class CommitLog:
         """
         deadline = time.monotonic() + timeout
         conflicts = 0
+        token = uuid.uuid4().hex
         while True:
             entries = self._entries()
             committed = -1
@@ -223,7 +285,7 @@ class CommitLog:
                 time.sleep(CLAIM_POLL_S)
                 continue
             nxt = committed + 1
-            if self._claim(nxt):
+            if self._claim(nxt, token):
                 break
             # claim lost: a concurrent writer took nxt — our snapshot is
             # stale; loop re-reads the log and retries (optimistic retry)
@@ -238,9 +300,12 @@ class CommitLog:
         meta: dict = dict(payload or {})
         if conflicts:
             meta["claim_conflicts"] = conflicts
+        stop_heartbeat = self._start_heartbeat(nxt, token)
         try:
             yield meta
         except BaseException:
-            self._abort(nxt)
+            stop_heartbeat()
+            self._abort(nxt, token)
             raise
-        self._finalize(nxt, meta)
+        stop_heartbeat()
+        self._finalize(nxt, meta, token)

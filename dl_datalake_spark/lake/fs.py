@@ -68,6 +68,13 @@ class Filesystem:
     def getsize(self, path: str) -> int:
         raise NotImplementedError
 
+    def touch(self, path: str) -> None:
+        """Refresh an EXISTING file's mtime without touching its content;
+        raises OSError if the file is gone.  Never creates the file —
+        the commit-log heartbeat relies on that to detect a claim that
+        was rolled aside from under it."""
+        raise NotImplementedError
+
     # -- mutation ----------------------------------------------------------
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
@@ -131,6 +138,9 @@ class LocalFS(Filesystem):
     def getsize(self, path: str) -> int:
         return os.path.getsize(_local(path))
 
+    def touch(self, path: str) -> None:
+        os.utime(_local(path), None)  # FileNotFoundError is an OSError
+
     def makedirs(self, path: str) -> None:
         os.makedirs(_local(path), exist_ok=True)
 
@@ -193,6 +203,29 @@ class HadoopFS(Filesystem):
     def _p(self, path: str):
         return self._Path(path)
 
+    @staticmethod
+    def _java_matches(exc, needle: str) -> bool:
+        """True iff the py4j error wraps a Java exception whose class name
+        (or any cause's) contains `needle` — the only way to distinguish
+        'file already exists' / 'not found' from transient IO/permission
+        failures across Hadoop filesystem implementations."""
+        je = getattr(exc, "java_exception", None)
+        seen = 0
+        while je is not None and seen < 10:
+            if needle in je.getClass().getName():
+                return True
+            je = je.getCause()
+            seen += 1
+        return False
+
+    def _raise_or_oserror(self, exc, path: str):
+        """Convert Java FileNotFound into OSError (the contract callers
+        like the commit log's stale-claim probe catch); re-raise
+        everything else unchanged."""
+        if self._java_matches(exc, "FileNotFoundException"):
+            raise OSError(f"not found: {path}") from None
+        raise exc
+
     def listdir(self, path: str) -> list[str]:
         p = self._p(path)
         if not self._fs.exists(p):
@@ -210,23 +243,56 @@ class HadoopFS(Filesystem):
         p = self._p(path)
         if not self._fs.exists(p):
             return
+        # Yield dirpaths REBASED onto the caller's own `path` string:
+        # consumers (audit/vacuum/prune_commit_logs) prefix-compare and
+        # rebuild paths against the scheme-qualified base_path, so a bare
+        # toUri().getPath() (s3a://bucket/lake/... -> /lake/...) would make
+        # every dataset look like an orphan AND a dead link at once.
+        base_pathpart = p.toUri().getPath().rstrip("/")
+        root_str = path.rstrip("/")
         it = self._fs.listFiles(p, True)  # recursive RemoteIterator
         while it.hasNext():
             st = it.next()
             fp = st.getPath()
-            yield fp.getParent().toUri().getPath(), fp.getName()
+            parent = fp.getParent().toUri().getPath()
+            if parent == base_pathpart:
+                yield root_str, fp.getName()
+            elif parent.startswith(base_pathpart + "/"):
+                yield root_str + parent[len(base_pathpart):], fp.getName()
+            else:  # outside the walk root (symlink-ish): fully qualified
+                yield fp.getParent().toString(), fp.getName()
 
     def getmtime(self, path: str) -> float:
-        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+        try:
+            return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+        except Exception as e:  # noqa: BLE001 — narrowed in _raise_or_oserror
+            self._raise_or_oserror(e, path)
 
     def getsize(self, path: str) -> int:
-        return int(self._fs.getFileStatus(self._p(path)).getLen())
+        try:
+            return int(self._fs.getFileStatus(self._p(path)).getLen())
+        except Exception as e:  # noqa: BLE001
+            self._raise_or_oserror(e, path)
+
+    def touch(self, path: str) -> None:
+        import time as _time
+
+        p = self._p(path)
+        try:
+            if not self._fs.exists(p):
+                raise OSError(f"not found: {path}")
+            self._fs.setTimes(p, int(_time.time() * 1000), -1)
+        except OSError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            self._raise_or_oserror(e, path)
 
     def makedirs(self, path: str) -> None:
         self._fs.mkdirs(self._p(path))
 
     def remove(self, path: str) -> None:
-        self._fs.delete(self._p(path), False)
+        if not self._fs.delete(self._p(path), False) and not self._fs.exists(self._p(path)):
+            raise OSError(f"not found: {path}")
 
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._p(path), True)
@@ -236,7 +302,10 @@ class HadoopFS(Filesystem):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def read_bytes(self, path: str) -> bytes:
-        stream = self._fs.open(self._p(path))
+        try:
+            stream = self._fs.open(self._p(path))
+        except Exception as e:  # noqa: BLE001
+            self._raise_or_oserror(e, path)
         try:
             out = bytearray()
             ioutils = self._jvm.org.apache.commons.io.IOUtils
@@ -262,8 +331,21 @@ class HadoopFS(Filesystem):
     def create_exclusive(self, path: str, data: bytes) -> bool:
         try:
             stream = self._fs.create(self._p(path), False)
-        except Exception:
-            return False
+        except Exception as e:  # noqa: BLE001 — narrowed below
+            # Only the lost-the-race condition maps to False; a transient
+            # py4j/IO/permission failure must surface, not spin the
+            # commit-log retry loop until CommitTimeout.  Hadoop also
+            # raises FileAlreadyExistsException("Parent path is not a
+            # directory") from mkdirs — NOT a race — so confirm the
+            # target itself exists before treating it as one.
+            je = getattr(e, "java_exception", None)
+            looks_like_race = self._java_matches(e, "AlreadyExists") or (
+                je is not None
+                and "already exists" in (je.getMessage() or "").lower()
+            )
+            if looks_like_race and self._fs.exists(self._p(path)):
+                return False
+            raise
         try:
             stream.write(bytearray(data))
         finally:

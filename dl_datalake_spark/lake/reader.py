@@ -178,7 +178,16 @@ class LakeReader:
             return None, latest
         touched: set[tuple[int, int]] = set()
         unknown = False
-        for c in log.history():
+        history = log.history()
+        # Prune truncation guard: CommitLog.prune drops old finalized
+        # commit files.  If the oldest RETAINED version doesn't cover the
+        # gap right after the cursor, the pruned commits' partitions are
+        # unknowable — without this check the slice would silently omit
+        # them while the cursor still advanced (permanent data loss for
+        # the consumer).  Same remedy as a legacy commit: full-scan.
+        if history and min(c["version"] for c in history) > after_version + 1:
+            unknown = True
+        for c in history:
             if c["version"] <= after_version:
                 continue
             parts = c.get("partitions")

@@ -51,7 +51,7 @@ def test_pending_claim_blocks_until_timeout(tmp_path):
     log = CommitLog(str(tmp_path / "ds"))
     with log.transaction():
         pass
-    assert log._claim(1)  # stuck writer
+    assert log._claim(1, "stuck-token")  # stuck writer
     with pytest.raises(CommitTimeout):
         with log.transaction(timeout=0.3):
             pass
@@ -215,6 +215,12 @@ class DictFS(Filesystem):
         self.mtimes[path] = self._clock
         return True
 
+    def touch(self, path):
+        if path not in self.files:
+            raise OSError(path)
+        self._clock += 1
+        self.mtimes[path] = self._clock
+
 
 def test_commitlog_runs_on_fake_filesystem():
     fs = DictFS()
@@ -350,7 +356,7 @@ def test_prune_keeps_newest_and_numbering_continues(tmp_path):
         with log.transaction() as meta:
             meta["i"] = i
     # leave an abandoned roll-aside behind too
-    assert log._claim(7)
+    assert log._claim(7, "stuck-token")
     log.stale_timeout_s = 0.0
     log._try_rollback_stale(7)
     removed = log.prune(keep_last=3)
@@ -610,3 +616,172 @@ with log.transaction() as meta:
     assert hist[0]["recovered"] is True
     # the dead writer's claim was rolled aside, not silently reused
     assert any(".abandoned." in n for n in os.listdir(os.path.join(ds, "_commits")))
+
+
+# ---------------------------------------------------------------------------
+# fencing: a usurped writer must not clobber the usurper's claim
+# ---------------------------------------------------------------------------
+def _slot(ds_path: str, version: int) -> str:
+    return os.path.join(ds_path, "_commits", f"{version:020d}.json")
+
+
+def test_usurped_finalize_raises_and_leaves_usurper_claim(tmp_path):
+    """A writer whose claim was rolled aside (it looked stale) must fail
+    its finalize with CommitConflict instead of recreating the slot file
+    and overwriting the usurper's live claim — that would run two
+    read-modify-writes concurrently and misattribute the commit."""
+    from dl_datalake_spark.lake.commitlog import CommitConflict
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    usurper = CommitLog(ds)
+    with pytest.raises(CommitConflict):
+        with log.transaction() as meta:
+            # simulate the stale-timeout takeover happening mid-transaction
+            os.rename(_slot(ds, 0), _slot(ds, 0) + ".abandoned.test")
+            assert usurper._claim(0, "usurper-token")
+            meta["rows"] = 1
+    entry = json.loads(open(_slot(ds, 0)).read())
+    assert entry["owner_token"] == "usurper-token"
+    assert entry["status"] == "in-progress"  # not overwritten as committed
+    assert log.latest_version() == -1  # nothing was misrecorded
+
+
+def test_usurped_abort_never_deletes_usurper_claim(tmp_path):
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    usurper = CommitLog(ds)
+    with pytest.raises(RuntimeError, match="writer blew up"):
+        with log.transaction():
+            os.rename(_slot(ds, 0), _slot(ds, 0) + ".abandoned.test")
+            assert usurper._claim(0, "usurper-token")
+            raise RuntimeError("writer blew up")
+    # the zombie's abort left the usurper's claim alone
+    entry = json.loads(open(_slot(ds, 0)).read())
+    assert entry["owner_token"] == "usurper-token"
+
+
+def test_heartbeat_keeps_live_long_transaction_from_looking_stale(tmp_path):
+    """A live writer running longer than stale_timeout_s is protected by
+    the claim heartbeat: contenders' roll-aside probes see a fresh mtime
+    and never usurp it."""
+    import time
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds, stale_timeout_s=0.4)
+    contender = CommitLog(ds, stale_timeout_s=0.4)
+    with log.transaction() as meta:
+        for _ in range(4):  # hold well past the stale timeout
+            time.sleep(0.25)
+            contender._try_rollback_stale(0)  # must be a no-op every time
+        meta["rows"] = 7
+    assert log.latest_version() == 0
+    assert log.history()[0]["rows"] == 7
+    assert not any(
+        ".abandoned." in n for n in os.listdir(os.path.join(ds, "_commits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC prune-truncation guard: a cursor older than the retained history
+# must trigger the full-scan fallback, never a silently partial slice
+# ---------------------------------------------------------------------------
+def test_read_changes_since_falls_back_when_history_pruned(spark, tmp_path):
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTCUSDT", "ticks", "1m")
+    jan = 1672574400000  # 2023-01-01
+    mar = 1677660000000  # 2023-03-01
+
+    w.write_ticks(spark.createDataFrame([(jan, 1.0)], "ts long, price double"), key)      # v0: jan
+    w.write_ticks(spark.createDataFrame([(mar, 2.0)], "ts long, price double"), key)      # v1: mar
+    w.write_ticks(spark.createDataFrame([(jan + 60000, 3.0)], "ts long, price double"), key)  # v2: jan
+    log = w.commit_log(key)
+    assert log.prune(keep_last=1) == 2  # only v2 retained
+
+    # cursor=0: v1 (march) was pruned — touched-set would say jan-only;
+    # the truncation guard must force the full-dataset fallback instead
+    df, cursor = r.read_changes_since(key, after_version=0)
+    assert cursor == 2
+    months = {(x["year"], x["month"]) for x in df.select("year", "month").distinct().collect()}
+    assert months == {(2023, 1), (2023, 3)}
+
+    # cursor=1: the gap IS covered by the retained v2 — narrow slice works
+    df2, cursor2 = r.read_changes_since(key, after_version=1)
+    assert cursor2 == 2
+    months2 = {(x["year"], x["month"]) for x in df2.select("year", "month").distinct().collect()}
+    assert months2 == {(2023, 1)}
+
+    # caught-up consumer unaffected
+    df3, cursor3 = r.read_changes_since(key, after_version=2)
+    assert df3 is None and cursor3 == 2
+
+
+# ---------------------------------------------------------------------------
+# HadoopFS: scheme-qualified walk roots; real errors surface from
+# create_exclusive instead of masquerading as a lost claim race
+# ---------------------------------------------------------------------------
+def test_hadoopfs_walk_files_yields_base_prefixed_roots(spark, tmp_path):
+    base = f"file://{tmp_path}/lake"
+    fs = get_fs(base, spark)
+    fs.makedirs(f"{base}/exchange=X/market=SPOT")
+    fs.write_bytes_atomic(f"{base}/exchange=X/market=SPOT/part-0.parquet", b"x")
+    fs.write_bytes_atomic(f"{base}/top.json", b"y")
+    walked = list(fs.walk_files(base))
+    assert len(walked) == 2
+    for root, _f in walked:
+        assert root == base or root.startswith(base + "/"), root
+    assert (base, "top.json") in walked
+    assert (f"{base}/exchange=X/market=SPOT", "part-0.parquet") in walked
+
+
+def test_prune_commit_logs_works_on_scheme_base(spark, tmp_path):
+    """prune_commit_logs rebuilds dataset paths from walk roots; with a
+    scheme-qualified base those must stay scheme-qualified or the prune
+    silently no-ops on paths that don't exist."""
+    from dl_datalake_spark.lake.maintenance import prune_commit_logs
+
+    base = f"file://{tmp_path}/lake"
+    fs = get_fs(base, spark)
+    ds = f"{base}/exchange=X/market=SPOT/symbol=AAA/data_type=raw/period=1m"
+    log = CommitLog(ds, fs=fs)
+    for _ in range(5):
+        with log.transaction():
+            pass
+    rep = prune_commit_logs(spark, base, keep_last=2)
+    assert rep == {ds: 3}
+    assert [h["version"] for h in CommitLog(ds, fs=fs).history()] == [3, 4]
+
+
+def test_hadoopfs_create_exclusive_raises_on_real_errors(spark, tmp_path):
+    base = f"file://{tmp_path}"
+    fs = get_fs(base, spark)
+    fs.write_bytes_atomic(f"{base}/afile", b"x")
+    # losing the race (path exists) is the ONLY condition that returns False
+    assert not fs.create_exclusive(f"{base}/afile", b"y")
+    assert fs.read_bytes(f"{base}/afile") == b"x"
+    # a genuinely broken write (parent is a file) must raise, not spin the
+    # caller's retry loop until CommitTimeout
+    with pytest.raises(Exception) as exc_info:
+        fs.create_exclusive(f"{base}/afile/child", b"y")
+    assert not isinstance(exc_info.value, AssertionError)
+
+
+def test_hadoopfs_getmtime_missing_raises_oserror(spark, tmp_path):
+    base = f"file://{tmp_path}"
+    fs = get_fs(base, spark)
+    with pytest.raises(OSError):
+        fs.getmtime(f"{base}/nope.json")
+    with pytest.raises(OSError):
+        fs.read_bytes(f"{base}/nope.json")
+    with pytest.raises(OSError):
+        fs.touch(f"{base}/nope.json")
+    # touch refreshes an existing file and never creates one
+    fs.write_bytes_atomic(f"{base}/a.json", b"x")
+    fs.touch(f"{base}/a.json")
+    assert fs.read_bytes(f"{base}/a.json") == b"x"

@@ -314,7 +314,7 @@ def test_commit_timeout_is_clean_and_leaves_no_partial_write(lake, spark, ohlc_d
     v0 = log.latest_version()
     assert v0 == 0  # the first write committed version 0
     # simulate a stuck concurrent writer: claim the next slot, never finalize
-    assert log._claim(v0 + 1)
+    assert log._claim(v0 + 1, "stuck-token")
     old_timeout = writer.commit_timeout_s
     writer.commit_timeout_s = 0.5
     try:
@@ -322,7 +322,7 @@ def test_commit_timeout_is_clean_and_leaves_no_partial_write(lake, spark, ohlc_d
             writer.write_ohlc(replacement, KEY)
     finally:
         writer.commit_timeout_s = old_timeout
-        log._abort(v0 + 1)  # stuck writer dies; slot released
+        log._abort(v0 + 1, "stuck-token")  # stuck writer dies; slot released
 
     # dataset unchanged: same rows, original values
     after = reader.read_dataset(KEY)
@@ -345,7 +345,7 @@ def test_stale_claim_is_rolled_aside_and_taken_over(lake, spark, ohlc_df):
     writer, reader, _ = lake
     writer.write_ohlc(ohlc_df, KEY)
     log = writer.commit_log(KEY)
-    assert log._claim(1)  # crashed writer's leftover claim
+    assert log._claim(1, "crashed-token")  # crashed writer's leftover claim
     log.stale_timeout_s = 0.0  # age out immediately for the test
 
     # writer._write builds its own CommitLog with the default stale
