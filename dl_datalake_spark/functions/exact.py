@@ -58,10 +58,14 @@ def ratio_units(a, b, digits: int = 6):
     den = F.nullif((2 * b.cast("long")), F.lit(0).cast("long"))
     # Spark long/long division detours through doubles, which round
     # past 2^53 — large cents/micros numerators DO exceed that (caught
-    # live: a 1-micro flip on a 1.5e17 numerator). Take the double
-    # quotient as a candidate and correct it with exact long
-    # comparisons; the double is always within ±1 of the true floor.
-    q0 = F.floor(num / den).cast("long")
+    # live: a 1-micro flip on a 1.5e17 numerator; hypothesis later found
+    # a 64-unit drift at 1.15e18, where a double ulp is 128 — so a
+    # double candidate is NOT within ±1 of the floor).  DECIMAL(38,0)
+    # division is exact decimal arithmetic rounded HALF_UP at scale 6,
+    # i.e. within 1e-6 of the true quotient for the entire long range;
+    # flooring that and correcting with exact long comparisons (for the
+    # near-integer case rounding pushed across the boundary) is exact.
+    q0 = F.floor(num.cast("decimal(38,0)") / den.cast("decimal(38,0)")).cast("long")
     q = (
         q0
         + F.when((q0 + 1) * den <= num, F.lit(1)).otherwise(F.lit(0))

@@ -413,7 +413,12 @@ def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
 
     import duckdb
 
-    from dl_datalake_spark.functions.exact import ratio_round, ratio_round_sql
+    from dl_datalake_spark.functions.exact import (
+        ratio_round,
+        ratio_round_sql,
+        ratio_units,
+        ratio_units_sql,
+    )
 
     # force some guaranteed half-boundary cases into every run
     # guaranteed half boundaries + numerators far beyond double's 2^53
@@ -423,6 +428,7 @@ def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
         (1, 2 * 10**digits),
         (74916692793, 375843962006),  # the live 1-micro flip case
         (10**12 - 1, 3),
+        (576460752305, 1),  # units past 2^53: double candidate drifts 64
     ]
     quantum = Decimal(1).scaleb(-digits)
 
@@ -431,24 +437,46 @@ def test_ratio_round_matches_decimal_half_up(spark, pairs, digits):
             ((Decimal(a) / Decimal(b)).quantize(quantum, ROUND_HALF_UP) * 10**digits)
         )
 
+    # the EXACT contract is the integer-units form — assert it for the
+    # full long envelope on both engines
     sql = " UNION ALL ".join(
-        f"SELECT {i} AS i, CAST(ROUND(({ratio_round_sql(str(a), str(b), digits)}) * {10**digits}) AS BIGINT) AS r"
+        f"SELECT {i} AS i, CAST({ratio_units_sql(str(a), str(b), digits)} AS BIGINT) AS u"
         for i, (a, b) in enumerate(pairs)
     )
     duck = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
-
-    df = spark.createDataFrame(list(pairs), "a long, b long")
-    got = [
-        int(round(r["r"] * 10**digits))
-        for r in df.select(
-            ratio_round(F.col("a"), F.col("b"), digits).alias("r")
-        ).collect()
-    ]
-    spark_counts = sorted(got)
-    expect_counts = sorted(expect(a, b) for a, b in pairs)
-    assert spark_counts == expect_counts
     for i, (a, b) in enumerate(pairs):
         assert duck[i] == expect(a, b), (a, b, duck[i])
+
+    df = spark.createDataFrame(list(pairs), "a long, b long")
+    got_units = sorted(
+        r["u"]
+        for r in df.select(
+            ratio_units(F.col("a"), F.col("b"), digits).alias("u")
+        ).collect()
+    )
+    assert got_units == sorted(expect(a, b) for a, b in pairs)
+
+    # the float interface (units / 10^digits) is only representable
+    # while the units fit a double with room for the round-trip; past
+    # ~2^51 a double physically cannot carry 10^digits resolution, so
+    # registry queries at that magnitude must emit units, not floats
+    small = [(a, b) for a, b in pairs if abs(expect(a, b)) < 2**51]
+    if small:
+        sqlf = " UNION ALL ".join(
+            f"SELECT {i} AS i, CAST(ROUND(({ratio_round_sql(str(a), str(b), digits)}) * {10**digits}) AS BIGINT) AS r"
+            for i, (a, b) in enumerate(small)
+        )
+        duckf = {r[0]: r[1] for r in duckdb.sql(sqlf).fetchall()}
+        for i, (a, b) in enumerate(small):
+            assert duckf[i] == expect(a, b), (a, b, duckf[i])
+        dfs = spark.createDataFrame(list(small), "a long, b long")
+        got_f = sorted(
+            int(round(r["r"] * 10**digits))
+            for r in dfs.select(
+                ratio_round(F.col("a"), F.col("b"), digits).alias("r")
+            ).collect()
+        )
+        assert got_f == sorted(expect(a, b) for a, b in small)
 
 
 @given(
