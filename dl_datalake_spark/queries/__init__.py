@@ -24,3 +24,4 @@ from dl_datalake_spark.queries import curation3  # noqa: F401, E402
 from dl_datalake_spark.queries import multimodalq  # noqa: F401, E402
 from dl_datalake_spark.queries import dedupq  # noqa: F401, E402
 from dl_datalake_spark.queries import simq  # noqa: F401, E402
+from dl_datalake_spark.queries import wave5  # noqa: F401, E402
