@@ -400,4 +400,27 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
             return jsonify({"error": "refusing unfiltered delete"}), 422
         return jsonify({"deleted": client.delete_dataset(**filters)})
 
+    @app.delete("/datasets/rows")
+    def delete_rows():
+        """Row-level delete (LakeWriter.delete_where): body names the
+        dataset plus exactly one of `where` (SQL predicate) or an
+        inclusive [start_ms, end_ms] ts range."""
+        body = request.get_json(force=True)
+        try:
+            out = client.delete_rows(
+                body["exchange"],
+                body["symbol"],
+                data_type=body.get("data_type", "raw"),
+                market=body.get("market", "SPOT"),
+                period=body.get("period", "1m"),
+                where=body.get("where"),
+                start_ms=body.get("start_ms"),
+                end_ms=body.get("end_ms"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 422
+        return jsonify(out)
+
     return app

@@ -60,6 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
     dele = sub.add_parser("delete")
     dele.add_argument("--symbol", required=True)
 
+    dr = sub.add_parser(
+        "delete-rows", help="row-level delete: rewrite only touched partitions"
+    )
+    dr.add_argument("--exchange", required=True)
+    dr.add_argument("--symbol", required=True)
+    dr.add_argument("--data-type", default="raw")
+    dr.add_argument("--market", default="SPOT")
+    dr.add_argument("--period", default="1m")
+    dr.add_argument("--where", default=None, help="SQL predicate over the dataset's rows")
+    dr.add_argument("--start-ms", type=int, default=None)
+    dr.add_argument("--end-ms", type=int, default=None)
+
     exp = sub.add_parser("export")
     exp.add_argument("--exchange", required=True)
     exp.add_argument("--symbol", required=True)
@@ -234,6 +246,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(client.audit()))
     elif args.cmd == "delete":
         print(json.dumps({"deleted": client.delete_dataset(symbol=args.symbol)}))
+    elif args.cmd == "delete-rows":
+        print(
+            json.dumps(
+                client.delete_rows(
+                    args.exchange,
+                    args.symbol,
+                    data_type=args.data_type,
+                    market=args.market,
+                    period=args.period,
+                    where=args.where,
+                    start_ms=args.start_ms,
+                    end_ms=args.end_ms,
+                )
+            )
+        )
     elif args.cmd == "export":
         client.export_ohlc(
             args.out,

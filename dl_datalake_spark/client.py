@@ -253,6 +253,34 @@ class DataLakeClient:
     def delete_dataset(self, **filters) -> int:
         return self.manifest.delete_entries(**filters)
 
+    def delete_rows(
+        self,
+        exchange: str,
+        symbol: str,
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+        where: str | None = None,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> dict:
+        """Row-level delete (copy-on-write rewrite of touched partitions
+        under the commit log — see LakeWriter.delete_where).  Give either
+        a SQL `where` predicate or an inclusive [start_ms, end_ms] ts
+        range (the range form partition-prunes the probe scan)."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        if (where is None) == (start_ms is None and end_ms is None):
+            raise ValueError("give exactly one of `where` or a ts range")
+        if where is not None:
+            res = self.writer.delete_where(key, where)
+        else:
+            res = self.writer.delete_range(
+                key, int(start_ms), int(end_ms)
+            )
+        return {"deleted": res.rows, "partitions": res.partitions}
+
     # -- SQL surface (reference: DuckDB SQL over parquet, reader.py:57-62) ---
     def register_view(
         self,

@@ -236,6 +236,165 @@ class LakeWriter:
                 self.manifest.add_entries(manifest_rows)
         return results
 
+    # -- row-level delete ---------------------------------------------------
+
+    def delete_where(
+        self,
+        key: DatasetKey,
+        predicate,
+        months: list[tuple[int, int]] | None = None,
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
+        """Row-level DELETE: rewrite only the partitions holding matching
+        rows (Delta's copy-on-write DELETE mechanic on plain parquet),
+        serialized through the dataset's commit log like every write.
+
+        `predicate` is a Column or SQL string; rows where it is TRUE are
+        deleted — FALSE and NULL rows are kept (SQL DELETE semantics).
+        `months` optionally bounds the probe scan to known [year, month]
+        partitions (`delete_range` derives it from the ts bounds); without
+        it the probe reads the dataset once to FIND touched partitions,
+        but the rewrite is still bounded by the matching months.
+
+        A partition left empty by the delete is removed outright (dynamic
+        partition overwrite only replaces partitions present in the
+        output, so an emptied month must be dropped explicitly).
+
+        The commit records mode="delete" with the touched partitions, so
+        CDC consumers (read_changes_since) re-read exactly those months
+        and recompute — which is how partition-granularity CDC propagates
+        deletes without per-row change types.  A no-match delete commits
+        nothing (the claimed slot is released).
+
+        Returns a WriteResult whose `rows` is the DELETED row count.
+        The reference has no row-level delete at all (only whole-dataset
+        drop, manifest.py delete path); this is lake-layer surface the
+        100 TB story needs (GDPR purges, bad-ingest rollback).
+        """
+        k = key.normalized()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        class _NoMatch(Exception):
+            pass
+
+        log = self.commit_log(k)
+        payload = {"mode": "delete", **(commit_meta or {})}
+        path = self.dataset_path(k)
+        try:
+            with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
+                existing = self._read_existing(k)
+                if existing is None:
+                    raise _NoMatch
+                if months:
+                    scan_pred = F.lit(False)
+                    for y, m in months:
+                        scan_pred = scan_pred | (
+                            (F.col("year") == int(y)) & (F.col("month") == int(m))
+                        )
+                    existing = existing.where(scan_pred)
+                # one probe pass finds the touched partitions AND the
+                # delete count (partition-pruned when `months` is given;
+                # otherwise a scan that reads but never rewrites)
+                probe = (
+                    existing.where(pred)
+                    .groupBy("year", "month")
+                    .agg(F.count(F.lit(1)).alias("n_del"))
+                    .collect()
+                )
+                if not probe:
+                    raise _NoMatch
+                touched = sorted((int(r["year"]), int(r["month"])) for r in probe)
+                rows_deleted = int(sum(r["n_del"] for r in probe))
+
+                month_pred = F.lit(False)
+                for y, m in touched:
+                    month_pred = month_pred | (
+                        (F.col("year") == y) & (F.col("month") == m)
+                    )
+                # keep = NOT TRUE (NULL predicate rows survive, like SQL)
+                kept = existing.where(month_pred).where(
+                    ~F.coalesce(pred, F.lit(False))
+                )
+                kept = kept.persist()
+                try:
+                    kept_months = {
+                        (int(r["year"]), int(r["month"]))
+                        for r in kept.select("year", "month").distinct().collect()
+                    }
+                    if kept_months:
+                        (
+                            kept.sortWithinPartitions("ts")
+                            .write.partitionBy(*PARTITION_COLS)
+                            .option("compression", "snappy")
+                            .mode("overwrite")
+                            .parquet(self.base_path)
+                        )
+                finally:
+                    kept.unpersist()
+                # emptied partitions are not in the overwrite output —
+                # drop their directories so the rows actually disappear,
+                # and prune year dirs left without data children (an
+                # empty year=/ dir would fail later parquet reads)
+                for y, m in touched:
+                    if (y, m) not in kept_months:
+                        self.fs.rmtree(f"{path}/year={y}/month={m}")
+                for y in {y for y, m in touched}:
+                    if not has_visible_children(self.fs, f"{path}/year={y}"):
+                        self.fs.rmtree(f"{path}/year={y}")
+                meta.update(
+                    rows=rows_deleted,
+                    partitions=[list(p) for p in touched],
+                )
+        except _NoMatch:
+            return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+
+        result = WriteResult(
+            path=path, time_from=None, time_to=None, rows=rows_deleted,
+            partitions=[list(p) for p in touched],
+        )
+        if self.manifest is not None and has_visible_children(self.fs, path):
+            # refresh the catalog's time range / row count from what
+            # remains (ts min/max scans ride the parquet footer stats)
+            remaining = self._read_existing(k)
+            s = remaining.agg(
+                F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            result.time_from, result.time_to = s["t0"], s["t1"]
+            self.manifest.add_entry(
+                exchange=k.exchange, market=k.market, symbol=k.symbol,
+                path=path, data_type=k.data_type,
+                time_from=s["t0"], time_to=s["t1"],
+                metadata={"timeframe": k.period, "rows": s["n"]},
+            )
+        return result
+
+    def delete_range(
+        self,
+        key: DatasetKey,
+        start_ms: int,
+        end_ms: int,
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
+        """Delete rows with start_ms <= ts <= end_ms (epoch millis,
+        inclusive like read_range).  Derives the candidate [year, month]
+        partitions from the bounds so the probe scan is partition-pruned
+        — the common rollback shape ('re-ingest yesterday') never reads
+        outside the affected months even on a 100 TB dataset."""
+        from datetime import datetime, timezone
+
+        d0 = datetime.fromtimestamp(start_ms / 1000.0, tz=timezone.utc)
+        d1 = datetime.fromtimestamp(end_ms / 1000.0, tz=timezone.utc)
+        months: list[tuple[int, int]] = []
+        y, m = d0.year, d0.month
+        while (y, m) <= (d1.year, d1.month):
+            months.append((y, m))
+            y, m = (y + 1, 1) if m == 12 else (y, m + 1)
+        pred = (F.col("ts").cast("long") >= start_ms) & (
+            F.col("ts").cast("long") <= end_ms
+        )
+        return self.delete_where(key, pred, months=months, commit_meta=commit_meta)
+
     # -- core ---------------------------------------------------------------
 
     def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:

@@ -344,3 +344,38 @@ def test_exchange_catalog_fallbacks():
 
     with _pytest.raises(Exception):
         cat.symbols("kraken")
+
+
+def test_delete_rows_route(app_client):
+    http, client, _ = app_client
+    start = 1672574400000
+    # range form: partition-pruned delete of the first 10 minutes
+    r = http.delete(
+        "/datasets/rows",
+        json={
+            "exchange": "BINANCE", "symbol": "BTCUSDT",
+            "start_ms": start, "end_ms": start + 9 * 60000,
+        },
+    )
+    assert r.status_code == 200
+    assert r.get_json() == {"deleted": 10, "partitions": [[2023, 1]]}
+    assert client.read_ohlc("BINANCE", "BTCUSDT").count() == 20
+
+    # predicate form
+    r2 = http.delete(
+        "/datasets/rows",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT",
+              "where": f"ts = {start + 10 * 60000}"},
+    )
+    assert r2.get_json()["deleted"] == 1
+
+    # both / neither selector -> 422
+    assert http.delete(
+        "/datasets/rows", json={"exchange": "BINANCE", "symbol": "BTCUSDT"}
+    ).status_code == 422
+    assert http.delete(
+        "/datasets/rows",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT",
+              "where": "1=1", "start_ms": 0, "end_ms": 1},
+    ).status_code == 422
+    assert http.delete("/datasets/rows", json={"symbol": "BTCUSDT"}).status_code == 422

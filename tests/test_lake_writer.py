@@ -446,3 +446,128 @@ def test_ingest_flow_quarantine_mode(spark, tmp_path):
     assert out["quarantined"] == 3 and out["good_rows"] == 7
     names = {e["name"]: e for e in out["expectations"]}
     assert names["range_close"]["violations"] == 3
+
+
+# ---------------------------------------------------------------------------
+# row-level delete: copy-on-write rewrite of touched partitions only
+# ---------------------------------------------------------------------------
+def test_delete_range_rewrites_only_touched_partitions(lake, spark):
+    writer, reader, manifest = lake
+    jan = 1672574400000   # 2023-01-01T12:00Z
+    feb = 1675306800000   # 2023-02-02T03:00Z
+    rows = [(jan + i * 60_000, float(i)) for i in range(10)] + [
+        (feb + i * 60_000, 100.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts long, price double")
+    writer.write_ticks(df, KEY)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    feb_dir = os.path.join(
+        writer.dataset_path(key), "year=2023", "month=2"
+    )
+    feb_mtimes = {
+        f: os.path.getmtime(os.path.join(feb_dir, f)) for f in os.listdir(feb_dir)
+    }
+
+    # delete 5 january rows
+    res = writer.delete_range(key, jan + 2 * 60_000, jan + 6 * 60_000)
+    assert res.rows == 5
+    assert res.partitions == [[2023, 1]]
+    got = reader.read_dataset(key)
+    assert got.count() == 15
+    assert got.where(F.col("price") < 100).count() == 5  # 0,1,7,8,9 remain
+    # february partition untouched on disk (no rewrite amplification)
+    assert {
+        f: os.path.getmtime(os.path.join(feb_dir, f)) for f in os.listdir(feb_dir)
+    } == feb_mtimes
+    # the delete is a first-class commit with its touched partitions
+    hist = writer.commit_log(key).history()
+    assert hist[-1]["mode"] == "delete"
+    assert hist[-1]["rows"] == 5
+    assert hist[-1]["partitions"] == [[2023, 1]]
+    # manifest range/rows refreshed from the remainder
+    entry = sorted(
+        (e for e in manifest.load().collect() if e["symbol"] == "BTC_USDT"),
+        key=lambda e: e["id"],
+    )[-1]
+    assert entry["time_from"] == jan  # ts 0 survived the delete
+    assert '"rows": 15' in entry["metadata_json"]
+
+
+def test_delete_where_emptying_a_partition_drops_its_directory(lake, spark):
+    writer, reader, _ = lake
+    jan = 1672574400000
+    feb = 1675306800000
+    df = spark.createDataFrame(
+        [(jan, 1.0), (jan + 60_000, 2.0), (feb, 3.0)], "ts long, price double"
+    )
+    writer.write_ticks(df, KEY)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    res = writer.delete_where(key, "year = 2023 AND month = 1")
+    assert res.rows == 2
+    ds = writer.dataset_path(key)
+    assert not os.path.exists(os.path.join(ds, "year=2023", "month=1"))
+    assert os.path.isdir(os.path.join(ds, "year=2023"))  # feb still there
+    assert reader.read_dataset(key).count() == 1
+
+    # deleting the rest drops the emptied year directory too
+    res2 = writer.delete_where(key, F.col("price") == 3.0)
+    assert res2.rows == 1
+    assert not os.path.exists(os.path.join(ds, "year=2023"))
+
+
+def test_delete_where_no_match_commits_nothing(lake, spark):
+    writer, _, _ = lake
+    jan = 1672574400000
+    writer.write_ticks(
+        spark.createDataFrame([(jan, 1.0)], "ts long, price double"), KEY
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    res = writer.delete_where(key, F.col("price") > 99.0)
+    assert res.rows == 0 and res.partitions == []
+    hist = writer.commit_log(key).history()
+    assert [h["mode"] for h in hist] == ["upsert"]  # no delete commit
+    # and the claim the probe held was released: next write proceeds
+    writer.write_ticks(
+        spark.createDataFrame([(jan + 60_000, 2.0)], "ts long, price double"), KEY
+    )
+    assert writer.commit_log(key).latest_version() == 1
+
+
+def test_delete_null_predicate_rows_survive(lake, spark):
+    writer, reader, _ = lake
+    jan = 1672574400000
+    df = spark.createDataFrame(
+        [(jan, 1.0), (jan + 60_000, None), (jan + 120_000, 3.0)],
+        "ts long, price double",
+    )
+    writer.write_ticks(df, KEY)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    # SQL DELETE semantics: NULL predicate rows are NOT deleted
+    res = writer.delete_where(key, F.col("price") < 2.0)
+    assert res.rows == 1
+    got = reader.read_dataset(key)
+    assert got.count() == 2
+    assert got.where(F.col("price").isNull()).count() == 1
+
+
+def test_delete_is_visible_to_cdc_consumers(lake, spark):
+    writer, reader, _ = lake
+    jan = 1672574400000
+    mar = 1677660000000
+    writer.write_ticks(
+        spark.createDataFrame(
+            [(jan + i * 60_000, 1.0) for i in range(5)]
+            + [(mar + i * 60_000, 2.0) for i in range(5)],
+            "ts long, price double",
+        ),
+        KEY,
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    _, cursor = reader.read_changes_since(key, after_version=-1)
+
+    writer.delete_range(key, jan, jan + 60_000)  # drop 2 january rows
+    df, cursor2 = reader.read_changes_since(key, after_version=cursor)
+    assert cursor2 == cursor + 1
+    months = {(r["year"], r["month"]) for r in df.select("year", "month").distinct().collect()}
+    assert months == {(2023, 1)}  # consumer re-reads exactly the month
+    assert df.count() == 3        # and sees the post-delete remainder
