@@ -424,3 +424,253 @@ def docs_shard_balance_audit(spark: SparkSession, sf_dir: str):
             ratio_units(F.col("tokens"), F.col("total")).alias("share_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-6: threshold calibration, cross-language leak detection, power
+# users, corpus length bands, rolling trend
+# ---------------------------------------------------------------------------
+from dl_datalake_spark.operators.dedup import (  # noqa: E402
+    drop_stop_shingles,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+from dl_datalake_spark.queries.dedupq import _shingle_cte  # noqa: E402
+
+
+def _jaccard_band_case(col: str) -> str:
+    return (
+        f"CASE WHEN {col} >= 0.9 THEN '[0.9,1.0]' "
+        f"WHEN {col} >= 0.7 THEN '[0.7,0.9)' "
+        f"WHEN {col} >= 0.5 THEN '[0.5,0.7)' "
+        f"ELSE '[0.3,0.5)' END"
+    )
+
+
+# Threshold calibration: how many candidate pairs land in each Jaccard
+# band.  This is the tuning loop for picking a dedup threshold — run
+# once, read the histogram, set the cut.  Same inverted-index join as
+# dedup_ngram_jaccard (never all-pairs); band assignment compares the
+# ALREADY-ROUNDED jaccard, so both engines bucket identically.
+@register(
+    "dedup_jaccard_threshold_sweep",
+    sql=rf"""
+WITH {_shingle_cte(3)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             JOIN sizes sb ON id_b = sb.doc_id
+)
+SELECT {_jaccard_band_case('jaccard')} AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM j WHERE jaccard >= 0.3
+GROUP BY 1
+""",
+)
+def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3, max_df_frac=0.2)
+    return pairs.select(
+        F.expr(_jaccard_band_case("jaccard")).alias("band"), "jaccard"
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+# Cross-language contamination: document pairs sharing >= 3 rare
+# shingles ACROSS language labels — either mislabeled language or
+# translated/copied content leaking between corpus slices.  The pair
+# generation is the same stop-shingle-capped inverted index; the lang
+# columns ride a post-aggregation join (two hash joins on doc_id).
+@register(
+    "docs_cross_lang_contamination",
+    sql=rf"""
+WITH {_shingle_cte(3)},
+l AS (SELECT doc_id, lang FROM documents),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT la.lang AS lang_a, lb.lang AS lang_b, inter
+  FROM inter JOIN l la ON la.doc_id = id_a
+             JOIN l lb ON lb.doc_id = id_b
+  WHERE la.lang <> lb.lang AND inter >= 3
+)
+SELECT lang_a, lang_b,
+       CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(MAX(inter) AS BIGINT) AS max_inter
+FROM x GROUP BY 1, 2
+""",
+)
+def docs_cross_lang_contamination(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = drop_stop_shingles(
+        word_shingles(docs, hashed=True), docs, "doc_id", 0.2
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .where(F.col("inter") >= 3)
+    )
+    langs = docs.select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    return (
+        inter.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.max("inter").alias("max_inter"),
+        )
+    )
+
+
+# Power users above the p95 activity threshold.  The quantile is
+# positional over the PER-USER aggregate (one row per user — the only
+# full-data pass is the per-user hash agg); the threshold broadcasts
+# back as a single row.
+@register(
+    "events_power_users_p95",
+    sql="""
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (
+  SELECT CAST(list(n ORDER BY n)[CAST(FLOOR((COUNT(*) - 1) * 0.95) AS BIGINT) + 1]
+              AS BIGINT) AS p95
+  FROM u
+)
+SELECT user_id, n AS n_events, p95 AS p95_threshold
+FROM u, t WHERE n >= p95
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+)
+def events_power_users_p95(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    thresh = u.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("n")),
+            (F.floor((F.count(F.lit(1)) - 1) * 0.95) + 1).cast("int"),
+        ).alias("p95")
+    )
+    return (
+        u.crossJoin(F.broadcast(thresh))
+        .where(F.col("n") >= F.col("p95"))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("p95").alias("p95_threshold"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+# Corpus length bands per language: positional quartiles of the token
+# count — the pre-filter histogram a curation pass reads before setting
+# min/max length cuts.  Bounded collect_list (docs per lang).
+@register(
+    "docs_length_percentile_bands",
+    sql=rf"""
+WITH t AS (
+  SELECT lang, CAST({_SQL_TOKENS} AS INTEGER) AS n_tokens FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(list(n_tokens ORDER BY n_tokens)[CAST(FLOOR((COUNT(*) - 1) * 0.25) AS BIGINT) + 1] AS INTEGER) AS p25_tokens,
+       CAST(list(n_tokens ORDER BY n_tokens)[CAST(FLOOR((COUNT(*) - 1) * 0.5) AS BIGINT) + 1] AS INTEGER) AS p50_tokens,
+       CAST(list(n_tokens ORDER BY n_tokens)[CAST(FLOOR((COUNT(*) - 1) * 0.75) AS BIGINT) + 1] AS INTEGER) AS p75_tokens
+FROM t GROUP BY 1
+""",
+)
+def docs_length_percentile_bands(spark: SparkSession, sf_dir: str):
+    docs = with_token_count(load_table(spark, sf_dir, "documents", spread=True))
+    arr = F.array_sort(F.collect_list("n_tokens"))
+    pos = lambda q: F.element_at(  # noqa: E731
+        arr, (F.floor((F.count(F.lit(1)) - 1) * q) + 1).cast("int")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pos(0.25).alias("p25_tokens"),
+        pos(0.5).alias("p50_tokens"),
+        pos(0.75).alias("p75_tokens"),
+    )
+
+
+# Rolling 12-month trend: current month vs its trailing-12 mean, in
+# exact integer micro-ratios (12*cur / sum12).  The window runs over
+# the MONTHLY aggregate (a few dozen rows at any corpus size); months
+# without a full 12-row frame are excluded, so no cold-start ratios.
+@register(
+    "orders_rolling_12m_trend",
+    sql=f"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT y, mo, n, cents,
+         SUM(n) OVER win AS n12,
+         SUM(cents) OVER win AS cents12,
+         COUNT(*) OVER win AS k
+  FROM m WINDOW win AS (ORDER BY y, mo ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+)
+SELECT y, mo, n AS n_orders, cents AS rev_cents,
+       {ratio_units_sql('12 * n', 'n12')} AS count_trend_e6,
+       {ratio_units_sql('12 * cents', 'cents12')} AS rev_trend_e6
+FROM w WHERE k = 12
+""",
+)
+def orders_rolling_12m_trend(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    win = Window.orderBy("y", "mo").rowsBetween(-11, 0)
+    w = m.select(
+        "y",
+        "mo",
+        "n",
+        "cents",
+        F.sum("n").over(win).alias("n12"),
+        F.sum("cents").over(win).alias("cents12"),
+        F.count(F.lit(1)).over(win).alias("k"),
+    )
+    return w.where(F.col("k") == 12).select(
+        "y",
+        "mo",
+        F.col("n").alias("n_orders"),
+        F.col("cents").alias("rev_cents"),
+        ratio_units(12 * F.col("n"), F.col("n12")).alias("count_trend_e6"),
+        ratio_units(12 * F.col("cents"), F.col("cents12")).alias("rev_trend_e6"),
+    )
