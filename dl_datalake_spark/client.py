@@ -150,13 +150,55 @@ class DataLakeClient:
         agg_key = DatasetKey(exchange, "agg", symbol, "agg", target_period)
         hist = self.writer.commit_log(agg_key).history()
         cursor = max((c.get("source_version", -1) for c in hist), default=-1)
-        changed, latest = self.reader.read_changes_since(src_key, cursor)
-        if changed is None:
+        info = self.reader.changes_since(src_key, cursor)
+        if info.df is None and not info.has_delete:
             return None
-        agg = resample_ohlcv(changed, target_period)
-        return self.writer.write_ohlc(
-            agg, agg_key, commit_meta={"source_version": latest}
-        )
+        if info.df is not None and not info.has_delete:
+            agg = resample_ohlcv(info.df, target_period)
+            return self.writer.write_ohlc(
+                agg, agg_key, commit_meta={"source_version": info.latest}
+            )
+        # Delete-aware path: a source bucket the delete EMPTIED produces
+        # no agg row, so a keep-last upsert would leave its stale rollup
+        # row in place forever.  Rebuild the touched months wholesale:
+        # drop them from the rollup, then write the recomputed buckets.
+        # Crash-safety: the cursor (source_version) rides only the FINAL
+        # write — a crash after the drop but before it replays the whole
+        # slice idempotently (the re-drop is a no-op, the write restores).
+        if info.touched is not None:
+            months = [tuple(p) for p in info.touched]
+        else:
+            # full-scan fallback slice: rebuild every month the rollup has
+            existing = self.reader.read_dataset(agg_key)
+            months = (
+                [
+                    (int(r["year"]), int(r["month"]))
+                    for r in existing.select("year", "month").distinct().collect()
+                ]
+                if "year" in existing.columns
+                else []
+            )
+        if months:
+            pred = " OR ".join(f"(year = {y} AND month = {m})" for y, m in months)
+            self.writer.delete_where(
+                agg_key, pred, months=months, commit_meta={"cdc_rebuild": True}
+            )
+        if info.df is not None:
+            agg = resample_ohlcv(info.df, target_period)
+            return self.writer.write_ohlc(
+                agg, agg_key, commit_meta={"source_version": info.latest}
+            )
+        # the delete emptied the whole source: nothing to write, but the
+        # cursor must still advance — record it in a no-op commit
+        with self.writer.commit_log(agg_key).transaction(
+            payload={
+                "mode": "cdc-noop",
+                "source_version": info.latest,
+                "partitions": [],
+            }
+        ):
+            pass
+        return None
 
     def refresh_rollup_all(
         self,

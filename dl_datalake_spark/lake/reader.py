@@ -26,12 +26,22 @@ standardized per SURVEY §7.1).
 from __future__ import annotations
 
 from datetime import datetime, timezone
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.paths import DatasetKey, sanitize_symbol
+
+
+class ChangeSet(NamedTuple):
+    """Result of LakeReader.changes_since."""
+
+    df: DataFrame | None        # changed slice (None = nothing new)
+    latest: int                 # next consumer cursor
+    touched: list[tuple[int, int]] | None  # [year, month]s; None = full scan
+    has_delete: bool            # a delete commit (or pruned gap) in the slice
 
 
 def iso_to_epoch_ms(s: str) -> int:
@@ -145,6 +155,67 @@ class LakeReader:
         return sorted(symbols)
 
 
+    def changes_since(self, key: DatasetKey, after_version: int) -> "ChangeSet":
+        """Structured form of read_changes_since: also exposes WHICH
+        partitions the slice covers (`touched`, None when the fallback
+        full scan applies) and whether any commit in the slice was a
+        row-level DELETE (`has_delete`).  Delete-aware consumers need
+        both: a deleted bucket produces no rows, so an upsert-style
+        refresh must REBUILD the touched partitions instead of merging
+        (see client.refresh_rollup_cdc)."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+
+        k = key.normalized()
+        path = self._dataset_paths(k.exchange, k.symbol, k.data_type, k.market, k.period)
+        log = CommitLog(
+            f"{self.base_path}/exchange={k.exchange}/market={k.market}"
+            f"/symbol={k.symbol}/data_type={k.data_type}/period={k.period}",
+            fs=self.fs,
+        )
+        latest = log.latest_version()
+        if latest <= after_version:
+            return ChangeSet(None, latest, None, False)
+        touched: set[tuple[int, int]] = set()
+        unknown = False
+        has_delete = False
+        history = log.history()
+        # Prune truncation guard: CommitLog.prune drops old finalized
+        # commit files.  If the oldest RETAINED version doesn't cover the
+        # gap right after the cursor, the pruned commits' partitions are
+        # unknowable — without this check the slice would silently omit
+        # them while the cursor still advanced (permanent data loss for
+        # the consumer).  Same remedy as a legacy commit: full-scan.
+        # A pruned gap may also hide a delete, so has_delete goes
+        # conservative (True) as well.
+        if history and min(c["version"] for c in history) > after_version + 1:
+            unknown = True
+            has_delete = True
+        for c in history:
+            if c["version"] <= after_version:
+                continue
+            if c.get("mode") == "delete":
+                has_delete = True
+            parts = c.get("partitions")
+            if parts is None:
+                unknown = True  # legacy commit without partition metadata
+            else:
+                touched.update((int(y), int(m)) for y, m in parts)
+        df = self._scan_paths(path) if path else None
+        if df is None:
+            # no data files left (e.g. a delete emptied the dataset) —
+            # the change information still matters to delete-aware
+            # consumers, so surface touched/has_delete with df=None
+            return ChangeSet(
+                None, latest, None if unknown else sorted(touched), has_delete
+            )
+        if unknown or not touched:
+            # cannot prove a narrower slice: fall back to the full dataset
+            return ChangeSet(df, latest, None, has_delete)
+        pred = F.lit(False)
+        for y, m in sorted(touched):
+            pred = pred | ((F.col("year") == y) & (F.col("month") == m))
+        return ChangeSet(df.where(pred), latest, sorted(touched), has_delete)
+
     def read_changes_since(
         self, key: DatasetKey, after_version: int
     ) -> tuple[DataFrame | None, int]:
@@ -164,47 +235,8 @@ class LakeReader:
         level granularity, like Delta's file-level CDF without the
         per-row change type); keep-last consumers are idempotent to that.
         """
-        from dl_datalake_spark.lake.commitlog import CommitLog
-
-        k = key.normalized()
-        path = self._dataset_paths(k.exchange, k.symbol, k.data_type, k.market, k.period)
-        log = CommitLog(
-            f"{self.base_path}/exchange={k.exchange}/market={k.market}"
-            f"/symbol={k.symbol}/data_type={k.data_type}/period={k.period}",
-            fs=self.fs,
-        )
-        latest = log.latest_version()
-        if latest <= after_version or not path:
-            return None, latest
-        touched: set[tuple[int, int]] = set()
-        unknown = False
-        history = log.history()
-        # Prune truncation guard: CommitLog.prune drops old finalized
-        # commit files.  If the oldest RETAINED version doesn't cover the
-        # gap right after the cursor, the pruned commits' partitions are
-        # unknowable — without this check the slice would silently omit
-        # them while the cursor still advanced (permanent data loss for
-        # the consumer).  Same remedy as a legacy commit: full-scan.
-        if history and min(c["version"] for c in history) > after_version + 1:
-            unknown = True
-        for c in history:
-            if c["version"] <= after_version:
-                continue
-            parts = c.get("partitions")
-            if parts is None:
-                unknown = True  # legacy commit without partition metadata
-            else:
-                touched.update((int(y), int(m)) for y, m in parts)
-        df = self._scan_paths(path)
-        if df is None:
-            return None, latest
-        if unknown or not touched:
-            # cannot prove a narrower slice: fall back to the full dataset
-            return df, latest
-        pred = F.lit(False)
-        for y, m in sorted(touched):
-            pred = pred | ((F.col("year") == y) & (F.col("month") == m))
-        return df.where(pred), latest
+        cs = self.changes_since(key, after_version)
+        return cs.df, cs.latest
 
     def preview(self, df: DataFrame, offset: int, limit: int) -> tuple[int, DataFrame]:
         """Paginate without materializing (reference data.py:135-142)."""

@@ -260,3 +260,42 @@ def test_refresh_rollup_cdc_catches_old_month_backfill(client, tmp_path, spark):
     for ts, close in before.items():
         if ts >= mar:
             assert final[ts][3] == close
+
+
+def test_refresh_rollup_cdc_propagates_deletes(client, tmp_path, spark):
+    """A row-level delete that EMPTIES a source bucket must remove that
+    bucket from the rollup on the next CDC refresh — the upsert-only
+    path would leave the stale aggregate row in place forever."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    jan = 1672574400000  # 2023-01-01T12:00Z, a 15m bucket boundary
+    client.ingest_csv(_csv(tmp_path, n=30, start=jan), "binance", "spot", "BTCUSDT")
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is not None
+    agg_key = DatasetKey("binance", "agg", "BTCUSDT", "agg", "15m")
+    buckets = {r["ts"] for r in client.reader.read_dataset(agg_key).select("ts").collect()}
+    assert len(buckets) == 2  # 30 minutes -> two 15m buckets
+
+    # delete the ENTIRE second bucket and 5 minutes of the first
+    raw_key = DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m")
+    res = client.writer.delete_range(raw_key, jan + 10 * 60000, jan + 29 * 60000)
+    assert res.rows == 20
+
+    out = client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert out is not None
+    agg = client.reader.read_dataset(agg_key)
+    rows = {r["ts"]: r for r in agg.collect()}
+    # the emptied bucket is GONE, not stale
+    assert set(rows) == {jan}
+    # the partially-affected bucket was recomputed from the 10 survivors
+    assert rows[jan]["volume"] == 100.0  # 10 minutes x volume 10
+
+    # caught up afterwards
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
+
+    # deleting EVERYTHING empties the rollup too (cursor still advances)
+    client.writer.delete_range(raw_key, jan, jan + 9 * 60000)
+    client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m")
+    assert client.reader.read_dataset(agg_key).where(F.col("ts").isNotNull()).count() == 0
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
