@@ -674,3 +674,103 @@ def orders_rolling_12m_trend(spark: SparkSession, sf_dir: str):
         ratio_units(12 * F.col("n"), F.col("n12")).alias("count_trend_e6"),
         ratio_units(12 * F.col("cents"), F.col("cents12")).alias("rev_trend_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-cost model: per band, the bucket count, total candidate
+# pairs (sum of c·(c−1)/2 over buckets), and the largest bucket — the
+# numbers that decide num_bands / max_bucket_docs before running the
+# pair join at corpus scale.  Reuses the exact signature arithmetic of
+# dedup_minhash_lsh; cost is one extra hash agg over (band, sig).
+# ---------------------------------------------------------------------------
+from dl_datalake_spark.operators.dedup import minhash_signatures  # noqa: E402
+from dl_datalake_spark.queries.dedupq import (  # noqa: E402
+    MAX_DF_FRAC as _DFRAC,
+    NUM_BANDS as _NBANDS,
+    SHINGLE_N as _SHN,
+)
+
+
+def _lsh_cost_sql() -> str:
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(_NBANDS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(_NBANDS)
+    )
+    return rf"""
+WITH {_shingle_cte(_SHN)},
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands}),
+buckets AS (SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(MAX(c) AS BIGINT) AS max_bucket
+FROM buckets GROUP BY 1
+"""
+
+
+@register("dedup_lsh_band_cost", sql=_lsh_cost_sql())
+def dedup_lsh_band_cost(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = word_shingles(docs, distinct=False, n=_SHN)
+    sh = drop_stop_shingles(sh, docs, "doc_id", _DFRAC, distinct_input=False)
+    sig = minhash_signatures(sh, num_hashes=_NBANDS)
+    melted = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{b}") for b in range(_NBANDS)])).alias(
+            "band", "sig"
+        ),
+    )
+    buckets = melted.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).cast("long").alias("candidate_pairs"),
+        F.max("c").alias("max_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: distribution of customers' consecutive-active-month
+# streak lengths.  The classic islands trick (month_index − row_number
+# is constant within a run) over the per-customer distinct-month set —
+# three hash aggs + one bounded window, shards by customer.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_activity_streak_histogram",
+    sql="""
+WITH a AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, mi,
+         mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+  FROM a
+),
+s AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS streak FROM r GROUP BY o_custkey, grp)
+SELECT streak AS streak_months, CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY 1
+""",
+)
+def orders_activity_streak_histogram(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    r = a.withColumn("grp", F.col("mi") - F.row_number().over(w))
+    s = r.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("streak"))
+    return s.groupBy(F.col("streak").alias("streak_months")).agg(
+        F.count(F.lit(1)).alias("n_streaks")
+    )
