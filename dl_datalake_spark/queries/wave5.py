@@ -774,3 +774,169 @@ def orders_activity_streak_histogram(spark: SparkSession, sf_dir: str):
     return s.groupBy(F.col("streak").alias("streak_months")).agg(
         F.count(F.lit(1)).alias("n_streaks")
     )
+
+
+# ---------------------------------------------------------------------------
+# segment migration matrix: frequency-segment each customer in the
+# data's first and second half (split at the integer month midpoint,
+# derived from the data via one broadcast row) and count transitions.
+# The churn/upgrade report every retention team runs — two hash aggs,
+# a rename-disambiguated full outer join, one pivot-style agg.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rfm_migration_matrix",
+    sql="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+  FROM orders
+),
+b AS (SELECT (MIN(mi) + MAX(mi)) // 2 AS mid FROM m),
+c AS (
+  SELECT o_custkey,
+         CASE WHEN mi <= mid THEN 'h1' ELSE 'h2' END AS half,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM m, b GROUP BY 1, 2
+),
+seg AS (
+  SELECT o_custkey, half,
+         CASE WHEN cnt >= 5 THEN 'high' WHEN cnt >= 2 THEN 'mid' ELSE 'low' END AS seg
+  FROM c
+),
+h1 AS (SELECT o_custkey, seg FROM seg WHERE half = 'h1'),
+h2 AS (SELECT o_custkey, seg FROM seg WHERE half = 'h2')
+SELECT COALESCE(h1.seg, 'none') AS seg_h1,
+       COALESCE(h2.seg, 'none') AS seg_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+GROUP BY 1, 2
+""",
+)
+def orders_rfm_migration_matrix(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    )
+    b = m.agg(F.expr("(MIN(mi) + MAX(mi)) DIV 2").alias("mid"))
+    c = (
+        m.crossJoin(F.broadcast(b))
+        .groupBy(
+            "o_custkey",
+            F.when(F.col("mi") <= F.col("mid"), "h1").otherwise("h2").alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seg = c.select(
+        "o_custkey",
+        "half",
+        F.when(F.col("cnt") >= 5, "high")
+        .when(F.col("cnt") >= 2, "mid")
+        .otherwise("low")
+        .alias("seg"),
+    )
+    h1 = seg.where(F.col("half") == "h1").select(
+        F.col("o_custkey").alias("ck1"), F.col("seg").alias("s1")
+    )
+    h2 = seg.where(F.col("half") == "h2").select(
+        F.col("o_custkey").alias("ck2"), F.col("seg").alias("s2")
+    )
+    return (
+        h1.join(h2, h1.ck1 == h2.ck2, "full_outer")
+        .select(
+            F.coalesce(F.col("s1"), F.lit("none")).alias("seg_h1"),
+            F.coalesce(F.col("s2"), F.lit("none")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag-24 autocovariance of the hourly series, PURE-INTEGER form:
+# k·Σxy − Σx·Σy over (hour, hour−24) pairs.  No division, no sqrt —
+# the signed integer numerators compare exactly across engines, which
+# is the whole point (a float Pearson r diverges in the last digits).
+# Positive autocov_num = daily seasonality the MASE query exploits.
+# ---------------------------------------------------------------------------
+@register(
+    "events_lag24_autocovariance",
+    sql=f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hb, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) * SUM(a.n * s.n) - SUM(a.n) * SUM(s.n) AS BIGINT) AS autocov_num,
+       CAST(COUNT(*) * SUM(a.n * a.n) - SUM(a.n) * SUM(a.n) AS BIGINT) AS varx_num,
+       CAST(COUNT(*) * SUM(s.n * s.n) - SUM(s.n) * SUM(s.n) AS BIGINT) AS vary_num
+FROM h a JOIN h s ON s.event_type = a.event_type AND s.hb = a.hb - 24
+GROUP BY 1
+""",
+)
+def events_lag24_autocovariance(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        F.expr(f"tsu DIV {US_PER_HOUR}").alias("hb"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lag = hourly.select(
+        F.col("hb").alias("hb_s"), F.col("event_type").alias("et_s"),
+        F.col("n").alias("n_s"),
+    )
+    j = hourly.join(
+        lag,
+        (F.col("et_s") == F.col("event_type")) & (F.col("hb_s") == F.col("hb") - 24),
+    )
+    k = F.count(F.lit(1))
+    return j.groupBy("event_type").agg(
+        k.alias("n_pairs"),
+        (k * F.sum(F.col("n") * F.col("n_s")) - F.sum("n") * F.sum("n_s"))
+        .cast("long")
+        .alias("autocov_num"),
+        (k * F.sum(F.col("n") * F.col("n")) - F.sum("n") * F.sum("n"))
+        .cast("long")
+        .alias("varx_num"),
+        (k * F.sum(F.col("n_s") * F.col("n_s")) - F.sum("n_s") * F.sum("n_s"))
+        .cast("long")
+        .alias("vary_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# burstiness (Fano factor = variance/mean of hourly counts) per type in
+# exact micro-units: variance numerator N·Σn² − (Σn)² is nonnegative by
+# Cauchy-Schwarz, so the exact-ratio helper's nonnegative contract
+# holds without shifting.  fano ≈ 1e6 means Poisson-like arrivals;
+# larger = bursty traffic that needs headroom in stream sizing.
+# ---------------------------------------------------------------------------
+@register(
+    "events_burstiness_fano",
+    sql=f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hb, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       {ratio_units_sql('COUNT(*) * SUM(n * n) - SUM(n) * SUM(n)', 'COUNT(*) * SUM(n)')} AS fano_e6
+FROM h GROUP BY 1
+""",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        F.expr(f"tsu DIV {US_PER_HOUR}").alias("hb"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = F.count(F.lit(1))
+    return hourly.groupBy("event_type").agg(
+        k.alias("n_hours"),
+        F.sum("n").cast("long").alias("total_events"),
+        ratio_units(
+            k * F.sum(F.col("n") * F.col("n")) - F.sum("n") * F.sum("n"),
+            k * F.sum("n"),
+        ).alias("fano_e6"),
+    )
