@@ -138,7 +138,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # SimHash banded near-dup pairs
 # ---------------------------------------------------------------------------
-def _simhash_sql() -> str:
+def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     votes = []
     for i in range(SIMHASH_BITS):
         j = i // 4 + 1
@@ -170,7 +170,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 GROUP BY 1, 2, 3
-HAVING CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= {SIMHASH_MAX_HAMMING}
+HAVING CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= {max_hamming}
 """
 
 

@@ -940,3 +940,112 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
             k * F.sum("n"),
         ).alias("fano_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-9: sliding distinct counts, sketch-quality histogram, segment
+# returns
+# ---------------------------------------------------------------------------
+from dl_datalake_spark.operators.dedup import simhash_pairs  # noqa: E402
+from dl_datalake_spark.queries.dedupq import (  # noqa: E402
+    SIMHASH_BANDS as _SH_BANDS,
+    SIMHASH_BITS as _SH_BITS,
+    _simhash_sql,
+)
+
+US_6H = 6 * US_PER_HOUR
+
+
+# Rolling unique users: 24h windows sliding every 6h.  DISTINCT over
+# OVERLAPPING windows can't ride a frame aggregate — the standard exact
+# form assigns each event to its 4 covering windows (one narrow explode,
+# constant ×4 row growth) and hash-aggs count(distinct user) per window.
+# At 100 TB the explode factor is the window overlap ratio, never the
+# data squared; approx path would swap count_distinct for an HLL merge.
+@register(
+    "events_rolling_unique_users",
+    sql=f"""
+WITH e AS (
+  SELECT unnest([epoch_us(ts) // {US_6H},
+                 epoch_us(ts) // {US_6H} - 1,
+                 epoch_us(ts) // {US_6H} - 2,
+                 epoch_us(ts) // {US_6H} - 3]) AS wid,
+         user_id
+  FROM events
+)
+SELECT wid,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1
+""",
+)
+def events_rolling_unique_users(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    d = F.expr(f"tsu DIV {US_6H}")
+    e = ev.select(
+        F.explode(F.array(d, d - 1, d - 2, d - 3)).alias("wid"), "user_id"
+    )
+    return e.groupBy("wid").agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# SimHash candidate-quality histogram: hamming-distance distribution of
+# ALL banded candidates (not just those under the accept cut).  The gap
+# between the mass at <=2 and the tail at 3..8 is the empirical
+# precision the band count buys — the number to look at before moving
+# SIMHASH_MAX_HAMMING.  Same pigeonhole bucket join as dedup_simhash.
+@register(
+    "dedup_simhash_hamming_histogram",
+    sql=f"""
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({_simhash_sql(max_hamming=_SH_BITS)}) cand
+GROUP BY 1
+""",
+)
+def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = simhash_pairs(
+        docs, bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_BITS
+    )
+    return cand.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# Returned-lineitem share per customer market segment: two dimension
+# joins (orders broadcastable at dimension scale, customer hash join)
+# + one conditional agg in exact micro-units.
+@register(
+    "customer_segment_returns_share",
+    sql=f"""
+WITH t AS (
+  SELECT c_mktsegment,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       {ratio_units_sql('SUM(ret)', 'COUNT(*)')} AS return_share_e6
+FROM t GROUP BY 1
+""",
+)
+def customer_segment_returns_share(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        )
+    )
+    return t.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        ratio_units(F.sum("ret"), F.count(F.lit(1))).alias("return_share_e6"),
+    )
