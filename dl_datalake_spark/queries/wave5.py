@@ -1049,3 +1049,174 @@ def customer_segment_returns_share(spark: SparkSession, sf_dir: str):
         F.sum("ret").cast("long").alias("n_returned"),
         ratio_units(F.sum("ret"), F.count(F.lit(1))).alias("return_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-10: sketch calibration and robust outlier fences
+# ---------------------------------------------------------------------------
+from dl_datalake_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from dl_datalake_spark.queries.dedupq import NUM_BANDS as _NB  # noqa: E402
+
+
+def _minhash_calibration_sql() -> str:
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(_NB)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(_NB)
+    )
+    est = " + ".join(f"(CASE WHEN ma.mh{b} = mb.mh{b} THEN 1 ELSE 0 END)" for b in range(_NB))
+    return rf"""
+WITH {_shingle_cte(_SHN)},
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands}),
+cand AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+   AND x.shingle = y.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CAST({est} AS INTEGER) AS matching_bands,
+         {ratio_units_sql('i.inter', 'sa.sz + sb.sz - i.inter')} AS jacc_e6
+  FROM inter i
+  JOIN m ma ON ma.doc_id = i.id_a
+  JOIN m mb ON mb.doc_id = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT matching_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {ratio_units_sql('SUM(jacc_e6)', 'COUNT(*)', 0)} AS mean_jaccard_e6
+FROM scored GROUP BY 1
+"""
+
+
+# Sketch calibration curve: for every LSH candidate pair, the number of
+# agreeing min-hash bands (the estimator) against the EXACT Jaccard of
+# the shingle sets, bucketed by estimator value.  This is the empirical
+# answer to "what similarity does k matching bands actually mean here"
+# — the read before trusting band count as a similarity proxy at scale.
+# Cost: the candidate join + one shingle equi-join per pair side.
+@register("dedup_minhash_calibration", sql=_minhash_calibration_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.dedup import minhash_signatures as _sigs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = minhash_lsh_pairs(docs, shingle_n=_SHN, num_bands=_NB, max_df_frac=_DFRAC)
+    # exact-jaccard side: DISTINCT stop-filtered shingle sets
+    sh = drop_stop_shingles(word_shingles(docs, n=_SHN, hashed=True), docs, "doc_id", _DFRAC)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    xa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    xb = sh.select(F.col("doc_id").alias("xb_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(xa, "id_a")
+        .join(xb, (F.col("id_b") == F.col("xb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    # estimator side: per-doc signatures, band agreement count
+    sig_src = drop_stop_shingles(
+        word_shingles(docs, n=_SHN, distinct=False), docs, "doc_id", _DFRAC,
+        distinct_input=False,
+    )
+    sig = _sigs(sig_src, num_hashes=_NB)
+    ma = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{b}").alias(f"a{b}") for b in range(_NB)]
+    )
+    mb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{b}").alias(f"b{b}") for b in range(_NB)]
+    )
+    est = sum(
+        (F.when(F.col(f"a{b}") == F.col(f"b{b}"), 1).otherwise(0) for b in range(_NB)),
+        start=F.lit(0),
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        inter.join(ma, "id_a")
+        .join(mb, "id_b")
+        .join(sza, "id_a")
+        .join(szb, "id_b")
+        .select(
+            est.cast("int").alias("matching_bands"),
+            ratio_units(
+                F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")
+            ).alias("jacc_e6"),
+        )
+    )
+    return scored.groupBy("matching_bands").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        ratio_units(F.sum("jacc_e6"), F.count(F.lit(1)), 0).alias("mean_jaccard_e6"),
+    )
+
+
+# Robust outlier fences per nation: positional Q1/Q3 of supplier
+# balances in exact cents, Tukey fences at 1.5×IQR computed DOUBLED so
+# the arithmetic never leaves the integers (2·bal vs 5·q3 − 3·q1).
+# Quartiles ride a 25-row aggregate that broadcasts back over the
+# supplier scan — two passes, no window over the full table.
+@register(
+    "supplier_acctbal_iqr_outliers",
+    sql="""
+WITH s AS (
+  SELECT n_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+),
+q AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         list(cents ORDER BY cents)[CAST(FLOOR((COUNT(*) - 1) * 0.25) AS BIGINT) + 1] AS q1,
+         list(cents ORDER BY cents)[CAST(FLOOR((COUNT(*) - 1) * 0.75) AS BIGINT) + 1] AS q3
+  FROM s GROUP BY 1
+)
+SELECT s.n_name, ANY_VALUE(n_suppliers) AS n_suppliers,
+       CAST(ANY_VALUE(q1) AS BIGINT) AS q1_cents,
+       CAST(ANY_VALUE(q3) AS BIGINT) AS q3_cents,
+       CAST(SUM(CASE WHEN 2 * cents > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(SUM(CASE WHEN 2 * cents < 5 * q1 - 3 * q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
+FROM s JOIN q USING (n_name)
+GROUP BY 1
+""",
+)
+def supplier_acctbal_iqr_outliers(spark: SparkSession, sf_dir: str):
+    sup = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    s = sup.join(F.broadcast(na), sup.s_nationkey == na.n_nationkey).select(
+        "n_name", F.round(F.col("s_acctbal") * 100).cast("long").alias("cents")
+    )
+    arr = F.array_sort(F.collect_list("cents"))
+    pos = lambda qq: F.element_at(  # noqa: E731
+        arr, (F.floor((F.count(F.lit(1)) - 1) * qq) + 1).cast("int")
+    )
+    q = s.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        pos(0.25).alias("q1"),
+        pos(0.75).alias("q3"),
+    )
+    return (
+        s.join(F.broadcast(q), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            F.first("q1").alias("q1_cents"),
+            F.first("q3").alias("q3_cents"),
+            F.sum(
+                F.when(2 * F.col("cents") > 5 * F.col("q3") - 3 * F.col("q1"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.sum(
+                F.when(2 * F.col("cents") < 5 * F.col("q1") - 3 * F.col("q3"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+        )
+    )
