@@ -264,3 +264,37 @@ def test_cli_maintain_compact_and_vacuum(spark, tmp_path, capsys):
     assert spark.read.option("basePath", base).parquet(
         base + "/exchange=BINANCE/market=SPOT/symbol=BTCUSDT/data_type=raw/period=1m"
     ).count() == 20
+
+
+def test_cli_delete_rows_range_and_where(spark, tmp_path, capsys):
+    import json as _json
+
+    from dl_datalake_spark.cli import main
+
+    base = str(tmp_path / "lake")
+    csv = tmp_path / "in.csv"
+    start = 1672574400000
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{start + i*60000},1,2,0.5,1.5,10" for i in range(30))
+    )
+    assert main(["--base", base, "ingest", str(csv), "--exchange", "BINANCE",
+                 "--market", "SPOT", "--symbol", "BTCUSDT"]) == 0
+    capsys.readouterr()
+
+    # range form (partition-pruned probe)
+    assert main(["--base", base, "delete-rows", "--exchange", "BINANCE",
+                 "--symbol", "BTCUSDT", "--start-ms", str(start),
+                 "--end-ms", str(start + 9 * 60000)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted": 10, "partitions": [[2023, 1]]}
+
+    # predicate form
+    assert main(["--base", base, "delete-rows", "--exchange", "BINANCE",
+                 "--symbol", "BTCUSDT", "--where", f"ts = {start + 10*60000}"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["deleted"] == 1
+
+    from dl_datalake_spark.client import DataLakeClient
+    client = DataLakeClient(spark, base)
+    assert client.read_ohlc("BINANCE", "BTCUSDT").count() == 19

@@ -571,3 +571,77 @@ def test_delete_is_visible_to_cdc_consumers(lake, spark):
     months = {(r["year"], r["month"]) for r in df.select("year", "month").distinct().collect()}
     assert months == {(2023, 1)}  # consumer re-reads exactly the month
     assert df.count() == 3        # and sees the post-delete remainder
+
+
+def test_delete_range_spanning_year_boundary(lake, spark):
+    """delete_range's month derivation must walk across December ->
+    January correctly (the 12 -> (y+1, 1) rollover)."""
+    writer, reader, _ = lake
+    dec = 1671883200000  # 2022-12-24T12:00Z
+    rows = [(dec + i * 86_400_000, float(i)) for i in range(20)]  # daily into Jan
+    writer.write_ticks(
+        spark.createDataFrame(rows, "ts long, price double"), KEY
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    got = reader.read_dataset(key)
+    assert {(r["year"], r["month"]) for r in got.select("year", "month").distinct().collect()} == {
+        (2022, 12), (2023, 1)
+    }
+    # delete a window straddling new year (days 5..14 => Dec 29 .. Jan 7)
+    res = writer.delete_range(key, dec + 5 * 86_400_000, dec + 14 * 86_400_000)
+    assert res.rows == 10
+    assert res.partitions == [[2022, 12], [2023, 1]]
+    remaining = reader.read_dataset(key)
+    assert remaining.count() == 10
+    assert remaining.where(F.col("price").between(5.0, 14.0)).count() == 0
+
+
+def test_concurrent_delete_and_upsert_serialize_through_commit_log(lake, spark):
+    """A delete and an upsert racing on one dataset must serialize: both
+    commit (order decided by the log), no partial state survives."""
+    import threading
+
+    writer, reader, _ = lake
+    jan = 1672574400000
+    writer.write_ticks(
+        spark.createDataFrame(
+            [(jan + i * 60_000, float(i)) for i in range(20)], "ts long, price double"
+        ),
+        KEY,
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    errs = []
+
+    def do_delete():
+        try:
+            writer.delete_range(key, jan, jan + 4 * 60_000)  # drop ts 0..4
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def do_upsert():
+        try:
+            writer.write_ticks(
+                spark.createDataFrame(
+                    [(jan + i * 60_000, 100.0 + i) for i in range(10, 15)],
+                    "ts long, price double",
+                ),
+                KEY,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_delete)
+    t2 = threading.Thread(target=do_upsert)
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errs, errs
+
+    got = {r["ts"]: r["price"] for r in reader.read_dataset(key).collect()}
+    # delete removed ts 0..4; upsert replaced ts 10..14 regardless of order
+    assert len(got) == 15
+    for i in range(5):
+        assert jan + i * 60_000 not in got
+    for i in range(10, 15):
+        assert got[jan + i * 60_000] == 100.0 + i
+    hist = writer.commit_log(key).history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert {h["mode"] for h in hist[1:]} == {"delete", "upsert"}
