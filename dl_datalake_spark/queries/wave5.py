@@ -1220,3 +1220,166 @@ def supplier_acctbal_iqr_outliers(spark: SparkSession, sf_dir: str):
             .alias("n_low_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-11: alerting shape, source-overlap matrix, integer covariance
+# ---------------------------------------------------------------------------
+
+# Hourly error-share alerting: flag hours whose error share exceeds 2x
+# the trailing-24h share.  The alert predicate is exact integer
+# cross-multiplication (err*total24 > 2*err24*total) — no division at
+# all, so the flag can't flip between engines.  Window over the hourly
+# aggregate only.
+@register(
+    "events_error_rate_alerts",
+    sql=f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hb,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hb, total, err,
+         SUM(total) OVER win AS total24,
+         SUM(err)   OVER win AS err24,
+         COUNT(*)   OVER win AS k
+  FROM h WINDOW win AS (ORDER BY hb ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hb, total, err,
+       {ratio_units_sql('err', 'total')} AS err_share_e6,
+       CASE WHEN err * total24 > 2 * err24 * total THEN 1 ELSE 0 END AS alert
+FROM w WHERE k = 24
+""",
+)
+def events_error_rate_alerts(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    h = ev.groupBy(F.expr(f"tsu DIV {US_PER_HOUR}").alias("hb")).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("err"),
+    )
+    win = Window.orderBy("hb").rowsBetween(-24, -1)
+    w = h.select(
+        "hb",
+        "total",
+        "err",
+        F.sum("total").over(win).alias("total24"),
+        F.sum("err").over(win).alias("err24"),
+        F.count(F.lit(1)).over(win).alias("k"),
+    )
+    return w.where(F.col("k") == 24).select(
+        "hb",
+        "total",
+        "err",
+        ratio_units(F.col("err"), F.col("total")).alias("err_share_e6"),
+        F.when(
+            F.col("err") * F.col("total24") > 2 * F.col("err24") * F.col("total"), 1
+        )
+        .otherwise(0)
+        .alias("alert"),
+    )
+
+
+# Source-vocabulary overlap matrix: Jaccard between each source pair's
+# distinct-token vocabularies via an inverted-index join on the token —
+# the corpus-slicing read before merging or deduplicating across
+# sources.  Never all-pairs on documents: the join key is the token,
+# vocabulary sizes bound each source's contribution.
+@register(
+    "docs_source_vocab_overlap",
+    sql=r"""
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       (2 * inter * 1000000 + (sa.sz + sb.sz - inter))
+         // (2 * (sa.sz + sb.sz - inter)) AS vocab_jaccard_e6
+FROM inter JOIN sz sa ON sa.source = src_a
+           JOIN sz sb ON sb.source = src_b
+ORDER BY vocab_jaccard_e6 DESC, src_a, src_b
+LIMIT 30
+""",
+)
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    v = docs.select("source", F.explode(tokens("text")).alias("tok")).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    b = v.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        v.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("source") < F.col("src_b")))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            ratio_units(F.col("inter"), union_sz).alias("vocab_jaccard_e6"),
+        )
+        .orderBy(F.desc("vocab_jaccard_e6"), "src_a", "src_b")
+        .limit(30)
+    )
+
+
+# Size-price covariance per brand in pure signed-integer numerators
+# (k·Σxy − Σx·Σy with price in cents) — the feature-correlation scan a
+# modeling pass runs across every numeric column pair, shown here on
+# one pair with zero float drift.
+@register(
+    "part_size_price_covariance",
+    sql="""
+WITH t AS (
+  SELECT p_brand,
+         CAST(p_size AS BIGINT) AS x,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+  FROM part
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS vary_num
+FROM t GROUP BY 1
+""",
+)
+def part_size_price_covariance(spark: SparkSession, sf_dir: str):
+    pt = load_table(spark, sf_dir, "part")
+    t = pt.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    k = F.count(F.lit(1))
+    return t.groupBy("p_brand").agg(
+        k.alias("n_parts"),
+        (k * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("cov_num"),
+        (k * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("varx_num"),
+        (k * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        .cast("long")
+        .alias("vary_num"),
+    )
