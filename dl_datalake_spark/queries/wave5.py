@@ -1383,3 +1383,153 @@ def part_size_price_covariance(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("vary_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-12: margin bands, calendar lift, character-class profile
+# ---------------------------------------------------------------------------
+
+# Net-margin decomposition by discount band: the pricing-analytics scan
+# that answers "what does each discount tier actually cost".  Band key
+# is the discount rounded to integer percent (exact: the synthetic
+# discounts are 2-decimal doubles), money stays in integer cents.
+@register(
+    "lineitem_discount_band_margin",
+    sql=f"""
+WITH t AS (
+  SELECT CAST(ROUND(l_discount * 100) AS INTEGER) AS disc_pct,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross_cents,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_cents
+  FROM lineitem
+)
+SELECT disc_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+       CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+       {ratio_units_sql('SUM(gross_cents) - SUM(net_cents)', 'SUM(gross_cents)')} AS discount_cost_share_e6
+FROM t GROUP BY 1
+""",
+)
+def lineitem_discount_band_margin(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("gross_cents"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_cents"),
+    )
+    return t.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("gross_cents").cast("long").alias("gross_cents"),
+        F.sum("net_cents").cast("long").alias("net_cents"),
+        ratio_units(
+            F.sum("gross_cents") - F.sum("net_cents"), F.sum("gross_cents")
+        ).alias("discount_cost_share_e6"),
+    )
+
+
+# Weekday/weekend activity lift per event type: day-of-week from pure
+# epoch-day arithmetic ((d+4) % 7, 0=Sunday — no timezone/locale calls
+# to diverge), per-day-class rates compared by integer
+# cross-multiplied micro-ratio.
+@register(
+    "events_weekday_weekend_lift",
+    sql=f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN ((epoch_us(ts) // {24 * US_PER_HOUR}) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS is_weekend,
+         epoch_us(ts) // {24 * US_PER_HOUR} AS d
+  FROM events
+),
+days AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN (d + 4) % 7 IN (0, 6) THEN d END) AS BIGINT) AS we_days,
+         CAST(COUNT(DISTINCT CASE WHEN (d + 4) % 7 NOT IN (0, 6) THEN d END) AS BIGINT) AS wd_days
+  FROM (SELECT DISTINCT d FROM e)
+)
+SELECT event_type,
+       CAST(SUM(is_weekend) AS BIGINT) AS weekend_events,
+       CAST(SUM(1 - is_weekend) AS BIGINT) AS weekday_events,
+       {ratio_units_sql('SUM(is_weekend) * wd_days', 'SUM(1 - is_weekend) * we_days')} AS weekend_rate_lift_e6
+FROM e, days
+GROUP BY event_type, we_days, wd_days
+""",
+)
+def events_weekday_weekend_lift(spark: SparkSession, sf_dir: str):
+    ev = _with_tsu(load_table(spark, sf_dir, "events"))
+    day = F.expr(f"tsu DIV {24 * US_PER_HOUR}")
+    e = ev.select(
+        "event_type",
+        day.alias("d"),
+        F.when(((day + 4) % 7).isin(0, 6), 1).otherwise(0).alias("is_weekend"),
+    )
+    days = e.select("d").distinct().agg(
+        F.countDistinct(F.when(((F.col("d") + 4) % 7).isin(0, 6), F.col("d")))
+        .cast("long")
+        .alias("we_days"),
+        F.countDistinct(F.when(~((F.col("d") + 4) % 7).isin(0, 6), F.col("d")))
+        .cast("long")
+        .alias("wd_days"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum("is_weekend").cast("long").alias("weekend_events"),
+            F.sum(1 - F.col("is_weekend")).cast("long").alias("weekday_events"),
+        )
+        .crossJoin(F.broadcast(days))
+        .select(
+            "event_type",
+            "weekend_events",
+            "weekday_events",
+            ratio_units(
+                F.col("weekend_events") * F.col("wd_days"),
+                F.col("weekday_events") * F.col("we_days"),
+            ).alias("weekend_rate_lift_e6"),
+        )
+    )
+
+
+# Character-class composition per language: alpha/digit/space/other
+# shares in exact micros from regexp_replace length arithmetic — all
+# inside whole-stage codegen, the cheapest text-profiling pass there is.
+@register(
+    "docs_char_class_profile",
+    sql=f"""
+WITH t AS (
+  SELECT lang,
+         CAST(LENGTH(text) AS BIGINT) AS n,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+         CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS space
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS total_chars,
+       {ratio_units_sql('SUM(alpha)', 'SUM(n)')} AS alpha_share_e6,
+       {ratio_units_sql('SUM(digit)', 'SUM(n)')} AS digit_share_e6,
+       {ratio_units_sql('SUM(space)', 'SUM(n)')} AS space_share_e6,
+       {ratio_units_sql('SUM(n - alpha - digit - space)', 'SUM(n)')} AS other_share_e6
+FROM t GROUP BY 1
+""",
+)
+def docs_char_class_profile(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long").alias("alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("space"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total_chars"),
+        ratio_units(F.sum("alpha"), F.sum("n")).alias("alpha_share_e6"),
+        ratio_units(F.sum("digit"), F.sum("n")).alias("digit_share_e6"),
+        ratio_units(F.sum("space"), F.sum("n")).alias("space_share_e6"),
+        ratio_units(
+            F.sum(F.col("n") - F.col("alpha") - F.col("digit") - F.col("space")),
+            F.sum("n"),
+        ).alias("other_share_e6"),
+    )
