@@ -313,8 +313,14 @@ class DataLakeClient:
         from dl_datalake_spark.lake.paths import DatasetKey
 
         key = DatasetKey(exchange, market, symbol, data_type, period)
-        if (where is None) == (start_ms is None and end_ms is None):
+        range_given = start_ms is not None or end_ms is not None
+        if (where is None) == (not range_given):
             raise ValueError("give exactly one of `where` or a ts range")
+        if range_given and (start_ms is None or end_ms is None):
+            # half-open input would otherwise slip past the XOR and die
+            # as int(None) deep in delete_range — surface it as the 4xx
+            # validation error the API layer maps ValueError to
+            raise ValueError("ts-range delete requires BOTH start_ms and end_ms")
         if where is not None:
             res = self.writer.delete_where(key, where)
         else:

@@ -291,8 +291,17 @@ class HadoopFS(Filesystem):
         self._fs.mkdirs(self._p(path))
 
     def remove(self, path: str) -> None:
-        if not self._fs.delete(self._p(path), False) and not self._fs.exists(self._p(path)):
-            raise OSError(f"not found: {path}")
+        if self._fs.delete(self._p(path), False):
+            return
+        # delete() returning False is ambiguous across Hadoop FS impls:
+        # distinguish "already gone" (not-found, the condition commit-log
+        # probes catch) from "still there but undeletable" (permission /
+        # lease failure) — silently swallowing the latter would let e.g.
+        # an emptied-partition cleanup report rows deleted while the
+        # directory still serves them.
+        if self._fs.exists(self._p(path)):
+            raise OSError(f"delete refused (permission/lease?): {path}")
+        raise OSError(f"not found: {path}")
 
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

@@ -24,6 +24,7 @@ row-group min/max pruning.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,6 +43,26 @@ class WriteResult:
     time_to: int | None
     rows: int
     partitions: list[list[int]] | None = None  # touched [year, month] pairs
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Pin ``partitionOverwriteMode=dynamic`` for the duration, restoring
+    the caller's value after.  Every lake overwrite MUST run under this:
+    the semantics of both upsert and row-level delete are "replace only
+    the partitions present in the output".  DataLakeClient accepts any
+    SparkSession — on a plain session the ambient mode is ``static``,
+    under which the same ``mode("overwrite")`` replaces the ENTIRE
+    ``base_path`` with just the batch's months (for delete_where, the
+    entire lake with only the kept rows of the touched months): silent
+    loss of every untouched dataset.  Never trust the ambient conf for a
+    destructive write."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _require_ts(df: DataFrame, ts_col: str) -> str:
@@ -190,7 +211,8 @@ class LakeWriter:
                 if mode == "append":
                     writer.mode("append").parquet(self.base_path)
                 else:
-                    writer.mode("overwrite").parquet(self.base_path)
+                    with dynamic_partition_overwrite(self.spark):
+                        writer.mode("overwrite").parquet(self.base_path)
             finally:
                 merged.unpersist()
 
@@ -322,13 +344,14 @@ class LakeWriter:
                         for r in kept.select("year", "month").distinct().collect()
                     }
                     if kept_months:
-                        (
-                            kept.sortWithinPartitions("ts")
-                            .write.partitionBy(*PARTITION_COLS)
-                            .option("compression", "snappy")
-                            .mode("overwrite")
-                            .parquet(self.base_path)
-                        )
+                        with dynamic_partition_overwrite(self.spark):
+                            (
+                                kept.sortWithinPartitions("ts")
+                                .write.partitionBy(*PARTITION_COLS)
+                                .option("compression", "snappy")
+                                .mode("overwrite")
+                                .parquet(self.base_path)
+                            )
                 finally:
                     kept.unpersist()
                 # emptied partitions are not in the overwrite output —
@@ -476,10 +499,12 @@ class LakeWriter:
             if mode == "append":
                 writer.mode("append").parquet(self.base_path)
             else:
-                # dynamic partitionOverwriteMode: only partitions present in
-                # `out` are replaced — Spark's commit protocol stages to a
-                # temp location first (the analogue of tmp+rename per file)
-                writer.mode("overwrite").parquet(self.base_path)
+                # dynamic partitionOverwriteMode (pinned, never ambient):
+                # only partitions present in `out` are replaced — Spark's
+                # commit protocol stages to a temp location first (the
+                # analogue of tmp+rename per file)
+                with dynamic_partition_overwrite(self.spark):
+                    writer.mode("overwrite").parquet(self.base_path)
         finally:
             merged.unpersist()
         result = WriteResult(

@@ -645,3 +645,71 @@ def test_concurrent_delete_and_upsert_serialize_through_commit_log(lake, spark):
     hist = writer.commit_log(key).history()
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert {h["mode"] for h in hist[1:]} == {"delete", "upsert"}
+
+
+def test_writes_pin_dynamic_overwrite_on_a_static_session(lake, spark):
+    """The lake must never trust the ambient partitionOverwriteMode:
+    DataLakeClient accepts any SparkSession, and under static mode the
+    same overwrite would replace the ENTIRE base_path — a row-level
+    delete of one month would silently drop every other dataset."""
+    writer, reader, _ = lake
+    jan = 1672574400000
+    feb = 1675306800000
+    writer.write_ticks(
+        spark.createDataFrame(
+            [(jan + i * 60_000, float(i)) for i in range(5)]
+            + [(feb + i * 60_000, 100.0 + i) for i in range(5)],
+            "ts long, price double",
+        ),
+        KEY,
+    )
+    other = DatasetKey("binance", "spot", "ETH/USDT", "raw", "1m")
+    writer.write_ohlc(
+        spark.createDataFrame(
+            [(jan, 1.0, 2.0, 0.5, 1.5, 10.0)],
+            "ts long, open double, high double, low double, close double, volume double",
+        ),
+        other,
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        # delete one january row on a STATIC session
+        res = writer.delete_range(key, jan, jan)
+        assert res.rows == 1
+        # upsert into january on a STATIC session
+        writer.write_ticks(
+            spark.createDataFrame([(jan + 9 * 60_000, 9.9)], "ts long, price double"),
+            KEY,
+        )
+        # the caller's conf choice is restored, not hijacked
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # untouched months and untouched DATASETS all survived
+    assert reader.read_dataset(key).count() == 10  # 4 jan + 5 feb + 1 new
+    assert (
+        reader.read_dataset(
+            DatasetKey("BINANCE", "SPOT", "ETH_USDT", "raw", "1m")
+        ).count()
+        == 1
+    )
+
+
+def test_delete_rows_requires_both_range_bounds(spark, tmp_path):
+    from dl_datalake_spark.client import DataLakeClient
+
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="BOTH"):
+        client.delete_rows("BINANCE", "BTCUSDT", start_ms=5)
+    with pytest.raises(ValueError, match="BOTH"):
+        client.delete_rows("BINANCE", "BTCUSDT", end_ms=5)
+    with pytest.raises(ValueError, match="exactly one"):
+        client.delete_rows("BINANCE", "BTCUSDT")
+    with pytest.raises(ValueError, match="exactly one"):
+        client.delete_rows("BINANCE", "BTCUSDT", where="price > 1", start_ms=1, end_ms=2)
