@@ -142,12 +142,50 @@ def audit_lists(
     return out
 
 
+def _copy_commit_log(
+    fs: Filesystem, src_dataset: str, dst_dataset: str, committed_only: bool
+) -> None:
+    """Copy a dataset's `_commits/` directory (tiny JSON control files)
+    into the compacted tree.  `committed_only=True` (the export path)
+    skips in-flight claims and rolled-aside `.abandoned.*` markers so the
+    exported tree never ships a claim that can't finalize there — a
+    writer on the copy would otherwise block `stale_timeout_s` on a
+    ghost.  The in-place path copies EVERYTHING: compaction's own claims
+    must survive the swap (finalize lands in the swapped-in tree), and
+    abandoned markers are the fencing audit trail."""
+    import json as _json
+
+    from dl_datalake_spark.lake.commitlog import LOG_DIR
+
+    src_log = f"{src_dataset}/{LOG_DIR}"
+    dst_log = f"{dst_dataset}/{LOG_DIR}"
+    names = fs.listdir(src_log)
+    if not names:
+        return
+    fs.makedirs(dst_log)
+    for name in names:
+        try:
+            data = fs.read_bytes(f"{src_log}/{name}")
+        except OSError:
+            continue  # rolled aside / pruned mid-copy
+        if committed_only:
+            if ".abandoned." in name or ".fence." in name:
+                continue
+            try:
+                if _json.loads(data).get("status") != "committed":
+                    continue
+            except ValueError:
+                continue
+        fs.write_bytes_atomic(f"{dst_log}/{name}", data)
+
+
 def compact(
     spark: SparkSession,
     base_path: str,
     target_files_per_partition: int = 1,
     in_place: bool = False,
     fs: Filesystem | None = None,
+    commit_timeout_s: float = 60.0,
 ) -> str:
     """Partition-preserving small-file compaction (reference:
     unimplemented placeholder, flows.py:127-130). Rewrites every
@@ -160,44 +198,102 @@ def compact(
     files; new reads see the compacted layout). The manifest catalogs
     dataset DIRECTORIES, not files, so no catalog rewrite is needed.
     Returns the path now holding the compacted data.
+
+    Durability contract (the round-5 CDC-stall bug, fixed here):
+
+    - Every dataset's `_commits/` log is COPIED into the compacted tree
+      before the swap, so version numbering, fencing history, and CDC
+      cursors all survive — previously the swap silently reset
+      `latest_version` to -1 and every `changes_since` consumer whose
+      cursor predated compaction saw "no changes" forever.
+    - Compaction runs inside a commit-log TRANSACTION on every touched
+      dataset (claims held across rewrite + copy + swap), so a
+      concurrent writer blocks until the swap lands (or times out with
+      CommitTimeout) instead of committing into the doomed old tree.
+    - Each dataset records a `mode="compact"` commit with
+      `partitions: []` — data is byte-identical, so CDC consumers
+      advance their cursor and rebuild nothing (reader.changes_since
+      returns an empty slice for zero-partition commits).
     """
     import uuid as _uuid
+    from contextlib import ExitStack
+
+    from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
 
     fs = fs if fs is not None else get_fs(base_path, spark)
+    base = base_path.rstrip("/")
     # One rewrite PER DATASET directory: a single mergeSchema read of the
     # whole lake would rewrite every dataset with the UNION schema of all
     # of them (ticks gaining OHLC columns as nulls, etc.). mergeSchema
     # stays on *within* a dataset so its own schema evolution survives.
-    datasets = sorted(
+    # Datasets with a commit log but no parquet left (a delete emptied
+    # them) still carry history that must survive the swap, so discovery
+    # covers both.
+    data_datasets = sorted(
         {
             _dataset_prefix(root)
-            for root, f in fs.walk_files(base_path)
+            for root, f in fs.walk_files(base)
             if f.endswith(".parquet")
         }
     )
-    out = base_path + "_compacted"
+    logged_datasets = sorted(
+        {
+            root[: -len("/" + LOG_DIR)]
+            for root, f in fs.walk_files(base)
+            if root.endswith("/" + LOG_DIR)
+        }
+    )
+    datasets = sorted(set(data_datasets) | set(logged_datasets))
+    out = base + "_compacted"
     fs.rmtree(out)
-    for ds in datasets:
-        df = spark.read.option("mergeSchema", "true").option("basePath", base_path).parquet(ds)
-        part_cols = [c for c in PARTITION_COLS if c in df.columns]
-        (
-            df.repartition(target_files_per_partition, *part_cols)
-            .sortWithinPartitions("ts")
-            .write.partitionBy(*part_cols)
-            .mode("append")  # datasets occupy disjoint partition subtrees
-            .option("compression", "snappy")
-            .parquet(out)
-        )
-    if not in_place:
-        return out
-    # In-place swap: atomic renames on POSIX/HDFS; on S3A rename is
-    # copy+delete, so there prefer in_place=False + a manifest pointer
-    # flip to the compacted tree.
-    old = base_path + f".precompact.{_uuid.uuid4().hex}"
-    fs.rename(base_path, old)
-    fs.rename(out, base_path)
-    fs.rmtree(old)
-    return base_path
+    with ExitStack() as stack:
+        # Claim a commit slot on every dataset for the whole operation —
+        # the same serialization every writer obeys, so no write can land
+        # in the old tree after its files were rewritten.  Sorted order
+        # matches the multi-dataset writer's claim order (no deadlock);
+        # a held slot surfaces as CommitTimeout, never a silent race.
+        for ds in datasets:
+            stack.enter_context(
+                CommitLog(ds, fs=fs).transaction(
+                    timeout=commit_timeout_s,
+                    payload={"mode": "compact", "partitions": []},
+                )
+            )
+        for ds in data_datasets:
+            df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(ds)
+            part_cols = [c for c in PARTITION_COLS if c in df.columns]
+            (
+                df.repartition(target_files_per_partition, *part_cols)
+                .sortWithinPartitions("ts")
+                .write.partitionBy(*part_cols)
+                .mode("append")  # datasets occupy disjoint partition subtrees
+                .option("compression", "snappy")
+                .parquet(out)
+            )
+        for ds in datasets:
+            rel = ds[len(base) + 1 :] if ds.startswith(base + "/") else None
+            if rel is None:
+                continue  # defensive: never copy outside the lake root
+            _copy_commit_log(fs, ds, f"{out}/{rel}", committed_only=not in_place)
+        if not in_place:
+            # Export: finalizing (on `with` exit) records the compact
+            # commit in the ORIGINAL tree — an audit row whose empty
+            # partition set CDC consumers skip.
+            return out
+        # In-place swap: atomic renames on POSIX/HDFS; on S3A rename is
+        # copy+delete, so there prefer in_place=False + a manifest pointer
+        # flip to the compacted tree.  The held claims were copied into
+        # `out`, so the finalize after the swap completes them in the
+        # swapped-in tree — version history continues seamlessly.
+        old = base + f".precompact.{_uuid.uuid4().hex}"
+        fs.rename(base, old)
+        try:
+            fs.rename(out, base)
+        except BaseException:
+            fs.rename(old, base)  # restore the original tree, then fail
+            raise
+        fs.rmtree(old)
+    return base
 
 
 def vacuum(

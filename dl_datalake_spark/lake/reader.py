@@ -200,6 +200,15 @@ class LakeReader:
                 unknown = True  # legacy commit without partition metadata
             else:
                 touched.update((int(y), int(m)) for y, m in parts)
+        if not unknown and not touched:
+            # The slice holds only zero-partition commits (mode="compact"
+            # from maintenance.compact, "cdc-noop" cursor bumps, a delete
+            # that matched nothing): the data is byte-identical, so the
+            # consumer advances its cursor and rebuilds NOTHING.  Without
+            # this branch a compaction would push every CDC consumer into
+            # the full-scan fallback — a full rollup rebuild per dataset
+            # at 100 TB for a maintenance op that changed no rows.
+            return ChangeSet(None, latest, [], has_delete)
         df = self._scan_paths(path) if path else None
         if df is None:
             # no data files left (e.g. a delete emptied the dataset) —
