@@ -145,6 +145,7 @@ class CommitLog:
                 removed += 1
             except OSError:
                 pass
+        committed_set = set(committed)
         for name in self.fs.listdir(self.log_dir):
             if ".abandoned." in name:
                 try:
@@ -152,24 +153,57 @@ class CommitLog:
                     removed += 1
                 except OSError:
                     pass
+            elif ".fence." in name:
+                # Orphan fences (crashed writers) are garbage once their
+                # slot is committed or gone; a LIVE transaction's fence is
+                # neither, so it is never swept from under the owner.
+                stem, _dot, _rest = name.partition(".")
+                v = int(stem) if stem.isdigit() else None
+                slot_live = v is not None and v in self._entries() and v not in committed_set
+                if not slot_live:
+                    try:
+                        self.fs.remove(f"{self.log_dir}/{name}")
+                        removed += 1
+                    except OSError:
+                        pass
         return removed
 
     # -- claim / finalize --------------------------------------------------
     #
-    # Fencing: every claim carries a unique `owner_token`.  A writer that
-    # outlives `stale_timeout_s` can be usurped (its claim rolled aside and
-    # the slot re-claimed by another writer); before finalize/abort we
-    # re-read the slot and verify the token, so a usurped zombie raises
-    # CommitConflict instead of overwriting the usurper's claim (which
-    # would run two read-modify-writes concurrently and misattribute the
-    # commit).  A heartbeat thread additionally touches the claim's mtime
-    # during the transaction so a LIVE long-running writer (a large Spark
-    # merge easily exceeds 300 s) never looks stale in the first place —
+    # Fencing (CAS via fence files): every claim carries a unique
+    # `owner_token`, and winning the slot additionally writes a FENCE file
+    # named after it (`NNNN.json.fence.<token>`).  Exclusive rights to the
+    # slot's fate are transferred by atomically RENAMING the fence — a
+    # single-source rename can only succeed for one caller, which makes
+    # both operations below compare-and-swap instead of verify-then-write:
+    #
+    # - finalize  = rename fence -> fence.finalizing, then write the
+    #   committed slot.  A zombie whose claim was usurped finds its fence
+    #   consumed and the rename fails -> CommitConflict.  There is no
+    #   check/write gap: the rename IS the ownership check.
+    # - roll-aside (usurp a stale claim) = rename fence -> .abandoned
+    #   FIRST, then roll the slot file aside.  A roll-aside racing the
+    #   owner's finalize contends on the same fence rename; exactly one
+    #   wins, so a commit is never misattributed.
+    #
+    # A heartbeat thread touches the claim AND fence mtimes during the
+    # transaction so a LIVE long-running writer (a large Spark merge
+    # easily exceeds 300 s) never looks stale in the first place —
     # touch() refuses to recreate a rolled-aside file, so the heartbeat
-    # cannot resurrect a lost claim.  Residual window: verify-then-write
-    # in _finalize is not CAS, so a usurpation landing in the microseconds
-    # between the check and the rename can still be misattributed — the
-    # store-level fix needs conditional writes (S3 If-None-Match / etag).
+    # cannot resurrect a lost claim.  Residual exposure: an owner that
+    # dies BETWEEN the fence rename and the slot write leaves a
+    # `.finalizing` marker; contenders treat it as live until its mtime
+    # (heartbeat-fresh at consume time) crosses stale_timeout_s, then
+    # consume it and roll the slot aside — the microsecond finalize
+    # window needs a full stale_timeout_s pause to be misjudged, vs. the
+    # old design where any pause anywhere in the transaction exposed it.
+    # On stores without atomic rename (S3 copy+delete) the CAS degrades
+    # to best-effort; the upgrade path there is a conditional PUT
+    # (If-None-Match on the fence's destination name / etag If-Match),
+    # which slots into Filesystem.rename without protocol changes.
+
+    def _fence(self, version: int, token: str) -> str:
+        return f"{self.log_dir}/{_fmt(version)}.fence.{token}"
 
     def _try_rollback_stale(self, version: int) -> None:
         path = f"{self.log_dir}/{_fmt(version)}"
@@ -179,7 +213,49 @@ class CommitLog:
             return  # already gone
         if age < self.stale_timeout_s:
             return
-        # Atomic roll-aside: exactly one contender's rename succeeds.
+        try:
+            entry = json.loads(self.fs.read_bytes(path))
+        except (OSError, ValueError):
+            return  # mid-replace or rolled aside by another contender
+        if entry.get("status") == "committed":
+            return
+        token = entry.get("owner_token")
+        if token:
+            fence = self._fence(version, token)
+            try:
+                # Consume-CAS: exactly one of {owner finalize, this
+                # roll-aside, a competing roll-aside} renames the fence.
+                self.fs.rename(fence, f"{fence}.abandoned.{uuid.uuid4().hex}")
+            except OSError:
+                # No fence to consume.  Either the owner is finalizing
+                # (its `.finalizing` marker exists — back off unless that
+                # too went stale), another usurper already consumed it
+                # (the slot roll-aside below is atomic, one of us wins),
+                # or the claimer died before writing its fence.
+                finalizing = f"{fence}.finalizing"
+                if self.fs.exists(finalizing):
+                    try:
+                        f_age = time.time() - self.fs.getmtime(finalizing)
+                    except OSError:
+                        return
+                    if f_age < self.stale_timeout_s:
+                        return  # live finalize in flight: not ours
+                    try:
+                        self.fs.rename(
+                            finalizing, f"{fence}.abandoned.{uuid.uuid4().hex}"
+                        )
+                    except OSError:
+                        return
+                # Re-verify: with fence and finalizing both gone, the slot
+                # can never transition to committed — but it may already
+                # HAVE been committed (or re-claimed) before we looked.
+                try:
+                    cur = json.loads(self.fs.read_bytes(path))
+                except (OSError, ValueError):
+                    return
+                if cur.get("status") == "committed" or cur.get("owner_token") != token:
+                    return
+        # Roll the slot aside: atomic, exactly one contender succeeds.
         try:
             self.fs.rename(path, f"{path}.abandoned.{uuid.uuid4().hex}")
         except OSError:
@@ -195,12 +271,25 @@ class CommitLog:
             }
         ).encode()
         self.fs.makedirs(self.log_dir)
-        return self.fs.create_exclusive(f"{self.log_dir}/{_fmt(version)}", marker)
+        slot = f"{self.log_dir}/{_fmt(version)}"
+        if not self.fs.create_exclusive(slot, marker):
+            return False
+        try:
+            self.fs.write_bytes_atomic(self._fence(version, token), b"fence")
+        except BaseException:
+            # a claim without a fence could never finalize or be cleanly
+            # usurped until stale fallback — release the slot and surface
+            try:
+                self.fs.remove(slot)
+            except OSError:
+                pass
+            raise
+        return True
 
     def _owns_claim(self, version: int, token: str) -> bool:
-        """Re-read the slot file: do we still hold it?  Missing, unreadable,
-        or carrying a different token all mean a contender rolled our
-        stale claim aside and took over."""
+        """Re-read the slot file: do we still hold it?  Advisory only —
+        the authoritative ownership transfer is the fence rename in
+        _finalize/_abort/_try_rollback_stale."""
         try:
             entry = json.loads(self.fs.read_bytes(f"{self.log_dir}/{_fmt(version)}"))
         except (OSError, ValueError):
@@ -208,21 +297,34 @@ class CommitLog:
         return entry.get("owner_token") == token
 
     def _finalize(self, version: int, payload: dict | None, token: str) -> None:
-        if not self._owns_claim(version, token):
+        fence = self._fence(version, token)
+        finalizing = f"{fence}.finalizing"
+        try:
+            self.fs.rename(fence, finalizing)  # the CAS: one winner only
+        except OSError:
             raise CommitConflict(
                 f"claim on version {version} of {self.dataset_path} was usurped "
                 f"(transaction exceeded stale_timeout_s={self.stale_timeout_s}); "
                 f"this writer's output must not be trusted as committed"
-            )
+            ) from None
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}
         self.fs.write_bytes_atomic(
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()
         )
+        try:
+            self.fs.remove(finalizing)
+        except OSError:
+            pass
 
     def _abort(self, version: int, token: str) -> None:
-        # Never delete a slot we no longer own — it is the usurper's
-        # live claim now, not ours to release.
-        if not self._owns_claim(version, token):
+        # Consume our fence first: if a usurper beat us to it, the slot
+        # is the usurper's live claim now, not ours to release.
+        try:
+            self.fs.rename(
+                self._fence(version, token),
+                f"{self._fence(version, token)}.abandoned.{uuid.uuid4().hex}",
+            )
+        except OSError:
             return
         try:
             self.fs.remove(f"{self.log_dir}/{_fmt(version)}")
@@ -235,6 +337,7 @@ class CommitLog:
         import threading
 
         path = f"{self.log_dir}/{_fmt(version)}"
+        fence = self._fence(version, token)
         interval = max(min(self.stale_timeout_s / 3.0, 60.0), 0.05)
         stop = threading.Event()
 
@@ -242,6 +345,9 @@ class CommitLog:
             while not stop.wait(interval):
                 try:
                     self.fs.touch(path)  # raises if rolled aside: stop
+                    # fence freshness is what gives a crashed finalize's
+                    # `.finalizing` marker a truthful age at consume time
+                    self.fs.touch(fence)
                 except OSError:
                     return
 

@@ -360,7 +360,9 @@ def test_prune_keeps_newest_and_numbering_continues(tmp_path):
     log.stale_timeout_s = 0.0
     log._try_rollback_stale(7)
     removed = log.prune(keep_last=3)
-    assert removed == 4 + 1  # four old commits + one abandoned file
+    # four old commits + two roll-aside leftovers (abandoned slot AND
+    # its consumed fence — the CAS rename leaves both token-named)
+    assert removed == 4 + 2
     assert [h["version"] for h in log.history()] == [4, 5, 6]
     assert log.latest_version() == 6
     with log.transaction() as meta:
@@ -638,7 +640,8 @@ def test_usurped_finalize_raises_and_leaves_usurper_claim(tmp_path):
     with pytest.raises(CommitConflict):
         with log.transaction() as meta:
             # simulate the stale-timeout takeover happening mid-transaction
-            os.rename(_slot(ds, 0), _slot(ds, 0) + ".abandoned.test")
+            # through the REAL roll-aside protocol (fence consume first)
+            CommitLog(ds, stale_timeout_s=0.0)._try_rollback_stale(0)
             assert usurper._claim(0, "usurper-token")
             meta["rows"] = 1
     entry = json.loads(open(_slot(ds, 0)).read())
@@ -653,7 +656,7 @@ def test_usurped_abort_never_deletes_usurper_claim(tmp_path):
     usurper = CommitLog(ds)
     with pytest.raises(RuntimeError, match="writer blew up"):
         with log.transaction():
-            os.rename(_slot(ds, 0), _slot(ds, 0) + ".abandoned.test")
+            CommitLog(ds, stale_timeout_s=0.0)._try_rollback_stale(0)
             assert usurper._claim(0, "usurper-token")
             raise RuntimeError("writer blew up")
     # the zombie's abort left the usurper's claim alone
@@ -785,3 +788,88 @@ def test_hadoopfs_getmtime_missing_raises_oserror(spark, tmp_path):
     fs.write_bytes_atomic(f"{base}/a.json", b"x")
     fs.touch(f"{base}/a.json")
     assert fs.read_bytes(f"{base}/a.json") == b"x"
+
+
+# ---------------------------------------------------------------------------
+# CAS finalize: the fence rename closes the round-5 verify-then-write window
+# ---------------------------------------------------------------------------
+def test_finalize_is_cas_roll_aside_in_old_residual_window(tmp_path):
+    """Round-5 residual: _finalize was verify-then-write, so a usurpation
+    landing between the ownership check and the commit write was silently
+    misattributed.  Finalize is now one atomic fence rename — a usurpation
+    injected at the LAST possible instant (after the transaction body, as
+    the finalize rename is being issued) must surface as CommitConflict,
+    never a misattributed commit over the usurper's claim."""
+    from dl_datalake_spark.lake.commitlog import CommitConflict
+
+    ds = str(tmp_path / "ds")
+
+    class UsurpOnFinalize(LocalFS):
+        armed = False
+        fired = False
+
+        def rename(self, src, dst):
+            if self.armed and not self.fired and ".fence." in src and dst.endswith(".finalizing"):
+                self.fired = True
+                # contender usurps in the microsecond before the CAS lands
+                CommitLog(ds, stale_timeout_s=0.0)._try_rollback_stale(0)
+                assert CommitLog(ds)._claim(0, "usurper-token")
+            super().rename(src, dst)
+
+    fs = UsurpOnFinalize()
+    log = CommitLog(ds, fs=fs)
+    with pytest.raises(CommitConflict):
+        with log.transaction() as meta:
+            meta["rows"] = 1
+            fs.armed = True
+    assert fs.fired
+    entry = json.loads(open(os.path.join(ds, "_commits", f"{0:020d}.json")).read())
+    assert entry["owner_token"] == "usurper-token"
+    assert entry["status"] == "in-progress"  # usurper's claim untouched
+    assert log.latest_version() == -1  # nothing misrecorded
+
+
+def test_crashed_finalize_is_recoverable_after_stale_timeout(tmp_path):
+    """An owner that dies BETWEEN the fence rename and the slot write
+    leaves a `.finalizing` marker.  Contenders treat it as a live
+    finalize while fresh (no takeover), then consume it and roll the
+    slot aside once stale — the lake cannot be wedged by a process that
+    died inside the microsecond finalize window."""
+    import time
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds, stale_timeout_s=0.3)
+    assert log._claim(0, "tok")
+    fence = log._fence(0, "tok")
+    os.rename(fence, fence + ".finalizing")  # died right here
+    slot = os.path.join(ds, "_commits", f"{0:020d}.json")
+    os.utime(slot, (1, 1))  # the slot itself looks ancient
+
+    contender = CommitLog(ds, stale_timeout_s=0.3)
+    contender._try_rollback_stale(0)  # .finalizing is FRESH: backs off
+    assert os.path.exists(slot)
+
+    time.sleep(0.35)
+    contender._try_rollback_stale(0)  # now stale: consumed + rolled aside
+    assert not os.path.exists(slot)
+    with contender.transaction(timeout=5.0) as meta:
+        meta["recovered"] = True
+    assert contender.latest_version() == 0
+    assert contender.history()[0]["recovered"] is True
+
+
+def test_prune_sweeps_orphan_fences_never_live_ones(tmp_path):
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    with log.transaction():
+        pass  # v0 committed; its fence was consumed by finalize
+    commits = os.path.join(ds, "_commits")
+    orphan = os.path.join(commits, f"{0:020d}.json.fence.deadtoken")
+    with open(orphan, "w") as fh:
+        fh.write("fence")
+    with log.transaction():  # live v1 transaction holds a live fence
+        log.prune(keep_last=10)
+        fences = [n for n in os.listdir(commits) if ".fence." in n]
+        assert os.path.basename(orphan) not in fences  # orphan swept
+        assert any(n.startswith(f"{1:020d}.json.fence.") for n in fences)
+    assert log.latest_version() == 1  # live transaction finalized fine
