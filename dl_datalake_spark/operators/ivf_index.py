@@ -339,6 +339,83 @@ def upsert_ivf_index(
     return n
 
 
+def delete_from_ivf_index(
+    spark: SparkSession,
+    ids,
+    path: str,
+) -> int:
+    """Remove vectors by id — the index-side mirror of the lake's
+    row-level `delete_where`, so a GDPR purge of documents also purges
+    their vectors from search (the round-5 gap: deleted documents'
+    embeddings stayed searchable forever).
+
+    `ids` is a Python sequence of vec_ids or a single-column DataFrame
+    (any column name).  Mechanics are the same O(touched cells) cycle as
+    `upsert_ivf_index`: one metadata probe finds the cells holding the
+    ids (the join is key-only — embedding payloads never shuffle), a
+    broadcast anti-join drops the rows, dynamic partition overwrite
+    rewrites ONLY those cells, and a cell emptied by the delete has its
+    directory dropped explicitly (dynamic overwrite cannot delete a
+    partition absent from the output).  Stale superseded copies of a
+    deleted id in OTHER cells are in the touched set too (the probe sees
+    every copy), so a delete never leaves a resurrectable ghost for
+    fsck/repair to trip over.
+
+    Purge lists are broadcast: a compliance batch is small relative to
+    the index (≤ millions of keys); route a larger-than-memory delete
+    through repeated batches.  Runs inside the index commit transaction,
+    serialized against upsert/repair/rebuild.  Returns rows removed.
+    """
+    vdir = os.path.join(path, VECTORS_DIR)
+    log = _index_log(path, spark)
+    with log.transaction(payload={"op": "delete"}) as meta:
+        v = _vectors_with_seq(spark, vdir)
+        id_type = v.schema["vec_id"].dataType
+        if isinstance(ids, DataFrame):
+            del_df = ids.select(F.col(ids.columns[0]).cast(id_type).alias("vec_id"))
+        else:
+            del_df = spark.createDataFrame(
+                [(i,) for i in ids], ["vec_id"]
+            ).select(F.col("vec_id").cast(id_type))
+        del_df = del_df.distinct()
+        touched = (
+            v.join(F.broadcast(del_df), "vec_id")
+            .select("cell")
+            .distinct()
+        )
+        cells = [r["cell"] for r in touched.collect()]
+        if not cells:
+            meta["removed"] = 0
+            meta["cells"] = 0
+            return 0
+        sub = v.where(F.col("cell").isin(cells))
+        keep = sub.join(F.broadcast(del_df), "vec_id", "left_anti").persist()
+        try:
+            before = sub.count()
+            after = keep.count()
+            keep_cells = {r["cell"] for r in keep.select("cell").distinct().collect()}
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                if after:
+                    (
+                        keep.repartition("cell")
+                        .write.mode("overwrite")
+                        .partitionBy("cell")
+                        .parquet(vdir)
+                    )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            fs = get_fs(vdir, spark)
+            for c in set(cells) - keep_cells:
+                fs.rmtree(os.path.join(vdir, f"cell={c}"))
+        finally:
+            keep.unpersist()
+        meta["removed"] = before - after
+        meta["cells"] = len(cells)
+    return before - after
+
+
 def fsck_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     """Index consistency check: vec_ids present in MORE THAN ONE cell —
     the stale-copy state a cell-changing upsert can leave behind.

@@ -299,3 +299,64 @@ def test_refresh_rollup_cdc_propagates_deletes(client, tmp_path, spark):
     client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m")
     assert client.reader.read_dataset(agg_key).where(F.col("ts").isNotNull()).count() == 0
     assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
+
+
+def test_gdpr_purge_end_to_end_lake_rollup_and_ann_index(client, tmp_path, spark):
+    """The composed compliance story the individual contracts only cover
+    piecewise: ingest → rollup (CDC) + ANN index over the same ids →
+    row-level delete_where purge → CDC refresh + index delete → the
+    purged rows leave NO trace in the raw lake, the rollup, or vector
+    search, and every consistency check comes back clean."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.operators.ivf_index import (
+        delete_from_ivf_index,
+        fsck_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        write_ivf_index,
+    )
+
+    jan = 1672574400000  # 2023-01-01T12:00Z, 15m bucket boundary
+    client.ingest_csv(_csv(tmp_path, n=30, start=jan), "binance", "spot", "BTCUSDT")
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is not None
+    raw_key = DatasetKey("binance", "spot", "BTCUSDT", "raw", "1m")
+    agg_key = DatasetKey("binance", "agg", "BTCUSDT", "agg", "15m")
+
+    # every raw row has an embedding in the ANN index, keyed by its ts
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 30)
+        .select((F.lit(jan) + F.col("vec_id") * 60000).alias("vec_id"), "embedding")
+    )
+    ivf_path = str(tmp_path / "ivf")
+    write_ivf_index(emb, train_ivf(emb, num_cells=4, iters=2), ivf_path)
+
+    # GDPR request: purge minutes 10..29 (the whole second bucket + the
+    # tail of the first) from lake AND index
+    purge_ids = [jan + i * 60000 for i in range(10, 30)]
+    purged_emb = emb.where(F.col("vec_id") == purge_ids[0]).first()["embedding"]
+    res = client.writer.delete_range(raw_key, purge_ids[0], purge_ids[-1])
+    assert res.rows == 20
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is not None
+    assert delete_from_ivf_index(spark, purge_ids, ivf_path) == 20
+
+    # raw lake: only the 10 survivors
+    assert client.reader.read_dataset(raw_key).count() == 10
+    # rollup: the emptied bucket is GONE, the partial one recomputed
+    rows = {r["ts"]: r for r in client.reader.read_dataset(agg_key).collect()}
+    assert set(rows) == {jan}
+    assert rows[jan]["volume"] == 100.0  # 10 surviving minutes x 10
+    # ANN search: a query AT a purged vector never gets it (or any
+    # purged id) back, while survivors still serve
+    q = spark.createDataFrame(
+        [(999999, purged_emb)], "vec_id long, embedding array<double>"
+    )
+    hits = search_ivf_index(spark, q, ivf_path, k=30, nprobe=4).collect()
+    assert hits and not any(r["c_id"] in set(purge_ids) for r in hits)
+    assert fsck_ivf_index(spark, ivf_path).count() == 0
+
+    # both purge paths are idempotent replays (crash-safety contract)
+    assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
+    assert delete_from_ivf_index(spark, purge_ids, ivf_path) == 0

@@ -343,3 +343,122 @@ def test_ivf_changed_vector_fsck_search_and_repair(spark, tmp_path):
 
     # idempotent: second repair is a no-op
     assert repair_ivf_index(spark, path) == 0
+
+
+def test_ivf_index_delete_purges_vectors_and_stale_copies(spark, tmp_path):
+    """GDPR-purge mirror of the lake's row-level delete: delete_from_ivf_index
+    removes every copy of the given ids (stale superseded copies in other
+    cells included), rewrites only the touched cells, drops an emptied
+    cell's directory, and search never returns a deleted id again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import (
+        delete_from_ivf_index,
+        fsck_ivf_index,
+        read_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _load_emb(spark)
+    base = emb.where(F.col("vec_id") < 80)
+    cents = train_ivf(base, num_cells=4, iters=2)
+    path = str(tmp_path / "ivf_del")
+    write_ivf_index(base, cents, path)
+    _, vectors = read_ivf_index(spark, path)
+    rows = vectors.select("vec_id", "cell").collect()
+    victim = rows[0]
+
+    # give the victim a STALE second copy: upsert it with another cell's
+    # embedding so the live copy moves cell, old copy stays on disk
+    donor = next(r for r in rows if r["cell"] != victim["cell"])
+    donor_emb = (
+        vectors.where(F.col("vec_id") == donor["vec_id"]).select("embedding").first()[0]
+    )
+    upsert_ivf_index(
+        spark,
+        spark.createDataFrame(
+            [(victim["vec_id"], donor_emb)], "vec_id long, embedding array<double>"
+        ),
+        path,
+    )
+    assert fsck_ivf_index(spark, path).count() == 1  # stale copy exists
+
+    vdir = os.path.join(path, "vectors")
+    untouched_cells = {
+        r["cell"]
+        for r in read_ivf_index(spark, path)[1]
+        .where(~F.col("vec_id").isin(victim["vec_id"], donor["vec_id"]))
+        .select("cell").distinct().collect()
+    } - {victim["cell"], donor["cell"]}
+    files_before = {
+        c: sorted(os.listdir(os.path.join(vdir, f"cell={c}"))) for c in untouched_cells
+    }
+
+    # purge BOTH copies of the victim plus the donor in one batch
+    removed = delete_from_ivf_index(spark, [victim["vec_id"], donor["vec_id"]], path)
+    assert removed == 3  # victim live + victim stale + donor
+
+    _, after = read_ivf_index(spark, path)
+    assert after.count() == 78
+    assert after.where(F.col("vec_id").isin(victim["vec_id"], donor["vec_id"])).count() == 0
+    assert fsck_ivf_index(spark, path).count() == 0  # no ghost for repair
+
+    # search with full probe never returns the deleted ids
+    q = spark.createDataFrame([(999999, donor_emb)], "vec_id long, embedding array<double>")
+    res = search_ivf_index(spark, q, path, k=80, nprobe=4).collect()
+    assert not any(r["c_id"] in (victim["vec_id"], donor["vec_id"]) for r in res)
+
+    # untouched cells' files were not rewritten
+    for c, before in files_before.items():
+        assert sorted(os.listdir(os.path.join(vdir, f"cell={c}"))) == before
+
+    # deleting the same ids again is a clean no-op (no transaction residue)
+    assert delete_from_ivf_index(spark, [victim["vec_id"], donor["vec_id"]], path) == 0
+
+    # commit log recorded the purge
+    from dl_datalake_spark.operators.ivf_index import _index_log
+
+    hist = _index_log(path, spark).history()
+    assert hist[-2]["op"] == "delete" and hist[-2]["removed"] == 3
+    assert hist[-1]["op"] == "delete" and hist[-1]["removed"] == 0
+
+
+def test_ivf_index_delete_drops_emptied_cell_dir(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import (
+        delete_from_ivf_index,
+        read_ivf_index,
+        search_ivf_index,
+        train_ivf,
+        write_ivf_index,
+    )
+
+    emb = _load_emb(spark)
+    base = emb.where(F.col("vec_id") < 60)
+    cents = train_ivf(base, num_cells=4, iters=2)
+    path = str(tmp_path / "ivf_del_empty")
+    write_ivf_index(base, cents, path)
+    _, vectors = read_ivf_index(spark, path)
+    by_cell = {}
+    for r in vectors.select("vec_id", "cell").collect():
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    # wipe out one whole cell via a DataFrame id list
+    cell, ids = sorted(by_cell.items(), key=lambda kv: len(kv[1]))[0]
+    ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    removed = delete_from_ivf_index(spark, ids_df, path)
+    assert removed == len(ids)
+    assert not os.path.exists(os.path.join(path, "vectors", f"cell={cell}"))
+    _, after = read_ivf_index(spark, path)
+    assert after.count() == 60 - len(ids)
+    # the index still serves searches over the remaining cells
+    any_emb = after.select("embedding").first()[0]
+    q = spark.createDataFrame([(999999, any_emb)], "vec_id long, embedding array<double>")
+    assert search_ivf_index(spark, q, path, k=5, nprobe=4).count() > 0
