@@ -126,14 +126,21 @@ class CommitLog:
                 out.append({"version": v, **{k: e[k] for k in e if k != "status"}})
         return out
 
-    def prune(self, keep_last: int = 100) -> int:
+    ABANDONED_TTL_S = 24 * 3600.0
+
+    def prune(self, keep_last: int = 100, abandoned_ttl_s: float | None = None) -> int:
         """Drop all but the newest `keep_last` FINALIZED commit files,
-        plus any rolled-aside `.abandoned.*` leftovers.  Version
-        numbering is unaffected (the newest files stay, and new claims
-        build on the highest retained version).  One tiny file per
-        commit adds up — a dataset ingested every minute for a year is
-        ~0.5 M files — so this belongs in the same maintenance cadence
-        as compaction (`cli maintain`).  Returns files removed."""
+        plus rolled-aside `.abandoned.*` leftovers older than
+        `abandoned_ttl_s` (default 24 h — recent markers are the
+        fencing audit trail for usurpations still being debugged; pass
+        0.0 to sweep everything).  Version numbering is unaffected (the
+        newest files stay, and new claims build on the highest retained
+        version).  One tiny file per commit adds up — a dataset ingested
+        every minute for a year is ~0.5 M files — so this belongs in the
+        same maintenance cadence as compaction (`cli maintain`).
+        Returns files removed."""
+        if abandoned_ttl_s is None:
+            abandoned_ttl_s = self.ABANDONED_TTL_S
         committed = [
             v for v in self._entries() if self._read_entry(v).get("status") == "committed"
         ]
@@ -149,6 +156,8 @@ class CommitLog:
         for name in self.fs.listdir(self.log_dir):
             if ".abandoned." in name:
                 try:
+                    if time.time() - self.fs.getmtime(f"{self.log_dir}/{name}") < abandoned_ttl_s:
+                        continue
                     self.fs.remove(f"{self.log_dir}/{name}")
                     removed += 1
                 except OSError:

@@ -332,12 +332,15 @@ def prune_commit_logs(
     spark: SparkSession,
     base_path: str,
     keep_last: int = 100,
+    abandoned_ttl_s: float | None = None,
     fs: Filesystem | None = None,
 ) -> dict[str, int]:
     """Prune every dataset commit log under the lake to its newest
-    `keep_last` finalized entries (see CommitLog.prune). Returns
-    {dataset_path: files_removed} for datasets that had anything to
-    drop."""
+    `keep_last` finalized entries, sweeping rolled-aside `.abandoned.*`
+    markers older than `abandoned_ttl_s` (see CommitLog.prune; default
+    24 h so a fresh usurpation's audit trail survives one maintenance
+    pass). Returns {dataset_path: files_removed} for datasets that had
+    anything to drop."""
     from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
 
     fs = fs if fs is not None else get_fs(base_path, spark)
@@ -348,7 +351,9 @@ def prune_commit_logs(
     }
     out: dict[str, int] = {}
     for ds in sorted(datasets):
-        n = CommitLog(ds, fs=fs).prune(keep_last=keep_last)
+        n = CommitLog(ds, fs=fs).prune(
+            keep_last=keep_last, abandoned_ttl_s=abandoned_ttl_s
+        )
         if n:
             out[ds] = n
     return out

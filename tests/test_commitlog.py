@@ -359,10 +359,13 @@ def test_prune_keeps_newest_and_numbering_continues(tmp_path):
     assert log._claim(7, "stuck-token")
     log.stale_timeout_s = 0.0
     log._try_rollback_stale(7)
+    # default TTL keeps the FRESH roll-aside leftovers (audit trail of a
+    # usurpation that just happened); only the four old commits go
     removed = log.prune(keep_last=3)
-    # four old commits + two roll-aside leftovers (abandoned slot AND
-    # its consumed fence — the CAS rename leaves both token-named)
-    assert removed == 4 + 2
+    assert removed == 4
+    # a zero TTL sweeps both leftovers (abandoned slot AND its consumed
+    # fence — the CAS rename leaves both token-named)
+    assert log.prune(keep_last=3, abandoned_ttl_s=0.0) == 2
     assert [h["version"] for h in log.history()] == [4, 5, 6]
     assert log.latest_version() == 6
     with log.transaction() as meta:
@@ -873,3 +876,34 @@ def test_prune_sweeps_orphan_fences_never_live_ones(tmp_path):
         assert os.path.basename(orphan) not in fences  # orphan swept
         assert any(n.startswith(f"{1:020d}.json.fence.") for n in fences)
     assert log.latest_version() == 1  # live transaction finalized fine
+
+
+def test_prune_abandoned_ttl_old_swept_recent_kept(tmp_path):
+    """Abandoned roll-aside markers age out of the log on the maintenance
+    cadence: markers older than the TTL are swept, recent ones stay (a
+    fresh usurpation's audit trail survives one pass), and the prune
+    remains cursor-safe — retained commit coverage is untouched."""
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    for i in range(3):
+        with log.transaction() as meta:
+            meta["i"] = i
+    # two dead claims rolled aside at different times
+    for tok in ("dead-old", "dead-new"):
+        assert log._claim(3, tok)
+        CommitLog(ds, stale_timeout_s=0.0)._try_rollback_stale(3)
+    commits = os.path.join(ds, "_commits")
+    aged = [n for n in os.listdir(commits) if ".abandoned." in n]
+    assert len(aged) == 4  # 2 slots + 2 fences
+    # age HALF of them past the TTL
+    for n in aged[:2]:
+        os.utime(os.path.join(commits, n), (1, 1))
+
+    removed = log.prune(keep_last=100, abandoned_ttl_s=3600.0)
+    left = [n for n in os.listdir(commits) if ".abandoned." in n]
+    assert removed == 2 and sorted(left) == sorted(aged[2:])
+    # committed history untouched; next version continues
+    assert [h["version"] for h in log.history()] == [0, 1, 2]
+    with log.transaction():
+        pass
+    assert log.latest_version() == 3
