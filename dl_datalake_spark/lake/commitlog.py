@@ -413,6 +413,11 @@ class CommitLog:
             time.sleep(CLAIM_POLL_S)
 
         meta: dict = dict(payload or {})
+        # expose the claimed slot number: writers that persist per-commit
+        # side artifacts (the _cdf change feed) key them by version; the
+        # duplicate in the finalized payload is harmless (history() derives
+        # the same number from the filename)
+        meta["version"] = nxt
         if conflicts:
             meta["claim_conflicts"] = conflicts
         stop_heartbeat = self._start_heartbeat(nxt, token)

@@ -179,6 +179,24 @@ def _copy_commit_log(
         fs.write_bytes_atomic(f"{dst_log}/{name}", data)
 
 
+def _copy_tree(fs: Filesystem, src: str, dst: str) -> None:
+    """Byte-copy every file under `src` into the same relative layout
+    under `dst`; no-op if `src` doesn't exist.  Driver-side, intended
+    for small control trees (change-feed parquet, commit metadata)."""
+    src = src.rstrip("/")
+    if not fs.isdir(src):
+        return
+    for root, name in fs.walk_files(src):
+        rel = root[len(src):].lstrip("/")
+        target_dir = f"{dst}/{rel}".rstrip("/")
+        try:
+            data = fs.read_bytes(f"{root}/{name}")
+        except OSError:
+            continue
+        fs.makedirs(target_dir)
+        fs.write_bytes_atomic(f"{target_dir}/{name}", data)
+
+
 def compact(
     spark: SparkSession,
     base_path: str,
@@ -275,6 +293,11 @@ def compact(
             if rel is None:
                 continue  # defensive: never copy outside the lake root
             _copy_commit_log(fs, ds, f"{out}/{rel}", committed_only=not in_place)
+            # the hidden row-level change feed (_cdf/) is invisible to the
+            # parquet rewrite above — carry it over or compaction would
+            # truncate every CDF consumer's history (the same destruction
+            # class as the commit-log bug this function fixes)
+            _copy_tree(fs, f"{ds}/_cdf", f"{out}/{rel}/_cdf")
         if not in_place:
             # Export: finalizing (on `with` exit) records the compact
             # commit in the ORIGINAL tree — an audit row whose empty

@@ -247,6 +247,73 @@ class LakeReader:
         cs = self.changes_since(key, after_version)
         return cs.df, cs.latest
 
+    def read_change_feed(
+        self, key: DatasetKey, after_version: int = -1
+    ) -> tuple[DataFrame | None, int]:
+        """Row-level change feed (Delta-style CDF): the exact rows each
+        commit inserted / replaced / deleted, tagged `_change_type`
+        ("insert" | "update_postimage" | "delete") with a
+        `commit_version` column, for commits AFTER `after_version`.
+        Requires the writer to run with `emit_cdf=True` (LakeWriter
+        docstring); partition-granularity `changes_since` needs nothing
+        and remains the default CDC surface.
+
+        Gap safety: a data-changing commit in the requested range that
+        was written WITHOUT CDF emission (emit_cdf off, a multi-dataset
+        write, or history pruned past the cursor) raises ValueError —
+        a row-level consumer must never silently miss changes; fall
+        back to changes_since() and rebuild.  Zero-partition commits
+        (compact / cdc-noop / no-match delete) changed no rows and are
+        skipped.
+
+        Returns (feed DataFrame | None if nothing changed, latest
+        version to persist as the next cursor).
+        """
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.writer import LakeWriter
+
+        k = key.normalized()
+        ds = (
+            f"{self.base_path}/exchange={k.exchange}/market={k.market}"
+            f"/symbol={k.symbol}/data_type={k.data_type}/period={k.period}"
+        )
+        log = CommitLog(ds, fs=self.fs)
+        latest = log.latest_version()
+        if latest <= after_version:
+            return None, latest
+        history = log.history()
+        if history and min(c["version"] for c in history) > after_version + 1:
+            raise ValueError(
+                f"change feed of {ds} is truncated: commits up to "
+                f"{min(c['version'] for c in history) - 1} were pruned but the "
+                f"cursor is {after_version} — fall back to changes_since()"
+            )
+        versions = []
+        for c in history:
+            v = c["version"]
+            if v <= after_version:
+                continue
+            if c.get("partitions") == []:
+                continue  # compact / cdc-noop / no-match: no row changed
+            if not c.get("cdf"):
+                raise ValueError(
+                    f"commit {v} of {ds} (mode={c.get('mode')}) has no row-level "
+                    f"change data — written without emit_cdf; fall back to "
+                    f"changes_since()"
+                )
+            versions.append(v)
+        if not versions:
+            return None, latest
+        root = f"{ds}/{LakeWriter.CDF_DIR}"
+        # explicit committed-version dirs: an aborted transaction's orphan
+        # _cdf dir is never served
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(*[f"{root}/commit_version={v}" for v in versions])
+        )
+        return df, latest
+
     def preview(self, df: DataFrame, offset: int, limit: int) -> tuple[int, DataFrame]:
         """Paginate without materializing (reference data.py:135-142)."""
         total = df.count()

@@ -83,12 +83,22 @@ class LakeWriter:
         manifest: ManifestManager | None = None,
         fs: Filesystem | None = None,
         commit_timeout_s: float = 60.0,
+        emit_cdf: bool = False,
     ):
+        """`emit_cdf=True` turns on the row-level change feed: every
+        single-dataset upsert/append/delete additionally writes its
+        changed rows (tagged `_change_type` = insert / update_postimage /
+        delete) under `<dataset>/_cdf/commit_version=N/`, keyed by the
+        commit version — the Delta-style CDF that lets NON-idempotent
+        consumers subscribe to row deltas instead of re-reading touched
+        partitions (reader.read_change_feed).  Off by default: the feed
+        costs one extra write of the changed rows per commit."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
         self.fs = fs if fs is not None else get_fs(self.base_path, spark)
         self.commit_timeout_s = commit_timeout_s
+        self.emit_cdf = emit_cdf
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -145,6 +155,12 @@ class LakeWriter:
 
         Returns {sanitized_symbol: WriteResult}, same shape as calling
         write_ohlc per symbol.
+
+        Change-feed note: multi-dataset commits do not emit row-level
+        CDF (the merged job has no per-dataset changed-row split);
+        read_change_feed surfaces them as an explicit gap error rather
+        than a silent hole — use per-symbol write_ohlc on CDF-enabled
+        datasets.
         """
         from contextlib import ExitStack
 
@@ -333,6 +349,14 @@ class LakeWriter:
                     month_pred = month_pred | (
                         (F.col("year") == y) & (F.col("month") == m)
                     )
+                if self.emit_cdf:
+                    # pre-image of the purged rows, written BEFORE the
+                    # copy-on-write overwrite drops their files
+                    deleted = existing.where(month_pred).where(
+                        F.coalesce(pred, F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    self._write_cdf(k, meta["version"], deleted)
+                    meta["cdf"] = True
                 # keep = NOT TRUE (NULL predicate rows survive, like SQL)
                 kept = existing.where(month_pred).where(
                     ~F.coalesce(pred, F.lit(False))
@@ -453,7 +477,7 @@ class LakeWriter:
         log = self.commit_log(key)
         payload = {"mode": mode, **(commit_meta or {})}
         with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
-            res = self._write_locked(df, key, mode)
+            res = self._write_locked(df, key, mode, cdf_version=meta["version"])
             # touched partitions in the commit record = the CDC surface:
             # an incremental consumer (reader.read_changes_since) re-reads
             # exactly these partitions, never the dataset
@@ -463,16 +487,27 @@ class LakeWriter:
                 time_to=res.time_to,
                 partitions=res.partitions,
             )
+            if self.emit_cdf:
+                meta["cdf"] = True  # read_change_feed's no-gap marker
         return res
 
-    def _write_locked(self, df: DataFrame, key: DatasetKey, mode: str) -> WriteResult:
+    def _write_locked(
+        self, df: DataFrame, key: DatasetKey, mode: str, cdf_version: int | None = None
+    ) -> WriteResult:
         ts_col = _require_ts(df, "ts")
         batch = self._partitioned(df, key, ts_col)
+        emit_cdf = self.emit_cdf and cdf_version is not None
 
         if mode == "upsert":
-            merged = self._merge_keep_last(batch, key, ts_col)
+            merged = self._merge_keep_last(batch, key, ts_col, tag_changes=emit_cdf)
         elif mode in ("append", "overwrite"):
-            merged = batch
+            # append: every batch row is an insert.  overwrite: the feed
+            # records the replacing rows as inserts (no pre-image — the
+            # overwritten months' old rows are not individually diffed;
+            # overwrite is a snapshot-replace, not a row operation).
+            merged = (
+                batch.withColumn("_change_type", F.lit("insert")) if emit_cdf else batch
+            )
         else:
             raise ValueError(f"unknown write mode: {mode}")
 
@@ -493,7 +528,17 @@ class LakeWriter:
             if r["year"] is not None
         )
 
+        if emit_cdf:
+            # the changed subset rides the same persisted merge; written
+            # BEFORE the data overwrite so its plan can still read the
+            # pre-state files (and a failed data write just leaves an
+            # uncommitted-version _cdf dir the feed reader never serves)
+            changed = merged.where(F.col("_change_type").isNotNull())
+            self._write_cdf(key, cdf_version, changed)
+
         out = merged.sortWithinPartitions(ts_col)
+        if emit_cdf:
+            out = out.drop("_change_type")
         writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
         try:
             if mode == "append":
@@ -527,19 +572,32 @@ class LakeWriter:
             )
         return result
 
-    def _merge_keep_last(self, batch: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
+    def _merge_keep_last(
+        self, batch: DataFrame, key: DatasetKey, ts_col: str, tag_changes: bool = False
+    ) -> DataFrame:
         """Union existing+new for the touched months, keep-last per ts.
 
         Precedence is explicit: _src=1 (new) beats _src=0 (existing).
         Only the year/month partitions present in the incoming batch are
         read back — partition-pruned, so upsert cost is O(batch months),
         not O(dataset) even on a 100 TB lake.
+
+        `tag_changes=True` (the CDF path) adds a `_change_type` column:
+        a winning batch row whose ts already existed is an
+        "update_postimage", a new ts an "insert", an unchanged existing
+        row NULL.  The existence test is one extra aggregate over the
+        SAME window partitioning the keep-last rank uses — no additional
+        shuffle.
         """
         existing = self._read_existing(key)
         if existing is None:
+            if tag_changes:
+                return batch.withColumn("_change_type", F.lit("insert"))
             return batch
         months = [(r["year"], r["month"]) for r in batch.select("year", "month").distinct().collect()]
         if not months:
+            if tag_changes:
+                return batch.withColumn("_change_type", F.lit("insert"))
             return batch
         month_pred = F.lit(False)
         for y, m in months:
@@ -550,10 +608,35 @@ class LakeWriter:
         new = batch.withColumn("_src", F.lit(1))
         unioned = old.unionByName(new, allowMissingColumns=True)
         w = Window.partitionBy("symbol", "data_type", "period", ts_col).orderBy(F.desc("_src"))
-        return (
-            unioned.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_src")
+        ranked = unioned.withColumn("_rn", F.row_number().over(w))
+        if tag_changes:
+            wf = Window.partitionBy("symbol", "data_type", "period", ts_col)
+            ranked = ranked.withColumn(
+                "_had_old", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wf)
+            ).withColumn(
+                "_change_type",
+                F.when(
+                    (F.col("_src") == 1) & (F.col("_had_old") == 1),
+                    F.lit("update_postimage"),
+                ).when(F.col("_src") == 1, F.lit("insert")),
+            )
+            return ranked.where(F.col("_rn") == 1).drop("_rn", "_src", "_had_old")
+        return ranked.where(F.col("_rn") == 1).drop("_rn", "_src")
+
+    CDF_DIR = "_cdf"
+
+    def cdf_path(self, key: DatasetKey) -> str:
+        return f"{self.dataset_path(key.normalized())}/{self.CDF_DIR}"
+
+    def _write_cdf(self, key: DatasetKey, version: int, rows: DataFrame) -> None:
+        """One parquet dir per commit under the dataset's hidden `_cdf/`
+        tree (underscore prefix: data scans never see it).  mode=
+        overwrite so a version number re-claimed after an aborted
+        transaction replaces the orphan's rows instead of appending."""
+        (
+            rows.write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(f"{self.cdf_path(key)}/commit_version={int(version)}")
         )
 
     def _merge_keep_last_multi(

@@ -713,3 +713,107 @@ def test_delete_rows_requires_both_range_bounds(spark, tmp_path):
         client.delete_rows("BINANCE", "BTCUSDT")
     with pytest.raises(ValueError, match="exactly one"):
         client.delete_rows("BINANCE", "BTCUSDT", where="price > 1", start_ms=1, end_ms=2)
+
+
+def test_row_level_change_feed_insert_update_delete(spark, tmp_path):
+    """emit_cdf=True gives a Delta-style row-level change feed: every
+    commit's changed rows land under _cdf/commit_version=N tagged
+    insert / update_postimage / delete, readable as a cursored feed."""
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    mk = lambda rows: spark.createDataFrame(rows, "ts long, price double")
+
+    w.write_ticks(mk([(jan, 1.0), (jan + 60000, 2.0), (jan + 120000, 3.0)]), key)  # v0
+    w.write_ticks(mk([(jan + 60000, 2.5), (jan + 180000, 4.0)]), key)              # v1
+    assert w.delete_range(key, jan, jan).rows == 1                                  # v2
+
+    feed, cursor = r.read_change_feed(key, after_version=-1)
+    assert cursor == 2
+    got = {
+        (x["commit_version"], x["ts"]): (x["_change_type"], x["price"])
+        for x in feed.collect()
+    }
+    assert got == {
+        (0, jan): ("insert", 1.0),
+        (0, jan + 60000): ("insert", 2.0),
+        (0, jan + 120000): ("insert", 3.0),
+        (1, jan + 60000): ("update_postimage", 2.5),
+        (1, jan + 180000): ("insert", 4.0),
+        (2, jan): ("delete", 1.0),  # pre-image of the purged row
+    }
+
+    # cursor advance: only the delete remains after version 1
+    feed2, cursor2 = r.read_change_feed(key, after_version=1)
+    assert cursor2 == 2
+    assert [(x["_change_type"], x["ts"]) for x in feed2.collect()] == [("delete", jan)]
+
+    # caught up
+    assert r.read_change_feed(key, after_version=2) == (None, 2)
+
+    # the data itself reflects the feed (keep-last + delete applied)
+    data = {x["ts"]: x["price"] for x in r.read_dataset(key).collect()}
+    assert data == {jan + 60000: 2.5, jan + 120000: 3.0, jan + 180000: 4.0}
+
+
+def test_change_feed_gap_raises_never_silently_skips(spark, tmp_path):
+    """A commit written without CDF emission inside the requested range
+    is a GAP: the feed reader raises instead of serving a feed that
+    silently misses rows."""
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_gap")
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    mk = lambda rows: spark.createDataFrame(rows, "ts long, price double")
+
+    w_cdf = LakeWriter(spark, base, emit_cdf=True)
+    w_plain = LakeWriter(spark, base)  # emit_cdf off
+    r = LakeReader(spark, base)
+
+    w_cdf.write_ticks(mk([(jan, 1.0)]), key)          # v0 with CDF
+    w_plain.write_ticks(mk([(jan + 60000, 2.0)]), key)  # v1 WITHOUT
+    with pytest.raises(ValueError, match="no row-level change data"):
+        r.read_change_feed(key, after_version=-1)
+    # a cursor past the gap works again
+    w_cdf.write_ticks(mk([(jan + 120000, 3.0)]), key)  # v2 with CDF
+    feed, cursor = r.read_change_feed(key, after_version=1)
+    assert cursor == 2 and feed.count() == 1
+
+    # pruned history past the cursor is also a loud gap
+    w_cdf.commit_log(key).prune(keep_last=1)
+    with pytest.raises(ValueError, match="truncated"):
+        r.read_change_feed(key, after_version=-1)
+
+
+def test_change_feed_survives_in_place_compaction(spark, tmp_path):
+    from dl_datalake_spark.lake.maintenance import compact
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_compact")
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    w = LakeWriter(spark, base, emit_cdf=True)
+    r = LakeReader(spark, base)
+    w.write_ticks(
+        spark.createDataFrame([(jan + i * 60000, float(i)) for i in range(5)],
+                              "ts long, price double"),
+        key,
+    )  # v0
+    compact(spark, base, in_place=True)  # v1: mode=compact, no row changes
+
+    feed, cursor = r.read_change_feed(key, after_version=-1)
+    assert cursor == 1  # compact commit advances the cursor...
+    assert feed.count() == 5  # ...but the feed still serves v0's rows
+    # and new CDF commits continue after the swap
+    w.write_ticks(spark.createDataFrame([(jan, 9.9)], "ts long, price double"), key)
+    feed2, cursor2 = r.read_change_feed(key, after_version=1)
+    assert cursor2 == 2
+    assert [x["_change_type"] for x in feed2.collect()] == ["update_postimage"]
