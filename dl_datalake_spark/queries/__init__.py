@@ -26,3 +26,5 @@ from dl_datalake_spark.queries import dedupq  # noqa: F401, E402
 from dl_datalake_spark.queries import simq  # noqa: F401, E402
 from dl_datalake_spark.queries import wave5  # noqa: F401, E402
 from dl_datalake_spark.queries import wave6  # noqa: F401, E402
+from dl_datalake_spark.queries import wave7  # noqa: F401, E402
+from dl_datalake_spark.queries import wave8  # noqa: F401, E402
