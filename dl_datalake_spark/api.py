@@ -138,6 +138,35 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
             }
         )
 
+    @app.get("/datasets/change-feed")
+    def dataset_change_feed():
+        """Row-level change feed (CDF): the exact rows commits after
+        `after_version` inserted / replaced / deleted, with their
+        commit_version.  409 when the range has a commit without CDF
+        data (the reader's loud-gap contract) — the consumer should
+        fall back to the partition-granularity /refresh CDC path."""
+        args = request.args
+        try:
+            feed, cursor = client.read_change_feed(
+                args["exchange"],
+                args["symbol"],
+                after_version=int(args.get("after_version", -1)),
+                market=args.get("market", "SPOT"),
+                data_type=args.get("data_type", "raw"),
+                period=args.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        except ValueError as exc:  # feed gap: never serve a silent hole
+            return jsonify({"error": str(exc)}), 409
+        limit = bounded_limit()
+        rows = (
+            []
+            if feed is None
+            else _rows(feed.orderBy("commit_version", "ts").limit(limit))
+        )
+        return jsonify({"cursor": cursor, "n": len(rows), "changes": rows})
+
     @app.get("/preview")
     def preview():
         args = request.args

@@ -18,6 +18,12 @@ from dl_datalake_spark.session import get_spark
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dl-datalake-spark")
     p.add_argument("--base", required=True, help="lake base path")
+    p.add_argument(
+        "--emit-cdf",
+        action="store_true",
+        help="write a row-level change feed with every commit "
+        "(read back via `change-feed`)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("init")
@@ -209,6 +215,19 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("--period", default="1m")
     cm.add_argument("--limit", type=int, default=50)
 
+    cf = sub.add_parser(
+        "change-feed",
+        help="row-level change feed (insert/update_postimage/delete rows per "
+        "commit; lake must be written with CDF emission on)",
+    )
+    cf.add_argument("--exchange", required=True)
+    cf.add_argument("--market", default="SPOT")
+    cf.add_argument("--symbol", required=True)
+    cf.add_argument("--data-type", default="raw")
+    cf.add_argument("--period", default="1m")
+    cf.add_argument("--after-version", type=int, default=-1)
+    cf.add_argument("--limit", type=int, default=1000)
+
     srv = sub.add_parser("serve", help="run the REST API (Flask) over this lake")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
@@ -218,7 +237,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("dl-datalake-spark-cli")
-    client = DataLakeClient(spark, args.base)
+    client = DataLakeClient(spark, args.base, emit_cdf=getattr(args, "emit_cdf", False))
 
     if args.cmd == "init":
         client.manifest.load()  # materializes an empty catalog
@@ -383,6 +402,21 @@ def main(argv: list[str] | None = None) -> int:
         hist = client.writer.commit_log(key).history()
         print(json.dumps({"dataset": client.writer.dataset_path(key),
                           "commits": hist[-args.limit:]}))
+    elif args.cmd == "change-feed":
+        feed, cursor = client.read_change_feed(
+            args.exchange,
+            args.symbol,
+            after_version=args.after_version,
+            market=args.market,
+            data_type=args.data_type,
+            period=args.period,
+        )
+        rows = (
+            []
+            if feed is None
+            else [r.asDict() for r in feed.orderBy("commit_version", "ts").limit(args.limit).collect()]
+        )
+        print(json.dumps({"cursor": cursor, "n": len(rows), "changes": rows}))
     elif args.cmd == "maintain":
         if args.action == "compact":
             from dl_datalake_spark.lake.maintenance import compact

@@ -29,13 +29,35 @@ from dl_datalake_spark.sources.csv_source import read_ohlcv_csv, read_ticks_csv
 
 
 class DataLakeClient:
-    def __init__(self, spark: SparkSession, base_path: str, manifest_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        manifest_path: str | None = None,
+        emit_cdf: bool = False,
+    ):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = ManifestManager(spark, manifest_path or f"{self.base_path}_manifest")
-        self.writer = LakeWriter(spark, self.base_path, self.manifest)
+        self.writer = LakeWriter(spark, self.base_path, self.manifest, emit_cdf=emit_cdf)
         self.reader = LakeReader(spark, self.base_path)
         self.features = FeatureStore(spark, self.base_path, self.manifest)
+
+    # -- row-level change feed (CDF) -----------------------------------------
+    def read_change_feed(
+        self,
+        exchange: str,
+        symbol: str,
+        after_version: int = -1,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ):
+        """Cursored row-level change feed (requires the lake to be
+        written with emit_cdf=True); see LakeReader.read_change_feed
+        for the gap contract.  Returns (df | None, next_cursor)."""
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        return self.reader.read_change_feed(key, after_version=after_version)
 
     # -- read (api_server.py:58-82) ----------------------------------------
     def read_ohlc(

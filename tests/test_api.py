@@ -379,3 +379,52 @@ def test_delete_rows_route(app_client):
               "where": "1=1", "start_ms": 0, "end_ms": 1},
     ).status_code == 422
     assert http.delete("/datasets/rows", json={"symbol": "BTCUSDT"}).status_code == 422
+
+
+def test_change_feed_route(spark, tmp_path):
+    """CDF over HTTP: rows per commit with change types; a non-CDF
+    commit in range surfaces as 409 (loud gap), never a silent hole."""
+    csv = tmp_path / "in.csv"
+    csv.write_text(CSV)
+    client = DataLakeClient(spark, str(tmp_path / "base"), emit_cdf=True)
+    client.ingest_csv(str(csv), "BINANCE", "SPOT", "BTCUSDT")  # v0: 30 inserts
+    client.delete_rows(
+        "BINANCE", "BTCUSDT", start_ms=1672574400000, end_ms=1672574400000 + 4 * 60000
+    )  # v1: 5 deletes
+    app = create_app(client)
+    app.config["TESTING"] = True
+    http = app.test_client()
+
+    r = http.get(
+        "/datasets/change-feed",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT"},
+    )
+    body = r.get_json()
+    assert r.status_code == 200 and body["cursor"] == 1 and body["n"] == 35
+    kinds = {(c["commit_version"], c["_change_type"]) for c in body["changes"]}
+    assert kinds == {(0, "insert"), (1, "delete")}
+
+    # cursor advance: only the delete slice
+    r2 = http.get(
+        "/datasets/change-feed",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT", "after_version": 0},
+    )
+    assert r2.get_json()["n"] == 5
+
+    # a plain (non-CDF) writer creates a gap → 409 with a clear error
+    plain = DataLakeClient(spark, str(tmp_path / "base"))
+    pcsv = tmp_path / "more.csv"
+    pcsv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + f"{1672574400000 + 60 * 60000},1,2,0.5,1.5,10"
+    )
+    plain.ingest_csv(str(pcsv), "BINANCE", "SPOT", "BTCUSDT")  # v2 without CDF
+    r3 = http.get(
+        "/datasets/change-feed",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT"},
+    )
+    assert r3.status_code == 409
+    assert "no row-level change data" in r3.get_json()["error"]
+
+    # missing params → 422
+    assert http.get("/datasets/change-feed").status_code == 422
