@@ -439,6 +439,55 @@ def fsck_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell index health — the RETRAIN trigger.  Upserts assign new
+    vectors against FROZEN centroids (upsert_ivf_index contract), so a
+    shifting data distribution degrades silently in two measurable
+    ways: cells grow imbalanced (hot cells stop pruning reads) and
+    members drift away from their centroid (candidate quality drops).
+    Returns one row per cell:
+
+      (cell, n_vectors, share, mean_centroid_sim, max_over_mean)
+
+    mean_centroid_sim is the exact-ratio mean of per-member
+    ROUND(cos, 6) (micros — engine-stable); max_over_mean > ~3 or a
+    falling mean_centroid_sim says retrain (train_ivf + write_ivf_index
+    rebuild, serialized by the index commit log).  One broadcast join +
+    one hash agg over (cell): O(index) scan, no shuffle of embeddings.
+    """
+    from dl_datalake_spark.functions.exact import ratio_round
+
+    cents, vectors = read_ivf_index(spark, path)
+    sim_u = F.round(
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6) * 1_000_000
+    ).cast("long")
+    per_cell = (
+        vectors.join(F.broadcast(cents), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(sim_u).alias("_sim_u"),
+        )
+    )
+    tot = per_cell.agg(
+        F.sum("n_vectors").alias("_tot"),
+        (F.sum("n_vectors") / F.count(F.lit(1))).alias("_mean_n"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            ratio_round(F.col("n_vectors"), F.col("_tot")).alias("share"),
+            ratio_round(F.col("_sim_u"), F.col("n_vectors") * 1_000_000).alias(
+                "mean_centroid_sim"
+            ),
+            F.round(F.col("n_vectors") / F.col("_mean_n"), 4).alias("load_vs_mean"),
+        )
+        .orderBy("cell")
+    )
+
+
 def repair_ivf_index(spark: SparkSession, path: str) -> int:
     """Remove superseded copies found by fsck: rewrite ONLY the cells
     holding a stale copy, keeping the max-_ingest_seq row per vec_id.

@@ -278,3 +278,85 @@ def orders_reorder_gap_percentiles(spark: SparkSession, sf_dir: str):
         _disc_q(F.col("gap_d"), 0.9).cast("long").alias("p90_days"),
         F.max("gap_d").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell balance: deterministic argmax-cosine assignment of every
+# vector against the label-mean centroids, then per-cell load share and
+# exact-ratio mean member→centroid cosine — the registry twin of
+# operators.ivf_index.ivf_drift_report (the retrain trigger).
+# ---------------------------------------------------------------------------
+def _ivf_cell_balance_sql() -> str:
+    from dl_datalake_spark.queries.simq import _COS_SQL
+
+    cos = (
+        _COS_SQL.replace("cv", "__CV__").replace("qv", "e.v").replace("__CV__", "cent.cv")
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, list(mean_v ORDER BY i) AS cv FROM (
+    SELECT label, i, AVG(v) AS mean_v FROM (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+    GROUP BY label, i)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT e.vec_id, cent.label AS cell, {cos} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, cent.label) AS rn
+    FROM e CROSS JOIN cent)
+  WHERE rn = 1),
+per AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CAST(ROUND(sim * 1000000) AS BIGINT)) AS BIGINT) AS su
+  FROM assigned GROUP BY cell),
+t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot FROM per)
+SELECT CAST(cell AS INTEGER) AS cell, n_vectors,
+       {ratio_round_sql("n_vectors", "tot")} AS share,
+       {ratio_round_sql("su", "n_vectors * 1000000")} AS mean_centroid_sim
+FROM per, t
+"""
+
+
+@register("emb_ivf_cell_balance", sql=_ivf_cell_balance_sql())
+def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.similarity import cosine, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = label_centroids(emb, "label", "embedding")
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("sim")).alias("neg"), F.col("cell").alias("cell"))).alias(
+            "best"
+        )
+    ).select(
+        F.col("best.cell").alias("cell"),
+        (-F.col("best.neg")).alias("sim"),
+    )
+    per = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("sim") * 1_000_000).cast("long")).alias("su"),
+    )
+    t = per.agg(F.sum("n_vectors").alias("tot"))
+    return per.crossJoin(F.broadcast(t)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        ratio_round(F.col("n_vectors"), F.col("tot")).alias("share"),
+        ratio_round(F.col("su"), F.col("n_vectors") * 1_000_000).alias(
+            "mean_centroid_sim"
+        ),
+    )

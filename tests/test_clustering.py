@@ -462,3 +462,49 @@ def test_ivf_index_delete_drops_emptied_cell_dir(spark, tmp_path):
     any_emb = after.select("embedding").first()[0]
     q = spark.createDataFrame([(999999, any_emb)], "vec_id long, embedding array<double>")
     assert search_ivf_index(spark, q, path, k=5, nprobe=4).count() > 0
+
+
+def test_ivf_drift_report_flags_skewed_upserts(spark, tmp_path):
+    """The retrain trigger: a balanced fresh index reports ~uniform cell
+    load and high member-centroid cosine; a skewed upsert batch (one
+    region of space) shows up as load_vs_mean growth on its cell."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.operators.ivf_index import (
+        ivf_drift_report,
+        read_ivf_index,
+        train_ivf,
+        upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _load_emb(spark)
+    base = emb.where(F.col("vec_id") < 80)
+    cents = train_ivf(base, num_cells=4, iters=2)
+    path = str(tmp_path / "ivf_drift")
+    write_ivf_index(base, cents, path)
+
+    before = {r["cell"]: r for r in ivf_drift_report(spark, path).collect()}
+    assert sum(r["n_vectors"] for r in before.values()) == 80
+    assert abs(sum(r["share"] for r in before.values()) - 1.0) < 1e-5
+    assert all(-1.0 <= r["mean_centroid_sim"] <= 1.0 for r in before.values())
+
+    # skewed batch: 20 copies of ONE existing vector's embedding under
+    # new ids — they all land in that vector's cell
+    _, vectors = read_ivf_index(spark, path)
+    donor = vectors.select("vec_id", "cell", "embedding").orderBy("vec_id").first()
+    batch = spark.createDataFrame(
+        [(1000 + i, donor["embedding"]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_index(spark, batch, path)
+
+    after = {r["cell"]: r for r in ivf_drift_report(spark, path).collect()}
+    assert sum(r["n_vectors"] for r in after.values()) == 100
+    hot = after[donor["cell"]]
+    assert hot["n_vectors"] == before[donor["cell"]]["n_vectors"] + 20
+    assert hot["load_vs_mean"] > before[donor["cell"]]["load_vs_mean"]
+    # untouched cells keep their counts
+    for cell, r in before.items():
+        if cell != donor["cell"]:
+            assert after[cell]["n_vectors"] == r["n_vectors"]
