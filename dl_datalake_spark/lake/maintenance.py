@@ -95,6 +95,17 @@ def _dataset_prefix(leaf_dir: str) -> str:
     return "/".join(kept)
 
 
+def _in_hidden_tree(root: str, base: str) -> bool:
+    """True iff `root` sits under a hidden (`_`/`.`-prefixed) segment
+    RELATIVE to the lake base.  Control trees holding parquet — the
+    row-level change feed under `<dataset>/_cdf/commit_version=N` — are
+    invisible to Spark's own scans but NOT to a raw file walk; without
+    this guard audit/vacuum would flag every change feed as an orphan
+    (and delete it), and compaction would rewrite it as a dataset."""
+    rel = root[len(base):].lstrip("/") if root.startswith(base) else root
+    return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
+
+
 def audit(
     spark: SparkSession,
     base_path: str,
@@ -108,9 +119,10 @@ def audit(
     how much to materialize (see audit_lists for the bounded CLI path).
     """
     fs = fs if fs is not None else get_fs(base_path, spark)
+    base = base_path.rstrip("/")
     disk = set()
-    for root, f in fs.walk_files(base_path):
-        if f.endswith(".parquet"):
+    for root, f in fs.walk_files(base):
+        if f.endswith(".parquet") and not _in_hidden_tree(root, base):
             disk.add(_dataset_prefix(root))
     disk_df = spark.createDataFrame([(p,) for p in sorted(disk)] or [("",)], ["path"]).where(
         F.col("path") != ""
@@ -251,7 +263,7 @@ def compact(
         {
             _dataset_prefix(root)
             for root, f in fs.walk_files(base)
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not _in_hidden_tree(root, base)
         }
     )
     logged_datasets = sorted(
@@ -374,9 +386,28 @@ def prune_commit_logs(
     }
     out: dict[str, int] = {}
     for ds in sorted(datasets):
-        n = CommitLog(ds, fs=fs).prune(
-            keep_last=keep_last, abandoned_ttl_s=abandoned_ttl_s
-        )
+        log = CommitLog(ds, fs=fs)
+        n = log.prune(keep_last=keep_last, abandoned_ttl_s=abandoned_ttl_s)
+        # change-feed retention rides the same policy: a _cdf dir whose
+        # commit file was just pruned is unreadable through the feed
+        # anyway (the truncation guard raises for cursors behind the
+        # retained history), so its parquet is pure dead weight
+        history = log.history()
+        oldest = min((c["version"] for c in history), default=None)
+        cdf_dir = f"{ds}/_cdf"
+        # no committed history -> nothing provably dead (a first write
+        # may be in flight with its CDF already staged): delete nothing
+        if oldest is not None:
+            for name in fs.listdir(cdf_dir):
+                if not name.startswith("commit_version="):
+                    continue
+                try:
+                    v = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v < oldest:
+                    fs.rmtree(f"{cdf_dir}/{name}")
+                    n += 1
         if n:
             out[ds] = n
     return out

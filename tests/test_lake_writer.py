@@ -817,3 +817,70 @@ def test_change_feed_survives_in_place_compaction(spark, tmp_path):
     feed2, cursor2 = r.read_change_feed(key, after_version=1)
     assert cursor2 == 2
     assert [x["_change_type"] for x in feed2.collect()] == ["update_postimage"]
+
+
+def test_vacuum_and_compact_never_treat_cdf_as_orphan_dataset(spark, tmp_path):
+    """The change feed's parquet lives under a hidden `_cdf/` tree that
+    Spark's scans skip but a raw file walk finds: audit/vacuum must not
+    flag it as an orphan (vacuum would DELETE every change feed), and
+    compaction's dataset discovery must not rewrite it as data."""
+    from dl_datalake_spark.lake.maintenance import compact, vacuum
+    from dl_datalake_spark.lake.manifest import ManifestManager
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_vac")
+    manifest = ManifestManager(spark, base + "_manifest")
+    w = LakeWriter(spark, base, manifest, emit_cdf=True)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    w.write_ticks(
+        spark.createDataFrame([(jan + i * 60000, float(i)) for i in range(5)],
+                              "ts long, price double"),
+        key,
+    )
+
+    rep = vacuum(spark, base, manifest, dry_run=True)
+    assert not any("_cdf" in p for p in rep["orphan_files"])
+    vacuum(spark, base, manifest, dry_run=False)
+    feed, cursor = r.read_change_feed(key, after_version=-1)
+    assert cursor == 0 and feed.count() == 5  # the feed survived vacuum
+
+    compact(spark, base, in_place=True)
+    feed2, cursor2 = r.read_change_feed(key, after_version=-1)
+    assert cursor2 == 1 and feed2.count() == 5  # survived compaction too
+    assert r.read_dataset(key).count() == 5
+
+
+def test_prune_commit_logs_ages_out_change_feed_dirs(spark, tmp_path):
+    import os
+
+    from dl_datalake_spark.lake.maintenance import prune_commit_logs
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_prune")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    for i in range(4):  # v0..v3, one CDF dir each
+        w.write_ticks(
+            spark.createDataFrame([(jan + i * 60000, float(i))], "ts long, price double"),
+            key,
+        )
+    ds = w.dataset_path(key)
+    assert len(os.listdir(os.path.join(ds, "_cdf"))) == 4
+
+    rep = prune_commit_logs(spark, base, keep_last=2)
+    assert rep  # something was pruned
+    left = sorted(os.listdir(os.path.join(ds, "_cdf")))
+    assert left == ["commit_version=2", "commit_version=3"]
+
+    # feed from a cursor inside the retained window still serves
+    feed, cursor = r.read_change_feed(key, after_version=1)
+    assert cursor == 3 and feed.count() == 2
+    # a cursor behind the retained history is a loud truncation error
+    with pytest.raises(ValueError, match="truncated"):
+        r.read_change_feed(key, after_version=-1)
