@@ -907,3 +907,27 @@ def test_prune_abandoned_ttl_old_swept_recent_kept(tmp_path):
     with log.transaction():
         pass
     assert log.latest_version() == 3
+
+
+def test_fence_cas_protocol_over_hadoopfs_scheme_base(spark, tmp_path):
+    """The fence-file CAS (claim fence -> consume by rename) must hold
+    through the JVM Hadoop filesystem too — the path an s3a:// lake
+    takes.  Commit, leave a dead claim, usurp it via the real roll-aside,
+    and confirm the slot is re-claimable and history continues."""
+    base = f"file://{tmp_path}/ds"
+    fs = get_fs(base, spark)
+    log = CommitLog(base, fs=fs)
+    with log.transaction() as meta:
+        meta["rows"] = 1
+    assert log.latest_version() == 0
+
+    assert log._claim(1, "dead-token")  # writer died holding v1
+    CommitLog(base, fs=fs, stale_timeout_s=0.0)._try_rollback_stale(1)
+    # both the slot and its fence were consumed into .abandoned markers
+    names = fs.listdir(f"{base}/_commits")
+    assert sum(1 for n in names if ".abandoned." in n) == 2
+
+    with log.transaction(timeout=10.0) as meta:
+        meta["recovered"] = True
+    assert log.latest_version() == 1
+    assert log.history()[-1]["recovered"] is True
