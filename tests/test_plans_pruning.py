@@ -131,3 +131,47 @@ def test_pareto_prefix_sum_has_no_corpus_global_window(spark):
     assert windows, "expected window operators in the plan"
     per_row = [ln for ln in windows if "rev_c" in ln]
     assert per_row and all("windowspecdefinition(_b#" in ln for ln in per_row), per_row
+
+
+def test_round6_flagship_plan_shapes(spark):
+    """Plan pins for the round-6 flagships: the top-30 vocabulary
+    bound must arrive as a broadcast (pair space capped at C(30,2)),
+    the cell-balance centroid fan-out must be a broadcast NLJ over the
+    tiny centroid table (never CartesianProduct), and the retention
+    cohort pipeline must stay pure hash aggregation — no global sort."""
+    from dl_datalake_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    cooc = (
+        QUERIES["docs_top_token_cooccurrence"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in cooc  # top-vocab semi-join broadcast
+    assert "CartesianProduct" not in cooc
+
+    bal = (
+        QUERIES["emb_ivf_cell_balance"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in bal  # centroids fan out broadcast
+    assert "CartesianProduct" not in bal
+
+    coh = (
+        QUERIES["events_weekly_retention_cohorts"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in coh
+    assert "CartesianProduct" not in coh
+    # the per-(user, week) dedup + cohort join never globally sorts rows
+    assert "Sort [wk" not in coh and "Sort [cohort_week" not in coh
+
+    sweep = (
+        QUERIES["events_concurrent_sessions_peak"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the global running sum is over SESSION BOUNDARIES (2 rows per
+    # session), fed by per-user session windows — both window kinds
+    # must be present, with the per-user one partition-specced
+    windows = [ln for ln in sweep.splitlines() if "Window [" in ln]
+    assert any("windowspecdefinition(user_id" in ln for ln in windows)
