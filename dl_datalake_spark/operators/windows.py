@@ -152,3 +152,68 @@ def bucketed_cumsum(
         .withColumn("rnk", F.col("_offc") + F.col("_r"))
         .drop("_b", "_c", "_r", "_off", "_offc", "_bs", "_bc")
     )
+
+
+def ordered_running_sum(
+    df: DataFrame,
+    range_col: str,
+    tie_cols: list,
+    value_col: str,
+    num_buckets: int = 64,
+    out_col: str = "run_sum",
+) -> DataFrame:
+    """Distributed running SUM(value_col) over the total order
+    (range_col ASC, *tie_cols) — the scale-safe replacement for
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` whenever
+    the leading sort key is a dense numeric (timestamps, sweep-line
+    boundaries). Generalizes `bucketed_cumsum` to an arbitrary
+    tie-break and a value column distinct from the ordering key.
+
+    Stage shape (none global): (1) ascending range-bucket rows on
+    range_col via approx-percentile boundaries. Boundary placement is
+    plan-only: `b = #boundaries < range_col` gives every tied
+    range_col value the same bucket, so the multi-key tie-break always
+    resolves WITHIN one bucket and bucket concatenation reproduces the
+    global order exactly. (2) per-bucket running sum — parallel.
+    (3) per-bucket totals (num_buckets rows) → prefix offsets via a
+    window over that tiny table, broadcast back.
+
+    `tie_cols` take Column sort expressions (e.g. ``F.desc("delta")``).
+    """
+    qs = []
+    if num_buckets > 1:
+        qs = (
+            df.agg(
+                F.percentile_approx(
+                    range_col,
+                    [i / num_buckets for i in range(1, num_buckets)],
+                    10_000,
+                )
+            ).first()[0]
+            or []
+        )
+    if qs:
+        # float boundaries are safe even for int64-ns timestamps: a
+        # lossy boundary only shifts WHERE a bucket splits, never
+        # separates equal range_col values (fixed b compares equally)
+        boundaries = F.array(*[F.lit(float(q)) for q in qs])
+        b = F.size(F.filter(boundaries, lambda q: q < F.col(range_col)))
+    else:
+        b = F.lit(0)
+    bucketed = df.withColumn("_b", b)
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy(F.asc(range_col), *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("_c", F.sum(value_col).over(wb))
+    btot = bucketed.groupBy("_b").agg(F.sum(value_col).alias("_bs"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_b", F.coalesce(F.sum("_bs").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.col("_off") + F.col("_c"))
+        .drop("_b", "_c", "_off")
+    )

@@ -100,7 +100,7 @@ FROM r
 """,
 )
 def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str):
-    from dl_datalake_spark.operators.windows import sessionize
+    from dl_datalake_spark.operators.windows import ordered_running_sum, sessionize
 
     ev = _with_tsu(load_table(spark, sf_dir, "events"))
     sess = sessionize(ev, user_col="user_id", ts_col="tsu", gap=US_30MIN)
@@ -114,11 +114,17 @@ def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str):
         (F.col("t1") + 1).alias("tsu"), F.lit(-1).alias("delta"), "user_id", "session_seq"
     )
     b = starts.unionByName(ends)
-    w = (
-        Window.orderBy("tsu", F.desc("delta"), "user_id", "session_seq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the global sweep-line running sum is DISTRIBUTED: ts-range buckets
+    # + per-bucket prefix sums + a broadcast bucket-offset table — never
+    # one task holding every session boundary (2 rows/session at 100 TB)
+    live = ordered_running_sum(
+        b,
+        "tsu",
+        [F.desc("delta"), F.asc("user_id"), F.asc("session_seq")],
+        "delta",
+        num_buckets=64,
+        out_col="live",
     )
-    live = b.withColumn("live", F.sum("delta").over(w))
     n_sessions = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
     return (
         live.agg(F.max("live").alias("peak_concurrent"))

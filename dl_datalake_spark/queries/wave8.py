@@ -171,7 +171,13 @@ def part_brand_size_price(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# user lifetime-value deciles over purchase spend
+# user lifetime-value deciles over purchase spend. Deciles derive from
+# the DISTRIBUTED rank (bucketed_cumsum, same pattern as
+# orders_decile_lift) — NTILE(10) OVER (ORDER BY ...) would funnel one
+# row per purchasing user through a single task at 100 TB. cents is
+# negated into the rank so (neg DESC, user ASC) == (cents ASC, user ASC),
+# the oracle's ordering; the rank-based decile ((rnk-1)*10) DIV n + 1 is
+# identical in both engines.
 # ---------------------------------------------------------------------------
 @register(
     "events_user_ltv_deciles",
@@ -180,9 +186,14 @@ WITH u AS (
   SELECT user_id,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+r AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, user_id) AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM u),
 d AS (
-  SELECT cents, CAST(NTILE(10) OVER (ORDER BY cents, user_id) AS INTEGER) AS decile
-  FROM u)
+  SELECT cents, CAST(((rnk - 1) * 10) // n + 1 AS INTEGER) AS decile
+  FROM r)
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(cents) AS BIGINT) AS total_cents,
@@ -192,14 +203,20 @@ FROM d GROUP BY decile
 """,
 )
 def events_user_ltv_deciles(spark: SparkSession, sf_dir: str):
+    from dl_datalake_spark.operators.windows import bucketed_cumsum
+
     ev = load_table(spark, sf_dir, "events")
     u = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
-    d = u.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("cents", "user_id")).cast("int")
+    ranked = bucketed_cumsum(
+        u.withColumn("_neg", -F.col("cents")), "_neg", "user_id", num_buckets=32
+    )
+    n = u.agg(F.count(F.lit(1)).alias("n"))
+    d = ranked.crossJoin(F.broadcast(n)).withColumn(  # single-row scalar
+        "decile", F.expr("CAST((rnk - 1) * 10 DIV n + 1 AS INT)")
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -171,12 +171,15 @@ def docs_top_token_cooccurrence(spark: SparkSession, sf_dir: str):
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).distinct()
-    wr = Window.orderBy(F.desc("df"), F.asc("w"))
+    # top-30 via orderBy().limit() — compiles to TakeOrderedAndProject
+    # (per-partition heaps), never a full-vocabulary global window; the
+    # (df DESC, w ASC) total order makes the cut deterministic, same as
+    # the oracle's ROW_NUMBER <= 30 (docs_zipf_fit uses this shape too)
     top = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 30)
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(30)
         .select("w")
     )
     ft = tok.join(F.broadcast(top), "w")
