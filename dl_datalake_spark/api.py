@@ -159,13 +159,16 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
             return jsonify({"error": f"missing parameter {exc}"}), 422
         except ValueError as exc:  # feed gap: never serve a silent hole
             return jsonify({"error": str(exc)}), 409
-        limit = bounded_limit()
-        rows = (
-            []
-            if feed is None
-            else _rows(feed.orderBy("commit_version", "ts").limit(limit))
+        # whole-commit pagination: cursor only ever advances past commits
+        # whose rows are ALL in this response (loud-gap contract); when
+        # truncated, the consumer re-requests with after_version=cursor
+        page, cursor, truncated = client.paginate_change_feed(
+            feed, cursor, bounded_limit()
         )
-        return jsonify({"cursor": cursor, "n": len(rows), "changes": rows})
+        rows = [] if page is None else _rows(page.orderBy("commit_version", "ts"))
+        return jsonify(
+            {"cursor": cursor, "n": len(rows), "truncated": truncated, "changes": rows}
+        )
 
     @app.get("/preview")
     def preview():

@@ -411,12 +411,15 @@ def main(argv: list[str] | None = None) -> int:
             data_type=args.data_type,
             period=args.period,
         )
+        page, cursor, truncated = client.paginate_change_feed(feed, cursor, args.limit)
         rows = (
             []
-            if feed is None
-            else [r.asDict() for r in feed.orderBy("commit_version", "ts").limit(args.limit).collect()]
+            if page is None
+            else [r.asDict() for r in page.orderBy("commit_version", "ts").collect()]
         )
-        print(json.dumps({"cursor": cursor, "n": len(rows), "changes": rows}))
+        print(json.dumps(
+            {"cursor": cursor, "n": len(rows), "truncated": truncated, "changes": rows}
+        ))
     elif args.cmd == "maintain":
         if args.action == "compact":
             from dl_datalake_spark.lake.maintenance import compact

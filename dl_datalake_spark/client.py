@@ -59,6 +59,42 @@ class DataLakeClient:
         key = DatasetKey(exchange, market, symbol, data_type, period)
         return self.reader.read_change_feed(key, after_version=after_version)
 
+    @staticmethod
+    def paginate_change_feed(feed: DataFrame | None, cursor: int, limit: int):
+        """Whole-commit pagination for the change feed: returns
+        (page_df | None, page_cursor, truncated). Never splits a commit
+        across a page boundary — a consumer persisting page_cursor has
+        seen EVERY row of every commit <= page_cursor, preserving the
+        feed's loud-gap contract (a naive ``LIMIT n`` + cursor=latest
+        silently drops every changed row past the limit). If the first
+        unserved commit alone exceeds `limit` it is served whole (n may
+        exceed limit) rather than torn. `truncated` means more commits
+        remain past page_cursor; the consumer should re-request."""
+        if feed is None:
+            return None, cursor, False
+        counts = sorted(
+            (r["commit_version"], r["n"])
+            for r in feed.groupBy("commit_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not counts:
+            return None, cursor, False
+        running, last_v = 0, None
+        for v, n in counts:
+            if last_v is not None and running + n > limit:
+                break
+            running += n
+            last_v = v
+            if running >= limit:
+                break
+        truncated = last_v < counts[-1][0]
+        if not truncated:
+            # cursor may exceed the max fed version (row-less commits at
+            # the tail still advance it) — keep the reader's cursor
+            return feed, cursor, False
+        return feed.where(F.col("commit_version") <= last_v), last_v, True
+
     # -- read (api_server.py:58-82) ----------------------------------------
     def read_ohlc(
         self,

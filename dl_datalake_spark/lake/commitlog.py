@@ -153,6 +153,10 @@ class CommitLog:
             except OSError:
                 pass
         committed_set = set(committed)
+        # one listdir snapshot for the whole fence sweep — calling
+        # _entries() per fence file would make prune quadratic in
+        # directory size, exactly the ~0.5M-file logs it exists for
+        live_entries = set(self._entries())
         for name in self.fs.listdir(self.log_dir):
             if ".abandoned." in name:
                 try:
@@ -168,7 +172,7 @@ class CommitLog:
                 # neither, so it is never swept from under the owner.
                 stem, _dot, _rest = name.partition(".")
                 v = int(stem) if stem.isdigit() else None
-                slot_live = v is not None and v in self._entries() and v not in committed_set
+                slot_live = v is not None and v in live_entries and v not in committed_set
                 if not slot_live:
                     try:
                         self.fs.remove(f"{self.log_dir}/{name}")

@@ -320,6 +320,13 @@ def compact(
         # flip to the compacted tree.  The held claims were copied into
         # `out`, so the finalize after the swap completes them in the
         # swapped-in tree — version history continues seamlessly.
+        # CONSTRAINT (round-6 ADVICE): while neither tree is at `base`,
+        # the per-dataset heartbeat threads' touch() raises and each
+        # thread exits PERMANENTLY — the swap window must stay tiny (two
+        # renames, as here). After the swap the held claims in the
+        # swapped-in tree would otherwise age toward stale_timeout_s
+        # with no heartbeat during a long rmtree/finalize, open to
+        # usurpation — so re-touch every claim + fence before rmtree.
         old = base + f".precompact.{_uuid.uuid4().hex}"
         fs.rename(base, old)
         try:
@@ -327,6 +334,18 @@ def compact(
         except BaseException:
             fs.rename(old, base)  # restore the original tree, then fail
             raise
+        for ds in datasets:
+            log_dir = f"{ds}/{LOG_DIR}"
+            try:
+                for name in fs.listdir(log_dir):
+                    if ".abandoned." in name:
+                        continue  # their age gates TTL pruning — leave it
+                    try:
+                        fs.touch(f"{log_dir}/{name}")
+                    except OSError:
+                        pass
+            except OSError:
+                pass
         fs.rmtree(old)
     return base
 

@@ -500,13 +500,19 @@ class LakeWriter:
 
         if mode == "upsert":
             merged = self._merge_keep_last(batch, key, ts_col, tag_changes=emit_cdf)
-        elif mode in ("append", "overwrite"):
-            # append: every batch row is an insert.  overwrite: the feed
-            # records the replacing rows as inserts (no pre-image — the
-            # overwritten months' old rows are not individually diffed;
-            # overwrite is a snapshot-replace, not a row operation).
+        elif mode == "append":
+            # append: every batch row is an insert
             merged = (
                 batch.withColumn("_change_type", F.lit("insert")) if emit_cdf else batch
+            )
+        elif mode == "overwrite":
+            # overwrite replaces the touched months wholesale: the feed
+            # must carry a DELETE pre-image for every pre-state row the
+            # replacement removes (Delta CDF semantics) — inserts alone
+            # would make a non-idempotent row-level consumer silently
+            # retain rows the overwrite dropped
+            merged = (
+                self._overwrite_tag_changes(batch, key, ts_col) if emit_cdf else batch
             )
         else:
             raise ValueError(f"unknown write mode: {mode}")
@@ -516,7 +522,16 @@ class LakeWriter:
         # persist() pins the merged rows so the subsequent write does not
         # re-scan inputs that no longer exist.
         merged = merged.persist()
-        stats = merged.agg(
+        # delete pre-images ride only the CDF, never the data tree or the
+        # commit's row/time stats
+        data_rows = (
+            merged.where(
+                F.col("_change_type").isNull() | (F.col("_change_type") != "delete")
+            )
+            if emit_cdf
+            else merged
+        )
+        stats = data_rows.agg(
             F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
         # the batch's (year, month) set = the partitions this commit
@@ -536,7 +551,7 @@ class LakeWriter:
             changed = merged.where(F.col("_change_type").isNotNull())
             self._write_cdf(key, cdf_version, changed)
 
-        out = merged.sortWithinPartitions(ts_col)
+        out = data_rows.sortWithinPartitions(ts_col)
         if emit_cdf:
             out = out.drop("_change_type")
         writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
@@ -622,6 +637,61 @@ class LakeWriter:
             )
             return ranked.where(F.col("_rn") == 1).drop("_rn", "_src", "_had_old")
         return ranked.where(F.col("_rn") == 1).drop("_rn", "_src")
+
+    def _overwrite_tag_changes(
+        self, batch: DataFrame, key: DatasetKey, ts_col: str
+    ) -> DataFrame:
+        """CDF tagging for mode=overwrite: the dynamic partition
+        replacement makes each touched month's final state == the batch,
+        so the row-level diff vs the pre-state is — per row key
+        (symbol, data_type, period, ts) — batch row with existing key →
+        update_postimage, batch row with new key → insert, pre-state row
+        whose key vanishes → a `delete` PRE-IMAGE row (its old values).
+        Without the deletes a non-idempotent feed consumer would
+        silently retain rows the overwrite removed (round-6 ADVICE;
+        Delta's CDF emits delete pre-images for overwritten data).
+
+        Same month-pruned union + single window shuffle as
+        _merge_keep_last — O(touched months), not O(dataset). Returned
+        rows: every batch row (tagged) plus the delete pre-images;
+        _write_locked routes deletes to the feed only.
+        """
+        existing = self._read_existing(key)
+        if existing is None:
+            return batch.withColumn("_change_type", F.lit("insert"))
+        months = [
+            (r["year"], r["month"])
+            for r in batch.select("year", "month").distinct().collect()
+        ]
+        if not months:
+            return batch.withColumn("_change_type", F.lit("insert"))
+        month_pred = F.lit(False)
+        for y, m in months:
+            month_pred = month_pred | ((F.col("year") == y) & (F.col("month") == m))
+        old = existing.where(month_pred).withColumn("_src", F.lit(0))
+        new = batch.withColumn("_src", F.lit(1))
+        unioned = old.unionByName(new, allowMissingColumns=True)
+        wf = Window.partitionBy("symbol", "data_type", "period", ts_col)
+        tagged = unioned.withColumn(
+            "_had_old", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wf)
+        ).withColumn(
+            "_had_new", F.max(F.when(F.col("_src") == 1, 1).otherwise(0)).over(wf)
+        )
+        change = (
+            F.when(
+                (F.col("_src") == 1) & (F.col("_had_old") == 1),
+                F.lit("update_postimage"),
+            )
+            .when(F.col("_src") == 1, F.lit("insert"))
+            .when(F.col("_had_new") == 0, F.lit("delete"))
+        )
+        return (
+            tagged.withColumn("_change_type", change)
+            # superseded pre-images (_src=0 with a replacing batch row)
+            # drop out here, matching the upsert path's postimage-only feed
+            .where(F.col("_change_type").isNotNull())
+            .drop("_src", "_had_old", "_had_new")
+        )
 
     CDF_DIR = "_cdf"
 

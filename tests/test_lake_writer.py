@@ -761,6 +761,84 @@ def test_row_level_change_feed_insert_update_delete(spark, tmp_path):
     assert data == {jan + 60000: 2.5, jan + 120000: 3.0, jan + 180000: 4.0}
 
 
+def test_change_feed_overwrite_emits_delete_preimages(spark, tmp_path):
+    """mode=overwrite replaces touched months wholesale — the feed must
+    carry a delete PRE-IMAGE for every pre-state row the replacement
+    removed (round-6 ADVICE: inserts alone make a non-idempotent
+    consumer silently retain dropped rows; Delta CDF emits these)."""
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_ow")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    r = LakeReader(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    mk = lambda rows: spark.createDataFrame(rows, "ts long, price double")
+
+    w.write_ticks(mk([(jan, 1.0), (jan + 60000, 2.0), (jan + 120000, 3.0)]), key)  # v0
+    res = w.write_ticks(
+        mk([(jan + 60000, 2.5), (jan + 180000, 4.0)]), key, mode="overwrite"
+    )  # v1: January snapshot-replaced
+    assert res.rows == 2  # stats count written rows, never delete pre-images
+
+    feed, cursor = r.read_change_feed(key, after_version=0)
+    assert cursor == 1
+    got = {
+        x["ts"]: (x["_change_type"], x["price"]) for x in feed.collect()
+    }
+    assert got == {
+        jan: ("delete", 1.0),  # pre-image of a row the overwrite removed
+        jan + 120000: ("delete", 3.0),
+        jan + 60000: ("update_postimage", 2.5),
+        jan + 180000: ("insert", 4.0),
+    }
+    # the data tree holds exactly the batch — deletes never leak into it
+    data = {x["ts"]: x["price"] for x in r.read_dataset(key).collect()}
+    assert data == {jan + 60000: 2.5, jan + 180000: 4.0}
+
+
+def test_change_feed_pagination_serves_whole_commits(spark, tmp_path):
+    """paginate_change_feed never splits a commit across a page: cursor
+    advances only past fully-served commits, `truncated` tells the
+    consumer to re-request (round-6 ADVICE: LIMIT n + cursor=latest
+    silently dropped every row past the limit)."""
+    from dl_datalake_spark.client import DataLakeClient
+
+    client = DataLakeClient(spark, str(tmp_path / "lake"), emit_cdf=True)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    mk = lambda n, off: spark.createDataFrame(
+        [(jan + (off + i) * 60000, float(i)) for i in range(n)], "ts long, price double"
+    )
+    client.writer.write_ticks(mk(3, 0), key)    # v0: 3 inserts
+    client.writer.write_ticks(mk(2, 10), key)   # v1: 2 inserts
+    client.writer.write_ticks(mk(4, 20), key)   # v2: 4 inserts
+
+    read = lambda after: client.read_change_feed(
+        "BINANCE", "BTC_USDT", after_version=after, data_type="ticks", period="1m"
+    )
+    feed, cursor = read(-1)
+    assert cursor == 2
+
+    # limit=4: commit 0 (3 rows) fits, commit 1 would overflow → page
+    # is exactly commit 0, cursor pinned there, truncated set
+    page, c1, trunc = client.paginate_change_feed(feed, cursor, 4)
+    assert trunc and c1 == 0 and page.count() == 3
+
+    # resuming from the returned cursor serves the rest — nothing lost
+    feed2, cursor2 = read(c1)
+    page2, c2, t2 = client.paginate_change_feed(feed2, cursor2, 100)
+    assert not t2 and c2 == 2 and page2.count() == 6
+
+    # an oversized first commit is served WHOLE (never torn), n > limit
+    page3, c3, t3 = client.paginate_change_feed(*read(-1), 1)
+    assert t3 and c3 == 0 and page3.count() == 3
+
+    # empty feed passthrough
+    assert client.paginate_change_feed(None, 2, 10) == (None, 2, False)
+
+
 def test_change_feed_gap_raises_never_silently_skips(spark, tmp_path):
     """A commit written without CDF emission inside the requested range
     is a GAP: the feed reader raises instead of serving a feed that
