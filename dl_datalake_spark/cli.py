@@ -183,7 +183,9 @@ def build_parser() -> argparse.ArgumentParser:
         "maintain",
         help="lake maintenance: small-file compaction and/or orphan vacuum",
     )
-    mt.add_argument("action", choices=["compact", "vacuum", "prune-commits"])
+    mt.add_argument(
+        "action", choices=["compact", "vacuum", "vacuum-tombstones", "prune-commits"]
+    )
     mt.add_argument("--files-per-partition", type=int, default=1)
     mt.add_argument("--in-place", action="store_true",
                     help="compact into the live tree instead of a staged swap")
@@ -191,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="vacuum: actually delete (default is dry-run report)")
     mt.add_argument("--keep-last", type=int, default=100,
                     help="prune-commits: finalized commit files to retain per dataset")
+    mt.add_argument("--retention-s", type=float, default=7 * 86400.0,
+                    help="vacuum-tombstones: min age before a superseded "
+                         "data file may be reclaimed (Delta-style horizon)")
 
     cu = sub.add_parser(
         "curate",
@@ -430,6 +435,19 @@ def main(argv: list[str] | None = None) -> int:
                 in_place=args.in_place,
             )
             print(json.dumps({"compacted": out}))
+        elif args.action == "vacuum-tombstones":
+            from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+            rep = vacuum_tombstones(
+                spark, args.base, retention_s=args.retention_s,
+                dry_run=not args.apply,
+            )
+            print(json.dumps({
+                "dry_run": not args.apply,
+                "removed": len(rep["removed"]),
+                "retained": len(rep["retained"]),
+                **rep,
+            }))
         elif args.action == "prune-commits":
             from dl_datalake_spark.lake.maintenance import prune_commit_logs
 

@@ -16,6 +16,7 @@ writer registers manifest rows itself.
 from __future__ import annotations
 
 from dl_datalake_spark.client import DataLakeClient
+from dl_datalake_spark.lake.paths import DatasetKey
 
 
 def ingest_pipeline_flow(
@@ -41,9 +42,12 @@ def ingest_pipeline_flow(
     if expectations:
         from dl_datalake_spark.lake.expectations import check
 
-        checked = check(
-            client.spark.read.parquet(ingest.path), expectations, enforce=enforce
+        # read back through the snapshot-aware reader (a raw path read
+        # would include MVCC tombstones from earlier ingests)
+        just_written = client.reader.read_dataset(
+            DatasetKey(exchange, market, symbol, "raw", "1m")
         )
+        checked = check(just_written, expectations, enforce=enforce)
         if enforce == "quarantine":
             # check() returns (good, bad, report) in quarantine mode;
             # surface the split so callers can route the bad rows.

@@ -117,6 +117,30 @@ class CommitLog:
                 return v
         return -1
 
+    def latest_files(self) -> list[str] | None:
+        """The newest committed entry's pinned `files` listing (reader
+        snapshot isolation, lake/snapshot.py), or None when the current
+        data state has no trustworthy pinned list.
+
+        Newest-first walk: `files` present → that snapshot. A committed
+        entry with `partitions == []` changed no data files UNLESS it
+        carries its own list (in-place compact does) — skip it and keep
+        walking. Any other files-less committed entry (legacy writer,
+        raw transaction) may have changed data → no older list is
+        trustworthy → None (callers fall back to a live directory scan,
+        which matches disk because legacy writers delete superseded
+        files eagerly)."""
+        for v in reversed(self._entries()):
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            if "files" in e:
+                return list(e["files"])
+            if e.get("partitions") == []:
+                continue
+            return None
+        return None
+
     def history(self) -> list[dict]:
         """All finalized commits, oldest first (audit/debug surface)."""
         out = []
@@ -210,10 +234,12 @@ class CommitLog:
     # consume it and roll the slot aside — the microsecond finalize
     # window needs a full stale_timeout_s pause to be misjudged, vs. the
     # old design where any pause anywhere in the transaction exposed it.
-    # On stores without atomic rename (S3 copy+delete) the CAS degrades
-    # to best-effort; the upgrade path there is a conditional PUT
-    # (If-None-Match on the fence's destination name / etag If-Match),
-    # which slots into Filesystem.rename without protocol changes.
+    # Every fence/slot consumption goes through
+    # Filesystem.consume_rename (exactly-one-winner contract): a bare
+    # atomic rename on POSIX/HDFS, and on stores without atomic rename
+    # (S3 copy+delete) a conditional-PUT claim of `<fence>.consumed`
+    # (If-None-Match: * / GCS generation-match 0) before the copy —
+    # see fs.ConditionalConsumeFS; the protocol itself is unchanged.
 
     def _fence(self, version: int, token: str) -> str:
         return f"{self.log_dir}/{_fmt(version)}.fence.{token}"
@@ -235,11 +261,13 @@ class CommitLog:
         token = entry.get("owner_token")
         if token:
             fence = self._fence(version, token)
-            try:
-                # Consume-CAS: exactly one of {owner finalize, this
-                # roll-aside, a competing roll-aside} renames the fence.
-                self.fs.rename(fence, f"{fence}.abandoned.{uuid.uuid4().hex}")
-            except OSError:
+            # Consume-CAS: exactly one of {owner finalize, this
+            # roll-aside, a competing roll-aside} consumes the fence
+            # (Filesystem.consume_rename — atomic rename on POSIX/HDFS,
+            # conditional-PUT claim on object stores).
+            if not self.fs.consume_rename(
+                fence, f"{fence}.abandoned.{uuid.uuid4().hex}"
+            ):
                 # No fence to consume.  Either the owner is finalizing
                 # (its `.finalizing` marker exists — back off unless that
                 # too went stale), another usurper already consumed it
@@ -253,11 +281,9 @@ class CommitLog:
                         return
                     if f_age < self.stale_timeout_s:
                         return  # live finalize in flight: not ours
-                    try:
-                        self.fs.rename(
-                            finalizing, f"{fence}.abandoned.{uuid.uuid4().hex}"
-                        )
-                    except OSError:
+                    if not self.fs.consume_rename(
+                        finalizing, f"{fence}.abandoned.{uuid.uuid4().hex}"
+                    ):
                         return
                 # Re-verify: with fence and finalizing both gone, the slot
                 # can never transition to committed — but it may already
@@ -268,11 +294,8 @@ class CommitLog:
                     return
                 if cur.get("status") == "committed" or cur.get("owner_token") != token:
                     return
-        # Roll the slot aside: atomic, exactly one contender succeeds.
-        try:
-            self.fs.rename(path, f"{path}.abandoned.{uuid.uuid4().hex}")
-        except OSError:
-            pass
+        # Roll the slot aside: exactly one contender succeeds.
+        self.fs.consume_rename(path, f"{path}.abandoned.{uuid.uuid4().hex}")
 
     def _claim(self, version: int, token: str) -> bool:
         marker = json.dumps(
@@ -312,9 +335,8 @@ class CommitLog:
     def _finalize(self, version: int, payload: dict | None, token: str) -> None:
         fence = self._fence(version, token)
         finalizing = f"{fence}.finalizing"
-        try:
-            self.fs.rename(fence, finalizing)  # the CAS: one winner only
-        except OSError:
+        # the CAS: one winner only (conditional-write on object stores)
+        if not self.fs.consume_rename(fence, finalizing):
             raise CommitConflict(
                 f"claim on version {version} of {self.dataset_path} was usurped "
                 f"(transaction exceeded stale_timeout_s={self.stale_timeout_s}); "
@@ -332,12 +354,10 @@ class CommitLog:
     def _abort(self, version: int, token: str) -> None:
         # Consume our fence first: if a usurper beat us to it, the slot
         # is the usurper's live claim now, not ours to release.
-        try:
-            self.fs.rename(
-                self._fence(version, token),
-                f"{self._fence(version, token)}.abandoned.{uuid.uuid4().hex}",
-            )
-        except OSError:
+        if not self.fs.consume_rename(
+            self._fence(version, token),
+            f"{self._fence(version, token)}.abandoned.{uuid.uuid4().hex}",
+        ):
             return
         try:
             self.fs.remove(f"{self.log_dir}/{_fmt(version)}")

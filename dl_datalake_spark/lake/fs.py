@@ -89,6 +89,29 @@ class Filesystem:
         """Atomic move where the store supports it (see class docs)."""
         raise NotImplementedError
 
+    def consume_rename(self, src: str, dst: str) -> bool:
+        """Move src -> dst with EXACTLY-ONE-WINNER semantics: among any
+        number of concurrent callers racing to consume the same `src`
+        (each with its own `dst`), precisely one returns True; the rest
+        return False having changed nothing.  This is the primitive the
+        commit log's fence CAS rides (lake/commitlog.py: finalize /
+        abort / stale roll-aside all contend on one fence file).
+
+        Default: a bare rename, whose store-level atomicity IS the
+        guarantee (POSIX, HDFS).  Stores whose rename is non-atomic
+        copy+delete (S3A) MUST NOT use this default — two racing
+        copy+delete renames can both appear to succeed.  There the
+        guarantee moves to a CONDITIONAL WRITE: claim `<src>.consumed`
+        via create_exclusive (S3 `If-None-Match: *` conditional PUT /
+        GCS `x-goog-if-generation-match: 0`), and only the claim winner
+        performs the copy+delete — see ConditionalConsumeFS.
+        """
+        try:
+            self.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
     # -- small control files (commit log, watermarks) ----------------------
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
@@ -359,6 +382,57 @@ class HadoopFS(Filesystem):
             stream.write(bytearray(data))
         finally:
             stream.close()
+        return True
+
+
+class ConditionalConsumeFS:
+    """Mixin: `consume_rename` for stores whose rename is NON-atomic
+    copy+delete (S3A-style).  The exactly-one-winner guarantee moves
+    from the rename to a conditional CREATE of a consume marker:
+
+    1. `create_exclusive("<src>.consumed", winner-id)` — maps to an S3
+       conditional PUT with `If-None-Match: *` (supported natively
+       since 2024; on GCS, `x-goog-if-generation-match: 0`).  Exactly
+       one racer's PUT succeeds; everyone else backs off having
+       written nothing.
+    2. The winner alone copies src's bytes to dst and deletes src and
+       the marker.  The copy+delete no longer needs to be atomic: no
+       other consumer can pass step 1 while src still exists, and once
+       src is gone every later attempt fails its read in step 1's
+       re-check.
+
+    A winner that dies between steps leaves `<src>.consumed` behind;
+    the marker names a consumption that never completed, and the
+    orphan-fence sweep (CommitLog.prune) clears it with the fence it
+    guards.  Mix in FIRST (``class S3FS(ConditionalConsumeFS,
+    HadoopFS)``) so this override wins over the base default.
+    """
+
+    def consume_rename(self, src: str, dst: str) -> bool:
+        marker = f"{src}.consumed"
+        if not self.exists(src):
+            return False
+        if not self.create_exclusive(marker, b"consumed"):
+            return False  # another consumer holds (or held) the claim
+        try:
+            data = self.read_bytes(src)
+        except OSError:
+            # src vanished between the exists probe and our claim —
+            # the previous winner finished; release the marker
+            try:
+                self.remove(marker)
+            except OSError:
+                pass
+            return False
+        self.write_bytes_atomic(dst, data)
+        try:
+            self.remove(src)
+        except OSError:
+            pass
+        try:
+            self.remove(marker)
+        except OSError:
+            pass
         return True
 
 

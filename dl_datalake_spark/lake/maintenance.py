@@ -22,9 +22,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dl_datalake_spark.lake.fs import Filesystem, get_fs
+from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS
+from dl_datalake_spark.lake.snapshot import list_data_files, resolve_live_files
 
 
 @dataclass
@@ -282,15 +283,25 @@ def compact(
         # in the old tree after its files were rewritten.  Sorted order
         # matches the multi-dataset writer's claim order (no deadlock);
         # a held slot surfaces as CommitTimeout, never a silent race.
-        for ds in datasets:
-            stack.enter_context(
+        metas = {
+            ds: stack.enter_context(
                 CommitLog(ds, fs=fs).transaction(
                     timeout=commit_timeout_s,
                     payload={"mode": "compact", "partitions": []},
                 )
             )
+            for ds in datasets
+        }
         for ds in data_datasets:
-            df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(ds)
+            # scan the committed SNAPSHOT, not the raw subtree: a raw
+            # mergeSchema read would fold tombstoned files (superseded
+            # by upserts/deletes, awaiting vacuum) back in and the
+            # compacted tree would resurrect dead rows
+            live = resolve_live_files(fs, ds)
+            if live is not None and not live:
+                continue  # pinned-empty dataset: nothing to rewrite
+            srcs = [ds] if live is None else [f"{ds}/{rel}" for rel in live]
+            df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(*srcs)
             part_cols = [c for c in PARTITION_COLS if c in df.columns]
             (
                 df.repartition(target_files_per_partition, *part_cols)
@@ -310,6 +321,27 @@ def compact(
             # truncate every CDF consumer's history (the same destruction
             # class as the commit-log bug this function fixes)
             _copy_tree(fs, f"{ds}/_cdf", f"{out}/{rel}/_cdf")
+            # re-pin the snapshot to the COMPACTED file names: the copied
+            # log's latest pinned list references the pre-compaction
+            # files, which don't exist in the rewritten tree — a reader
+            # resolving it would die on the first scan
+            compacted_files = list_data_files(fs, f"{out}/{rel}")
+            if in_place:
+                # rides the held transaction: finalizes (after the swap)
+                # as this dataset's compact commit in the swapped-in tree
+                metas[ds]["files"] = compacted_files
+            else:
+                # exported tree: its copied log is live-claim-free
+                # (committed_only), so pin via a fresh commit inside it
+                with CommitLog(f"{out}/{rel}", fs=fs).transaction(
+                    timeout=commit_timeout_s,
+                    payload={
+                        "mode": "compact",
+                        "partitions": [],
+                        "files": compacted_files,
+                    },
+                ):
+                    pass
         if not in_place:
             # Export: finalizing (on `with` exit) records the compact
             # commit in the ORIGINAL tree — an audit row whose empty
@@ -382,6 +414,202 @@ def vacuum(
     return report
 
 
+def vacuum_tombstones(
+    spark: SparkSession,
+    base_path: str,
+    retention_s: float = 7 * 86400.0,
+    dry_run: bool = True,
+    fs: Filesystem | None = None,
+) -> dict[str, list[str]]:
+    """Reclaim superseded data files left by the MVCC write protocol
+    (lake/snapshot.py) — the Delta-VACUUM analogue.
+
+    Writers never delete data files: an upsert/overwrite/delete_where
+    drops the replaced files from the commit's pinned live list and
+    leaves them on disk as TOMBSTONES so a concurrent reader pinned to
+    an earlier commit keeps every file its plan references. This sweep
+    removes, per dataset with a pinned list, every visible data file
+    that is (a) absent from the CURRENT live list and (b) older than
+    `retention_s` (default 7 days, Delta's default horizon) — the
+    window inside which an in-flight query might still scan it. Month/
+    year partition dirs emptied by the sweep are pruned. Datasets
+    without a pinned list (legacy) are untouched: their directory
+    contents ARE their live state.
+
+    dry_run=True (default) reports without deleting. Returns
+    {"removed": [...], "retained": [...]} (retained = tombstones still
+    inside the retention horizon).
+    """
+    import time as _time
+
+    from dl_datalake_spark.lake.commitlog import LOG_DIR
+
+    fs = fs if fs is not None else get_fs(base_path, spark)
+    base = base_path.rstrip("/")
+    datasets = sorted(
+        {
+            root[: -len("/" + LOG_DIR)]
+            for root, f in fs.walk_files(base)
+            if root.endswith("/" + LOG_DIR)
+        }
+    )
+    removed: list[str] = []
+    retained: list[str] = []
+    now = _time.time()
+    for ds in datasets:
+        live = resolve_live_files(fs, ds)
+        if live is None:
+            continue
+        live_set = set(live)
+        for rel in list_data_files(fs, ds):
+            if rel in live_set:
+                continue
+            full = f"{ds}/{rel}"
+            try:
+                age = now - fs.getmtime(full)
+            except OSError:
+                continue  # raced with another sweep
+            if age < retention_s:
+                retained.append(full)
+                continue
+            if not dry_run:
+                try:
+                    fs.remove(full)
+                except OSError:
+                    continue
+            removed.append(full)
+        if dry_run:
+            continue
+        # prune partition dirs the sweep emptied (visible-children test:
+        # a dir still holding live files or in-retention tombstones is
+        # kept; leftover hidden .crc shadows die with the dir)
+        try:
+            for yname in fs.listdir(ds):
+                if not yname.startswith("year="):
+                    continue
+                ydir = f"{ds}/{yname}"
+                for mname in fs.listdir(ydir):
+                    mdir = f"{ydir}/{mname}"
+                    if (
+                        mname.startswith("month=")
+                        and fs.isdir(mdir)
+                        and not has_visible_children(fs, mdir)
+                    ):
+                        fs.rmtree(mdir)
+                if not has_visible_children(fs, ydir):
+                    fs.rmtree(ydir)
+        except OSError:
+            pass
+    return {"removed": removed, "retained": retained}
+
+
+def fold_change_feed(
+    spark: SparkSession,
+    dataset_path: str,
+    keep_last_unfolded: int = 0,
+    fs: Filesystem | None = None,
+) -> dict:
+    """CDF window compaction: fold the per-commit `_cdf/commit_version=N`
+    dirs — one tiny parquet dir PER COMMIT, thousands per dataset per
+    day at a commits-per-minute ingest cadence — into ONE ranged segment
+    `_cdf/commit_range=<lo>-<hi>-<token>/` with `commit_version`
+    preserved as a real COLUMN. `read_change_feed` and the `lake_cdf`
+    streaming source serve ranged + unranged segments transparently
+    (feed contents identical, loud-gap contract intact); only the file
+    count drops. Earlier ranged segments are merged in, and rows whose
+    commit was pruned out of the retained log history are dropped (the
+    dead head the truncation guard already refuses to serve).
+
+    `keep_last_unfolded` leaves the newest K per-commit dirs unfolded —
+    the hot tail stays cheap for writers to append beside.
+
+    Crash safety: the merged segment lands under a dot-tmp name and is
+    RENAMED in before any old dir is deleted. A crash in between leaves
+    versions present in both an old and the new segment; readers
+    resolve overlap deterministically (newest range wins), and the next
+    fold sweeps the shadowed leftovers. Single-maintenance-actor
+    assumption, same as compact().
+
+    Returns {"folded": n_versions, "segment": name | None,
+    "files_before": int, "files_after": int}.
+    """
+    import uuid as _uuid
+
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    fs = fs if fs is not None else get_fs(dataset_path, spark)
+    root = f"{dataset_path.rstrip('/')}/_cdf"
+
+    def _count_files() -> int:
+        return sum(1 for _r, f in fs.walk_files(root) if not f.startswith(("_", ".")))
+
+    if not fs.exists(root):
+        return {"folded": 0, "segment": None, "files_before": 0, "files_after": 0}
+    log = CommitLog(dataset_path, fs=fs)
+    committed = {c["version"] for c in log.history()}
+    oldest = min(committed, default=None)
+    files_before = _count_files()
+
+    unranged: dict[int, str] = {}
+    old_ranges: list[str] = []
+    for name in fs.listdir(root):
+        if name.startswith("commit_version="):
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v in committed:  # never fold an aborted claim's orphan dir
+                unranged[v] = name
+        elif name.startswith("commit_range="):
+            old_ranges.append(name)
+    cand = sorted(unranged)
+    if keep_last_unfolded and len(cand) > keep_last_unfolded:
+        cand = cand[:-keep_last_unfolded]
+    elif keep_last_unfolded:
+        cand = []
+    if not cand and len(old_ranges) <= 1:
+        return {
+            "folded": 0, "segment": None,
+            "files_before": files_before, "files_after": files_before,
+        }
+
+    parts = []
+    if cand:
+        # basePath trick: commit_version arrives as a column from the
+        # per-commit dir names, exactly how the batch reader serves it
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(*[f"{root}/{unranged[v]}" for v in cand])
+        )
+    bounds = list(cand)
+    for name in old_ranges:
+        lo_hi = name.split("=", 1)[1].split("-")
+        bounds.extend([int(lo_hi[0]), int(lo_hi[1])])
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(f"{root}/{name}")
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    if oldest is not None:
+        df = df.where(F.col("commit_version") >= oldest)  # dead head out
+    lo, hi = min(bounds), max(bounds)
+    segment = f"commit_range={lo}-{hi}-{_uuid.uuid4().hex[:8]}"
+    tmp = f"{root}/.fold.tmp.{_uuid.uuid4().hex[:8]}"
+    # a handful of files regardless of how many commits fold in
+    df.coalesce(4).write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    fs.rename(tmp, f"{root}/{segment}")
+    for name in old_ranges:
+        fs.rmtree(f"{root}/{name}")
+    for v in cand:
+        fs.rmtree(f"{root}/{unranged[v]}")
+    return {
+        "folded": len(cand), "segment": segment,
+        "files_before": files_before, "files_after": _count_files(),
+    }
+
+
 def prune_commit_logs(
     spark: SparkSession,
     base_path: str,
@@ -418,15 +646,25 @@ def prune_commit_logs(
         # may be in flight with its CDF already staged): delete nothing
         if oldest is not None:
             for name in fs.listdir(cdf_dir):
-                if not name.startswith("commit_version="):
-                    continue
-                try:
-                    v = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if v < oldest:
-                    fs.rmtree(f"{cdf_dir}/{name}")
-                    n += 1
+                if name.startswith("commit_version="):
+                    try:
+                        v = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if v < oldest:
+                        fs.rmtree(f"{cdf_dir}/{name}")
+                        n += 1
+                elif name.startswith("commit_range="):
+                    # a folded segment (fold_change_feed) dies only when
+                    # its WHOLE range predates the retained history;
+                    # partially-dead ranges are trimmed by the next fold
+                    try:
+                        hi = int(name.split("=", 1)[1].split("-")[1])
+                    except (ValueError, IndexError):
+                        continue
+                    if hi < oldest:
+                        fs.rmtree(f"{cdf_dir}/{name}")
+                        n += 1
         if n:
             out[ds] = n
     return out

@@ -90,12 +90,31 @@ class LakeReader:
         return paths
 
     def _scan_paths(self, paths: list[str]) -> DataFrame | None:
+        """Snapshot-isolated scan (lake/snapshot.py): a dataset whose
+        commit log pins a live file list is read as EXACTLY those files
+        — the committed snapshot — never the live directory, so a scan
+        overlapping a concurrent upsert/overwrite/delete can neither
+        see a torn partition set nor hit a vanished file (superseded
+        files stay on disk until vacuum_tombstones' retention passes).
+        Legacy datasets (no pinned commit) fall back to the directory
+        scan, which matches disk because legacy writers delete eagerly."""
+        from dl_datalake_spark.lake.snapshot import resolve_live_files
+
         if not paths:
             return None
+        srcs: list[str] = []
+        for p in paths:
+            live = resolve_live_files(self.fs, p)
+            if live is None:
+                srcs.append(p)
+            else:
+                srcs.extend(f"{p}/{rel}" for rel in live)
+        if not srcs:
+            return None  # every dataset pinned-empty (all rows deleted)
         return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
-            .parquet(*paths)
+            .parquet(*srcs)
         )
 
     # -- public API ---------------------------------------------------------
@@ -305,13 +324,48 @@ class LakeReader:
         if not versions:
             return None, latest
         root = f"{ds}/{LakeWriter.CDF_DIR}"
-        # explicit committed-version dirs: an aborted transaction's orphan
-        # _cdf dir is never served
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", root)
-            .parquet(*[f"{root}/commit_version={v}" for v in versions])
-        )
+        # The feed may be served from two segment kinds
+        # (maintenance.fold_change_feed): per-commit dirs
+        # `commit_version=N` (commit_version inferred from the dir) and
+        # folded ranges `commit_range=lo-hi-token` (commit_version a
+        # real column). A version covered by a range is ALWAYS served
+        # from the newest covering range — per-commit leftovers of a
+        # crashed fold are shadowed, never double-served.
+        ranges: list[tuple[int, int, str]] = []
+        for name in self.fs.listdir(root):
+            if name.startswith("commit_range="):
+                try:
+                    lo_s, hi_s = name.split("=", 1)[1].split("-")[:2]
+                    ranges.append((int(lo_s), int(hi_s), name))
+                except ValueError:
+                    continue
+        ranges.sort(key=lambda r: (r[1], r[0], r[2]), reverse=True)
+        by_range: dict[str, list[int]] = {}
+        plain: list[int] = []
+        for v in versions:
+            seg = next((n for lo, hi, n in ranges if lo <= v <= hi), None)
+            if seg is not None:
+                by_range.setdefault(seg, []).append(v)
+            else:
+                # explicit committed-version dirs: an aborted
+                # transaction's orphan _cdf dir is never served
+                plain.append(v)
+        dfs = []
+        if plain:
+            dfs.append(
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", root)
+                .parquet(*[f"{root}/commit_version={v}" for v in plain])
+            )
+        for seg, vs in by_range.items():
+            dfs.append(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(f"{root}/{seg}")
+                .where(F.col("commit_version").isin(vs))
+            )
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d, allowMissingColumns=True)
         return df, latest
 
     def preview(self, df: DataFrame, offset: int, limit: int) -> tuple[int, DataFrame]:

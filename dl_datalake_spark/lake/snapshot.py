@@ -1,0 +1,97 @@
+"""Commit-pinned file listings: reader snapshot isolation (MVCC-lite).
+
+The round-6 gap this closes: writers serialize through the commit log,
+but readers used to LIST LIVE PARTITION DIRECTORIES — a read overlapping
+a partition rewrite (upsert/overwrite/delete_where) could see a
+half-swapped partition set (torn row counts) or die on a file replaced
+mid-scan. The reference shares the flaw (DuckDB over a live glob,
+`dl-datalake/src/dl_datalake/storage/reader.py:41-48`); the contract to
+beat is Delta's, and this is Delta's mechanism re-expressed on plain
+parquet + the existing commit log:
+
+- data files are IMMUTABLE: every write APPENDS uniquely-named parquet
+  files (Spark task UUIDs), never deletes or replaces one in place;
+- each commit's payload records the dataset's full live file list
+  (relative paths) — the commit IS the snapshot definition;
+- readers resolve the latest committed list and scan exactly those
+  files; superseded files (tombstones) stay on disk, invisible;
+- maintenance.vacuum_tombstones removes unreferenced files only past a
+  retention horizon (Delta-VACUUM-style), so a reader holding
+  yesterday's plan never loses its inputs mid-query.
+
+Upgrade path is transparent: a dataset whose log has no files-bearing
+commit (legacy, or written by an external tool) falls back to the live
+directory scan — its very next writer commit pins a list bootstrapped
+from the current listing (no tombstones exist yet, so the two agree).
+
+Scale note: the full-list-per-commit encoding is O(files) JSON per
+commit. At Delta's scale the same information is add/remove actions +
+periodic checkpoints; that encoding is a drop-in upgrade behind
+`CommitLog.latest_files()` if commit payloads ever dominate. List
+resolution itself is one listdir + typically one small JSON read per
+dataset — metadata noise next to any scan.
+"""
+
+from __future__ import annotations
+
+from dl_datalake_spark.lake.fs import Filesystem
+
+
+def list_data_files(fs: Filesystem, dataset_path: str) -> list[str]:
+    """Relative paths of every VISIBLE data file currently under
+    `dataset_path` — skips control trees (``_commits``, ``_cdf``),
+    hidden files, and staging dirs, mirroring Spark's file-index
+    visibility rules."""
+    root = dataset_path.rstrip("/")
+    out: list[str] = []
+    try:
+        walker = fs.walk_files(root)
+    except OSError:
+        return []
+    for dirpath, fname in walker:
+        if fname.startswith(("_", ".")):
+            continue
+        rel_dir = dirpath[len(root):].strip("/") if dirpath.startswith(root) else None
+        if rel_dir is None:
+            continue  # walked outside the root (symlink-ish): not ours
+        if any(p.startswith(("_", ".")) for p in rel_dir.split("/") if p):
+            continue
+        out.append(f"{rel_dir}/{fname}" if rel_dir else fname)
+    return sorted(out)
+
+
+def resolve_live_files(fs: Filesystem, dataset_path: str) -> list[str] | None:
+    """The dataset's committed live file list (paths relative to the
+    dataset dir), or None when no commit pins one — the caller falls
+    back to the legacy live-directory scan.
+
+    Walks the commit log newest-first: a committed entry WITH `files`
+    wins; a zero-partition entry (compact-export, cdc-noop, no-match
+    delete — changed no data files) is skipped; any other files-less
+    committed entry means data changed without a pinned list (legacy
+    writer / external tool), so no older list can be trusted → None.
+    """
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    log = CommitLog(dataset_path, fs=fs)
+    if not fs.exists(log.log_dir):
+        return None
+    return log.latest_files()
+
+
+def partition_of(rel_path: str) -> tuple[int | None, int | None]:
+    """(year, month) encoded in a relative file path's Hive dirs —
+    (None, None) for files outside the partition layout."""
+    y = m = None
+    for part in rel_path.split("/"):
+        if part.startswith("year="):
+            try:
+                y = int(part[5:])
+            except ValueError:
+                pass
+        elif part.startswith("month="):
+            try:
+                m = int(part[6:])
+            except ValueError:
+                pass
+    return y, m

@@ -34,6 +34,11 @@ from dl_datalake_spark.lake.commitlog import CommitLog
 from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS, DatasetKey
+from dl_datalake_spark.lake.snapshot import (
+    list_data_files,
+    partition_of,
+    resolve_live_files,
+)
 
 
 @dataclass
@@ -43,6 +48,7 @@ class WriteResult:
     time_to: int | None
     rows: int
     partitions: list[list[int]] | None = None  # touched [year, month] pairs
+    files: list[str] | None = None  # post-commit live file list (snapshot)
 
 
 @contextmanager
@@ -209,6 +215,16 @@ class LakeWriter:
                 raise ValueError(f"unknown write mode: {mode}")
 
             merged = merged.persist()
+            # per-dataset pre-write snapshots for the pinned-list MVCC
+            # protocol (one subtree listing per dataset — the same
+            # cardinality as the manifest rows this commit writes)
+            ds_paths = {k.symbol: self.dataset_path(k) for k in keys}
+            pre_live = {
+                s: resolve_live_files(self.fs, p) for s, p in ds_paths.items()
+            }
+            on_disk = {
+                s: set(list_data_files(self.fs, p)) for s, p in ds_paths.items()
+            }
             try:
                 stats = {
                     r["symbol"]: r
@@ -221,16 +237,33 @@ class LakeWriter:
                     .collect()
                 }
                 out = merged.sortWithinPartitions(ts_col)
-                writer = out.write.partitionBy(*PARTITION_COLS).option(
-                    "compression", "snappy"
+                # ONE append job for every dataset; visibility switches
+                # per dataset when its pinned list finalizes below
+                (
+                    out.write.partitionBy(*PARTITION_COLS)
+                    .option("compression", "snappy")
+                    .mode("append")
+                    .parquet(self.base_path)
                 )
-                if mode == "append":
-                    writer.mode("append").parquet(self.base_path)
-                else:
-                    with dynamic_partition_overwrite(self.spark):
-                        writer.mode("overwrite").parquet(self.base_path)
             finally:
                 merged.unpersist()
+            new_live: dict[str, list[str]] = {}
+            for k in keys:
+                s = k.symbol
+                added = [
+                    f
+                    for f in list_data_files(self.fs, ds_paths[s])
+                    if f not in on_disk[s]
+                ]
+                base_live = (
+                    pre_live[s] if pre_live[s] is not None else sorted(on_disk[s])
+                )
+                if mode == "append":
+                    new_live[s] = sorted(set(base_live).union(added))
+                else:
+                    t_set = {(y, m) for y, m in parts_by_symbol.get(s, [])}
+                    kept = [f for f in base_live if partition_of(f) not in t_set]
+                    new_live[s] = sorted(set(kept).union(added))
 
             # Manifest registration happens while the dataset locks are
             # still held — same data-then-manifest ordering contract as
@@ -243,6 +276,12 @@ class LakeWriter:
             for k, meta in zip(keys, metas):
                 s = stats.get(k.symbol)
                 if s is None:
+                    # no rows for this dataset: commit a zero-partition
+                    # entry that still carries the (unchanged) pinned
+                    # list — a files-less data commit would force later
+                    # readers into the legacy dir fallback, where
+                    # tombstones resurrect
+                    meta.update(partitions=[], files=new_live[k.symbol])
                     continue
                 res = WriteResult(
                     path=self.dataset_path(k),
@@ -256,7 +295,9 @@ class LakeWriter:
                     time_from=s["t0"],
                     time_to=s["t1"],
                     partitions=res.partitions,
+                    files=new_live[k.symbol],
                 )
+                res.files = new_live[k.symbol]
                 results[k.symbol] = res
                 manifest_rows.append(
                     {
@@ -361,36 +402,42 @@ class LakeWriter:
                 kept = existing.where(month_pred).where(
                     ~F.coalesce(pred, F.lit(False))
                 )
+                # MVCC copy-on-write: APPEND the kept rows as new files,
+                # then pin a live list excluding every old file of the
+                # touched months. The deleted rows vanish from the
+                # snapshot instantly; their files stay on disk as
+                # tombstones (a concurrent reader pinned to the previous
+                # commit still scans them) until vacuum_tombstones
+                # reclaims them past the retention horizon. An emptied
+                # partition simply has no files in the list — no
+                # directory surgery.
+                pre_live = resolve_live_files(self.fs, path)
+                on_disk = set(list_data_files(self.fs, path))
                 kept = kept.persist()
                 try:
-                    kept_months = {
-                        (int(r["year"]), int(r["month"]))
-                        for r in kept.select("year", "month").distinct().collect()
-                    }
-                    if kept_months:
-                        with dynamic_partition_overwrite(self.spark):
-                            (
-                                kept.sortWithinPartitions("ts")
-                                .write.partitionBy(*PARTITION_COLS)
-                                .option("compression", "snappy")
-                                .mode("overwrite")
-                                .parquet(self.base_path)
-                            )
+                    kept_any = kept.limit(1).count() > 0
+                    if kept_any:
+                        (
+                            kept.sortWithinPartitions("ts")
+                            .write.partitionBy(*PARTITION_COLS)
+                            .option("compression", "snappy")
+                            .mode("append")
+                            .parquet(self.base_path)
+                        )
                 finally:
                     kept.unpersist()
-                # emptied partitions are not in the overwrite output —
-                # drop their directories so the rows actually disappear,
-                # and prune year dirs left without data children (an
-                # empty year=/ dir would fail later parquet reads)
-                for y, m in touched:
-                    if (y, m) not in kept_months:
-                        self.fs.rmtree(f"{path}/year={y}/month={m}")
-                for y in {y for y, m in touched}:
-                    if not has_visible_children(self.fs, f"{path}/year={y}"):
-                        self.fs.rmtree(f"{path}/year={y}")
+                added = [
+                    f for f in list_data_files(self.fs, path) if f not in on_disk
+                ]
+                base_live = pre_live if pre_live is not None else sorted(on_disk)
+                t_set = set(touched)
+                new_live = sorted(
+                    {f for f in base_live if partition_of(f) not in t_set}.union(added)
+                )
                 meta.update(
                     rows=rows_deleted,
                     partitions=[list(p) for p in touched],
+                    files=new_live,
                 )
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
@@ -399,10 +446,13 @@ class LakeWriter:
             path=path, time_from=None, time_to=None, rows=rows_deleted,
             partitions=[list(p) for p in touched],
         )
-        if self.manifest is not None and has_visible_children(self.fs, path):
+        # _read_existing resolves the freshly-pinned list (tombstones of
+        # an emptied dataset keep the directory non-empty, so visible-
+        # children alone no longer implies live rows)
+        remaining = self._read_existing(k) if self.manifest is not None else None
+        if remaining is not None:
             # refresh the catalog's time range / row count from what
             # remains (ts min/max scans ride the parquet footer stats)
-            remaining = self._read_existing(k)
             s = remaining.agg(
                 F.min("ts").alias("t0"), F.max("ts").alias("t1"),
                 F.count(F.lit(1)).alias("n"),
@@ -486,6 +536,7 @@ class LakeWriter:
                 time_from=res.time_from,
                 time_to=res.time_to,
                 partitions=res.partitions,
+                files=res.files,  # the commit IS the snapshot definition
             )
             if self.emit_cdf:
                 meta["cdf"] = True  # read_change_feed's no-gap marker
@@ -555,24 +606,40 @@ class LakeWriter:
         if emit_cdf:
             out = out.drop("_change_type")
         writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
+        # MVCC write protocol (lake/snapshot.py): ALWAYS append — data
+        # files are immutable, uniquely named, never replaced in place.
+        # The commit's pinned `files` list defines visibility: upsert/
+        # overwrite "replace" a partition by dropping its old files from
+        # the list, not from disk. A concurrent reader pinned to the
+        # previous commit keeps every file its plan references; vacuum
+        # reclaims superseded files past a retention horizon.
+        ds_path = self.dataset_path(key)
+        pre_live = resolve_live_files(self.fs, ds_path)
+        on_disk = set(list_data_files(self.fs, ds_path))
         try:
-            if mode == "append":
-                writer.mode("append").parquet(self.base_path)
-            else:
-                # dynamic partitionOverwriteMode (pinned, never ambient):
-                # only partitions present in `out` are replaced — Spark's
-                # commit protocol stages to a temp location first (the
-                # analogue of tmp+rename per file)
-                with dynamic_partition_overwrite(self.spark):
-                    writer.mode("overwrite").parquet(self.base_path)
+            writer.mode("append").parquet(self.base_path)
         finally:
             merged.unpersist()
+        added = [f for f in list_data_files(self.fs, ds_path) if f not in on_disk]
+        # legacy bootstrap: no pinned list yet → the live list IS the
+        # pre-write disk state (no tombstones can exist before the first
+        # pinned commit, so the two agree)
+        base_live = pre_live if pre_live is not None else sorted(on_disk)
+        if mode == "append":
+            new_live = sorted(set(base_live).union(added))
+        else:
+            # upsert/overwrite rewrote the touched months wholesale: the
+            # old files of those partitions leave the snapshot
+            t_set = {(y, m) for y, m in touched}
+            kept = [f for f in base_live if partition_of(f) not in t_set]
+            new_live = sorted(set(kept).union(added))
         result = WriteResult(
-            path=self.dataset_path(key),
+            path=ds_path,
             time_from=stats["t0"],
             time_to=stats["t1"],
             rows=stats["n"],
             partitions=[list(p) for p in touched],
+            files=new_live,
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -721,8 +788,20 @@ class LakeWriter:
         year/month partitions), one union, one window. The keep-last
         window partitions by symbol as well, so per-symbol precedence
         is identical to N separate _merge_keep_last calls."""
-        paths = [p for p in (self.dataset_path(k) for k in keys) if has_visible_children(self.fs, p)]
-        if not paths:
+        # per-dataset snapshot resolution: a pinned dataset contributes
+        # exactly its live files (a raw subtree scan would merge in
+        # tombstones and resurrect replaced/deleted rows); legacy
+        # datasets contribute their directory
+        srcs: list[str] = []
+        for k in keys:
+            p = self.dataset_path(k)
+            live = resolve_live_files(self.fs, p)
+            if live is None:
+                if has_visible_children(self.fs, p):
+                    srcs.append(p)
+            else:
+                srcs.extend(f"{p}/{rel}" for rel in live)
+        if not srcs:
             return batch
         # Prune PER SYMBOL, not by the global month union: with a skewed
         # batch (one symbol touching many months, others one), a global
@@ -757,7 +836,7 @@ class LakeWriter:
         existing = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
-            .parquet(*paths)
+            .parquet(*srcs)
             .where(pred)
         )
         old = existing.withColumn("_src", F.lit(0))
@@ -775,8 +854,20 @@ class LakeWriter:
     def _read_existing(self, key: DatasetKey) -> DataFrame | None:
         """Scan ONLY this dataset's subtree: no whole-lake listing, no
         cross-dataset schema merging — upsert cost is bounded by the
-        dataset, not the lake."""
+        dataset, not the lake.  Reads the commit-pinned live file list
+        when one exists (lake/snapshot.py) — a directory scan would
+        merge in superseded tombstone files and resurrect deleted or
+        replaced rows."""
         path = self.dataset_path(key)
+        live = resolve_live_files(self.fs, path)
+        if live is not None:
+            if not live:
+                return None  # pinned-empty: every row deleted
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.base_path)
+                .parquet(*[f"{path}/{rel}" for rel in live])
+            )
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset
         return (

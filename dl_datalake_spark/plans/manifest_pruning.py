@@ -64,7 +64,20 @@ def read_pruned(
     paths = prune_files(manifest, time_from, time_to, **filters)
     if not paths:
         return None
-    df = spark.read.option("basePath", _base_of(paths)).parquet(*paths)
+    # per-dataset snapshot resolution (lake/snapshot.py): pinned
+    # datasets scan exactly their committed live files — a raw subtree
+    # read would fold in MVCC tombstones awaiting vacuum
+    from dl_datalake_spark.lake.fs import get_fs
+    from dl_datalake_spark.lake.snapshot import resolve_live_files
+
+    fs = get_fs(_base_of(paths), spark)
+    srcs: list[str] = []
+    for p in paths:
+        live = resolve_live_files(fs, p)
+        srcs.extend([p] if live is None else [f"{p}/{rel}" for rel in live])
+    if not srcs:
+        return None
+    df = spark.read.option("basePath", _base_of(paths)).parquet(*srcs)
     if time_from is not None:
         df = df.where(F.col("ts") >= time_from)
     if time_to is not None:

@@ -72,8 +72,56 @@ FROM state1 WHERE b <= 2
 """,
 )
 def events_change_feed(spark: SparkSession, sf_dir: str):
+    return _change_feed_impl(spark, sf_dir, streaming=False)
+
+
+@register(
+    "events_stream_change_feed",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' AND user_id % 8 < 4 GROUP BY 1),
+p AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' AND user_id % 8 < 2 GROUP BY 1),
+state1 AS (
+  SELECT COALESCE(k.b, v.b) AS b, COALESCE(k.c, v.c) AS c
+  FROM v FULL JOIN k ON v.b = k.b)
+SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+       CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c AS price_cents
+FROM v
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       CASE WHEN v.b IS NOT NULL THEN 'update_postimage' ELSE 'insert' END,
+       CAST({_JAN} + k.b * 60000 AS BIGINT), k.c
+FROM k LEFT JOIN v ON v.b = k.b
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'insert',
+       CAST({_JAN} + (10 + b) * 60000 AS BIGINT), c
+FROM p
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delete',
+       CAST({_JAN} + b * 60000 AS BIGINT), c
+FROM state1 WHERE b <= 2
+""",
+)
+def events_stream_change_feed(spark: SparkSession, sf_dir: str):
+    """The SAME write/upsert/delete cycle as events_change_feed, but the
+    feed arrives through the `lake_cdf` STREAMING source
+    (sources/cdf_source.py, offsets = commit versions) drained with
+    trigger(availableNow=True) into a memory sink — proving streaming
+    replay == the batch feed == the SQL oracle, the Delta-CDF
+    subscribe-not-poll contract."""
+    return _change_feed_impl(spark, sf_dir, streaming=True)
+
+
+def _change_feed_impl(spark: SparkSession, sf_dir: str, streaming: bool):
     import shutil
     import tempfile
+    import uuid
 
     from dl_datalake_spark.lake.paths import DatasetKey
     from dl_datalake_spark.lake.reader import LakeReader
@@ -100,7 +148,23 @@ def events_change_feed(spark: SparkSession, sf_dir: str):
         w.write_ticks(batch0, key)  # commit 0: inserts
         w.write_ticks(batch1, key)  # commit 1: updates + inserts
         w.delete_range(key, _JAN, _JAN + 2 * 60000)  # commit 2: pre-images
-        feed, _cursor = LakeReader(spark, tmp).read_change_feed(key, after_version=-1)
+        if streaming:
+            from dl_datalake_spark.sources.cdf_source import stream_change_feed
+
+            name = f"cdf_feed_{uuid.uuid4().hex[:8]}"
+            q = (
+                stream_change_feed(spark, w.dataset_path(key))
+                .writeStream.format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            feed = spark.table(name)
+        else:
+            feed, _cursor = LakeReader(spark, tmp).read_change_feed(
+                key, after_version=-1
+            )
         rows = (
             feed.select(
                 F.col("commit_version").cast("long").alias("commit_version"),

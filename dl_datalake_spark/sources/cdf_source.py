@@ -1,0 +1,306 @@
+"""Lake change feed as a Structured Streaming source (Spark 4 Python
+Data Source API).
+
+`LakeReader.read_change_feed` is a batch-cursored feed: consumers poll
+and persist the cursor themselves. This module turns the same per-commit
+`_cdf/commit_version=N` parquet deltas into a real incremental source —
+downstream materialized views / indexes SUBSCRIBE instead of polling,
+with Spark's checkpoint owning the cursor:
+
+    spark.readStream.format("lake_cdf").option("path", dataset_dir)
+
+- **offsets are commit versions**: `{"version": N}` means every
+  cdf-bearing commit <= N has been emitted. The `_cdf` deltas are
+  immutable once their commit finalizes, so any (start, end] version
+  range replays identically — exactly-once from the checkpoint, and
+  `trigger(availableNow=True)` drains history then stops (the same
+  replay-equals-batch property the exchange source uses,
+  `sources/spark_datasource.py`).
+- **the loud-gap contract survives streaming**: a data-changing commit
+  in the planned range without CDF data (emit_cdf off, multi-dataset
+  write, pruned history) raises at planning time — the stream fails
+  loudly rather than silently skipping rows, mirroring
+  `read_change_feed`'s ValueError.
+- **planning is driver-side metadata, reading is executor-side**: one
+  input partition per commit; executors read the parquet deltas with
+  pyarrow.
+
+SELF-CONTAINMENT CONTRACT: Spark runs Python data sources in separate
+worker processes that may not be able to import this repo (the driver
+adds it to sys.path, not to the workers' PYTHONPATH). Everything in
+this module therefore uses only stdlib + pyarrow/pandas + the pyspark
+datasource base classes — including a minimal READ-ONLY reimplementation
+of the commit-log walk (`_committed_entries`; the authoritative
+implementation with claims/fencing is `lake/commitlog.py`) — and
+`register_cdf_source` registers the module for pickle-BY-VALUE so the
+runner never needs the import.
+
+Paths must be locally readable (POSIX / mounted DFS) — the pyarrow
+read path; an object-store deployment passes an explicit `schema`
+option and a Hadoop-visible mount.
+
+Schema: pass `.option("schema", "<ddl>")` for the data columns
+(everything except `commit_version`, which this source appends), or
+omit it to let the planner infer from the newest committed delta file
+via pyarrow. Rows from commits predating an added column are served
+with NULLs there, matching the batch reader's mergeSchema semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+CDF_DIR = "_cdf"
+LOG_DIR = "_commits"
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _committed_entries(dataset_path: str) -> list[dict]:
+    """Read-only walk of `<dataset>/_commits/NNN.json`: committed
+    entries oldest-first, each with a `version` key. Mirrors
+    CommitLog.history() (lake/commitlog.py) without importing it —
+    see the module's self-containment contract."""
+    import json
+    import os
+
+    log_dir = f"{dataset_path}/{LOG_DIR}"
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(log_dir)):
+        stem, _dot, ext = name.partition(".")
+        if ext != "json" or not stem.isdigit():
+            continue
+        try:
+            with open(f"{log_dir}/{name}", "rb") as fh:
+                e = json.load(fh)
+        except (OSError, ValueError):
+            continue  # mid-replace: treat as in-progress
+        if e.get("status") == "committed":
+            e["version"] = int(stem)
+            out.append(e)
+    return out
+
+
+def _infer_data_schema(path: str) -> str:
+    """DDL of the newest committed delta's data columns (folded
+    `commit_range=` segments carry commit_version as a column — it is
+    stripped here because the source appends its own)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _ddl_of(parquet_dir: str) -> str | None:
+        if not os.path.isdir(parquet_dir):
+            return None
+        for name in sorted(os.listdir(parquet_dir)):
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            schema = pq.read_schema(f"{parquet_dir}/{name}")
+            cols = []
+            for f_ in schema:
+                if f_.name == "commit_version":
+                    continue
+                ddl = _ARROW_TO_DDL.get(str(f_.type))
+                if ddl is None:
+                    raise ValueError(
+                        f"cannot map arrow type {f_.type} of column "
+                        f"{f_.name!r} — pass an explicit schema option"
+                    )
+                cols.append(f"{f_.name} {ddl}")
+            return ", ".join(cols)
+        return None
+
+    root = f"{path}/{CDF_DIR}"
+    for entry in reversed(_committed_entries(path)):
+        if not entry.get("cdf"):
+            continue
+        got = _ddl_of(f"{root}/commit_version={entry['version']}")
+        if got:
+            return got
+    if os.path.isdir(root):  # fully-folded feed: newest ranged segment
+        for name in sorted(os.listdir(root), reverse=True):
+            if name.startswith("commit_range="):
+                got = _ddl_of(f"{root}/{name}")
+                if got:
+                    return got
+    raise ValueError(
+        f"no committed CDF delta found under {root} — "
+        "write with LakeWriter(emit_cdf=True) first or pass a schema option"
+    )
+
+
+@dataclass
+class CommitPartition(InputPartition):
+    version: int
+    files: list[str] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)  # output order, sans commit_version
+    # True when files come from a folded `commit_range=` segment
+    # (maintenance.fold_change_feed): commit_version is a data column
+    # there and the executor filters to this partition's version
+    filter_version: bool = False
+
+
+class LakeCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, data_schema: str):
+        self.path = options["path"].rstrip("/")
+        self.after = int(options.get("after_version", -1))
+        # "col type, col type" -> ordered column names
+        self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.after}
+
+    def latestOffset(self) -> dict:
+        entries = _committed_entries(self.path)
+        latest = entries[-1]["version"] if entries else -1
+        return {"version": max(latest, self.after)}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return [CommitPartition(-1)]  # empty-batch placeholder
+        history = _committed_entries(self.path)
+        if history and min(c["version"] for c in history) > lo + 1:
+            raise ValueError(
+                f"change feed of {self.path} is truncated past offset {lo} — "
+                "commits were pruned; rebuild the consumer from a batch scan"
+            )
+        root = f"{self.path}/{CDF_DIR}"
+        # folded segments (maintenance.fold_change_feed): newest range
+        # covering a version wins, same shadowing rule as the batch
+        # reader — crashed-fold leftovers are never double-served
+        ranges: list[tuple[int, int, str]] = []
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                if name.startswith("commit_range="):
+                    try:
+                        lo_s, hi_s = name.split("=", 1)[1].split("-")[:2]
+                        ranges.append((int(lo_s), int(hi_s), name))
+                    except ValueError:
+                        continue
+        ranges.sort(key=lambda r: (r[1], r[0], r[2]), reverse=True)
+
+        def _files(d):
+            return sorted(
+                f"{d}/{n}"
+                for n in (os.listdir(d) if os.path.isdir(d) else [])
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+
+        parts = []
+        for c in history:
+            v = c["version"]
+            if v <= lo or v > hi:
+                continue
+            if c.get("partitions") == []:
+                continue  # compact / cdc-noop: no row changed
+            if not c.get("cdf"):
+                raise ValueError(
+                    f"commit {v} of {self.path} (mode={c.get('mode')}) has no "
+                    "row-level change data (written without emit_cdf) — the "
+                    "stream will not silently skip it; rebuild from batch"
+                )
+            seg = next((n for rlo, rhi, n in ranges if rlo <= v <= rhi), None)
+            if seg is not None:
+                parts.append(
+                    CommitPartition(v, _files(f"{root}/{seg}"), self.columns, True)
+                )
+            else:
+                parts.append(
+                    CommitPartition(v, _files(f"{root}/commit_version={v}"), self.columns)
+                )
+        return parts or [CommitPartition(-1)]
+
+    def read(self, partition):
+        if partition.version < 0 or not partition.files:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        def gen():
+            for f in partition.files:
+                pdf = pq.read_table(f).to_pandas()
+                if partition.filter_version:
+                    pdf = pdf[pdf["commit_version"] == partition.version]
+                # older commits may predate later columns: serve NULLs
+                pdf = pdf.reindex(columns=partition.columns)
+                for row in pdf.itertuples(index=False, name=None):
+                    yield tuple(
+                        None if v is None or v != v else v for v in row
+                    ) + (partition.version,)
+
+        return gen()
+
+    def commit(self, end: dict) -> None:
+        pass  # deltas are immutable; retention is vacuum's concern
+
+
+class LakeCDFDataSource(DataSource):
+    """``register_cdf_source(spark)`` then
+    ``spark.readStream.format("lake_cdf").option("path", dataset_dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_cdf"
+
+    def schema(self) -> str:
+        data = self.options.get("schema") or _infer_data_schema(
+            self.options["path"].rstrip("/")
+        )
+        return f"{data}, commit_version long"
+
+    def streamReader(self, schema) -> LakeCDFStreamReader:
+        data_ddl = self.options.get("schema") or _infer_data_schema(
+            self.options["path"].rstrip("/")
+        )
+        return LakeCDFStreamReader(self.options, data_ddl)
+
+
+def register_cdf_source(spark) -> None:
+    """Register the source, forcing pickle-BY-VALUE for this module so
+    the data-source runner processes never need `dl_datalake_spark` on
+    their PYTHONPATH (the driver session may be owned by a harness that
+    only put the repo on the DRIVER's sys.path)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(LakeCDFDataSource)
+
+
+def stream_change_feed(spark, dataset_path: str, after_version: int = -1, schema: str | None = None):
+    """Convenience: the dataset's CDF as an unbounded streaming
+    DataFrame (data columns + commit_version). Pair with
+    ``trigger(availableNow=True)`` for drain-and-stop catch-ups."""
+    register_cdf_source(spark)
+    r = (
+        spark.readStream.format("lake_cdf")
+        .option("path", dataset_path)
+        .option("after_version", str(int(after_version)))
+    )
+    if schema:
+        r = r.option("schema", schema)
+    return r.load()

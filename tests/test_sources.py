@@ -182,7 +182,12 @@ def test_compact_preserves_rows(spark, lake, tmp_path):
         )
         writer.write_ohlc(df, KEY)
     base = writer.base_path
-    before = spark.read.option("basePath", base).parquet(base).count()
+    # the SNAPSHOT row count is the invariant; the raw directory also
+    # holds the first write's superseded file (MVCC tombstone) which
+    # compaction must NOT resurrect
+    before = reader.read_dataset(KEY).count()
+    assert before == 20
+    assert spark.read.option("basePath", base).parquet(base).count() > before
     out = compact(spark, base)
     after = spark.read.option("basePath", out).parquet(out)
     assert out == base + "_compacted" and after.count() == before
@@ -395,12 +400,19 @@ def test_compact_export_copies_committed_log_only(spark, lake):
     (src_log_dir,) = _find_commit_dirs(writer.base_path)
     (out_log_dir,) = _find_commit_dirs(out)
     out_log = CommitLog(out_log_dir[: -len("/_commits")])
-    # v0 (the write) survives; v1 is the export's own compact commit,
-    # recorded in the ORIGINAL tree only
-    assert out_log.latest_version() == 0
+    # v0 (the write) survives into the export; v1 there is the export's
+    # own snapshot re-pin (the copied v0 list names pre-compaction
+    # files that don't exist in the rewritten tree)
+    assert out_log.latest_version() == 1
+    assert out_log.history()[-1]["mode"] == "compact"
+    assert out_log.history()[-1]["files"]  # pinned to the compacted files
     src_log = CommitLog(src_log_dir[: -len("/_commits")])
+    # the original tree records its own compact audit commit (v1),
+    # data untouched: its snapshot still resolves through v0's list
     assert src_log.latest_version() == 1
     assert src_log.history()[-1]["mode"] == "compact"
+    assert "files" not in src_log.history()[-1]
+    assert src_log.latest_files() == src_log.history()[0]["files"]
 
 
 def test_compact_times_out_against_inflight_writer_and_leaves_no_claims(spark, lake):
