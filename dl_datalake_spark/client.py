@@ -109,6 +109,21 @@ class DataLakeClient:
     def list_symbols(self, exchange: str | None = None) -> list[str]:
         return self.reader.list_symbols(exchange)
 
+    def read_ohlc_multi(
+        self,
+        exchange: str,
+        symbols: list[str],
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ) -> dict[str, DataFrame]:
+        """Read several symbols' datasets at ONE consistent cut: a
+        `write_ohlc_multi` commit is visible in every returned frame or
+        in none (lake/multilog.py) — a cross-symbol join/aggregate never
+        mixes epochs while ingest is running."""
+        keys = [DatasetKey(exchange, market, s, data_type, period) for s in symbols]
+        return self.reader.read_datasets(keys)
+
     # -- ingest (cli.py:138-160) -------------------------------------------
     def ingest_csv(self, path: str, exchange: str, market: str, symbol: str, period: str = "1m"):
         df = read_ohlcv_csv(self.spark, path)

@@ -141,6 +141,48 @@ class CommitLog:
             return None
         return None
 
+    def files_at(self, max_version: int) -> list[str] | None:
+        """`latest_files` evaluated at a historical cut: the pinned file
+        list of the newest committed entry with version <= `max_version`
+        (multi-dataset consistent reads, lake/multilog.py — a reader
+        pinned below a half-finalized multi-commit reads the PREVIOUS
+        snapshot, whose superseded files survive until vacuum retention).
+
+        Same trust rules as `latest_files`; additionally `max_version < 0`
+        (cut before the first commit) is an empty snapshot, and a cut
+        whose commits have been pruned away (`prune` keep_last) returns
+        None — the caller must not fabricate a snapshot it can't prove."""
+        if max_version < 0:
+            return []
+        entries = self._entries()
+        for v in reversed(entries):
+            if v > max_version:
+                continue
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            if "files" in e:
+                return list(e["files"])
+            if e.get("partitions") == []:
+                continue
+            return None
+        # No committed entry at or below the cut. Version numbering
+        # starts at 0, so a retained version-0 entry proves nothing was
+        # pruned below the cut — the dataset simply had no commit there
+        # (empty snapshot). Any other shape means prune removed the
+        # cut's history: unknowable, never fabricated.
+        return [] if (not entries or min(entries) == 0) else None
+
+    def committed_entry(self, version: int) -> dict | None:
+        """The finalized payload of `version`, or None if that slot is
+        not (yet) committed — multilog readers use it to check that a
+        multi-commit's claimed slot was finalized by the SAME txid and
+        not by a later writer after a stale-claim rollback."""
+        if version < 0:
+            return None
+        e = self._read_entry(version)
+        return e if e.get("status") == "committed" else None
+
     def history(self) -> list[dict]:
         """All finalized commits, oldest first (audit/debug surface)."""
         out = []

@@ -667,4 +667,12 @@ def prune_commit_logs(
                         n += 1
         if n:
             out[ds] = n
+    # the lake-level multi-commit intent log rides the same cadence: a
+    # committed/aborted record only matters while a reader might still
+    # straddle it (minutes), so anything past the TTL is dead weight
+    from dl_datalake_spark.lake.multilog import MultiCommitLog
+
+    n_multi = MultiCommitLog(base_path, fs=fs).prune(keep_last=keep_last)
+    if n_multi:
+        out[f"{base_path.rstrip('/')}/_multilog"] = n_multi
     return out

@@ -41,3 +41,15 @@ class DatasetKey:
             data_type=self.data_type,
             period=self.period,
         )
+
+
+def dataset_rel_path(key: DatasetKey) -> str:
+    """The dataset's directory relative to the lake base — the identity
+    used by the multi-dataset commit log (lake/multilog.py) and by
+    `LakeWriter.dataset_path`/`LakeReader`, so writer intents and reader
+    cuts name datasets identically."""
+    k = key.normalized()
+    return (
+        f"exchange={k.exchange}/market={k.market}/symbol={k.symbol}"
+        f"/data_type={k.data_type}/period={k.period}"
+    )

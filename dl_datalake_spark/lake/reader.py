@@ -157,6 +157,105 @@ class LakeReader:
             return self.spark.createDataFrame([], "ts long")
         return df
 
+    # -- multi-dataset consistent reads (lake/multilog.py) -------------------
+
+    def consistent_cut(self, keys: list[DatasetKey]) -> dict[str, int]:
+        """A cross-dataset-consistent commit version per dataset
+        (rel-path → version): starts from each dataset's latest committed
+        version, then lowers any subset that would straddle a
+        multi-dataset commit (`write_ohlc_multi`) that is only partially
+        finalized across ≥2 of the requested datasets — the cut lands
+        entirely before or entirely after every multi-commit, never
+        inside one.  Version -1 = before the dataset's first commit.
+
+        A record whose claimed slot was committed by a DIFFERENT txid
+        (the multi-writer crashed, its claim was rolled aside and reused)
+        or that is stale without completing can never become fully
+        visible — it is treated as aborted and stops constraining the
+        cut (permanent partial multi-commits are documented, the live
+        half-finalized window is what this excludes)."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        rels = [dataset_rel_path(k) for k in keys]
+        logs = {r: CommitLog(f"{self.base_path}/{r}", fs=self.fs) for r in rels}
+        cut = {
+            r: (log.latest_version() if self.fs.exists(log.log_dir) else -1)
+            for r, log in logs.items()
+        }
+        ml = MultiCommitLog(self.base_path, fs=self.fs)
+        mine = set(rels)
+        recs = [
+            rec
+            for rec in ml.records()
+            if rec.get("status") != "aborted"
+            and len(set(rec.get("datasets", {})) & mine) >= 2
+        ]
+        for _ in range(len(recs) + 1):  # lowering can straddle older records
+            changed = False
+            for rec in recs:
+                touched = {
+                    r: int(v) for r, v in rec["datasets"].items() if r in mine
+                }
+                entries = {
+                    r: logs[r].committed_entry(v) for r, v in touched.items()
+                }
+                if any(
+                    e is not None and e.get("txid") != rec.get("txid")
+                    for e in entries.values()
+                ):
+                    continue  # a slot was usurped: record is dead, no constraint
+                visible = {
+                    r: cut[r] >= v and entries[r] is not None
+                    for r, v in touched.items()
+                }
+                if all(visible.values()) or not any(visible.values()):
+                    continue  # cut is entirely after or entirely before the record
+                if ml.is_stale(rec) and rec.get("status") != "committed":
+                    continue  # dead writer, permanent partial: serve individually
+                for r, v in touched.items():
+                    if cut[r] >= v:
+                        cut[r] = v - 1
+                        changed = True
+            if not changed:
+                break
+        return cut
+
+    def read_datasets(self, keys: list[DatasetKey]) -> dict[str, DataFrame]:
+        """Read several datasets at ONE consistent cut: a multi-dataset
+        commit (`write_ohlc_multi`) is either visible in every returned
+        DataFrame or in none — a reader overlapping the writer's
+        per-dataset finalize sequence never sees a mixed epoch.  Returns
+        {sanitized symbol: DataFrame}; a dataset with nothing visible at
+        the cut comes back as an empty frame."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        cut = self.consistent_cut(keys)
+        out: dict[str, DataFrame] = {}
+        for key in keys:
+            k = key.normalized()
+            rel = dataset_rel_path(k)
+            path = f"{self.base_path}/{rel}"
+            files = CommitLog(path, fs=self.fs).files_at(cut[rel])
+            if files is None:
+                # legacy dataset (no pinned commits) or the cut's commit
+                # was pruned: the live directory is the only truth
+                df = self._scan_paths([path] if has_visible_children(self.fs, path) else [])
+            elif not files:
+                df = None
+            else:
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", self.base_path)
+                    .parquet(*[f"{path}/{rel_f}" for rel_f in files])
+                )
+            out[k.symbol] = (
+                df if df is not None else self.spark.createDataFrame([], "ts long")
+            )
+        return out
+
     def list_symbols(self, exchange: str | None = None) -> list[str]:
         """Distinct symbols from the directory tree (reader.py:81-94) —
         no data scan at all."""

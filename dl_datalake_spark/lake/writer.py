@@ -167,6 +167,13 @@ class LakeWriter:
         read_change_feed surfaces them as an explicit gap error rather
         than a silent hole — use per-symbol write_ohlc on CDF-enabled
         datasets.
+
+        Cross-dataset visibility: the per-dataset finalizes are not one
+        atomic step, so a plain reader between them could see symbol A's
+        new version next to symbol B's old one.  The commit records a
+        lake-level intent (lake/multilog.py) before any finalize;
+        `LakeReader.read_datasets` uses it to serve a consistent cut —
+        the multi-commit is visible in all of its datasets or in none.
         """
         from contextlib import ExitStack
 
@@ -197,12 +204,26 @@ class LakeWriter:
             parts_by_symbol.setdefault(sym, []).append([y, m])
         keys = [DatasetKey(ex, mk, s, data_type, period) for s in symbols]
 
-        with ExitStack() as stack:
+        import uuid
+
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        # Cross-dataset visibility (lake/multilog.py): every per-dataset
+        # commit carries this txid; the intent record written just before
+        # the finalizes (end of the ExitStack body) lets a concurrent
+        # `read_datasets` exclude the half-finalized window.
+        txid = uuid.uuid4().hex
+        multilog = MultiCommitLog(self.base_path, fs=self.fs)
+        intent_written = False
+
+        def _run(stack: "ExitStack") -> dict[str, WriteResult]:
+            nonlocal intent_written
             metas = [
                 stack.enter_context(
                     self.commit_log(k).transaction(
                         timeout=self.commit_timeout_s,
-                        payload={"mode": mode, "multi": True},
+                        payload={"mode": mode, "multi": True, "txid": txid},
                     )
                 )
                 for k in keys  # sorted symbol order: deadlock-free
@@ -313,7 +334,27 @@ class LakeWriter:
                 )
             if self.manifest is not None:
                 self.manifest.add_entries(manifest_rows)
-        return results
+            # all claims still held, nothing finalized yet: record the
+            # intent so readers can refuse the mixed-epoch window
+            multilog.begin(
+                {
+                    dataset_rel_path(k): meta["version"]
+                    for k, meta in zip(keys, metas)
+                },
+                txid=txid,
+            )
+            intent_written = True
+            return results
+
+        try:
+            with ExitStack() as stack:
+                out = _run(stack)  # finalizes run at stack exit
+        except BaseException:
+            if intent_written:
+                multilog.abort(txid)
+            raise
+        multilog.commit(txid)
+        return out
 
     # -- row-level delete ---------------------------------------------------
 

@@ -1,0 +1,218 @@
+"""Multi-dataset atomic commit visibility (lake/multilog.py).
+
+VERDICT r6 stretch #7: `write_ohlc_multi` finalizes its per-dataset
+commits one after another; a reader between the finalizes used to see a
+MIXED EPOCH (dataset A's new version next to B's old one).  These tests
+pin the new contract: `LakeReader.read_datasets` serves a cut that is
+entirely before or entirely after every multi-commit — deterministically
+against a hand-built half-finalized state, and under a live concurrent
+writer loop.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from dl_datalake_spark.lake.commitlog import CommitLog
+from dl_datalake_spark.lake.manifest import ManifestManager
+from dl_datalake_spark.lake.multilog import MultiCommitLog
+from dl_datalake_spark.lake.paths import DatasetKey, dataset_rel_path
+from dl_datalake_spark.lake.reader import LakeReader
+from dl_datalake_spark.lake.writer import LakeWriter
+
+KEY_A = DatasetKey("BINANCE", "SPOT", "AAA_USD", "raw", "1m")
+KEY_B = DatasetKey("BINANCE", "SPOT", "BBB_USD", "raw", "1m")
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    base = str(tmp_path / "base")
+    manifest = ManifestManager(spark, str(tmp_path / "manifest"))
+    return LakeWriter(spark, base, manifest), LakeReader(spark, base), manifest
+
+
+def _multi_df(spark, n=2, start=1672574400000, price=1.0):
+    rows = [
+        (sym, start + i * 60000, price, price + 1, price - 0.5, price + 0.5, 10.0)
+        for sym in ("AAA/USD", "BBB/USD")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "symbol string, ts long, open double, high double, low double, "
+        "close double, volume double",
+    )
+
+
+def test_multi_write_records_committed_intent_with_txids(lake, spark):
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark), "binance", "spot")
+    ml = MultiCommitLog(writer.base_path)
+    recs = ml.records()
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["status"] == "committed"
+    assert set(rec["datasets"]) == {dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)}
+    # every per-dataset commit payload carries the record's txid
+    for key in (KEY_A, KEY_B):
+        log = writer.commit_log(key)
+        entry = log.committed_entry(rec["datasets"][dataset_rel_path(key)])
+        assert entry is not None and entry["txid"] == rec["txid"]
+
+
+def test_reader_excludes_half_finalized_multi_commit(lake, spark):
+    """The deterministic torn window: a second multi-commit with dataset
+    A finalized and dataset B still claimed must be invisible to
+    read_datasets as a WHOLE — even though a single-dataset read of A
+    already serves the new version."""
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    log_a, log_b = writer.commit_log(KEY_A), writer.commit_log(KEY_B)
+    path_a = writer.dataset_path(KEY_A)
+
+    # stage one extra data file into A's tree, invisible until pinned
+    extra_dir = f"{path_a}/year=2023/month=1"
+    spark.createDataFrame(
+        [(1672580000000, 5.0, 6.0, 4.5, 5.5, 10.0)],
+        "ts long, open double, high double, low double, close double, volume double",
+    ).coalesce(1).write.mode("append").parquet(extra_dir)
+    new_files = CommitLog(path_a).latest_files() is not None  # sanity: pinned
+    assert new_files
+
+    txid = "torntest" * 4
+    ml = MultiCommitLog(writer.base_path)
+    ctx_a = log_a.transaction(payload={"mode": "upsert", "multi": True, "txid": txid})
+    meta_a = ctx_a.__enter__()
+    ctx_b = log_b.transaction(payload={"mode": "upsert", "multi": True, "txid": txid})
+    meta_b = ctx_b.__enter__()
+    ml.begin({rel_a: meta_a["version"], rel_b: meta_b["version"]}, txid=txid)
+
+    from dl_datalake_spark.lake.snapshot import list_data_files
+
+    meta_a.update(partitions=[[2023, 1]], files=list_data_files(writer.fs, path_a))
+    ctx_a.__exit__(None, None, None)  # finalize A ONLY — B still in-progress
+
+    # single-dataset read: A's new commit is visible (3 rows)
+    assert reader.read_dataset(KEY_A).count() == 3
+    # consistent multi-read: the half-finalized epoch is excluded
+    cut = reader.consistent_cut([KEY_A, KEY_B])
+    assert cut[rel_a] == meta_a["version"] - 1
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 2
+    assert dfs["BBB_USD"].count() == 2
+
+    # finish the multi-commit: both new versions become visible together
+    meta_b.update(partitions=[], files=CommitLog(writer.dataset_path(KEY_B)).latest_files())
+    ctx_b.__exit__(None, None, None)
+    ml.commit(txid)
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 3
+    assert dfs["BBB_USD"].count() == 2
+
+
+def test_usurped_intent_stops_constraining(lake, spark):
+    """An intent whose claimed slot was committed by a DIFFERENT txid
+    (multi-writer died, claim rolled aside and reused) is dead — it must
+    not pin readers below live committed data."""
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+
+    # a ghost intent claiming the NEXT versions under a txid that will
+    # never commit them
+    ml = MultiCommitLog(writer.base_path)
+    v_next_a = writer.commit_log(KEY_A).latest_version() + 1
+    v_next_b = writer.commit_log(KEY_B).latest_version() + 1
+    ml.begin({rel_a: v_next_a, rel_b: v_next_b}, txid="deadbeef" * 4)
+
+    # those slots get committed by a real (different-txid) multi-write
+    writer.write_ohlc_multi(
+        _multi_df(spark, n=1, start=1672580000000, price=7.0), "binance", "spot"
+    )
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 3
+    assert dfs["BBB_USD"].count() == 3
+
+
+def test_concurrent_reader_never_sees_mixed_epoch(lake, spark):
+    """Live loop: a writer thread applies multi-commits that keep the two
+    datasets' row counts EQUAL; a reader loop through read_datasets must
+    never observe countA != countB."""
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def _writer_loop():
+        try:
+            i = 0
+            while not stop.is_set() and i < 6:
+                i += 1
+                writer.write_ohlc_multi(
+                    _multi_df(spark, n=1, start=1672574400000 + i * 60000),
+                    "binance",
+                    "spot",
+                )
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=_writer_loop)
+    t.start()
+    try:
+        while t.is_alive():
+            dfs = reader.read_datasets([KEY_A, KEY_B])
+            ca, cb = dfs["AAA_USD"].count(), dfs["BBB_USD"].count()
+            assert ca == cb, f"mixed epoch observed: A={ca} B={cb}"
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 7 == dfs["BBB_USD"].count()
+
+
+def test_files_at_historical_cuts(lake, spark):
+    writer, _, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    writer.write_ohlc_multi(
+        _multi_df(spark, n=1, start=1672580000000), "binance", "spot"
+    )
+    log = writer.commit_log(KEY_A)
+    v = log.latest_version()
+    assert v >= 1
+    assert log.files_at(v) == log.latest_files()
+    # the second upsert REWROTE the month partition: v-1's snapshot is a
+    # different (superseded, still-on-disk) file set, not a subset
+    older = log.files_at(v - 1)
+    assert older and set(older) != set(log.files_at(v))
+    assert all(writer.fs.exists(f"{writer.dataset_path(KEY_A)}/{f}") for f in older)
+    assert log.files_at(-1) == []  # before the first commit: empty snapshot
+    # a cut pruned out of the log is unknowable, not fabricated
+    log.prune(keep_last=1)
+    assert log.files_at(v - 1) is None
+    assert log.files_at(v) == log.latest_files()
+
+
+def test_client_read_ohlc_multi_serves_consistent_cut(spark, tmp_path):
+    from dl_datalake_spark.client import DataLakeClient
+
+    client = DataLakeClient(spark, str(tmp_path / "lake"))
+    client.writer.write_ohlc_multi(_multi_df(spark, n=3), "binance", "spot")
+    dfs = client.read_ohlc_multi("BINANCE", ["AAA_USD", "BBB_USD"])
+    assert set(dfs) == {"AAA_USD", "BBB_USD"}
+    assert dfs["AAA_USD"].count() == 3 == dfs["BBB_USD"].count()
+
+
+def test_multilog_prune_drops_only_ttl_expired(lake, spark):
+    writer, _, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark), "binance", "spot")
+    ml = MultiCommitLog(writer.base_path)
+    assert ml.prune(keep_last=0, ttl_s=3600.0) == 0  # fresh record survives
+    assert len(ml.records()) == 1
+    assert ml.prune(keep_last=0, ttl_s=0.0) == 1
+    assert ml.records() == []
