@@ -109,6 +109,33 @@ class DataLakeClient:
     def list_symbols(self, exchange: str | None = None) -> list[str]:
         return self.reader.list_symbols(exchange)
 
+    def read_ohlc_at(
+        self,
+        exchange: str,
+        symbol: str,
+        version: int,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ) -> DataFrame:
+        """Time travel (Delta ``VERSION AS OF``): the dataset exactly as
+        of commit `version`; `dataset_history` lists the versions."""
+        return self.reader.read_dataset_at(
+            DatasetKey(exchange, market, symbol, data_type, period), version
+        )
+
+    def dataset_history(
+        self,
+        exchange: str,
+        symbol: str,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ) -> list[dict]:
+        return self.reader.dataset_history(
+            DatasetKey(exchange, market, symbol, data_type, period)
+        )
+
     def read_ohlc_multi(
         self,
         exchange: str,

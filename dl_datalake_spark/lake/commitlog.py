@@ -118,28 +118,60 @@ class CommitLog:
         return -1
 
     def latest_files(self) -> list[str] | None:
-        """The newest committed entry's pinned `files` listing (reader
-        snapshot isolation, lake/snapshot.py), or None when the current
-        data state has no trustworthy pinned list.
+        """The dataset's committed live file listing (reader snapshot
+        isolation, lake/snapshot.py), or None when the current data
+        state has no trustworthy pinned list (legacy writer / external
+        tool — callers fall back to a live directory scan, which matches
+        disk because legacy writers delete superseded files eagerly).
 
-        Newest-first walk: `files` present → that snapshot. A committed
-        entry with `partitions == []` changed no data files UNLESS it
-        carries its own list (in-place compact does) — skip it and keep
-        walking. Any other files-less committed entry (legacy writer,
-        raw transaction) may have changed data → no older list is
-        trustworthy → None (callers fall back to a live directory scan,
-        which matches disk because legacy writers delete superseded
-        files eagerly)."""
-        for v in reversed(self._entries()):
+        Listings are stored delta-encoded (see `_encode_files`): most
+        commits carry only `files_add`/`files_remove` against the prior
+        snapshot, with periodic full `files` checkpoints — Delta's
+        add/remove-action mechanic, so commit size tracks the CHANGE,
+        not the dataset's total file count (a 100 TB dataset has ~10⁵
+        files; re-serializing that list on every one-partition upsert
+        would make the log itself the write bottleneck).  Resolution
+        folds deltas newest-first onto the nearest checkpoint."""
+        return self._fold_files(None)
+
+    def _fold_files(self, upto: int | None) -> list[str] | None:
+        """Newest-first fold of the pinned-listing chain at/below `upto`
+        (None = unbounded).  `files` = checkpoint: apply collected
+        deltas oldest-first and return.  `files_add`/`files_remove` =
+        delta: collect and keep walking.  A committed entry with
+        `partitions == []` changed no data files — skip.  Any other
+        files-less committed entry is an untrusted barrier → None.
+        A delta chain whose checkpoint was pruned is unknowable → None
+        (prune's fold-anchor rule exists to prevent this)."""
+        entries = self._entries()
+        deltas: list[tuple[list, list]] = []  # newest-first
+        for v in reversed(entries):
+            if upto is not None and v > upto:
+                continue
             e = self._read_entry(v)
             if e.get("status") != "committed":
                 continue
             if "files" in e:
-                return list(e["files"])
+                files = set(e["files"])
+                for add, rem in reversed(deltas):
+                    files = (files - set(rem)) | set(add)
+                return sorted(files)
+            if "files_add" in e or "files_remove" in e:
+                deltas.append((e.get("files_add") or [], e.get("files_remove") or []))
+                continue
             if e.get("partitions") == []:
                 continue
             return None
-        return None
+        if deltas:
+            return None  # chain base pruned away: never fabricate
+        if upto is None:
+            return None  # nothing committed yet: legacy/live fallback
+        # No committed entry at or below the cut. Version numbering
+        # starts at 0, so a retained version-0 entry proves nothing was
+        # pruned below the cut — the dataset simply had no commit there
+        # (empty snapshot). Any other shape means prune removed the
+        # cut's history: unknowable.
+        return [] if (not entries or min(entries) == 0) else None
 
     def files_at(self, max_version: int) -> list[str] | None:
         """`latest_files` evaluated at a historical cut: the pinned file
@@ -154,24 +186,20 @@ class CommitLog:
         None — the caller must not fabricate a snapshot it can't prove."""
         if max_version < 0:
             return []
-        entries = self._entries()
-        for v in reversed(entries):
-            if v > max_version:
-                continue
+        return self._fold_files(max_version)
+
+    def file_stats(self) -> dict[str, list]:
+        """Union of every retained committed entry's `file_stats`
+        ({rel path: [min_ts, max_ts]}, newest entry wins) — the
+        data-skipping index for time-bounded reads.  Best-effort by
+        design: a live file whose stats were pruned with its commit is
+        merely scanned, never skipped wrongly."""
+        out: dict[str, list] = {}
+        for v in self._entries():
             e = self._read_entry(v)
-            if e.get("status") != "committed":
-                continue
-            if "files" in e:
-                return list(e["files"])
-            if e.get("partitions") == []:
-                continue
-            return None
-        # No committed entry at or below the cut. Version numbering
-        # starts at 0, so a retained version-0 entry proves nothing was
-        # pruned below the cut — the dataset simply had no commit there
-        # (empty snapshot). Any other shape means prune removed the
-        # cut's history: unknowable, never fabricated.
-        return [] if (not entries or min(entries) == 0) else None
+            if e.get("status") == "committed":
+                out.update(e.get("file_stats") or {})
+        return out
 
     def committed_entry(self, version: int) -> dict | None:
         """The finalized payload of `version`, or None if that slot is
@@ -192,6 +220,24 @@ class CommitLog:
                 out.append({"version": v, **{k: e[k] for k in e if k != "status"}})
         return out
 
+    def _fold_anchor(self, upto: int) -> int:
+        """The oldest version a snapshot fold starting at `upto` can
+        reach: the nearest checkpoint (full `files`) or untrusted
+        barrier at/below it.  Entries older than the anchor are inert
+        for resolution and safe to prune."""
+        for v in reversed([x for x in self._entries() if x <= upto]):
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            if "files" in e:
+                return v
+            if "files_add" in e or "files_remove" in e:
+                continue
+            if e.get("partitions") == []:
+                continue
+            return v  # untrusted barrier: the fold stops here anyway
+        return 0
+
     ABANDONED_TTL_S = 24 * 3600.0
 
     def prune(self, keep_last: int = 100, abandoned_ttl_s: float | None = None) -> int:
@@ -211,6 +257,14 @@ class CommitLog:
             v for v in self._entries() if self._read_entry(v).get("status") == "committed"
         ]
         drop = committed[:-keep_last] if keep_last > 0 else []
+        if drop:
+            # fold-anchor rule: the oldest RETAINED entry may be a delta
+            # (`files_add`/`files_remove`) whose resolution folds onto an
+            # older checkpoint — extend retention back to that anchor or
+            # every retained snapshot below the next checkpoint would
+            # become unknowable (≤ CHECKPOINT_EVERY-1 extra tiny files)
+            anchor = self._fold_anchor(committed[-keep_last])
+            drop = [v for v in drop if v < anchor]
         removed = 0
         for v in drop:
             try:
@@ -374,6 +428,33 @@ class CommitLog:
             return False
         return entry.get("owner_token") == token
 
+    CHECKPOINT_EVERY = 10
+
+    def _encode_files(self, version: int, payload: dict) -> dict:
+        """Delta-encode the commit's pinned listing when that is smaller
+        than the full list: store `files_add`/`files_remove` against the
+        prior snapshot.  Full `files` is kept as a CHECKPOINT every
+        `CHECKPOINT_EVERY` versions, whenever no prior snapshot resolves,
+        and whenever the delta wouldn't actually be smaller (partition
+        rewrites replace most files — a full list doubles as a fresh
+        checkpoint there).  Writers stay oblivious: they always hand in
+        the full list; resolution (`_fold_files`) serves both shapes."""
+        if version % self.CHECKPOINT_EVERY == 0:
+            return payload
+        prev = self._fold_files(version - 1)
+        if prev is None:
+            return payload
+        files = list(payload["files"])
+        prev_set, new_set = set(prev), set(files)
+        add = sorted(new_set - prev_set)
+        rem = sorted(prev_set - new_set)
+        if len(add) + len(rem) >= len(files):
+            return payload
+        del payload["files"]
+        payload["files_add"] = add
+        payload["files_remove"] = rem
+        return payload
+
     def _finalize(self, version: int, payload: dict | None, token: str) -> None:
         fence = self._fence(version, token)
         finalizing = f"{fence}.finalizing"
@@ -384,6 +465,8 @@ class CommitLog:
                 f"(transaction exceeded stale_timeout_s={self.stale_timeout_s}); "
                 f"this writer's output must not be trusted as committed"
             ) from None
+        if payload and "files" in payload:
+            payload = self._encode_files(version, dict(payload))
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}
         self.fs.write_bytes_atomic(
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()

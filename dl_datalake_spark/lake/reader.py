@@ -89,7 +89,11 @@ class LakeReader:
                     paths.append(d)
         return paths
 
-    def _scan_paths(self, paths: list[str]) -> DataFrame | None:
+    def _scan_paths(
+        self,
+        paths: list[str],
+        ts_bounds: tuple[int | None, int | None] | None = None,
+    ) -> DataFrame | None:
         """Snapshot-isolated scan (lake/snapshot.py): a dataset whose
         commit log pins a live file list is read as EXACTLY those files
         — the committed snapshot — never the live directory, so a scan
@@ -97,20 +101,39 @@ class LakeReader:
         see a torn partition set nor hit a vanished file (superseded
         files stay on disk until vacuum_tombstones' retention passes).
         Legacy datasets (no pinned commit) fall back to the directory
-        scan, which matches disk because legacy writers delete eagerly."""
+        scan, which matches disk because legacy writers delete eagerly.
+
+        `ts_bounds` = (lo, hi) epoch-ms enables FILE SKIPPING: pinned
+        files whose commit-recorded [min_ts, max_ts] don't overlap the
+        bound never enter the plan — the Delta data-skipping mechanic,
+        one level above parquet's own row-group stats (which still
+        prune within the files that remain).  Files without stats are
+        kept, so skipping is always sound."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
         from dl_datalake_spark.lake.snapshot import resolve_live_files
 
         if not paths:
             return None
+        lo, hi = ts_bounds if ts_bounds is not None else (None, None)
         srcs: list[str] = []
         for p in paths:
             live = resolve_live_files(self.fs, p)
             if live is None:
                 srcs.append(p)
-            else:
-                srcs.extend(f"{p}/{rel}" for rel in live)
+                continue
+            if live and (lo is not None or hi is not None):
+                stats = CommitLog(p, fs=self.fs).file_stats()
+
+                def _overlaps(rel: str) -> bool:
+                    s = stats.get(rel)
+                    if not s or s[0] is None or s[1] is None:
+                        return True  # unknown range: must scan
+                    return (hi is None or s[0] <= hi) and (lo is None or s[1] >= lo)
+
+                live = [rel for rel in live if _overlaps(rel)]
+            srcs.extend(f"{p}/{rel}" for rel in live)
         if not srcs:
-            return None  # every dataset pinned-empty (all rows deleted)
+            return None  # pinned-empty or every file skipped by stats
         return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
@@ -129,7 +152,13 @@ class LakeReader:
         market: str | None = None,
         period: str | None = None,
     ) -> DataFrame:
-        """Time-range scan, inclusive on both ends (reader.py:57-62)."""
+        """Time-range scan, inclusive on both ends (reader.py:57-62).
+        The bound does double duty: files whose commit-recorded ts range
+        can't overlap are skipped before the scan (`_scan_paths`), and
+        the residual predicate still pushes into the parquet reader for
+        row-group pruning within the files that remain."""
+        lo = iso_to_epoch_ms(start_date) if start_date is not None else None
+        hi = iso_to_epoch_ms(end_date) if end_date is not None else None
         df = self._scan_paths(
             self._dataset_paths(
                 exchange.upper(),
@@ -137,15 +166,16 @@ class LakeReader:
                 data_type,
                 market.upper() if market else None,
                 period,
-            )
+            ),
+            ts_bounds=(lo, hi) if (lo is not None or hi is not None) else None,
         )
         if df is None:
             return self.spark.createDataFrame([], "ts long")
         ts = F.col("ts").cast("long")
-        if start_date is not None:
-            df = df.where(ts >= iso_to_epoch_ms(start_date))
-        if end_date is not None:
-            df = df.where(ts <= iso_to_epoch_ms(end_date))
+        if lo is not None:
+            df = df.where(ts >= lo)
+        if hi is not None:
+            df = df.where(ts <= hi)
         return df.orderBy("ts")
 
     def read_dataset(self, key: DatasetKey) -> DataFrame:
@@ -156,6 +186,51 @@ class LakeReader:
         if df is None:
             return self.spark.createDataFrame([], "ts long")
         return df
+
+    def read_dataset_at(self, key: DatasetKey, version: int) -> DataFrame:
+        """Time travel: the dataset exactly as of commit `version`
+        (Delta's ``VERSION AS OF``) — possible on plain parquet because
+        every commit pins its live file list and superseded files stay
+        on disk until vacuum retention (lake/snapshot.py).  `version`
+        -1 (or any pre-first-commit cut) is an empty frame.  Raises
+        ValueError when the snapshot is unknowable: version beyond the
+        committed head, history pruned past it, or a legacy dataset
+        with no pinned listings."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        k = key.normalized()
+        path = f"{self.base_path}/{dataset_rel_path(k)}"
+        log = CommitLog(path, fs=self.fs)
+        head = log.latest_version() if self.fs.exists(log.log_dir) else -1
+        if version > head:
+            raise ValueError(
+                f"version {version} of {path} does not exist (head is {head})"
+            )
+        files = log.files_at(version)
+        if files is None:
+            raise ValueError(
+                f"no pinned snapshot at version {version} of {path}: history "
+                f"pruned past it or the dataset predates pinned listings"
+            )
+        if not files:
+            return self.spark.createDataFrame([], "ts long")
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(*[f"{path}/{rel}" for rel in files])
+        )
+
+    def dataset_history(self, key: DatasetKey) -> list[dict]:
+        """The dataset's finalized commits, oldest first (version, mode,
+        rows, time range, ...) — the audit surface for picking a
+        `read_dataset_at` version."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        path = f"{self.base_path}/{dataset_rel_path(key.normalized())}"
+        log = CommitLog(path, fs=self.fs)
+        return log.history() if self.fs.exists(log.log_dir) else []
 
     # -- multi-dataset consistent reads (lake/multilog.py) -------------------
 

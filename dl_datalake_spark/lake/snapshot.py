@@ -24,12 +24,15 @@ commit (legacy, or written by an external tool) falls back to the live
 directory scan — its very next writer commit pins a list bootstrapped
 from the current listing (no tombstones exist yet, so the two agree).
 
-Scale note: the full-list-per-commit encoding is O(files) JSON per
-commit. At Delta's scale the same information is add/remove actions +
-periodic checkpoints; that encoding is a drop-in upgrade behind
-`CommitLog.latest_files()` if commit payloads ever dominate. List
-resolution itself is one listdir + typically one small JSON read per
-dataset — metadata noise next to any scan.
+Scale note: listings are DELTA-ENCODED inside the log (Delta's
+add/remove-action mechanic — `CommitLog._encode_files`): most commits
+store only `files_add`/`files_remove` against the prior snapshot, with
+a full-list checkpoint every `CHECKPOINT_EVERY` versions, so commit
+size tracks the change, not the dataset's total file count. Writers
+always hand in the full list; the encoding and its resolution
+(`_fold_files`) are entirely the log's concern. Resolution is one
+listdir + at most CHECKPOINT_EVERY small JSON reads per dataset —
+metadata noise next to any scan.
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ class WriteResult:
     rows: int
     partitions: list[list[int]] | None = None  # touched [year, month] pairs
     files: list[str] | None = None  # post-commit live file list (snapshot)
+    file_stats: dict | None = None  # {added rel path: [min_ts, max_ts]}
 
 
 @contextmanager
@@ -269,6 +270,7 @@ class LakeWriter:
             finally:
                 merged.unpersist()
             new_live: dict[str, list[str]] = {}
+            added_by_symbol: dict[str, list[str]] = {}
             for k in keys:
                 s = k.symbol
                 added = [
@@ -276,6 +278,7 @@ class LakeWriter:
                     for f in list_data_files(self.fs, ds_paths[s])
                     if f not in on_disk[s]
                 ]
+                added_by_symbol[s] = added
                 base_live = (
                     pre_live[s] if pre_live[s] is not None else sorted(on_disk[s])
                 )
@@ -285,6 +288,11 @@ class LakeWriter:
                     t_set = {(y, m) for y, m in parts_by_symbol.get(s, [])}
                     kept = [f for f in base_live if partition_of(f) not in t_set]
                     new_live[s] = sorted(set(kept).union(added))
+            # per-file ts stats for reader file skipping — ONE job for
+            # every dataset's added files, same discipline as the write
+            stats_by_path = self._added_file_stats_multi(
+                {ds_paths[s]: a for s, a in added_by_symbol.items() if a}, ts_col
+            )
 
             # Manifest registration happens while the dataset locks are
             # still held — same data-then-manifest ordering contract as
@@ -318,6 +326,9 @@ class LakeWriter:
                     partitions=res.partitions,
                     files=new_live[k.symbol],
                 )
+                fstats = stats_by_path.get(ds_paths[k.symbol])
+                if fstats:
+                    meta["file_stats"] = fstats
                 res.files = new_live[k.symbol]
                 results[k.symbol] = res
                 manifest_rows.append(
@@ -480,6 +491,9 @@ class LakeWriter:
                     partitions=[list(p) for p in touched],
                     files=new_live,
                 )
+                fstats = self._added_file_stats(path, added, "ts")
+                if fstats:
+                    meta["file_stats"] = fstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
 
@@ -579,6 +593,8 @@ class LakeWriter:
                 partitions=res.partitions,
                 files=res.files,  # the commit IS the snapshot definition
             )
+            if res.file_stats:
+                meta["file_stats"] = res.file_stats
             if self.emit_cdf:
                 meta["cdf"] = True  # read_change_feed's no-gap marker
         return res
@@ -681,6 +697,7 @@ class LakeWriter:
             rows=stats["n"],
             partitions=[list(p) for p in touched],
             files=new_live,
+            file_stats=self._added_file_stats(ds_path, added, ts_col),
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -694,6 +711,50 @@ class LakeWriter:
                 metadata={"timeframe": key.period, "rows": result.rows},
             )
         return result
+
+    def _added_file_stats(
+        self, ds_path: str, added: list[str], ts_col: str
+    ) -> dict[str, list[int]]:
+        """Per-added-file [min_ts, max_ts] for reader-side FILE SKIPPING
+        (Delta's data-skipping stats, rel-path-keyed in the commit
+        payload).  One ts-column-only scan of JUST the files this commit
+        added — cost proportional to the batch, never the dataset.  A
+        time-bounded read drops non-overlapping files before the scan
+        even starts (`LakeReader.read_range`); files without stats
+        (legacy/compacted) are simply scanned, so skipping is always
+        sound."""
+        return self._added_file_stats_multi({ds_path: added}, ts_col).get(
+            ds_path, {}
+        )
+
+    def _added_file_stats_multi(
+        self, added_by_path: dict[str, list[str]], ts_col: str
+    ) -> dict[str, dict[str, list[int]]]:
+        """`_added_file_stats` across many datasets in ONE Spark job
+        (write_ohlc_multi's contract: 1,000 symbols must not mean 1,000
+        jobs).  Returns {dataset path: {rel path: [min_ts, max_ts]}}."""
+        pairs = [
+            (p, f) for p, fs_ in added_by_path.items() for f in fs_
+        ]
+        if not pairs:
+            return {}
+        rows = (
+            self.spark.read.parquet(*[f"{p}/{f}" for p, f in pairs])
+            .groupBy(F.col("_metadata.file_path").alias("fp"))
+            .agg(F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"))
+            .collect()
+        )
+        out: dict[str, dict[str, list[int]]] = {}
+        for r in rows:
+            # file_path is an absolute URI; dynamic-partition jobs reuse
+            # one basename across partition dirs, so match the full
+            # dataset-dir + relative suffix, never the name alone
+            hit = next(
+                ((p, f) for p, f in pairs if r["fp"].endswith(f"{p}/{f}")), None
+            )
+            if hit is not None:
+                out.setdefault(hit[0], {})[hit[1]] = [r["t0"], r["t1"]]
+        return out
 
     def _merge_keep_last(
         self, batch: DataFrame, key: DatasetKey, ts_col: str, tag_changes: bool = False

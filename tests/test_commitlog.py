@@ -1034,3 +1034,64 @@ def test_consume_rename_exactly_one_winner_on_nonatomic_backend(tmp_path):
     # plain LocalFS rename under the same race is the control: the
     # mixin's guarantee must also hold when src never existed
     assert fs.consume_rename(str(tmp_path / "nope"), str(tmp_path / "x")) is False
+
+
+# ---------------------------------------------------------------------------
+# delta-encoded pinned listings (files_add/files_remove + checkpoints)
+# ---------------------------------------------------------------------------
+def _commit_files(log, files, partitions=None):
+    with log.transaction(payload={"mode": "t"}) as meta:
+        meta.update(files=sorted(files), partitions=partitions or [[2023, 1]])
+    return meta["version"]
+
+
+def test_append_chain_delta_encodes_and_resolves(tmp_path):
+    """A pure-append history stores O(change) deltas between full-list
+    checkpoints; latest_files/files_at reconstruct every snapshot."""
+    log = CommitLog(str(tmp_path / "ds"))
+    live: list[str] = []
+    snapshots = []
+    for i in range(14):
+        live = live + [f"year=2023/month=1/part-{i:04d}.parquet"]
+        _commit_files(log, live)
+        snapshots.append(list(live))
+    raw = [json.loads(open(f"{log.log_dir}/{v:020d}.json").read()) for v in log._entries()]
+    # v0 and v10 are checkpoints; everything else is a one-file delta
+    assert "files" in raw[0] and "files" in raw[10]
+    for i in (1, 2, 9, 11, 13):
+        assert "files" not in raw[i]
+        assert raw[i]["files_add"] == [f"year=2023/month=1/part-{i:04d}.parquet"]
+        assert raw[i]["files_remove"] == []
+    assert log.latest_files() == sorted(snapshots[-1])
+    for v in (0, 5, 9, 10, 13):
+        assert log.files_at(v) == sorted(snapshots[v]), v
+
+
+def test_partition_rewrite_falls_back_to_full_checkpoint(tmp_path):
+    """When the delta wouldn't be smaller (rewrite replaces most files),
+    the full list is stored — it doubles as a fresh checkpoint."""
+    log = CommitLog(str(tmp_path / "ds"))
+    _commit_files(log, ["a.parquet", "b.parquet"])
+    _commit_files(log, ["c.parquet", "d.parquet"])  # full replacement
+    raw1 = json.loads(open(f"{log.log_dir}/{1:020d}.json").read())
+    assert raw1["files"] == ["c.parquet", "d.parquet"]
+    assert "files_add" not in raw1
+    assert log.files_at(0) == ["a.parquet", "b.parquet"]
+    assert log.latest_files() == ["c.parquet", "d.parquet"]
+
+
+def test_prune_keeps_delta_chain_anchor(tmp_path):
+    """prune(keep_last) must extend retention back to the checkpoint the
+    oldest retained delta folds onto — snapshots never become
+    unknowable just because their deltas survived pruning."""
+    log = CommitLog(str(tmp_path / "ds"))
+    live: list[str] = []
+    for i in range(14):
+        live = live + [f"p{i}.parquet"]
+        _commit_files(log, live)
+    log.prune(keep_last=2)  # naive drop would leave only v12,v13 (deltas)
+    kept = log._entries()
+    assert kept == list(range(10, 14))  # anchored at the v10 checkpoint
+    assert log.latest_files() == sorted(f"p{i}.parquet" for i in range(14))
+    assert log.files_at(12) == sorted(f"p{i}.parquet" for i in range(13))
+    assert log.files_at(9) is None  # pruned history: unknowable, not faked

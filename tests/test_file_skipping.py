@@ -1,0 +1,120 @@
+"""File skipping via commit-recorded per-file ts stats (Delta
+data-skipping on plain parquet): a time-bounded `read_range` drops
+pinned files whose [min_ts, max_ts] can't overlap BEFORE the scan
+starts — one level above parquet row-group pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from dl_datalake_spark.lake.manifest import ManifestManager
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.lake.reader import LakeReader
+from dl_datalake_spark.lake.writer import LakeWriter
+
+KEY = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "raw", "1m")
+JAN1 = 1672574400000  # 2023-01-01T12:00:00Z
+FEB1 = 1675252800000  # 2023-02-01T12:00:00Z
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    base = str(tmp_path / "base")
+    manifest = ManifestManager(spark, str(tmp_path / "manifest"))
+    return LakeWriter(spark, base, manifest), LakeReader(spark, base), manifest
+
+
+def _candles(spark, n, start):
+    rows = [(start + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(n)]
+    return spark.createDataFrame(
+        rows,
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+
+
+def test_commit_records_per_file_ts_stats(lake, spark):
+    writer, _, _ = lake
+    res = writer.write_ohlc(_candles(spark, 10, JAN1), KEY)
+    assert res.file_stats and set(res.file_stats) <= set(res.files)
+    for t0, t1 in res.file_stats.values():
+        assert JAN1 <= t0 <= t1 <= JAN1 + 9 * 60000
+    log = writer.commit_log(KEY)
+    assert log.file_stats() == res.file_stats
+
+
+def test_bounded_read_skips_non_overlapping_files(lake, spark):
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 10, JAN1), KEY)   # January files
+    writer.write_ohlc(_candles(spark, 10, FEB1), KEY)   # February files
+
+    total = len(writer.commit_log(KEY).latest_files())
+    jan = reader.read_range("BINANCE", "BTC_USDT", start_date="2023-01-01", end_date="2023-01-02")
+    assert jan.count() == 10
+    # the February files never entered the plan
+    scanned = jan.inputFiles()
+    assert 0 < len(scanned) < total
+    assert all("month=1" in f for f in scanned)
+
+    # unbounded read scans everything
+    assert len(reader.read_dataset(KEY).inputFiles()) == total
+
+
+def test_fully_skipped_range_returns_empty(lake, spark):
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 5, JAN1), KEY)
+    out = reader.read_range("BINANCE", "BTC_USDT", start_date="2024-06-01", end_date="2024-06-30")
+    assert out.count() == 0
+
+
+def test_files_without_stats_are_scanned_not_skipped(lake, spark):
+    """Safety: a commit without file_stats (legacy/compacted) must keep
+    its files in every bounded plan."""
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 6, JAN1), KEY)
+    log = writer.commit_log(KEY)
+    # strip the recorded stats in place (simulating a legacy commit)
+    import json
+
+    for v in log._entries():
+        p = f"{log.log_dir}/{v:020d}.json"
+        e = json.loads(open(p).read())
+        e.pop("file_stats", None)
+        open(p, "w").write(json.dumps(e))
+    jan = reader.read_range("BINANCE", "BTC_USDT", start_date="2023-01-01", end_date="2023-01-02")
+    assert jan.count() == 6
+    assert len(jan.inputFiles()) == len(log.latest_files())
+
+
+def test_multi_write_and_delete_record_stats_too(lake, spark):
+    """write_ohlc_multi (one stats job across datasets) and delete_where
+    rewrites both feed the skipping index."""
+    from pyspark.sql import functions as F
+
+    writer, reader, _ = lake
+    rows = [
+        (sym, JAN1 + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0)
+        for sym in ("AAA/USD", "BBB/USD")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, ts long, open double, high double, low double, "
+        "close double, volume double",
+    )
+    writer.write_ohlc_multi(df, "binance", "spot")
+    for sym in ("AAA_USD", "BBB_USD"):
+        k = DatasetKey("BINANCE", "SPOT", sym, "raw", "1m")
+        log = writer.commit_log(k)
+        stats = log.file_stats()
+        assert stats and set(stats) <= set(log.latest_files())
+
+    k = DatasetKey("BINANCE", "SPOT", "AAA_USD", "raw", "1m")
+    writer.delete_where(k, F.col("ts") >= JAN1 + 3 * 60000)
+    log = writer.commit_log(k)
+    live = set(log.latest_files())
+    stats = log.file_stats()
+    # the rewrite's new files carry fresh stats bounded by the kept rows
+    fresh = {f: s for f, s in stats.items() if f in live}
+    assert fresh
+    for t0, t1 in fresh.values():
+        assert JAN1 <= t0 <= t1 <= JAN1 + 2 * 60000
