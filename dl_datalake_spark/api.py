@@ -138,6 +138,52 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
             }
         )
 
+    @app.get("/read-at")
+    def read_at():
+        """Time travel (Delta ``VERSION AS OF``): the dataset exactly as
+        of a commit version — `/datasets/commits` lists the versions."""
+        args = request.args
+        try:
+            df = client.read_ohlc_at(
+                exchange=args["exchange"],
+                symbol=args["symbol"],
+                version=int(args["version"]),
+                market=args.get("market", "SPOT"),
+                data_type=args.get("data_type", "raw"),
+                period=args.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        except ValueError as exc:
+            # nonexistent version / pruned history: client error, loud
+            return jsonify({"error": str(exc)}), 422
+        limit = bounded_limit()
+        data = _rows(df.limit(limit))
+        return jsonify({"rows": data, "count": len(data), "limit": limit})
+
+    @app.get("/read-multi")
+    def read_multi():
+        """Several symbols at ONE consistent cut (lake/multilog.py): a
+        multi-dataset commit is visible in every returned symbol or in
+        none — cross-symbol analytics never mix epochs mid-ingest."""
+        args = request.args
+        try:
+            symbols_arg = [s for s in args["symbols"].split(",") if s]
+            dfs = client.read_ohlc_multi(
+                exchange=args["exchange"],
+                symbols=symbols_arg,
+                market=args.get("market", "SPOT"),
+                data_type=args.get("data_type", "raw"),
+                period=args.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing parameter {exc}"}), 422
+        limit = bounded_limit()
+        out = {
+            sym: _rows(df.limit(limit)) for sym, df in sorted(dfs.items())
+        }
+        return jsonify({"symbols": out, "limit": limit})
+
     @app.get("/datasets/change-feed")
     def dataset_change_feed():
         """Row-level change feed (CDF): the exact rows commits after

@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
     rd.add_argument("--end")
     rd.add_argument("--limit", type=int, default=5)
 
+    rda = sub.add_parser(
+        "read-at", help="time travel: the dataset exactly as of a commit version"
+    )
+    rda.add_argument("--exchange", required=True)
+    rda.add_argument("--symbol", required=True)
+    rda.add_argument("--version", type=int, required=True)
+    rda.add_argument("--market", default="SPOT")
+    rda.add_argument("--data-type", default="raw")
+    rda.add_argument("--period", default="1m")
+    rda.add_argument("--limit", type=int, default=5)
+
     sub.add_parser("symbols")
 
     agg = sub.add_parser("aggregate")
@@ -255,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"path": res.path, "rows": res.rows}))
     elif args.cmd == "read":
         df = client.read_ohlc(args.exchange, args.symbol, args.start, args.end)
+        df.show(args.limit, truncate=False)
+    elif args.cmd == "read-at":
+        df = client.read_ohlc_at(
+            args.exchange, args.symbol, args.version,
+            market=args.market, data_type=args.data_type, period=args.period,
+        )
         df.show(args.limit, truncate=False)
     elif args.cmd == "symbols":
         print(json.dumps(client.list_symbols()))

@@ -428,3 +428,41 @@ def test_change_feed_route(spark, tmp_path):
 
     # missing params → 422
     assert http.get("/datasets/change-feed").status_code == 422
+
+
+def test_read_at_and_read_multi_routes(app_client, spark):
+    http, client, _ = app_client
+    # a second commit so two versions exist
+    df2 = spark.createDataFrame(
+        [(1672574400000 + i * 60000, 9.0, 10.0, 8.5, 9.5, 10.0) for i in range(5)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    client.writer.write_ohlc(df2, __import__(
+        "dl_datalake_spark.lake.paths", fromlist=["DatasetKey"]
+    ).DatasetKey("BINANCE", "SPOT", "BTCUSDT", "raw", "1m"))
+
+    r0 = http.get(
+        "/read-at",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT", "version": 0},
+    )
+    assert r0.status_code == 200
+    assert all(row["open"] == 1.0 for row in r0.get_json()["rows"])
+    r1 = http.get(
+        "/read-at",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT", "version": 1},
+    )
+    assert any(row["open"] == 9.0 for row in r1.get_json()["rows"])
+    # nonexistent version and missing params are client errors
+    assert http.get(
+        "/read-at",
+        query_string={"exchange": "BINANCE", "symbol": "BTCUSDT", "version": 99},
+    ).status_code == 422
+    assert http.get("/read-at").status_code == 422
+
+    rm = http.get(
+        "/read-multi",
+        query_string={"exchange": "BINANCE", "symbols": "BTCUSDT"},
+    )
+    assert rm.status_code == 200
+    assert len(rm.get_json()["symbols"]["BTCUSDT"]) == 30
+    assert http.get("/read-multi").status_code == 422

@@ -298,3 +298,22 @@ def test_cli_delete_rows_range_and_where(spark, tmp_path, capsys):
     from dl_datalake_spark.client import DataLakeClient
     client = DataLakeClient(spark, base)
     assert client.read_ohlc("BINANCE", "BTCUSDT").count() == 19
+
+
+def test_cli_read_at_time_travel(spark, tmp_path, monkeypatch, capsys):
+    from dl_datalake_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda name=None: spark)
+    base = str(tmp_path / "lake_tt")
+    csv = tmp_path / "tt.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(10))
+    )
+    assert cli.main(["--base", base, "pipeline", "--source", str(csv),
+                     "--exchange", "binance", "--symbol", "BTCUSDT"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--base", base, "read-at", "--exchange", "BINANCE",
+                     "--symbol", "BTCUSDT", "--version", "0", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "1.5" in out  # the v0 close price printed
