@@ -215,6 +215,14 @@ class LakeReader:
             )
         if not files:
             return self.spark.createDataFrame([], "ts long")
+        gone = [rel for rel in files if not self.fs.exists(f"{path}/{rel}")]
+        if gone:
+            raise ValueError(
+                f"snapshot {version} of {path} is no longer reconstructable: "
+                f"{len(gone)} of its {len(files)} files were reclaimed by "
+                f"vacuum_tombstones (first: {gone[0]}) — raise the vacuum "
+                f"retention horizon if older snapshots must stay readable"
+            )
         return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
@@ -453,7 +461,7 @@ class LakeReader:
 
         Gap safety: a data-changing commit in the requested range that
         was written WITHOUT CDF emission (emit_cdf off, a multi-dataset
-        write, or history pruned past the cursor) raises ValueError —
+        overwrite, or history pruned past the cursor) raises ValueError —
         a row-level consumer must never silently miss changes; fall
         back to changes_since() and rebuild.  Zero-partition commits
         (compact / cdc-noop / no-match delete) changed no rows and are

@@ -163,11 +163,13 @@ class LakeWriter:
         Returns {sanitized_symbol: WriteResult}, same shape as calling
         write_ohlc per symbol.
 
-        Change-feed note: multi-dataset commits do not emit row-level
-        CDF (the merged job has no per-dataset changed-row split);
-        read_change_feed surfaces them as an explicit gap error rather
-        than a silent hole — use per-symbol write_ohlc on CDF-enabled
-        datasets.
+        Change-feed note: with `emit_cdf=True` the merged keep-last
+        window tags per-row changes (it already partitions by symbol),
+        ONE staging job splits the changed rows by symbol, and a rename
+        per dataset lands them as `_cdf/commit_version=N` — so
+        `read_change_feed` serves multi-written datasets gap-free.
+        mode="overwrite" with CDF still refuses loudly (per-dataset
+        delete pre-images need the per-symbol path).
 
         Cross-dataset visibility: the per-dataset finalizes are not one
         atomic step, so a plain reader between them could see symbol A's
@@ -229,9 +231,27 @@ class LakeWriter:
                 )
                 for k in keys  # sorted symbol order: deadlock-free
             ]
+            emit_cdf = self.emit_cdf
             if mode == "upsert":
-                merged = self._merge_keep_last_multi(batch, keys, ts_col, triples=triples)
-            elif mode in ("append", "overwrite"):
+                merged = self._merge_keep_last_multi(
+                    batch, keys, ts_col, triples=triples, tag_changes=emit_cdf
+                )
+            elif mode == "append":
+                merged = (
+                    batch.withColumn("_change_type", F.lit("insert"))
+                    if emit_cdf
+                    else batch
+                )
+            elif mode == "overwrite":
+                if emit_cdf:
+                    # overwrite CDF needs per-dataset delete pre-images
+                    # (_overwrite_tag_changes) — only the per-symbol path
+                    # computes them; refusing is the loud-gap contract
+                    raise ValueError(
+                        "write_ohlc_multi(mode='overwrite') cannot emit row-level "
+                        "CDF delete pre-images; use per-symbol write_ohlc on "
+                        "CDF-enabled datasets"
+                    )
                 merged = batch
             else:
                 raise ValueError(f"unknown write mode: {mode}")
@@ -258,7 +278,8 @@ class LakeWriter:
                     )
                     .collect()
                 }
-                out = merged.sortWithinPartitions(ts_col)
+                out = merged.drop("_change_type") if emit_cdf else merged
+                out = out.sortWithinPartitions(ts_col)
                 # ONE append job for every dataset; visibility switches
                 # per dataset when its pinned list finalizes below
                 (
@@ -267,8 +288,35 @@ class LakeWriter:
                     .mode("append")
                     .parquet(self.base_path)
                 )
+                if emit_cdf:
+                    # ONE staging job for every dataset's changed rows
+                    # (symbol preserved as a data column; `_sym` is the
+                    # split key the per-dataset renames consume below)
+                    (
+                        merged.where(F.col("_change_type").isNotNull())
+                        .withColumn("_sym", F.col("symbol"))
+                        .write.mode("overwrite")
+                        .option("compression", "snappy")
+                        .partitionBy("_sym")
+                        .parquet(f"{self.base_path}/_cdf_staging_{txid}")
+                    )
             finally:
                 merged.unpersist()
+            cdf_ok: set[str] = set()
+            if emit_cdf:
+                staging = f"{self.base_path}/_cdf_staging_{txid}"
+                for k, meta in zip(keys, metas):
+                    src = f"{staging}/_sym={k.symbol}"
+                    if not self.fs.exists(src):
+                        continue  # no changed rows for this dataset
+                    parent = self.cdf_path(k)
+                    self.fs.makedirs(parent)
+                    dst = f"{parent}/commit_version={meta['version']}"
+                    if self.fs.exists(dst):
+                        self.fs.rmtree(dst)  # version re-claimed after an abort
+                    self.fs.rename(src, dst)
+                    cdf_ok.add(k.symbol)
+                self.fs.rmtree(staging)
             new_live: dict[str, list[str]] = {}
             added_by_symbol: dict[str, list[str]] = {}
             for k in keys:
@@ -329,6 +377,8 @@ class LakeWriter:
                 fstats = stats_by_path.get(ds_paths[k.symbol])
                 if fstats:
                     meta["file_stats"] = fstats
+                if k.symbol in cdf_ok:
+                    meta["cdf"] = True  # read_change_feed's no-gap marker
                 res.files = new_live[k.symbol]
                 results[k.symbol] = res
                 manifest_rows.append(
@@ -884,12 +934,18 @@ class LakeWriter:
         keys: list[DatasetKey],
         ts_col: str,
         triples: list[tuple[str, int, int]] | None = None,
+        tag_changes: bool = False,
     ) -> DataFrame:
         """Multi-dataset keep-last merge: ONE read-back over every
         existing touched dataset subtree (still pruned to the batch's
         year/month partitions), one union, one window. The keep-last
         window partitions by symbol as well, so per-symbol precedence
-        is identical to N separate _merge_keep_last calls."""
+        is identical to N separate _merge_keep_last calls.
+
+        `tag_changes=True` (the CDF path) adds `_change_type` with the
+        same single-extra-aggregate mechanic as `_merge_keep_last` —
+        the window already partitions by symbol, so the tags are
+        per-dataset correct."""
         # per-dataset snapshot resolution: a pinned dataset contributes
         # exactly its live files (a raw subtree scan would merge in
         # tombstones and resurrect replaced/deleted rows); legacy
@@ -903,8 +959,15 @@ class LakeWriter:
                     srcs.append(p)
             else:
                 srcs.extend(f"{p}/{rel}" for rel in live)
+
+        def _all_inserts(b: DataFrame) -> DataFrame:
+            # nothing to merge against: every batch row is an insert
+            return (
+                b.withColumn("_change_type", F.lit("insert")) if tag_changes else b
+            )
+
         if not srcs:
-            return batch
+            return _all_inserts(batch)
         # Prune PER SYMBOL, not by the global month union: with a skewed
         # batch (one symbol touching many months, others one), a global
         # month predicate reads back and identically rewrites partitions
@@ -921,7 +984,7 @@ class LakeWriter:
                 for r in batch.select("symbol", "year", "month").distinct().collect()
             ]
         if not triples:
-            return batch
+            return _all_inserts(batch)
         if len(triples) <= 1024:
             pred = F.lit(False)
             for s, y, m in triples:
@@ -947,11 +1010,20 @@ class LakeWriter:
         w = Window.partitionBy("symbol", "data_type", "period", ts_col).orderBy(
             F.desc("_src")
         )
-        return (
-            unioned.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
+        ranked = unioned.withColumn("_rn", F.row_number().over(w))
+        if tag_changes:
+            wf = Window.partitionBy("symbol", "data_type", "period", ts_col)
+            ranked = ranked.withColumn(
+                "_had_old", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wf)
+            ).withColumn(
+                "_change_type",
+                F.when(
+                    (F.col("_src") == 1) & (F.col("_had_old") == 1),
+                    F.lit("update_postimage"),
+                ).when(F.col("_src") == 1, F.lit("insert")),
+            )
+            return ranked.where(F.col("_rn") == 1).drop("_rn", "_src", "_had_old")
+        return ranked.where(F.col("_rn") == 1).drop("_rn", "_src")
 
     def _read_existing(self, key: DatasetKey) -> DataFrame | None:
         """Scan ONLY this dataset's subtree: no whole-lake listing, no

@@ -1082,3 +1082,68 @@ def test_change_feed_replay_reconstructs_table_state(spark, tmp_path):
             replay[row["ts"]] = row["price"]
     table = {x["ts"]: x["price"] for x in r.read_dataset(key).collect()}
     assert replay == state == table
+
+
+def test_multi_write_emits_per_dataset_change_feed(spark, tmp_path):
+    """write_ohlc_multi with emit_cdf: the merged job's change tags are
+    split per symbol (one staging job + renames) so read_change_feed
+    serves each multi-written dataset gap-free; overwrite still refuses
+    loudly (no per-dataset delete pre-images on the multi path)."""
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "cdf_multi_lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    r = LakeReader(spark, base)
+    jan = 1672574400000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "symbol string, ts long, open double, high double, low double, "
+            "close double, volume double",
+        )
+
+    # v0: two symbols, two rows each
+    w.write_ohlc_multi(
+        mk([(s, jan + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0)
+            for s in ("AAA/USD", "BBB/USD") for i in range(2)]),
+        "binance", "spot",
+    )
+    # v1: update one row of AAA, insert one new row into BBB
+    w.write_ohlc_multi(
+        mk([("AAA/USD", jan, 9.0, 10.0, 8.5, 9.5, 10.0),
+            ("BBB/USD", jan + 120000, 1.0, 2.0, 0.5, 1.5, 10.0)]),
+        "binance", "spot",
+    )
+
+    ka = DatasetKey("BINANCE", "SPOT", "AAA_USD", "raw", "1m")
+    kb = DatasetKey("BINANCE", "SPOT", "BBB_USD", "raw", "1m")
+    feed_a, cur_a = r.read_change_feed(ka, after_version=-1)
+    got_a = {
+        (x["commit_version"], x["ts"]): (x["_change_type"], x["open"])
+        for x in feed_a.collect()
+    }
+    assert cur_a == 1
+    assert got_a == {
+        (0, jan): ("insert", 1.0),
+        (0, jan + 60000): ("insert", 1.0),
+        (1, jan): ("update_postimage", 9.0),
+    }
+    feed_b, cur_b = r.read_change_feed(kb, after_version=1)
+    assert (feed_b, cur_b) == (None, 1)  # caught up
+    feed_b_all, _ = r.read_change_feed(kb, after_version=0)
+    assert [
+        (x["_change_type"], x["ts"]) for x in feed_b_all.collect()
+    ] == [("insert", jan + 120000)]
+    # the feed rows keep the symbol as a data column
+    assert {x["symbol"] for x in feed_a.collect()} == {"AAA_USD"}
+
+    # overwrite + CDF on the multi path refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delete pre-images"):
+        w.write_ohlc_multi(
+            mk([("AAA/USD", jan, 1.0, 2.0, 0.5, 1.5, 10.0)]),
+            "binance", "spot", mode="overwrite",
+        )

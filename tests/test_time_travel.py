@@ -86,3 +86,19 @@ def test_client_time_travel_surface(spark, tmp_path):
     assert client.read_ohlc_at("BINANCE", "BTC_USDT", 0).count() == 4
     assert client.read_ohlc_at("BINANCE", "BTC_USDT", 1).count() == 6
     assert [h["version"] for h in client.dataset_history("BINANCE", "BTC_USDT")] == [0, 1]
+
+
+def test_vacuumed_snapshot_raises_loudly(lake, spark):
+    """A version whose tombstoned files were reclaimed by vacuum must
+    raise a clear error, never FILE_NOT_EXIST mid-scan."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 4), KEY)                 # v0
+    writer.write_ohlc(_candles(spark, 4, price=9.0), KEY)      # v1 rewrites month
+    assert reader.read_dataset_at(KEY, 0).count() == 4         # tombstones intact
+    vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=False)
+    with pytest.raises(ValueError, match="vacuum"):
+        reader.read_dataset_at(KEY, 0)
+    # the head is untouched
+    assert reader.read_dataset_at(KEY, 1).count() == 4
