@@ -326,20 +326,39 @@ def compact(
             # files, which don't exist in the rewritten tree — a reader
             # resolving it would die on the first scan
             compacted_files = list_data_files(fs, f"{out}/{rel}")
+            # fresh data-skipping stats for the rewritten files: without
+            # them every post-compaction bounded read would scan the
+            # whole dataset again (compacted files are exactly the ones
+            # a deployment reads most) — one ts-only scan of the rewrite
+            fstats = {}
+            if compacted_files and ds in data_datasets:
+                from dl_datalake_spark.lake.snapshot import added_file_stats
+
+                try:
+                    fstats = added_file_stats(
+                        spark, {f"{out}/{rel}": compacted_files}
+                    ).get(f"{out}/{rel}", {})
+                except Exception:
+                    fstats = {}  # non-ts dataset: skipping stays disabled
             if in_place:
                 # rides the held transaction: finalizes (after the swap)
                 # as this dataset's compact commit in the swapped-in tree
                 metas[ds]["files"] = compacted_files
+                if fstats:
+                    metas[ds]["file_stats"] = fstats
             else:
                 # exported tree: its copied log is live-claim-free
                 # (committed_only), so pin via a fresh commit inside it
+                payload = {
+                    "mode": "compact",
+                    "partitions": [],
+                    "files": compacted_files,
+                }
+                if fstats:
+                    payload["file_stats"] = fstats
                 with CommitLog(f"{out}/{rel}", fs=fs).transaction(
                     timeout=commit_timeout_s,
-                    payload={
-                        "mode": "compact",
-                        "partitions": [],
-                        "files": compacted_files,
-                    },
+                    payload=payload,
                 ):
                     pass
         if not in_place:

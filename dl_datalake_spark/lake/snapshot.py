@@ -82,6 +82,37 @@ def resolve_live_files(fs: Filesystem, dataset_path: str) -> list[str] | None:
     return log.latest_files()
 
 
+def added_file_stats(
+    spark, added_by_path: dict[str, list[str]], ts_col: str = "ts"
+) -> dict[str, dict[str, list]]:
+    """Per-file [min_ts, max_ts] for freshly written files, across many
+    datasets in ONE Spark job — the data-skipping stats a commit records
+    so time-bounded reads can drop non-overlapping files before the scan
+    (`LakeReader._scan_paths`).  One ts-column-only scan of exactly the
+    named files: cost ∝ the batch, never the dataset.  Returns
+    {dataset path: {rel path: [min_ts, max_ts]}}."""
+    from pyspark.sql import functions as F
+
+    pairs = [(p, f) for p, fs_ in added_by_path.items() for f in fs_]
+    if not pairs:
+        return {}
+    rows = (
+        spark.read.parquet(*[f"{p}/{f}" for p, f in pairs])
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"))
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        # file_path is an absolute URI; dynamic-partition jobs reuse one
+        # basename across partition dirs, so match the full dataset-dir +
+        # relative suffix, never the name alone
+        hit = next(((p, f) for p, f in pairs if r["fp"].endswith(f"{p}/{f}")), None)
+        if hit is not None:
+            out.setdefault(hit[0], {})[hit[1]] = [r["t0"], r["t1"]]
+    return out
+
+
 def partition_of(rel_path: str) -> tuple[int | None, int | None]:
     """(year, month) encoded in a relative file path's Hive dirs —
     (None, None) for files outside the partition layout."""

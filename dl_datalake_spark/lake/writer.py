@@ -35,6 +35,7 @@ from dl_datalake_spark.lake.fs import Filesystem, get_fs, has_visible_children
 from dl_datalake_spark.lake.manifest import ManifestManager
 from dl_datalake_spark.lake.paths import PARTITION_COLS, DatasetKey
 from dl_datalake_spark.lake.snapshot import (
+    added_file_stats,
     list_data_files,
     partition_of,
     resolve_live_files,
@@ -783,28 +784,7 @@ class LakeWriter:
         """`_added_file_stats` across many datasets in ONE Spark job
         (write_ohlc_multi's contract: 1,000 symbols must not mean 1,000
         jobs).  Returns {dataset path: {rel path: [min_ts, max_ts]}}."""
-        pairs = [
-            (p, f) for p, fs_ in added_by_path.items() for f in fs_
-        ]
-        if not pairs:
-            return {}
-        rows = (
-            self.spark.read.parquet(*[f"{p}/{f}" for p, f in pairs])
-            .groupBy(F.col("_metadata.file_path").alias("fp"))
-            .agg(F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"))
-            .collect()
-        )
-        out: dict[str, dict[str, list[int]]] = {}
-        for r in rows:
-            # file_path is an absolute URI; dynamic-partition jobs reuse
-            # one basename across partition dirs, so match the full
-            # dataset-dir + relative suffix, never the name alone
-            hit = next(
-                ((p, f) for p, f in pairs if r["fp"].endswith(f"{p}/{f}")), None
-            )
-            if hit is not None:
-                out.setdefault(hit[0], {})[hit[1]] = [r["t0"], r["t1"]]
-        return out
+        return added_file_stats(self.spark, added_by_path, ts_col)
 
     def _merge_keep_last(
         self, batch: DataFrame, key: DatasetKey, ts_col: str, tag_changes: bool = False

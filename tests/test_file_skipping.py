@@ -118,3 +118,25 @@ def test_multi_write_and_delete_record_stats_too(lake, spark):
     assert fresh
     for t0, t1 in fresh.values():
         assert JAN1 <= t0 <= t1 <= JAN1 + 2 * 60000
+
+
+def test_compaction_refreshes_skipping_stats(lake, spark):
+    """Compacted (rewritten) files must carry fresh ts stats or every
+    post-compaction bounded read would scan the whole dataset again."""
+    from dl_datalake_spark.lake.maintenance import compact
+
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 10, JAN1), KEY)
+    writer.write_ohlc(_candles(spark, 10, FEB1), KEY)
+    compact(spark, writer.base_path, in_place=True)
+
+    log = writer.commit_log(KEY)
+    live = set(log.latest_files())
+    stats = log.file_stats()
+    assert live and live <= set(stats)  # every compacted file has stats
+    jan = reader.read_range(
+        "BINANCE", "BTC_USDT", start_date="2023-01-01", end_date="2023-01-02"
+    )
+    assert jan.count() == 10
+    assert 0 < len(jan.inputFiles()) < len(live)
+    assert all("month=1" in f for f in jan.inputFiles())
