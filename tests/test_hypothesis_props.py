@@ -597,3 +597,52 @@ def test_shifted_ratio_handles_negative_means(spark, vals):
         .collect()[0]["r"]
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# delta-encoded pinned listings: fold == reference model under any history
+# ---------------------------------------------------------------------------
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 30), max_size=4),  # file ids added
+            st.lists(st.integers(0, 30), max_size=4),  # file ids removed
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    prune_at=st.one_of(st.none(), st.integers(1, 20)),
+    keep_last=st.integers(1, 8),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_delta_listing_fold_matches_reference_model(tmp_path_factory, ops, prune_at, keep_last):
+    """Any sequence of full-list commits (the writer always hands in the
+    complete list; CommitLog delta-encodes opportunistically) must
+    resolve — at head and at every retained historical cut — to exactly
+    the list the writer handed in, including across a prune that must
+    respect the fold anchor."""
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    base = tmp_path_factory.mktemp("dlog")
+    log = CommitLog(str(base / "ds"))
+    live: set[int] = set()
+    expected: list[list[str]] = []  # per-version full listing
+    pruned_versions: set[int] = set()
+    for i, (add, rem) in enumerate(ops):
+        live = (live - set(rem)) | set(add)
+        files = sorted(f"year=2023/month=1/f{x}.parquet" for x in live)
+        with log.transaction(payload={"mode": "t"}) as meta:
+            meta.update(files=files, partitions=[[2023, 1]])
+        expected.append(files)
+        if prune_at is not None and i == prune_at:
+            before = set(log._entries())
+            log.prune(keep_last=keep_last)
+            pruned_versions = before - set(log._entries())
+
+    assert log.latest_files() == expected[-1]
+    horizon = max(pruned_versions, default=-1)  # prune drops a version prefix
+    for v, files in enumerate(expected):
+        got = log.files_at(v)
+        # NEVER a wrong list — unknowable (None) is allowed only for
+        # cuts at/below the pruned horizon
+        assert got == files or (got is None and v <= horizon), (v, got, files)
