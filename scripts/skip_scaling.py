@@ -1,0 +1,99 @@
+"""Measured evidence for per-file ts-stat skipping (round 7).
+
+Builds a 24-month OHLC dataset via 24 monthly commits (the natural
+ingest cadence — each commit's files carry their [min_ts, max_ts]
+stats), then times a one-week bounded `read_range` against the same
+read with the skipping index stripped (stats removed from the commit
+log, partition layout and files identical).  Reports wall time, files
+entering the plan, and bytes scanned per the Spark status store.
+
+Usage: python scripts/skip_scaling.py [rows_per_month]
+Prints one JSON line + a markdown table (PLANS.md carries the copy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _input_bytes(spark) -> int:
+    store = spark._jsparkSession.sparkContext().statusStore()
+    empty = spark._jvm.java.util.ArrayList()
+    args = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *args)
+    return sum(stages.apply(i).inputBytes() for i in range(stages.size()))
+
+
+def main() -> None:
+    rows_per_month = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.session import get_spark
+
+    spark = get_spark("skip-scaling")
+    key = DatasetKey("SIM", "SPOT", "SKIP", "raw", "1m")
+    base = tempfile.mkdtemp(prefix="skip_scale_")
+    try:
+        w = LakeWriter(spark, base)
+        month_ms = 30 * 86400_000
+        t0 = 1672531200000  # 2023-01-01
+        for m in range(24):
+            start = t0 + m * month_ms
+            df = spark.range(rows_per_month).select(
+                (F.lit(start) + F.col("id") * (month_ms // rows_per_month))
+                .cast("long").alias("ts"),
+                F.rand(seed=m).alias("open"), F.rand(seed=m + 1).alias("high"),
+                F.rand(seed=m + 2).alias("low"), F.rand(seed=m + 3).alias("close"),
+                F.rand(seed=m + 4).alias("volume"),
+            )
+            w.write_ohlc(df, key, mode="append")
+        r = LakeReader(spark, base)
+        log = w.commit_log(key)
+        n_live = len(log.latest_files())
+
+        def timed_read():
+            df = r.read_range("SIM", "SKIP", start_date="2023-06-01", end_date="2023-06-08")
+            b0 = _input_bytes(spark)
+            t = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t, _input_bytes(spark) - b0, len(df.inputFiles())
+
+        timed_read()  # warm
+        s_skip, b_skip, f_skip = timed_read()
+
+        # strip the skipping index in place: same files, same partitions
+        for v in log._entries():
+            p = f"{log.log_dir}/{v:020d}.json"
+            e = json.loads(open(p).read())
+            if e.pop("file_stats", None) is not None:
+                open(p, "w").write(json.dumps(e))
+        timed_read()  # warm
+        s_full, b_full, f_full = timed_read()
+
+        out = {
+            "live_files": n_live,
+            "skip": {"s": round(s_skip, 3), "mb_in": round(b_skip / 1e6, 1), "files": f_skip},
+            "no_skip": {"s": round(s_full, 3), "mb_in": round(b_full / 1e6, 1), "files": f_full},
+        }
+        print(json.dumps(out))
+        print("| variant | files in plan | input MB | wall s |")
+        print("|---|---|---|---|")
+        print(f"| stats skipping | {f_skip} / {n_live} | {out['skip']['mb_in']} | {s_skip:.2f} |")
+        print(f"| stats stripped | {f_full} / {n_live} | {out['no_skip']['mb_in']} | {s_full:.2f} |")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
