@@ -176,6 +176,21 @@ class LakeReader:
             df = df.where(ts >= lo)
         if hi is not None:
             df = df.where(ts <= hi)
+        # Catalyst cannot translate a raw ts bound into year=/month=
+        # partition predicates, so Hive-layout pruning never fires for
+        # time-range reads on its own — derive the month window here
+        # (linearized year*12+month, widened ±1 month in case the
+        # writing session's timezone differed from UTC). This is the
+        # only file-level pruning a LEGACY dataset (no commit stats)
+        # gets; for pinned datasets it stacks under the stats skipping.
+        if {"year", "month"} <= set(df.columns):
+            lin = F.col("year") * 12 + F.col("month")
+            if lo is not None:
+                d = datetime.fromtimestamp(lo / 1000, tz=timezone.utc)
+                df = df.where(lin >= d.year * 12 + d.month - 1)
+            if hi is not None:
+                d = datetime.fromtimestamp(hi / 1000, tz=timezone.utc)
+                df = df.where(lin <= d.year * 12 + d.month + 1)
         return df.orderBy("ts")
 
     def read_dataset(self, key: DatasetKey) -> DataFrame:

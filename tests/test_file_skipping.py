@@ -140,3 +140,27 @@ def test_compaction_refreshes_skipping_stats(lake, spark):
     assert jan.count() == 10
     assert 0 < len(jan.inputFiles()) < len(live)
     assert all("month=1" in f for f in jan.inputFiles())
+
+
+def test_legacy_dataset_gets_partition_pruning_from_ts_bounds(lake, spark):
+    """A dataset with no commit stats (stripped) must still prune month
+    partitions on a bounded read via the derived year/month predicate —
+    Catalyst never derives it from a raw ts bound on its own."""
+    import json
+
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 10, JAN1), KEY)
+    writer.write_ohlc(_candles(spark, 10, FEB1), KEY)
+    log = writer.commit_log(KEY)
+    for v in log._entries():
+        p = f"{log.log_dir}/{v:020d}.json"
+        e = json.loads(open(p).read())
+        e.pop("file_stats", None)
+        open(p, "w").write(json.dumps(e))
+    jan = reader.read_range(
+        "BINANCE", "BTC_USDT", start_date="2023-01-01", end_date="2023-01-02"
+    )
+    assert jan.count() == 10
+    plan = jan._jdf.queryExecution().executedPlan().toString()
+    # the month window reached the scan as a partition filter
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1][:400]
