@@ -74,7 +74,27 @@ def read_pruned(
     srcs: list[str] = []
     for p in paths:
         live = resolve_live_files(fs, p)
-        srcs.extend([p] if live is None else [f"{p}/{rel}" for rel in live])
+        if live is None:
+            srcs.append(p)
+            continue
+        if live and (time_from is not None or time_to is not None):
+            # commit-stats file skipping, same rules as
+            # LakeReader._scan_paths: unknown stats are scanned
+            from dl_datalake_spark.lake.commitlog import CommitLog
+
+            stats = CommitLog(p, fs=fs).file_stats()
+            live = [
+                rel
+                for rel in live
+                if (s := stats.get(rel)) is None
+                or s[0] is None
+                or s[1] is None
+                or (
+                    (time_to is None or s[0] <= time_to)
+                    and (time_from is None or s[1] >= time_from)
+                )
+            ]
+        srcs.extend(f"{p}/{rel}" for rel in live)
     if not srcs:
         return None
     df = spark.read.option("basePath", _base_of(paths)).parquet(*srcs)

@@ -164,3 +164,18 @@ def test_legacy_dataset_gets_partition_pruning_from_ts_bounds(lake, spark):
     plan = jan._jdf.queryExecution().executedPlan().toString()
     # the month window reached the scan as a partition filter
     assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_read_window_manifest_path_skips_files_too(lake, spark):
+    """The manifest-pruned cross-dataset read (client.read_window /
+    plans.read_pruned) applies the same commit-stats file skipping."""
+    from dl_datalake_spark.plans import read_pruned
+
+    writer, _, manifest = lake
+    writer.write_ohlc(_candles(spark, 10, JAN1), KEY)
+    writer.write_ohlc(_candles(spark, 10, FEB1), KEY)
+    total = len(writer.commit_log(KEY).latest_files())
+    df = read_pruned(spark, manifest, time_from=JAN1, time_to=JAN1 + 86400_000)
+    assert df is not None and df.count() == 10
+    assert 0 < len(df.inputFiles()) < total
+    assert all("month=1" in f for f in df.inputFiles())
