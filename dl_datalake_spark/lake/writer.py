@@ -282,7 +282,14 @@ class LakeWriter:
                 out = merged.drop("_change_type") if emit_cdf else merged
                 out = out.sortWithinPartitions(ts_col)
                 # ONE append job for every dataset; visibility switches
-                # per dataset when its pinned list finalizes below
+                # per dataset when its pinned list finalizes below.
+                # Residual exposure: this one job stages under the shared
+                # `<base>/_temporary/0/` — TWO multi-writes on disjoint
+                # symbol sets running concurrently can still collide
+                # there (single-dataset writes stage per-dataset and are
+                # immune; overlapping multi-writes serialize on their
+                # shared commit logs). Concurrent disjoint multi-writers
+                # should be one multi-write — that is this API's point.
                 (
                     out.write.partitionBy(*PARTITION_COLS)
                     .option("compression", "snappy")
@@ -520,12 +527,18 @@ class LakeWriter:
                 try:
                     kept_any = kept.limit(1).count() > 0
                     if kept_any:
+                        # per-dataset staging, same shared-_temporary
+                        # rationale as _write_locked's data write
                         (
                             kept.sortWithinPartitions("ts")
-                            .write.partitionBy(*PARTITION_COLS)
+                            .drop(
+                                "exchange", "market", "symbol",
+                                "data_type", "period",
+                            )
+                            .write.partitionBy("year", "month")
                             .option("compression", "snappy")
                             .mode("append")
-                            .parquet(self.base_path)
+                            .parquet(path)
                         )
                 finally:
                     kept.unpersist()
@@ -713,7 +726,21 @@ class LakeWriter:
         out = data_rows.sortWithinPartitions(ts_col)
         if emit_cdf:
             out = out.drop("_change_type")
-        writer = out.write.partitionBy(*PARTITION_COLS).option("compression", "snappy")
+        # Write INTO the dataset directory (year/month partitioning only;
+        # the dataset coordinates are already encoded by the directory
+        # itself and are re-inferred by every basePath read).  Writing to
+        # base_path would put every concurrent job's staging under ONE
+        # shared `<base>/_temporary/0/` — Hadoop's FileOutputCommitter
+        # deletes that tree when the first job commits, killing any other
+        # in-flight writer (observed: concurrent two-symbol ingest).
+        # Per-dataset staging makes concurrent writes to DIFFERENT
+        # datasets collision-free; same-dataset writers already serialize
+        # through the commit log.
+        writer = (
+            out.drop("exchange", "market", "symbol", "data_type", "period")
+            .write.partitionBy("year", "month")
+            .option("compression", "snappy")
+        )
         # MVCC write protocol (lake/snapshot.py): ALWAYS append — data
         # files are immutable, uniquely named, never replaced in place.
         # The commit's pinned `files` list defines visibility: upsert/
@@ -725,7 +752,7 @@ class LakeWriter:
         pre_live = resolve_live_files(self.fs, ds_path)
         on_disk = set(list_data_files(self.fs, ds_path))
         try:
-            writer.mode("append").parquet(self.base_path)
+            writer.mode("append").parquet(ds_path)
         finally:
             merged.unpersist()
         added = [f for f in list_data_files(self.fs, ds_path) if f not in on_disk]
