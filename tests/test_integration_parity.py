@@ -203,3 +203,39 @@ def test_full_lake_lifecycle(spark, tmp_path):
     past = client.manifest.load_at(t_full)
     assert past.count() == n_entries_full
     assert past.where("symbol = 'ETHUSDT'").count() >= 1
+
+
+def test_concurrent_ingest_four_symbols_disjoint_staging(spark, tmp_path):
+    """Pins the shared-_temporary fix: four concurrent single-dataset
+    ingests (disjoint datasets, one lake) must all land — before the
+    per-dataset staging change, Hadoop's committer cleanup on the first
+    finishing job could delete an in-flight peer's task files under the
+    shared <base>/_temporary/0/ tree."""
+    client = DataLakeClient(spark, str(tmp_path / "lake4"))
+    syms = ["AAAUSDT", "BBBUSDT", "CCCUSDT", "DDDUSDT"]
+    csvs = {s: _csv(tmp_path, f"{s}.csv", 40 + i) for i, s in enumerate(syms)}
+
+    mgr = DownloadManager(connector_factory=lambda ex: client, per_exchange=8)
+    tasks = {
+        s: mgr.submit(
+            "binance", s,
+            lambda c, path=csvs[s], sym=s: c.ingest_csv(path, "binance", "spot", sym).rows,
+        )
+        for s in syms
+    }
+    for s, t in tasks.items():
+        assert t.wait(180), s
+        assert t.status == "completed", (s, t.error)
+    mgr.shutdown()
+    for i, s in enumerate(syms):
+        assert client.read_ohlc("binance", s).count() == 40 + i
+        # and no stray staging left behind in any dataset dir
+    import os
+
+    leftovers = [
+        os.path.join(r, d)
+        for r, dirs, _ in os.walk(str(tmp_path / "lake4"))
+        for d in dirs
+        if d == "_temporary"
+    ]
+    assert leftovers == [], leftovers
