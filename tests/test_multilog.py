@@ -216,3 +216,69 @@ def test_multilog_prune_drops_only_ttl_expired(lake, spark):
     assert len(ml.records()) == 1
     assert ml.prune(keep_last=0, ttl_s=0.0) == 1
     assert ml.records() == []
+
+
+def test_consistent_cut_chains_through_overlapping_multi_commits(lake, spark):
+    """Fixpoint case: excluding an in-flight multi-commit M {A:2, C:1}
+    lowers A below a FULLY COMMITTED later multi-commit M' {A:3, B:1},
+    which must then be excluded as a whole too (its B side drops) — the
+    cut lands before both, never inside either."""
+    writer, reader, _ = lake
+    kc = DatasetKey("BINANCE", "SPOT", "CCC_USD", "raw", "1m")
+
+    def one(sym, price=1.0, n=1):
+        rows = [
+            (sym, 1672574400000 + i * 60000, price, price + 1, price - 0.5,
+             price + 0.5, 10.0)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "symbol string, ts long, open double, high double, low double, "
+            "close double, volume double",
+        )
+
+    # A: v0, v1 singles; B: v0; C: v0 (via per-symbol writes)
+    writer.write_ohlc(one("AAA/USD").drop("symbol"), KEY_A)
+    writer.write_ohlc(one("AAA/USD", price=2.0, n=2).drop("symbol"), KEY_A)
+    writer.write_ohlc(one("BBB/USD").drop("symbol"), KEY_B)
+    writer.write_ohlc(one("CCC/USD").drop("symbol"), kc)
+
+    ml = MultiCommitLog(writer.base_path)
+    rel = dataset_rel_path
+    log_a, log_b, log_c = (writer.commit_log(k) for k in (KEY_A, KEY_B, kc))
+
+    # M: claims A:2 and C:1, finalizes A ONLY (C stays in-flight)
+    tx_m = "m1chain!" * 4
+    ctx_a2 = log_a.transaction(payload={"mode": "upsert", "multi": True, "txid": tx_m})
+    meta_a2 = ctx_a2.__enter__()
+    ctx_c1 = log_c.transaction(payload={"mode": "upsert", "multi": True, "txid": tx_m})
+    meta_c1 = ctx_c1.__enter__()
+    assert (meta_a2["version"], meta_c1["version"]) == (2, 1)
+    ml.begin({rel(KEY_A): 2, rel(kc): 1}, txid=tx_m)
+    meta_a2.update(partitions=[], files=log_a.latest_files())
+    ctx_a2.__exit__(None, None, None)  # A:2 committed; C:1 in-flight
+
+    # M': claims A:3 and B:1, fully commits
+    tx_mp = "m2chain!" * 4
+    ctx_a3 = log_a.transaction(payload={"mode": "upsert", "multi": True, "txid": tx_mp})
+    meta_a3 = ctx_a3.__enter__()
+    ctx_b1 = log_b.transaction(payload={"mode": "upsert", "multi": True, "txid": tx_mp})
+    meta_b1 = ctx_b1.__enter__()
+    assert (meta_a3["version"], meta_b1["version"]) == (3, 1)
+    ml.begin({rel(KEY_A): 3, rel(KEY_B): 1}, txid=tx_mp)
+    meta_a3.update(partitions=[], files=log_a.latest_files())
+    meta_b1.update(partitions=[], files=log_b.latest_files())
+    ctx_a3.__exit__(None, None, None)
+    ctx_b1.__exit__(None, None, None)
+    ml.commit(tx_mp)
+
+    cut = reader.consistent_cut([KEY_A, KEY_B, kc])
+    assert cut == {rel(KEY_A): 1, rel(KEY_B): 0, rel(kc): 0}, cut
+
+    # clean up C's in-flight claim so the fixture tears down quietly
+    meta_c1.update(partitions=[], files=log_c.latest_files())
+    ctx_c1.__exit__(None, None, None)
+    ml.commit(tx_m)
+    cut2 = reader.consistent_cut([KEY_A, KEY_B, kc])
+    assert cut2 == {rel(KEY_A): 3, rel(KEY_B): 1, rel(kc): 1}, cut2
