@@ -448,12 +448,20 @@ def vacuum_tombstones(
     leaves them on disk as TOMBSTONES so a concurrent reader pinned to
     an earlier commit keeps every file its plan references. This sweep
     removes, per dataset with a pinned list, every visible data file
-    that is (a) absent from the CURRENT live list and (b) older than
-    `retention_s` (default 7 days, Delta's default horizon) — the
-    window inside which an in-flight query might still scan it. Month/
-    year partition dirs emptied by the sweep are pruned. Datasets
-    without a pinned list (legacy) are untouched: their directory
-    contents ARE their live state.
+    that is (a) absent from the CURRENT live list and (b) SUPERSEDED
+    more than `retention_s` ago (default 7 days, Delta's default
+    horizon) — the window inside which an in-flight query might still
+    scan it. Supersession time is derived from the commit history (the
+    `committed_at` of the entry whose `files_remove` / checkpoint diff
+    dropped the file — Delta's remove-action deletionTimestamp), NOT
+    from the file's mtime: a year-old file that an upsert tombstoned
+    seconds ago is still inside the horizon, so a reader pinned to the
+    previous commit (or `read_dataset_at` on a recent version) never
+    loses files mid-scan. Files with no recorded removal commit
+    (history pruned past their supersession, or written by an external
+    tool) fall back to mtime age. Month/year partition dirs emptied by
+    the sweep are pruned. Datasets without a pinned list (legacy) are
+    untouched: their directory contents ARE their live state.
 
     dry_run=True (default) reports without deleting. Returns
     {"removed": [...], "retained": [...]} (retained = tombstones still
@@ -461,7 +469,34 @@ def vacuum_tombstones(
     """
     import time as _time
 
-    from dl_datalake_spark.lake.commitlog import LOG_DIR
+    from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
+
+    def _supersession_times(dataset: str) -> dict[str, float]:
+        """rel path -> committed_at of the newest retained commit that
+        dropped it from the live listing. Replays the delta-encoded
+        chain oldest-first (checkpoint = set-diff vs the running set;
+        delta = its explicit files_remove/files_add); a later re-add
+        clears the removal. Entries with no listing info (untrusted
+        barriers) contribute nothing — their casualties age by mtime."""
+        out: dict[str, float] = {}
+        cur: set[str] = set()
+        for e in CommitLog(dataset, fs=fs).history():
+            at = float(e.get("committed_at") or 0.0)
+            if "files" in e:
+                new = set(e["files"])
+                for rel in cur - new:
+                    out[rel] = at
+                for rel in new:
+                    out.pop(rel, None)
+                cur = new
+                continue
+            for rel in e.get("files_remove") or []:
+                out[rel] = at
+                cur.discard(rel)
+            for rel in e.get("files_add") or []:
+                out.pop(rel, None)
+                cur.add(rel)
+        return out
 
     fs = fs if fs is not None else get_fs(base_path, spark)
     base = base_path.rstrip("/")
@@ -480,14 +515,19 @@ def vacuum_tombstones(
         if live is None:
             continue
         live_set = set(live)
+        superseded_at = _supersession_times(ds)
         for rel in list_data_files(fs, ds):
             if rel in live_set:
                 continue
             full = f"{ds}/{rel}"
-            try:
-                age = now - fs.getmtime(full)
-            except OSError:
-                continue  # raced with another sweep
+            dropped = superseded_at.get(rel)
+            if dropped is not None:
+                age = now - dropped
+            else:
+                try:
+                    age = now - fs.getmtime(full)
+                except OSError:
+                    continue  # raced with another sweep
             if age < retention_s:
                 retained.append(full)
                 continue

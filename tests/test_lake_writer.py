@@ -537,6 +537,49 @@ def test_delete_where_emptied_partition_vanishes_from_snapshot_then_vacuum(lake,
     assert reader.read_dataset(key).count() == 0  # snapshot unchanged
 
 
+def test_vacuum_ages_tombstones_by_supersession_not_mtime(lake, spark):
+    """ADVICE r7 (high): retention must run from the moment a file was
+    SUPERSEDED (the committing entry's committed_at), not from when it
+    was written. Rewriting an old month is the common case: the
+    replaced file's mtime is ancient, but a reader pinned to the
+    previous commit may still be scanning it — so a just-tombstoned
+    old file must sit inside the retention horizon."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    writer, reader, _ = lake
+    jan = 1672574400000
+    df = spark.createDataFrame([(jan, 1.0), (jan + 60_000, 2.0)], "ts long, price double")
+    writer.write_ticks(df, KEY)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    ds = writer.dataset_path(key)
+    # backdate every data file: written "a year ago"
+    old = 1.0e9  # 2001
+    for root, _dirs, names in os.walk(ds):
+        for n in names:
+            if n.endswith(".parquet"):
+                os.utime(os.path.join(root, n), (old, old))
+    # supersede the old files NOW (upsert rewrites the january partition)
+    up = spark.createDataFrame([(jan, 9.0)], "ts long, price double")
+    writer.write_ticks(up, key, mode="upsert")
+    # a 1h horizon must RETAIN the just-superseded (but mtime-ancient) files
+    rep = vacuum_tombstones(spark, writer.base_path, retention_s=3600.0, dry_run=False)
+    assert rep["removed"] == []
+    assert len(rep["retained"]) >= 1
+    # the pinned previous snapshot is still fully readable (time travel)
+    assert reader.read_dataset_at(key, writer.commit_log(key).latest_version() - 1).count() == 2
+    # an untracked orphan (no commit ever removed it) still ages by mtime
+    orphan = os.path.join(ds, "year=2023", "month=1", "orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1")
+    os.utime(orphan, (old, old))
+    rep2 = vacuum_tombstones(spark, writer.base_path, retention_s=3600.0, dry_run=True)
+    assert any(p.endswith("orphan.parquet") for p in rep2["removed"])
+    os.remove(orphan)
+    # past the horizon the superseded files are reclaimed as before
+    rep3 = vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=False)
+    assert len(rep3["removed"]) >= 1
+
+
 def test_reader_snapshot_isolation_under_concurrent_writes(lake, spark):
     """VERDICT r6 #2 'done' criterion: reads looping concurrently with
     upsert + delete_where rewrites never see a torn partition set (a
