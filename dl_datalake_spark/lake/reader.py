@@ -296,18 +296,29 @@ class LakeReader:
                 touched = {
                     r: int(v) for r, v in rec["datasets"].items() if r in mine
                 }
-                entries = {
-                    r: logs[r].committed_entry(v) for r, v in touched.items()
-                }
-                if any(
-                    e is not None and e.get("txid") != rec.get("txid")
-                    for e in entries.values()
-                ):
-                    continue  # a slot was usurped: record is dead, no constraint
-                visible = {
-                    r: cut[r] >= v and entries[r] is not None
-                    for r, v in touched.items()
-                }
+                if rec.get("status") == "committed":
+                    # the writer flips to committed only AFTER every
+                    # per-dataset finalize — every claimed slot IS this
+                    # txid's, even when commit-log prune (keep_last) has
+                    # since dropped the entry file. Requiring
+                    # committed_entry here would mark busy datasets
+                    # (>keep_last commits inside the record's TTL)
+                    # "partially visible" and drag the cut below retained
+                    # history into the live-scan fallback (ADVICE r7).
+                    visible = {r: cut[r] >= v for r, v in touched.items()}
+                else:
+                    entries = {
+                        r: logs[r].committed_entry(v) for r, v in touched.items()
+                    }
+                    if any(
+                        e is not None and e.get("txid") != rec.get("txid")
+                        for e in entries.values()
+                    ):
+                        continue  # a slot was usurped: record is dead, no constraint
+                    visible = {
+                        r: cut[r] >= v and entries[r] is not None
+                        for r, v in touched.items()
+                    }
                 if all(visible.values()) or not any(visible.values()):
                     continue  # cut is entirely after or entirely before the record
                 if ml.is_stale(rec) and rec.get("status") != "committed":

@@ -282,3 +282,36 @@ def test_consistent_cut_chains_through_overlapping_multi_commits(lake, spark):
     ml.commit(tx_m)
     cut2 = reader.consistent_cut([KEY_A, KEY_B, kc])
     assert cut2 == {rel(KEY_A): 3, rel(KEY_B): 1, rel(kc): 1}, cut2
+
+
+def test_committed_record_with_pruned_versions_keeps_full_cut(lake, spark):
+    """ADVICE r7 (medium): a busy dataset accumulates >keep_last commits
+    after a committed multi-write; pruning its commit log drops the
+    claimed slot's entry file. The record's `committed` status alone
+    proves every claimed slot was finalized by its txid (the writer
+    flips only after all finalizes), so the cut must stay at the latest
+    versions — NOT sink below retained history into empty/live reads."""
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    log_a = writer.commit_log(KEY_A)
+    assert log_a.latest_version() == 0
+
+    # 12 more single-dataset commits on A (past the 10-version
+    # checkpoint so prune can actually drop version 0's entry)
+    jan = 1672574400000
+    for i in range(12):
+        df = spark.createDataFrame(
+            [(jan + (100 + i) * 60000, 1.0, 2.0, 0.5, 1.5, 10.0)],
+            "ts long, open double, high double, low double, close double, volume double",
+        )
+        writer.write_ohlc(df, KEY_A)
+    assert log_a.latest_version() == 12
+    log_a.prune(keep_last=2)
+    assert log_a.committed_entry(0) is None  # the multi-claimed slot is gone
+
+    cut = reader.consistent_cut([KEY_A, KEY_B])
+    assert cut == {rel_a: 12, rel_b: 0}, cut
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 2 + 12
+    assert dfs["BBB_USD"].count() == 2
