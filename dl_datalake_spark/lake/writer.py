@@ -283,19 +283,34 @@ class LakeWriter:
                 out = out.sortWithinPartitions(ts_col)
                 # ONE append job for every dataset; visibility switches
                 # per dataset when its pinned list finalizes below.
-                # Residual exposure: this one job stages under the shared
-                # `<base>/_temporary/0/` — TWO multi-writes on disjoint
-                # symbol sets running concurrently can still collide
-                # there (single-dataset writes stage per-dataset and are
-                # immune; overlapping multi-writes serialize on their
-                # shared commit logs). Concurrent disjoint multi-writers
-                # should be one multi-write — that is this API's point.
+                # The job stages under a PER-TXID directory and the files
+                # are then moved into their final partition dirs — two
+                # multi-writes on disjoint symbol sets never share a
+                # `_temporary/0/` tree, so neither's FileOutputCommitter
+                # cleanup can clobber the other's in-flight staging (the
+                # same fix the single-dataset path and the CDF split
+                # already use; overlapping multi-writes still serialize
+                # on their shared commit logs). A crash between move and
+                # finalize leaves invisible files (absent from every
+                # pinned list) that vacuum reclaims — identical exposure
+                # to a crashed direct append.
+                staging_data = f"{self.base_path}/_staging_multi_{txid}"
                 (
                     out.write.partitionBy(*PARTITION_COLS)
                     .option("compression", "snappy")
                     .mode("append")
-                    .parquet(self.base_path)
+                    .parquet(staging_data)
                 )
+                for s_root, s_name in list(self.fs.walk_files(staging_data)):
+                    if not s_name.endswith(".parquet"):
+                        continue
+                    rel_dir = s_root[len(staging_data):].strip("/")
+                    dst_dir = (
+                        f"{self.base_path}/{rel_dir}" if rel_dir else self.base_path
+                    )
+                    self.fs.makedirs(dst_dir)
+                    self.fs.rename(f"{s_root}/{s_name}", f"{dst_dir}/{s_name}")
+                self.fs.rmtree(staging_data)
                 if emit_cdf:
                     # ONE staging job for every dataset's changed rows
                     # (symbol preserved as a data column; `_sym` is the

@@ -393,6 +393,43 @@ def test_concurrent_multi_writes_with_overlapping_symbols(lake, spark):
     assert e["time_to"] == 1672574400000 + 19 * 60000
 
 
+def test_concurrent_multi_writes_disjoint_symbols_no_staging_collision(lake, spark):
+    """ADVICE r7: two write_ohlc_multi calls on DISJOINT symbol sets run
+    concurrently — with per-txid staging neither job's committer cleanup
+    can clobber the other's in-flight files (previously both staged under
+    the one shared <base>/_temporary/0/). All four datasets must land
+    complete and no staging dir may survive."""
+    import threading
+
+    writer, reader, _ = lake
+    d1 = _multi_df(spark, ["AAA/USD", "BBB/USD"], n=8)
+    d2 = _multi_df(spark, ["CCC/USD", "DDD/USD"], n=12)
+    errs = []
+
+    def work(df):
+        try:
+            writer.write_ohlc_multi(df, "binance", "spot", "raw", "1m")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(d,)) for d in (d1, d2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert errs == []
+    for sym, expect in (("AAA_USD", 8), ("BBB_USD", 8), ("CCC_USD", 12), ("DDD_USD", 12)):
+        key = DatasetKey("BINANCE", "SPOT", sym, "raw", "1m")
+        assert reader.read_dataset(key).count() == expect
+    leftovers = [
+        os.path.join(r, d)
+        for r, dirs, _ in os.walk(writer.base_path)
+        for d in dirs
+        if d == "_temporary" or d.startswith("_staging_multi_")
+    ]
+    assert leftovers == [], leftovers
+
+
 def test_expectations_null_predicate_counts_as_violation(spark):
     """Three-valued logic: a custom() predicate that evaluates to NULL
     must count as a violation AND land in the quarantine bad split —
