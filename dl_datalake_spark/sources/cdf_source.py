@@ -157,8 +157,13 @@ class CommitPartition(InputPartition):
     columns: list[str] = field(default_factory=list)  # output order, sans commit_version
     # True when files come from a folded `commit_range=` segment
     # (maintenance.fold_change_feed): commit_version is a data column
-    # there and the executor filters to this partition's version
+    # there and the executor filters rows to `versions`. Folded
+    # partitions carry ONE segment file + the whole planned version set
+    # (ADVICE r7: one read per file, not one whole-segment read per
+    # version — draining N folded commits used to read the segment N
+    # times, O(N²) amplification).
     filter_version: bool = False
+    versions: list[int] = field(default_factory=list)
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
@@ -211,6 +216,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             )
 
         parts = []
+        seg_versions: dict[str, list[int]] = {}  # segment dir -> planned versions
         for c in history:
             v = c["version"]
             if v <= lo or v > hi:
@@ -225,12 +231,18 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 )
             seg = next((n for rlo, rhi, n in ranges if rlo <= v <= rhi), None)
             if seg is not None:
-                parts.append(
-                    CommitPartition(v, _files(f"{root}/{seg}"), self.columns, True)
-                )
+                seg_versions.setdefault(seg, []).append(v)
             else:
                 parts.append(
                     CommitPartition(v, _files(f"{root}/commit_version={v}"), self.columns)
+                )
+        # folded segments: one partition PER SEGMENT FILE carrying the
+        # whole planned version set — every file is read exactly once
+        # (parallelism by file), the executor filters rows to the set
+        for seg, versions in seg_versions.items():
+            for f in _files(f"{root}/{seg}"):
+                parts.append(
+                    CommitPartition(max(versions), [f], self.columns, True, versions)
                 )
         return parts or [CommitPartition(-1)]
 
@@ -243,13 +255,16 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             for f in partition.files:
                 pdf = pq.read_table(f).to_pandas()
                 if partition.filter_version:
-                    pdf = pdf[pdf["commit_version"] == partition.version]
+                    pdf = pdf[pdf["commit_version"].isin(set(partition.versions))]
+                    vers = [int(x) for x in pdf["commit_version"]]
+                else:
+                    vers = [partition.version] * len(pdf)
                 # older commits may predate later columns: serve NULLs
                 pdf = pdf.reindex(columns=partition.columns)
-                for row in pdf.itertuples(index=False, name=None):
+                for row, cv in zip(pdf.itertuples(index=False, name=None), vers):
                     yield tuple(
                         None if v is None or v != v else v for v in row
-                    ) + (partition.version,)
+                    ) + (cv,)
 
         return gen()
 

@@ -193,3 +193,32 @@ def test_fold_keeps_loud_gap_contract(spark, tmp_path):
     fold_change_feed(spark, ds)
     with pytest.raises(ValueError, match="no row-level change data"):
         LakeReader(spark, base).read_change_feed(KEY, after_version=-1)
+
+
+def test_folded_segment_planned_once_not_per_version(spark, tmp_path):
+    """ADVICE r7: draining a backlog of N folded commits must read each
+    segment FILE once (filtering rows to the planned version set on the
+    executor), not once per version — the old per-version planning read
+    the whole segment N times, O(N^2) amplification."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+    from dl_datalake_spark.sources.cdf_source import LakeCDFStreamReader
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    for i in range(6):
+        w.write_ticks(_mk(spark, [(JAN + i * 60000, float(i))]), KEY)
+    ds = w.dataset_path(KEY)
+    fold_change_feed(spark, ds)  # all 6 versions into one ranged segment
+
+    reader = LakeCDFStreamReader({"path": ds}, "ts long, price double, _change_type string")
+    parts = reader.partitions({"version": -1}, {"version": 5})
+    folded = [p for p in parts if p.filter_version]
+    assert folded, "expected folded partitions"
+    # total planned file reads == distinct segment files (not versions x files)
+    planned = [f for p in folded for f in p.files]
+    assert len(planned) == len(set(planned)), planned
+    # and every folded partition carries the full version set to filter by
+    assert all(sorted(p.versions) == [0, 1, 2, 3, 4, 5] for p in folded)
+    # executor-side: reading the partitions yields exactly the feed rows
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[-1] for r in rows) == [0, 1, 2, 3, 4, 5]
