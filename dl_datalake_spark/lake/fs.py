@@ -436,6 +436,44 @@ class ConditionalConsumeFS:
         return True
 
 
+# Schemes whose `rename` is a non-atomic copy+delete (or offers no
+# exactly-once contract): fence consumption must ride the conditional
+# CREATE instead (ConditionalConsumeFS). Deployment matrix:
+#   s3/s3a/s3n — copy+delete rename; conditional PUT (If-None-Match: *)
+#     needs Hadoop 3.4.1+ for fs.create(overwrite=false) to map to it
+#     natively (S3 added it server-side in 2024).
+#   gs — rename is copy+delete; conditional create via
+#     x-goog-if-generation-match: 0 (GCS connector honors overwrite=false).
+#   wasb/wasbs/oss/cos/swift — blob stores without atomic dir rename.
+#   abfs/abfss — ADLS Gen2 WITH hierarchical namespace has atomic rename
+#     and is deliberately NOT in the default set; flat-namespace blob
+#     endpoints should add it via DL_OBJECT_STORE_SCHEMES.
+#   hdfs/file — atomic rename; plain HadoopFS.
+# Override/extend with the DL_OBJECT_STORE_SCHEMES env var
+# (comma-separated scheme list, replaces the default set).
+OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "swift"}
+)
+
+
+def _object_store_schemes() -> frozenset[str]:
+    import os
+
+    env = os.environ.get("DL_OBJECT_STORE_SCHEMES")
+    if env is None:
+        return OBJECT_STORE_SCHEMES
+    return frozenset(s.strip().lower() for s in env.split(",") if s.strip())
+
+
+class ObjectStoreFS(ConditionalConsumeFS, HadoopFS):
+    """HadoopFS for object-store schemes: `consume_rename`'s
+    exactly-one-winner guarantee comes from the conditional CREATE of a
+    consume marker (ConditionalConsumeFS), never from the store's
+    copy+delete rename. `get_fs` selects this class automatically for
+    the schemes above — the safety is zero-config, the scheme set is
+    env-tunable."""
+
+
 def has_visible_children(fs: Filesystem, path: str) -> bool:
     """True iff `path` has at least one child Spark's file index would
     NOT hide.  A dataset directory holding only control state (the
@@ -453,9 +491,12 @@ def get_fs(path: str, spark=None) -> Filesystem:
     same JVM code path an ``s3a://`` base takes, which is what the
     integration tests exercise — and URI-tolerant LocalFS otherwise.
     Any other ``scheme://`` needs the JVM-backed HadoopFS, which
-    requires an active SparkSession to borrow the Hadoop conf from.
+    requires an active SparkSession to borrow the Hadoop conf from;
+    object-store schemes (OBJECT_STORE_SCHEMES / the
+    DL_OBJECT_STORE_SCHEMES env override) get ObjectStoreFS so fence
+    consumption never rides a copy+delete rename.
     """
-    scheme = path.split("://", 1)[0] if "://" in path else ""
+    scheme = (path.split("://", 1)[0] if "://" in path else "").lower()
     if scheme == "" or (scheme == "file" and spark is None):
         return LocalFS()
     if spark is None:
@@ -463,4 +504,6 @@ def get_fs(path: str, spark=None) -> Filesystem:
             f"{path!r} needs a SparkSession to build a Hadoop filesystem for "
             f"scheme {scheme!r}; pass fs=HadoopFS(spark, base) explicitly"
         )
+    if scheme in _object_store_schemes():
+        return ObjectStoreFS(spark, path)
     return HadoopFS(spark, path)

@@ -423,6 +423,75 @@ def test_hadoopfs_primitives_roundtrip(spark, tmp_path):
     assert not fs.exists(f"{base}/d1")
 
 
+def test_get_fs_autoselects_conditional_cas_for_object_store_schemes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: get_fs must hand object-store schemes the
+    ConditionalConsumeFS-mixed class so fence consumption never rides a
+    copy+delete rename. s3a/gs are in the default set; the env override
+    lets a deployment reroute any scheme (exercised here with file:// so
+    the JVM branch actually constructs)."""
+    from dl_datalake_spark.lake.fs import (
+        OBJECT_STORE_SCHEMES,
+        ConditionalConsumeFS,
+        HadoopFS,
+        ObjectStoreFS,
+        get_fs,
+    )
+
+    assert {"s3a", "s3", "gs"} <= OBJECT_STORE_SCHEMES
+    # the mixin override wins over HadoopFS's bare-rename default
+    assert ObjectStoreFS.consume_rename is ConditionalConsumeFS.consume_rename
+    # default set: file:// stays plain HadoopFS
+    fs_plain = get_fs(f"file://{tmp_path}", spark)
+    assert isinstance(fs_plain, HadoopFS) and not isinstance(fs_plain, ObjectStoreFS)
+    # env override reroutes the scheme through the conditional-CAS class
+    monkeypatch.setenv("DL_OBJECT_STORE_SCHEMES", "file,s3a")
+    fs = get_fs(f"file://{tmp_path}", spark)
+    assert isinstance(fs, ObjectStoreFS)
+
+
+def test_objectstore_fs_commit_and_fence_race_over_jvm(spark, tmp_path, monkeypatch):
+    """The commit lifecycle + exactly-one-winner fence consumption over
+    ObjectStoreFS with a real JVM Hadoop filesystem (file:// stands in
+    for s3a://): the conditional-create marker path must work end-to-end
+    through create(overwrite=false), not just against the pure-Python
+    fake."""
+    import threading
+
+    from dl_datalake_spark.lake.fs import ObjectStoreFS
+
+    base = f"file://{tmp_path}/oslake"
+    fs = ObjectStoreFS(spark, base)
+    ds = f"{base}/ds"
+
+    log = CommitLog(ds, fs=fs)
+    with log.transaction() as meta:
+        meta["rows"] = 3
+    with log.transaction() as meta:
+        meta["rows"] = 4
+    assert log.latest_version() == 1
+    assert [h["rows"] for h in log.history()] == [3, 4]
+
+    # racing consume_rename through the JVM conditional create
+    src = f"{base}/ds/_commits/000000000000.fence.racetok"
+    fs.write_bytes_atomic(src, b"fence")
+    wins = []
+    barrier = threading.Barrier(6)
+
+    def racer(i):
+        barrier.wait()
+        if fs.consume_rename(src, f"{src}.abandoned.{i}"):
+            wins.append(i)
+
+    ts = [threading.Thread(target=racer, args=(i,)) for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1, wins
+    assert not fs.exists(src)
+    assert not fs.exists(f"{src}.consumed")  # winner cleaned its marker
+
+
 def test_lake_write_read_over_hadoopfs_scheme_base(spark, tmp_path):
     """Full writer -> commit log -> reader cycle with a scheme-prefixed
     base path: every driver-side discovery call and the commit protocol
