@@ -151,6 +151,23 @@ class DataLakeClient:
         keys = [DatasetKey(exchange, market, s, data_type, period) for s in symbols]
         return self.reader.read_datasets(keys)
 
+    def read_ohlc_multi_at(
+        self,
+        exchange: str,
+        symbols: list[str],
+        txid: str,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ) -> dict[str, DataFrame]:
+        """Multi-dataset TIME TRAVEL: every symbol exactly as of the
+        multi-commit `txid` (a `write_ohlc_multi` result's .txid) — the
+        reproducible-backtest handle: replaying the same txid always
+        yields the same atomic cross-dataset cut, loudly erroring if
+        vacuum/prune has made it unreconstructable."""
+        keys = [DatasetKey(exchange, market, s, data_type, period) for s in symbols]
+        return self.reader.read_datasets_at(keys, txid)
+
     # -- ingest (cli.py:138-160) -------------------------------------------
     def ingest_csv(self, path: str, exchange: str, market: str, symbol: str, period: str = "1m"):
         df = read_ohlcv_csv(self.spark, path)

@@ -201,6 +201,21 @@ class CommitLog:
                 out.update(e.get("file_stats") or {})
         return out
 
+    def version_at_time(self, ts: float) -> int:
+        """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the
+        newest committed version finalized at or before `ts`; -1 when
+        nothing was committed yet.  Driver-side metadata walk over the
+        retained log — same cost model as `latest_files`."""
+        best = -1
+        for v in self._entries():
+            e = self._read_entry(v)
+            if (
+                e.get("status") == "committed"
+                and float(e.get("committed_at") or 0.0) <= ts
+            ):
+                best = max(best, v)
+        return best
+
     def committed_entry(self, version: int) -> dict | None:
         """The finalized payload of `version`, or None if that slot is
         not (yet) committed — multilog readers use it to check that a

@@ -113,6 +113,14 @@ class MultiCommitLog:
 
     # -- reader side ---------------------------------------------------------
 
+    def record(self, txid: str) -> dict | None:
+        """One intent record by txid, or None if unknown/pruned."""
+        try:
+            rec = json.loads(self.fs.read_bytes(self._path(txid)))
+        except (OSError, ValueError):
+            return None
+        return rec if isinstance(rec, dict) and "datasets" in rec else None
+
     def records(self) -> list[dict]:
         """All intent records, newest-first by embedded timestamp."""
         try:

@@ -331,6 +331,116 @@ class LakeReader:
                 break
         return cut
 
+    def consistent_cut_at(
+        self, keys: list[DatasetKey], at_ts: float
+    ) -> dict[str, int]:
+        """HISTORICAL consistent cut (rel-path → version): per dataset
+        the newest commit finalized at or before `at_ts` (timestamp
+        time travel), then raised to the smallest cut that contains
+        every committed multi-dataset commit wholly or not at all — a
+        multi-commit whose finalize sequence straddled `at_ts` is
+        pulled in completely rather than served torn.  Raising (never
+        lowering) keeps the closure monotone and terminating, and the
+        result is the MINIMAL consistent cut covering the timestamp.
+        Records that never committed don't constrain: their permanent
+        partials are the documented stale-writer caveat."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        rels = [dataset_rel_path(k) for k in keys]
+        logs = {r: CommitLog(f"{self.base_path}/{r}", fs=self.fs) for r in rels}
+        cut = {
+            r: (log.version_at_time(at_ts) if self.fs.exists(log.log_dir) else -1)
+            for r, log in logs.items()
+        }
+        return self._raise_cut_for_multicommits(cut)
+
+    def _raise_cut_for_multicommits(self, cut: dict[str, int]) -> dict[str, int]:
+        """Fixpoint closure: while any committed multi-record is
+        partially inside `cut`, raise the missing datasets to the
+        record's claimed versions.  Bounded by each dataset's head."""
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+
+        ml = MultiCommitLog(self.base_path, fs=self.fs)
+        mine = set(cut)
+        recs = [
+            rec
+            for rec in ml.records()
+            if rec.get("status") == "committed"
+            and len(set(rec.get("datasets", {})) & mine) >= 2
+        ]
+        for _ in range(len(recs) + 1):
+            changed = False
+            for rec in recs:
+                touched = {
+                    r: int(v) for r, v in rec["datasets"].items() if r in mine
+                }
+                visible = {r: cut[r] >= v for r, v in touched.items()}
+                if all(visible.values()) or not any(visible.values()):
+                    continue
+                for r, v in touched.items():
+                    if cut[r] < v:
+                        cut[r] = v
+                        changed = True
+            if not changed:
+                break
+        return cut
+
+    def read_datasets_at(
+        self, keys: list[DatasetKey], txid: str
+    ) -> dict[str, DataFrame]:
+        """Multi-dataset time travel: the lake exactly as of the
+        multi-commit `txid` (`write_ohlc_multi`'s returned record id) —
+        the cross-dataset analogue of `read_dataset_at`, reconstructing
+        "the lake as of run X" for backtest reproducibility.
+
+        Composes the two existing ingredients: the multilog intent
+        record (per-dataset claimed versions, lake/multilog.py) and
+        each commit's pinned file listing (`CommitLog.files_at`).  Every
+        dataset the record claims is served at its claimed version;
+        requested datasets outside the record are served at their newest
+        commit finalized at or before the record's commit time; the
+        closure then guarantees no OTHER multi-commit is torn across the
+        returned frames.  Raises ValueError — never a silent fallback —
+        when the record is unknown/pruned, never fully committed, or a
+        snapshot is no longer reconstructable (history pruned,
+        vacuum_tombstones past retention)."""
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        ml = MultiCommitLog(self.base_path, fs=self.fs)
+        rec = ml.record(txid)
+        if rec is None:
+            raise ValueError(
+                f"multi-commit {txid!r} is unknown under {self.base_path} — "
+                "never written, or its record was pruned (MultiCommitLog.prune)"
+            )
+        claimed = {r.strip("/"): int(v) for r, v in rec["datasets"].items()}
+        if rec.get("status") != "committed":
+            # derive the fact the flip would have recorded: every claimed
+            # slot finalized by THIS txid (writer crashed before the flip)
+            from dl_datalake_spark.lake.commitlog import CommitLog
+
+            for r, v in claimed.items():
+                e = CommitLog(f"{self.base_path}/{r}", fs=self.fs).committed_entry(v)
+                if e is None or e.get("txid") != txid:
+                    raise ValueError(
+                        f"multi-commit {txid!r} never fully committed "
+                        f"(status={rec.get('status')!r}, dataset {r} slot {v} "
+                        "unfinalized or usurped) — there is no atomic cut to read"
+                    )
+        at_ts = float(rec.get("ts_done") or rec.get("ts") or 0.0)
+        cut = self.consistent_cut_at(keys, at_ts)
+        for r, v in claimed.items():
+            if r in cut and cut[r] < v:
+                cut[r] = v
+        cut = self._raise_cut_for_multicommits(cut)
+        out: dict[str, DataFrame] = {}
+        for key in keys:
+            k = key.normalized()
+            out[k.symbol] = self.read_dataset_at(k, cut[dataset_rel_path(k)])
+        return out
+
     def read_datasets(self, keys: list[DatasetKey]) -> dict[str, DataFrame]:
         """Read several datasets at ONE consistent cut: a multi-dataset
         commit (`write_ohlc_multi`) is either visible in every returned

