@@ -201,6 +201,20 @@ class CommitLog:
                 out.update(e.get("file_stats") or {})
         return out
 
+    def col_stats(self, col: str) -> dict[str, list]:
+        """Union of every retained committed entry's `col_stats[col]`
+        ({rel path: [min, max]}, newest entry wins) — the generalized
+        data-skipping index for reads bounded on a non-ts column
+        (writer `stats_cols` / `maintenance.recluster`).  Best-effort
+        like `file_stats`: a live file with no recorded stats is merely
+        scanned, never skipped wrongly."""
+        out: dict[str, list] = {}
+        for v in self._entries():
+            e = self._read_entry(v)
+            if e.get("status") == "committed":
+                out.update((e.get("col_stats") or {}).get(col) or {})
+        return out
+
     def version_at_time(self, ts: float) -> int:
         """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the
         newest committed version finalized at or before `ts`; -1 when

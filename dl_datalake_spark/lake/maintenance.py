@@ -433,6 +433,86 @@ def vacuum(
     return report
 
 
+def recluster(
+    spark: SparkSession,
+    dataset_path: str,
+    cols: list[str],
+    files_per_month: int = 1,
+    bits: int = 6,
+    fs: Filesystem | None = None,
+    commit_timeout_s: float = 60.0,
+) -> dict:
+    """Z-order recluster of ONE dataset as an MVCC commit — Delta's
+    ``OPTIMIZE ZORDER BY`` (VERDICT r7 #2): read the pinned snapshot,
+    rewrite each month partition as ~`files_per_month` files sorted by
+    the Morton key of `cols` (lake/clustering.py), APPEND the new files
+    (the old ones become tombstones under the usual vacuum retention),
+    pin the new live list, and record per-added-file [min, max] stats
+    for ts AND every clustered column in the commit payload
+    (`col_stats`).  A later scan bounded on any clustered column then
+    prunes files from the COMMIT INDEX before a single parquet footer
+    RPC — at 1e5 files that is 1e5 saved metadata round-trips per
+    query, on top of the row-group pruning the tight sort already buys.
+
+    Runs inside the dataset's commit transaction (concurrent writers
+    serialize behind it); records ``mode="recluster"`` with
+    ``partitions: []`` so CDC/CDF consumers advance without replay —
+    data is row-identical, only the layout changed.  Returns
+    {"files_before": n, "files_after": m}."""
+    from dl_datalake_spark.lake.clustering import zorder_key
+    from dl_datalake_spark.lake.commitlog import CommitLog
+    from dl_datalake_spark.lake.snapshot import (
+        added_file_stats,
+        list_data_files,
+        resolve_live_files,
+    )
+
+    fs = fs if fs is not None else get_fs(dataset_path, spark)
+    ds = dataset_path.rstrip("/")
+    log = CommitLog(ds, fs=fs)
+    with log.transaction(
+        timeout=commit_timeout_s, payload={"mode": "recluster"}
+    ) as meta:
+        live = resolve_live_files(fs, ds)
+        if live is None:
+            raise ValueError(
+                f"recluster needs a pinned snapshot; {ds} has no commit-pinned "
+                "file list (legacy dataset) — write through LakeWriter first"
+            )
+        if not live:
+            meta.update(partitions=[], files=[])
+            return {"files_before": 0, "files_after": 0}
+        on_disk = set(list_data_files(fs, ds))
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", ds)
+            .parquet(*[f"{ds}/{rel}" for rel in live])
+        )
+        months = df.select("year", "month").distinct().count()
+        keyed = zorder_key(df, cols, bits)
+        (
+            keyed.repartitionByRange(
+                max(1, files_per_month * months), "year", "month", "zval"
+            )
+            .sortWithinPartitions("year", "month", "zval")
+            .drop("zval")
+            .write.partitionBy("year", "month")
+            .mode("append")
+            .option("compression", "snappy")
+            .parquet(ds)
+        )
+        added = sorted(f for f in list_data_files(fs, ds) if f not in on_disk)
+        fstats, cstats = added_file_stats(
+            spark, {ds: added}, "ts", extra_cols=tuple(cols)
+        )
+        meta.update(partitions=[], files=added)
+        if fstats.get(ds):
+            meta["file_stats"] = fstats[ds]
+        if cstats.get(ds):
+            meta["col_stats"] = cstats[ds]
+    return {"files_before": len(live), "files_after": len(added)}
+
+
 def vacuum_tombstones(
     spark: SparkSession,
     base_path: str,

@@ -83,34 +83,57 @@ def resolve_live_files(fs: Filesystem, dataset_path: str) -> list[str] | None:
 
 
 def added_file_stats(
-    spark, added_by_path: dict[str, list[str]], ts_col: str = "ts"
-) -> dict[str, dict[str, list]]:
+    spark,
+    added_by_path: dict[str, list[str]],
+    ts_col: str = "ts",
+    extra_cols: tuple[str, ...] = (),
+):
     """Per-file [min_ts, max_ts] for freshly written files, across many
     datasets in ONE Spark job — the data-skipping stats a commit records
     so time-bounded reads can drop non-overlapping files before the scan
-    (`LakeReader._scan_paths`).  One ts-column-only scan of exactly the
-    named files: cost ∝ the batch, never the dataset.  Returns
-    {dataset path: {rel path: [min_ts, max_ts]}}."""
+    (`LakeReader._scan_paths`).  One stats-columns-only scan of exactly
+    the named files: cost ∝ the batch, never the dataset.  Returns
+    {dataset path: {rel path: [min_ts, max_ts]}}.
+
+    `extra_cols` generalizes the index beyond ts (VERDICT r7 #2): the
+    SAME job also aggregates per-file [min, max] of each named column
+    present in the schema, and the return becomes a pair
+    (ts_stats, {dataset path: {col: {rel path: [min, max]}}}) — the
+    shape `CommitLog.col_stats` serves so a scan bounded on a clustered
+    column prunes files before any footer RPC.  Non-JSON-native values
+    (timestamps, decimals) are dropped per column: the file is merely
+    scanned, never skipped wrongly."""
     from pyspark.sql import functions as F
 
     pairs = [(p, f) for p, fs_ in added_by_path.items() for f in fs_]
     if not pairs:
-        return {}
-    rows = (
-        spark.read.parquet(*[f"{p}/{f}" for p, f in pairs])
-        .groupBy(F.col("_metadata.file_path").alias("fp"))
-        .agg(F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"))
-        .collect()
-    )
+        return ({}, {}) if extra_cols else {}
+    df = spark.read.parquet(*[f"{p}/{f}" for p, f in pairs])
+    cols = [c for c in extra_cols if c in df.columns and c != ts_col]
+    aggs = [F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1")]
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"n{i}"))
+        aggs.append(F.max(c).alias(f"x{i}"))
+    rows = df.groupBy(F.col("_metadata.file_path").alias("fp")).agg(*aggs).collect()
     out: dict[str, dict[str, list]] = {}
+    out_cols: dict[str, dict[str, dict[str, list]]] = {}
+
+    def _plain(v):
+        return v is None or isinstance(v, (int, float, str, bool))
+
     for r in rows:
         # file_path is an absolute URI; dynamic-partition jobs reuse one
         # basename across partition dirs, so match the full dataset-dir +
         # relative suffix, never the name alone
         hit = next(((p, f) for p, f in pairs if r["fp"].endswith(f"{p}/{f}")), None)
-        if hit is not None:
-            out.setdefault(hit[0], {})[hit[1]] = [r["t0"], r["t1"]]
-    return out
+        if hit is None:
+            continue
+        out.setdefault(hit[0], {})[hit[1]] = [r["t0"], r["t1"]]
+        for i, c in enumerate(cols):
+            mn, mx = r[f"n{i}"], r[f"x{i}"]
+            if _plain(mn) and _plain(mx):
+                out_cols.setdefault(hit[0], {}).setdefault(c, {})[hit[1]] = [mn, mx]
+    return (out, out_cols) if extra_cols else out
 
 
 def partition_of(rel_path: str) -> tuple[int | None, int | None]:

@@ -51,6 +51,7 @@ class WriteResult:
     partitions: list[list[int]] | None = None  # touched [year, month] pairs
     files: list[str] | None = None  # post-commit live file list (snapshot)
     file_stats: dict | None = None  # {added rel path: [min_ts, max_ts]}
+    col_stats: dict | None = None  # {col: {added rel path: [min, max]}}
     txid: str | None = None  # multi-commit id (write_ohlc_multi) — the
     # handle LakeReader.read_datasets_at replays the whole cut from
 
@@ -94,6 +95,7 @@ class LakeWriter:
         fs: Filesystem | None = None,
         commit_timeout_s: float = 60.0,
         emit_cdf: bool = False,
+        stats_cols: list[str] | None = None,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -102,13 +104,21 @@ class LakeWriter:
         commit version — the Delta-style CDF that lets NON-idempotent
         consumers subscribe to row deltas instead of re-reading touched
         partitions (reader.read_change_feed).  Off by default: the feed
-        costs one extra write of the changed rows per commit."""
+        costs one extra write of the changed rows per commit.
+
+        `stats_cols` extends the commit-level data-skipping index beyond
+        ts: every commit also records per-added-file [min, max] of these
+        columns (same single stats job), so `LakeReader` scans bounded
+        on them prune files BEFORE any parquet footer read — pair with
+        `maintenance.recluster` (Z-order) to make the ranges tight.
+        Columns absent from a batch's schema are skipped per commit."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
         self.fs = fs if fs is not None else get_fs(self.base_path, spark)
         self.commit_timeout_s = commit_timeout_s
         self.emit_cdf = emit_cdf
+        self.stats_cols = list(stats_cols or [])
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -361,9 +371,10 @@ class LakeWriter:
                     t_set = {(y, m) for y, m in parts_by_symbol.get(s, [])}
                     kept = [f for f in base_live if partition_of(f) not in t_set]
                     new_live[s] = sorted(set(kept).union(added))
-            # per-file ts stats for reader file skipping — ONE job for
-            # every dataset's added files, same discipline as the write
-            stats_by_path = self._added_file_stats_multi(
+            # per-file ts (+ stats_cols) stats for reader file skipping —
+            # ONE job for every dataset's added files, same discipline as
+            # the write
+            stats_by_path, cstats_by_path = self._added_file_stats_multi(
                 {ds_paths[s]: a for s, a in added_by_symbol.items() if a}, ts_col
             )
 
@@ -402,6 +413,9 @@ class LakeWriter:
                 fstats = stats_by_path.get(ds_paths[k.symbol])
                 if fstats:
                     meta["file_stats"] = fstats
+                cstats = cstats_by_path.get(ds_paths[k.symbol])
+                if cstats:
+                    meta["col_stats"] = cstats
                 if k.symbol in cdf_ok:
                     meta["cdf"] = True  # read_change_feed's no-gap marker
                 res.files = new_live[k.symbol]
@@ -574,9 +588,11 @@ class LakeWriter:
                     partitions=[list(p) for p in touched],
                     files=new_live,
                 )
-                fstats = self._added_file_stats(path, added, "ts")
+                fstats, cstats = self._added_file_stats(path, added, "ts")
                 if fstats:
                     meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
 
@@ -678,6 +694,8 @@ class LakeWriter:
             )
             if res.file_stats:
                 meta["file_stats"] = res.file_stats
+            if res.col_stats:
+                meta["col_stats"] = res.col_stats
             if self.emit_cdf:
                 meta["cdf"] = True  # read_change_feed's no-gap marker
         return res
@@ -787,6 +805,7 @@ class LakeWriter:
             t_set = {(y, m) for y, m in touched}
             kept = [f for f in base_live if partition_of(f) not in t_set]
             new_live = sorted(set(kept).union(added))
+        fstats, cstats = self._added_file_stats(ds_path, added, ts_col)
         result = WriteResult(
             path=ds_path,
             time_from=stats["t0"],
@@ -794,7 +813,8 @@ class LakeWriter:
             rows=stats["n"],
             partitions=[list(p) for p in touched],
             files=new_live,
-            file_stats=self._added_file_stats(ds_path, added, ts_col),
+            file_stats=fstats,
+            col_stats=cstats or None,
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -811,26 +831,32 @@ class LakeWriter:
 
     def _added_file_stats(
         self, ds_path: str, added: list[str], ts_col: str
-    ) -> dict[str, list[int]]:
-        """Per-added-file [min_ts, max_ts] for reader-side FILE SKIPPING
+    ) -> tuple[dict[str, list[int]], dict[str, dict[str, list]]]:
+        """Per-added-file [min_ts, max_ts] (plus, when `stats_cols` is
+        configured, per-column [min, max]) for reader-side FILE SKIPPING
         (Delta's data-skipping stats, rel-path-keyed in the commit
-        payload).  One ts-column-only scan of JUST the files this commit
-        added — cost proportional to the batch, never the dataset.  A
-        time-bounded read drops non-overlapping files before the scan
-        even starts (`LakeReader.read_range`); files without stats
-        (legacy/compacted) are simply scanned, so skipping is always
-        sound."""
-        return self._added_file_stats_multi({ds_path: added}, ts_col).get(
-            ds_path, {}
-        )
+        payload).  One stats-columns-only scan of JUST the files this
+        commit added — cost proportional to the batch, never the
+        dataset.  A bounded read drops non-overlapping files before the
+        scan even starts (`LakeReader.read_range` / column bounds);
+        files without stats (legacy/compacted) are simply scanned, so
+        skipping is always sound.  Returns (ts_stats, col_stats)."""
+        f, c = self._added_file_stats_multi({ds_path: added}, ts_col)
+        return f.get(ds_path, {}), c.get(ds_path, {})
 
     def _added_file_stats_multi(
         self, added_by_path: dict[str, list[str]], ts_col: str
-    ) -> dict[str, dict[str, list[int]]]:
+    ) -> tuple[dict, dict]:
         """`_added_file_stats` across many datasets in ONE Spark job
         (write_ohlc_multi's contract: 1,000 symbols must not mean 1,000
-        jobs).  Returns {dataset path: {rel path: [min_ts, max_ts]}}."""
-        return added_file_stats(self.spark, added_by_path, ts_col)
+        jobs).  Returns ({dataset path: {rel path: [min_ts, max_ts]}},
+        {dataset path: {col: {rel path: [min, max]}}})."""
+        f_c = added_file_stats(
+            self.spark, added_by_path, ts_col, extra_cols=tuple(self.stats_cols)
+        )
+        if self.stats_cols:
+            return f_c
+        return f_c, {}
 
     def _merge_keep_last(
         self, batch: DataFrame, key: DatasetKey, ts_col: str, tag_changes: bool = False

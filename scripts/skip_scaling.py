@@ -81,16 +81,50 @@ def main() -> None:
         timed_read()  # warm
         s_full, b_full, f_full = timed_read()
 
+        # -- second axis (round 8): COLUMN-bounded skipping on a
+        # z-order-reclustered dataset. recluster() records per-file
+        # [min, max] of the clustered columns in the commit index, so a
+        # close-bounded read prunes files before any footer RPC; the
+        # control is the same reclustered layout with col_stats
+        # stripped (footer pruning still applies within scanned files —
+        # the delta isolates the COMMIT-INDEX skip).
+        from dl_datalake_spark.lake.maintenance import recluster
+
+        recluster(spark, w.dataset_path(key), ["ts", "close"], files_per_month=4)
+        n_live2 = len(log.latest_files())
+
+        def timed_col_read():
+            df = r.read_dataset(key, bounds={"close": (0.0, 0.05)})
+            b0 = _input_bytes(spark)
+            t = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t, _input_bytes(spark) - b0, len(df.inputFiles())
+
+        timed_col_read()  # warm
+        s_col, b_col, f_col = timed_col_read()
+        for v in log._entries():
+            p = f"{log.log_dir}/{v:020d}.json"
+            e = json.loads(open(p).read())
+            if e.pop("col_stats", None) is not None:
+                open(p, "w").write(json.dumps(e))
+        timed_col_read()  # warm
+        s_col0, b_col0, f_col0 = timed_col_read()
+
         out = {
             "live_files": n_live,
             "skip": {"s": round(s_skip, 3), "mb_in": round(b_skip / 1e6, 1), "files": f_skip},
             "no_skip": {"s": round(s_full, 3), "mb_in": round(b_full / 1e6, 1), "files": f_full},
+            "live_files_reclustered": n_live2,
+            "col_skip": {"s": round(s_col, 3), "mb_in": round(b_col / 1e6, 1), "files": f_col},
+            "col_no_skip": {"s": round(s_col0, 3), "mb_in": round(b_col0 / 1e6, 1), "files": f_col0},
         }
         print(json.dumps(out))
         print("| variant | files in plan | input MB | wall s |")
         print("|---|---|---|---|")
-        print(f"| stats skipping | {f_skip} / {n_live} | {out['skip']['mb_in']} | {s_skip:.2f} |")
-        print(f"| stats stripped | {f_full} / {n_live} | {out['no_skip']['mb_in']} | {s_full:.2f} |")
+        print(f"| ts stats skipping | {f_skip} / {n_live} | {out['skip']['mb_in']} | {s_skip:.2f} |")
+        print(f"| ts stats stripped | {f_full} / {n_live} | {out['no_skip']['mb_in']} | {s_full:.2f} |")
+        print(f"| close col_stats (reclustered) | {f_col} / {n_live2} | {out['col_skip']['mb_in']} | {s_col:.2f} |")
+        print(f"| close col_stats stripped | {f_col0} / {n_live2} | {out['col_no_skip']['mb_in']} | {s_col0:.2f} |")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
