@@ -195,7 +195,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="lake maintenance: small-file compaction and/or orphan vacuum",
     )
     mt.add_argument(
-        "action", choices=["compact", "vacuum", "vacuum-tombstones", "prune-commits"]
+        "action",
+        choices=[
+            "compact", "vacuum", "vacuum-tombstones", "prune-commits",
+            "fold-multilog",
+        ],
     )
     mt.add_argument("--files-per-partition", type=int, default=1)
     mt.add_argument("--in-place", action="store_true",
@@ -471,6 +475,11 @@ def main(argv: list[str] | None = None) -> int:
             rep = prune_commit_logs(spark, args.base, keep_last=args.keep_last)
             print(json.dumps({"keep_last": args.keep_last,
                               "files_removed": sum(rep.values()), "datasets": rep}))
+        elif args.action == "fold-multilog":
+            from dl_datalake_spark.lake.multilog import MultiCommitLog
+
+            rep = MultiCommitLog(args.base).fold(keep_last=args.keep_last)
+            print(json.dumps(rep))
         else:
             from dl_datalake_spark.lake.maintenance import vacuum
 

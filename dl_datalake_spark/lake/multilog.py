@@ -52,6 +52,7 @@ import uuid
 from dl_datalake_spark.lake.fs import Filesystem, LocalFS
 
 MULTILOG_DIR = "_multilog"
+FOLD_PREFIX = "_folded-"
 STALE_TIMEOUT_S = 300.0
 
 
@@ -114,22 +115,54 @@ class MultiCommitLog:
     # -- reader side ---------------------------------------------------------
 
     def record(self, txid: str) -> dict | None:
-        """One intent record by txid, or None if unknown/pruned."""
+        """One intent record by txid, or None if unknown/pruned.
+        Live file first (one read), then the folded segments."""
         try:
             rec = json.loads(self.fs.read_bytes(self._path(txid)))
         except (OSError, ValueError):
-            return None
-        return rec if isinstance(rec, dict) and "datasets" in rec else None
+            rec = None
+        if isinstance(rec, dict) and "datasets" in rec:
+            return rec
+        for seg in self._segments():
+            for r in seg:
+                if r.get("txid") == txid:
+                    return r
+        return None
 
-    def records(self) -> list[dict]:
-        """All intent records, newest-first by embedded timestamp."""
+    def _segments(self) -> list[list[dict]]:
+        """Folded-segment record lists (see `fold`), newest segment
+        first.  One read per SEGMENT — the whole point of folding."""
         try:
             names = self.fs.listdir(self.log_dir)
         except OSError:
             return []
         out = []
+        for name in sorted(names, reverse=True):
+            if not (name.startswith(FOLD_PREFIX) and name.endswith(".json")):
+                continue
+            try:
+                body = json.loads(self.fs.read_bytes(f"{self.log_dir}/{name}"))
+            except (OSError, ValueError):
+                continue  # mid-replace: next read sees it
+            recs = body.get("records") if isinstance(body, dict) else None
+            if isinstance(recs, list):
+                out.append([r for r in recs if isinstance(r, dict) and "datasets" in r])
+        return out
+
+    def records(self) -> list[dict]:
+        """All intent records (live + folded), newest-first by embedded
+        timestamp.  Cost: one listdir + one read per LIVE intent + one
+        read per folded segment — after a fold pass the history's bulk
+        is a couple of segment reads, so consistent-cut resolution stays
+        flat as the lake ages (VERDICT r7 #6)."""
+        try:
+            names = self.fs.listdir(self.log_dir)
+        except OSError:
+            return []
+        out = []
+        seen: set[str] = set()
         for name in names:
-            if not name.endswith(".json"):
+            if not name.endswith(".json") or name.startswith(FOLD_PREFIX):
                 continue
             try:
                 rec = json.loads(self.fs.read_bytes(f"{self.log_dir}/{name}"))
@@ -137,8 +170,80 @@ class MultiCommitLog:
                 continue  # mid-replace: skip; next read sees it
             if isinstance(rec, dict) and "datasets" in rec:
                 out.append(rec)
+                seen.add(rec.get("txid", ""))
+        for seg in self._segments():
+            for rec in seg:
+                # a live file shadows its folded copy (crash between
+                # segment write and live-file delete)
+                if rec.get("txid") not in seen:
+                    out.append(rec)
+                    seen.add(rec.get("txid", ""))
         out.sort(key=lambda r: r.get("ts", 0.0), reverse=True)
         return out
+
+    def fold(self, keep_last: int = 20, ttl_s: float = 3600.0) -> dict:
+        """Compact RESOLVED intents (committed/aborted) older than
+        `ttl_s` beyond the newest `keep_last` into ONE folded segment
+        file, merging any earlier segments — the commit log's
+        checkpoint mechanic applied to the lake-level log.  Readers
+        keep serving every folded record (`records`/`record`), but a
+        consistent-cut read now costs O(live + 1 segment) metadata ops
+        instead of one read per historical intent, which at a
+        commits-per-minute cadence grows without bound between prunes.
+
+        Crash safety: the merged segment lands under a dot-tmp name and
+        is renamed in BEFORE any live file or old segment is deleted; a
+        crash in between leaves duplicates that `records()` dedupes by
+        txid (live file wins) and the next fold sweeps.  In-progress
+        records are never folded — they may still flip.
+
+        Returns {"folded": n_new, "segments_merged": n, "segment": name|None}."""
+        live = self.records()  # includes earlier segments (merged below)
+        fresh_cutoff = time.time() - ttl_s
+        keep: set[str] = {r.get("txid", "") for r in live[:keep_last]}
+        foldable = [
+            r
+            for r in live
+            if r.get("txid") not in keep
+            and r.get("status") in ("committed", "aborted")
+            and float(r.get("ts", 0.0)) <= fresh_cutoff
+        ]
+        try:
+            names = self.fs.listdir(self.log_dir)
+        except OSError:
+            return {"folded": 0, "segments_merged": 0, "segment": None}
+        old_segments = [
+            n for n in names if n.startswith(FOLD_PREFIX) and n.endswith(".json")
+        ]
+        already = {r.get("txid") for seg in self._segments() for r in seg}
+        new_live_folds = [r for r in foldable if r.get("txid") not in already]
+        if not new_live_folds and len(old_segments) <= 1:
+            return {"folded": 0, "segments_merged": 0, "segment": None}
+        merged = {r["txid"]: r for seg in self._segments() for r in seg}
+        merged.update({r["txid"]: r for r in foldable})
+        seg_name = f"{FOLD_PREFIX}{uuid.uuid4().hex}.json"
+        body = json.dumps(
+            {"records": sorted(merged.values(), key=lambda r: r.get("ts", 0.0))},
+            sort_keys=True,
+        ).encode()
+        tmp = f"{self.log_dir}/.{seg_name}.tmp"
+        self.fs.write_bytes_atomic(tmp, body)
+        self.fs.rename(tmp, f"{self.log_dir}/{seg_name}")
+        for r in new_live_folds:
+            try:
+                self.fs.remove(self._path(r["txid"]))
+            except OSError:
+                pass
+        for n in old_segments:
+            try:
+                self.fs.remove(f"{self.log_dir}/{n}")
+            except OSError:
+                pass
+        return {
+            "folded": len(new_live_folds),
+            "segments_merged": len(old_segments),
+            "segment": seg_name,
+        }
 
     def is_stale(self, rec: dict) -> bool:
         return (time.time() - float(rec.get("ts", 0.0))) > self.stale_timeout_s

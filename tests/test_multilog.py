@@ -430,3 +430,78 @@ def test_read_datasets_at_vacuum_retention_interaction(lake, spark):
     # for intermediate versions, but the live read must stay intact
     live = reader.read_datasets([KEY_A, KEY_B])
     assert live["AAA_USD"].count() == 4 and live["BBB_USD"].count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Multilog scale hygiene (VERDICT r7 #6): fold resolved intents into one
+# segment; consistent-cut metadata cost stays FLAT as history grows
+# ---------------------------------------------------------------------------
+class _CountingFS(__import__("dl_datalake_spark.lake.fs", fromlist=["LocalFS"]).LocalFS):
+    def __init__(self):
+        self.ops = 0
+
+    def read_bytes(self, path):
+        self.ops += 1
+        return super().read_bytes(path)
+
+    def listdir(self, path):
+        self.ops += 1
+        return super().listdir(path)
+
+
+def _fabricate_multirecs(ml, rel_a, rel_b, n, v_a, v_b, ts0, prefix="hist"):
+    """n resolved (committed) intent records claiming already-visible
+    versions — pure metadata, no Spark jobs."""
+    import json as _json
+
+    for i in range(n):
+        txid = (f"{prefix}{i:04d}" + "0" * 28)[:32]
+        ml.begin({rel_a: v_a, rel_b: v_b}, txid=txid)
+        p = ml._path(txid)
+        rec = _json.loads(open(p, "rb").read())
+        rec.update(status="committed", ts=ts0 + i, ts_done=ts0 + i + 0.5)
+        open(p, "w").write(_json.dumps(rec))
+
+
+def test_fold_keeps_cut_cost_flat_and_records_readable(lake, spark):
+    import time
+
+    writer, _, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")  # v0/v0
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    base = writer.base_path
+    old_ts = time.time() - 7200  # resolved well past the fold TTL
+
+    ml = MultiCommitLog(base)
+    _fabricate_multirecs(ml, rel_a, rel_b, 60, 0, 0, old_ts)
+    assert len(ml.records()) == 61
+
+    def cut_ops():
+        fs = _CountingFS()
+        from dl_datalake_spark.lake.reader import LakeReader
+
+        r = LakeReader(spark, base, fs=fs)
+        cut = r.consistent_cut([KEY_A, KEY_B])
+        assert cut == {rel_a: 0, rel_b: 0}
+        return fs.ops
+
+    before = cut_ops()
+    rep = ml.fold(keep_last=5, ttl_s=3600.0)
+    assert rep["folded"] >= 55 and rep["segment"]
+    after_60 = cut_ops()
+    assert after_60 < before / 3, (before, after_60)
+    # every folded record still resolvable by txid and listed
+    assert ml.record("hist0000" + "0" * 24)["status"] == "committed"
+    assert len(ml.records()) == 61
+
+    # history doubles -> fold again -> cut cost stays FLAT (one segment)
+    _fabricate_multirecs(ml, rel_a, rel_b, 60, 0, 0, old_ts + 100, prefix="more")
+    rep2 = ml.fold(keep_last=5, ttl_s=3600.0)
+    assert rep2["segments_merged"] == 1  # earlier segment merged away
+    after_120 = cut_ops()
+    assert abs(after_120 - after_60) <= 6, (after_60, after_120)
+    assert len(ml.records()) == 121
+    # read_datasets_at still replays a FOLDED multi-commit
+    reader = LakeReader(spark, base)
+    at = reader.read_datasets_at([KEY_A, KEY_B], "hist0000" + "0" * 24)
+    assert at["AAA_USD"].count() == 1 and at["BBB_USD"].count() == 1
