@@ -77,6 +77,66 @@ NOOP_SINK = {
 }
 
 
+def _control_bench(head_sha: str) -> dict | None:
+    """Host-drift control (VERDICT r7 #5): bench the PREVIOUS round's
+    tree back-to-back in the same session, so BENCH_rN.json carries its
+    own baseline — two consecutive rounds produced misleading headline
+    deltas (+15% r6, +10% r7) on untouched code, each costing a
+    diagnosis. The previous tree is the newest `round N: verdict`
+    commit, checked out into a throwaway git worktree and benched by
+    ITS OWN bench.py in a child process (child runs with the control
+    disabled, so this never recurses). Returns
+    {commit, value, queries} or None when unavailable (no git history,
+    worktree failure) — the headline still prints either way."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def git(*a):
+        return subprocess.run(
+            ["git", "-C", repo, *a], capture_output=True, text=True, timeout=60
+        )
+
+    sha = git(
+        "log", "--grep", "^round [0-9]*: verdict", "-n", "1", "--format=%H"
+    ).stdout.strip()
+    if not sha or sha == head_sha:
+        return None
+    wt = tempfile.mkdtemp(prefix="bench_prev_tree_")
+    try:
+        if git("worktree", "add", "--detach", wt, sha).returncode != 0:
+            return None
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CONTROL="0")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=wt,
+            timeout=1800,
+        )
+        lines = [
+            ln
+            for ln in proc.stdout.replace("\r", "\n").splitlines()
+            if ln.startswith("{")
+        ]
+        if not lines:
+            return None
+        parsed = json.loads(lines[-1])
+        return {
+            "commit": sha[:12],
+            "value": parsed.get("value"),
+            "queries": parsed.get("queries"),
+        }
+    except Exception:
+        return None
+    finally:
+        git("worktree", "remove", "--force", wt)
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -128,17 +188,28 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") == "1":
+        # free the JVM before the control tree spins its own session
+        import subprocess
+
+        spark.stop()
+        head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        out["head_commit"] = head[:12] or None
+        prev = _control_bench(head)
+        if prev is not None:
+            out["prev_tree"] = prev
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
