@@ -35,9 +35,11 @@ implementation with claims/fencing is `lake/commitlog.py`) — and
 `register_cdf_source` registers the module for pickle-BY-VALUE so the
 runner never needs the import.
 
-Paths must be locally readable (POSIX / mounted DFS) — the pyarrow
-read path; an object-store deployment passes an explicit `schema`
-option and a Hadoop-visible mount.
+Storage: scheme-less paths read via POSIX; scheme-prefixed roots
+(`file://`, `s3://`/`s3a://`, `gs://`) resolve through
+`pyarrow.fs.FileSystem.from_uri` for planning and URI-addressed
+`pyarrow.parquet.read_table` on executors (`_Paths`) — no mount
+needed, still zero JVM/repo dependencies in the runner processes.
 
 Schema: pass `.option("schema", "<ddl>")` for the data columns
 (everything except `commit_version`, which this source appends), or
@@ -75,25 +77,85 @@ _ARROW_TO_DDL = {
 }
 
 
+class _Paths:
+    """Minimal listing/read shim keeping the source self-contained AND
+    object-store capable (VERDICT r7 #4): plain os/POSIX for scheme-less
+    roots, `pyarrow.fs.FileSystem.from_uri` for scheme-prefixed ones
+    (`file://` exercises the same branch an `s3://`/`gs://` deployment
+    takes; `s3a://`/`s3n://` are normalized to pyarrow's `s3://`). No
+    JVM, no repo imports — works in the data-source runner processes.
+    `url(rel)` returns an absolute path/URI `pyarrow.parquet.read_table`
+    accepts directly, so executors need only this string."""
+
+    def __init__(self, root: str):
+        root = root.rstrip("/")
+        if "://" in root:
+            from pyarrow import fs as pafs
+
+            scheme, rest = root.split("://", 1)
+            scheme = {"s3a": "s3", "s3n": "s3"}.get(scheme.lower(), scheme)
+            self._scheme = scheme
+            self.fs, self.root = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+        else:
+            self._scheme = None
+            self.fs, self.root = None, root
+
+    def url(self, rel: str) -> str:
+        p = f"{self.root}/{rel}" if rel else self.root
+        if self._scheme is None:
+            return p
+        # from_uri strips the scheme: file:// roots keep their leading
+        # slash, bucket stores (s3/gs) don't have one
+        return f"{self._scheme}://{p}"
+
+    def listdir(self, rel: str = "") -> list[str]:
+        p = f"{self.root}/{rel}" if rel else self.root
+        if self.fs is None:
+            import os
+
+            return sorted(os.listdir(p)) if os.path.isdir(p) else []
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self.fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+        except OSError:
+            return []
+        return sorted(i.base_name for i in infos)
+
+    def isdir(self, rel: str) -> bool:
+        p = f"{self.root}/{rel}" if rel else self.root
+        if self.fs is None:
+            import os
+
+            return os.path.isdir(p)
+        from pyarrow import fs as pafs
+
+        return self.fs.get_file_info(p).type == pafs.FileType.Directory
+
+    def read_bytes(self, rel: str) -> bytes:
+        p = f"{self.root}/{rel}"
+        if self.fs is None:
+            with open(p, "rb") as fh:
+                return fh.read()
+        with self.fs.open_input_file(p) as fh:
+            return fh.read()
+
+
 def _committed_entries(dataset_path: str) -> list[dict]:
     """Read-only walk of `<dataset>/_commits/NNN.json`: committed
     entries oldest-first, each with a `version` key. Mirrors
     CommitLog.history() (lake/commitlog.py) without importing it —
     see the module's self-containment contract."""
     import json
-    import os
 
-    log_dir = f"{dataset_path}/{LOG_DIR}"
-    if not os.path.isdir(log_dir):
-        return []
+    px = _Paths(dataset_path)
     out = []
-    for name in sorted(os.listdir(log_dir)):
+    for name in px.listdir(LOG_DIR):
         stem, _dot, ext = name.partition(".")
         if ext != "json" or not stem.isdigit():
             continue
         try:
-            with open(f"{log_dir}/{name}", "rb") as fh:
-                e = json.load(fh)
+            e = json.loads(px.read_bytes(f"{LOG_DIR}/{name}"))
         except (OSError, ValueError):
             continue  # mid-replace: treat as in-progress
         if e.get("status") == "committed":
@@ -106,17 +168,15 @@ def _infer_data_schema(path: str) -> str:
     """DDL of the newest committed delta's data columns (folded
     `commit_range=` segments carry commit_version as a column — it is
     stripped here because the source appends its own)."""
-    import os
-
     import pyarrow.parquet as pq
 
-    def _ddl_of(parquet_dir: str) -> str | None:
-        if not os.path.isdir(parquet_dir):
-            return None
-        for name in sorted(os.listdir(parquet_dir)):
+    px = _Paths(path)
+
+    def _ddl_of(rel_dir: str) -> str | None:
+        for name in px.listdir(rel_dir):
             if name.startswith(("_", ".")) or not name.endswith(".parquet"):
                 continue
-            schema = pq.read_schema(f"{parquet_dir}/{name}")
+            schema = pq.read_schema(px.url(f"{rel_dir}/{name}"))
             cols = []
             for f_ in schema:
                 if f_.name == "commit_version":
@@ -131,21 +191,20 @@ def _infer_data_schema(path: str) -> str:
             return ", ".join(cols)
         return None
 
-    root = f"{path}/{CDF_DIR}"
     for entry in reversed(_committed_entries(path)):
         if not entry.get("cdf"):
             continue
-        got = _ddl_of(f"{root}/commit_version={entry['version']}")
+        got = _ddl_of(f"{CDF_DIR}/commit_version={entry['version']}")
         if got:
             return got
-    if os.path.isdir(root):  # fully-folded feed: newest ranged segment
-        for name in sorted(os.listdir(root), reverse=True):
-            if name.startswith("commit_range="):
-                got = _ddl_of(f"{root}/{name}")
-                if got:
-                    return got
+    # fully-folded feed: newest ranged segment
+    for name in sorted(px.listdir(CDF_DIR), reverse=True):
+        if name.startswith("commit_range="):
+            got = _ddl_of(f"{CDF_DIR}/{name}")
+            if got:
+                return got
     raise ValueError(
-        f"no committed CDF delta found under {root} — "
+        f"no committed CDF delta found under {path}/{CDF_DIR} — "
         "write with LakeWriter(emit_cdf=True) first or pass a schema option"
     )
 
@@ -182,8 +241,6 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": max(latest, self.after)}
 
     def partitions(self, start: dict, end: dict):
-        import os
-
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return [CommitPartition(-1)]  # empty-batch placeholder
@@ -193,25 +250,26 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 f"change feed of {self.path} is truncated past offset {lo} — "
                 "commits were pruned; rebuild the consumer from a batch scan"
             )
-        root = f"{self.path}/{CDF_DIR}"
+        px = _Paths(self.path)
         # folded segments (maintenance.fold_change_feed): newest range
         # covering a version wins, same shadowing rule as the batch
         # reader — crashed-fold leftovers are never double-served
         ranges: list[tuple[int, int, str]] = []
-        if os.path.isdir(root):
-            for name in os.listdir(root):
-                if name.startswith("commit_range="):
-                    try:
-                        lo_s, hi_s = name.split("=", 1)[1].split("-")[:2]
-                        ranges.append((int(lo_s), int(hi_s), name))
-                    except ValueError:
-                        continue
+        for name in px.listdir(CDF_DIR):
+            if name.startswith("commit_range="):
+                try:
+                    lo_s, hi_s = name.split("=", 1)[1].split("-")[:2]
+                    ranges.append((int(lo_s), int(hi_s), name))
+                except ValueError:
+                    continue
         ranges.sort(key=lambda r: (r[1], r[0], r[2]), reverse=True)
 
-        def _files(d):
+        def _files(rel_dir):
+            # absolute paths/URIs pyarrow's read_table accepts verbatim —
+            # the executor side stays storage-agnostic
             return sorted(
-                f"{d}/{n}"
-                for n in (os.listdir(d) if os.path.isdir(d) else [])
+                px.url(f"{rel_dir}/{n}")
+                for n in px.listdir(rel_dir)
                 if n.endswith(".parquet") and not n.startswith(("_", "."))
             )
 
@@ -234,13 +292,13 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 seg_versions.setdefault(seg, []).append(v)
             else:
                 parts.append(
-                    CommitPartition(v, _files(f"{root}/commit_version={v}"), self.columns)
+                    CommitPartition(v, _files(f"{CDF_DIR}/commit_version={v}"), self.columns)
                 )
         # folded segments: one partition PER SEGMENT FILE carrying the
         # whole planned version set — every file is read exactly once
         # (parallelism by file), the executor filters rows to the set
         for seg, versions in seg_versions.items():
-            for f in _files(f"{root}/{seg}"):
+            for f in _files(f"{CDF_DIR}/{seg}"):
                 parts.append(
                     CommitPartition(max(versions), [f], self.columns, True, versions)
                 )

@@ -222,3 +222,54 @@ def test_folded_segment_planned_once_not_per_version(spark, tmp_path):
     # executor-side: reading the partitions yields exactly the feed rows
     rows = [r for p in parts for r in reader.read(p)]
     assert sorted(r[-1] for r in rows) == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_over_scheme_prefixed_root(spark, tmp_path):
+    """VERDICT r7 #4: the source works when the dataset root is
+    scheme-prefixed (file:// exercises the same _Paths branch an
+    s3://-style deployment takes — pyarrow fs for planning, URI reads
+    on executors). Replay equality: streaming drain == batch feed,
+    through a fold as well."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = f"file://{tmp_path}/lake"
+    w = LakeWriter(spark, base, emit_cdf=True)
+    for i in range(4):
+        w.write_ticks(_mk(spark, [(JAN + i * 60000, float(i))]), KEY)
+    ds = w.dataset_path(KEY)
+    assert ds.startswith("file://")
+
+    q = (
+        stream_change_feed(spark, ds)
+        .writeStream.format("memory")
+        .queryName("cdf_scheme_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["commit_version"], r["ts"], r["_change_type"], r["price"])
+        for r in spark.table("cdf_scheme_q").collect()
+    )
+    feed, _ = LakeReader(spark, base).read_change_feed(KEY, after_version=-1)
+    want = sorted(
+        (r["commit_version"], r["ts"], r["_change_type"], r["price"])
+        for r in feed.collect()
+    )
+    assert got == want and len(got) == 4
+
+    # folded segments too (URI-addressed ranged reads)
+    fold_change_feed(spark, ds)
+    q2 = (
+        stream_change_feed(spark, ds)
+        .writeStream.format("memory")
+        .queryName("cdf_scheme_q2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = sorted(
+        (r["commit_version"], r["ts"], r["_change_type"], r["price"])
+        for r in spark.table("cdf_scheme_q2").collect()
+    )
+    assert got2 == want
