@@ -289,6 +289,72 @@ class LakeReader:
         log = CommitLog(path, fs=self.fs)
         return log.history() if self.fs.exists(log.log_dir) else []
 
+    def history_table(self, key: DatasetKey) -> DataFrame:
+        """`dataset_history` as a QUERYABLE DataFrame — Delta's
+        ``DESCRIBE HISTORY`` shape (VERDICT r7 stretch #7): one row per
+        finalized commit with version/mode/rows/time range/file & CDF
+        facts, so operators can join/aggregate lake state with the same
+        engine that scans the data (audit dashboards, retention
+        reports, commit-rate monitoring). The underlying metadata is
+        driver-side and tiny (one JSON per retained commit) — same cost
+        model as DESCRIBE HISTORY."""
+        from dl_datalake_spark.lake.commitlog import CommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        log = CommitLog(
+            f"{self.base_path}/{dataset_rel_path(key.normalized())}", fs=self.fs
+        )
+        rows = []
+        for e in self.dataset_history(key):
+            live = log.files_at(int(e["version"]))  # snapshot size AT the commit
+            rows.append(
+                (
+                    int(e["version"]),
+                    e.get("mode"),
+                    int(e["rows"]) if e.get("rows") is not None else None,
+                    e.get("time_from"),
+                    e.get("time_to"),
+                    len(e["partitions"]) if e.get("partitions") is not None else None,
+                    len(live) if live is not None else None,
+                    bool(e.get("cdf", False)),
+                    e.get("txid"),
+                    float(e["committed_at"]) if e.get("committed_at") else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, mode string, rows long, time_from long, "
+            "time_to long, n_partitions int, n_files int, cdf boolean, "
+            "txid string, committed_at double",
+        )
+
+    def multilog_table(self) -> DataFrame:
+        """The lake-level multi-commit intent log as a DataFrame: one
+        row per record (live or folded) with txid/status/times and the
+        claimed (dataset, version) pairs exploded — joinable against
+        `history_table` on (txid) or (dataset, version) for
+        cross-dataset audit."""
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+
+        rows = []
+        for rec in MultiCommitLog(self.base_path, fs=self.fs).records():
+            for ds, v in sorted(rec.get("datasets", {}).items()):
+                rows.append(
+                    (
+                        rec.get("txid"),
+                        rec.get("status"),
+                        float(rec.get("ts", 0.0)),
+                        float(rec["ts_done"]) if rec.get("ts_done") else None,
+                        ds,
+                        int(v),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "txid string, status string, ts double, ts_done double, "
+            "dataset string, version long",
+        )
+
     # -- multi-dataset consistent reads (lake/multilog.py) -------------------
 
     def consistent_cut(self, keys: list[DatasetKey]) -> dict[str, int]:

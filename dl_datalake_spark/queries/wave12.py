@@ -148,3 +148,72 @@ def events_time_travel_multi(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         rows, "cut long, symbol string, ts long, price_cents long"
     )
+
+
+@register(
+    "events_lake_history",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' AND user_id % 8 < 4 GROUP BY 1),
+p AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' AND user_id % 8 < 2 GROUP BY 1),
+u AS (SELECT b FROM v UNION SELECT b FROM k)
+SELECT CAST(0 AS BIGINT) AS version, 'upsert' AS mode,
+       (SELECT COUNT(*) FROM v) AS n_rows
+UNION ALL
+-- an upsert commit records the MERGED touched-partition row count
+-- (keep-last union of existing views and new clicks), not the batch
+SELECT 1, 'upsert', (SELECT COUNT(*) FROM u) + (SELECT COUNT(*) FROM p)
+UNION ALL
+SELECT 2, 'delete', (SELECT COUNT(*) FROM u WHERE b <= 2)
+""",
+)
+def events_lake_history(spark: SparkSession, sf_dir: str):
+    """Lake metadata as a queryable table (VERDICT r7 stretch #7):
+    `LakeReader.history_table` is the DESCRIBE-HISTORY surface — this
+    query runs a write/upsert/delete cycle in a throwaway lake and
+    verifies the history TABLE's (version, mode, rows) against the
+    same arithmetic in SQL. The reference exposes commit history only
+    through bespoke accessors; here it is a DataFrame operators can
+    join/aggregate with the engine itself."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    clicks4 = _bucket_cents(ev, "click", max_bucket=4)
+    purch = _bucket_cents(ev, "purchase", max_bucket=2)
+
+    def _ticks(df, offset=0):
+        return df.select(
+            (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    key = DatasetKey("SIM", "SPOT", "HIST", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_hist_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(views), key)                                  # v0
+        w.write_ticks(_ticks(clicks4).unionByName(_ticks(purch, 10)), key) # v1
+        w.delete_range(key, _JAN, _JAN + 2 * 60000)                        # v2
+        hist = (
+            LakeReader(spark, tmp)
+            .history_table(key)
+            .select("version", "mode", F2.col("rows").alias("n_rows"))
+        )
+        rows = hist.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "version long, mode string, n_rows long")

@@ -505,3 +505,22 @@ def test_fold_keeps_cut_cost_flat_and_records_readable(lake, spark):
     reader = LakeReader(spark, base)
     at = reader.read_datasets_at([KEY_A, KEY_B], "hist0000" + "0" * 24)
     assert at["AAA_USD"].count() == 1 and at["BBB_USD"].count() == 1
+
+
+def test_metadata_tables_joinable(lake, spark):
+    """history_table x multilog_table: lake metadata as DataFrames —
+    a multi-commit's txid joins its per-dataset commit rows."""
+    writer, reader, _ = lake
+    r1 = writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    tx1 = r1["AAA_USD"].txid
+    hist = reader.history_table(KEY_A)
+    assert hist.columns[:3] == ["version", "mode", "rows"]
+    row = hist.collect()[0]
+    assert (row["version"], row["rows"], row["txid"]) == (0, 2, tx1)
+    assert row["n_files"] >= 1 and row["committed_at"] > 0
+    ml = reader.multilog_table()
+    joined = ml.join(hist, ["txid"]).where(
+        ml.dataset.contains("AAA_USD") & (ml.version == hist.version)
+    )
+    assert joined.count() == 1
+    assert {r["status"] for r in ml.collect()} == {"committed"}
