@@ -541,6 +541,25 @@ class LakeReader:
             out[k.symbol] = self.read_dataset_at(k, cut[dataset_rel_path(k)])
         return out
 
+    def read_datasets_at_time(
+        self, keys: list[DatasetKey], at_ts: float
+    ) -> dict[str, DataFrame]:
+        """Multi-dataset ``TIMESTAMP AS OF``: every dataset as of the
+        consistent cut covering wall-clock `at_ts` (`consistent_cut_at`
+        — newest commits finalized by then, straddling multi-commits
+        pulled in whole).  Same loud-error contract as
+        `read_datasets_at`; use that when you hold a txid (exact replay
+        of a known run), this when you hold a time ("the lake at
+        yesterday 18:00")."""
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        cut = self.consistent_cut_at(keys, at_ts)
+        out: dict[str, DataFrame] = {}
+        for key in keys:
+            k = key.normalized()
+            out[k.symbol] = self.read_dataset_at(k, cut[dataset_rel_path(k)])
+        return out
+
     def read_datasets(self, keys: list[DatasetKey]) -> dict[str, DataFrame]:
         """Read several datasets at ONE consistent cut: a multi-dataset
         commit (`write_ohlc_multi`) is either visible in every returned

@@ -524,3 +524,24 @@ def test_metadata_tables_joinable(lake, spark):
     )
     assert joined.count() == 1
     assert {r["status"] for r in ml.collect()} == {"committed"}
+
+
+def test_read_datasets_at_time(lake, spark):
+    """TIMESTAMP AS OF across datasets: a wall-clock time between two
+    multi-commits serves exactly the earlier epoch."""
+    import time
+
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=2), "binance", "spot")
+    t_mid = time.time()
+    time.sleep(0.02)
+    writer.write_ohlc_multi(
+        _multi_df(spark, n=1, start=1672574400000 + 90 * 60000), "binance", "spot"
+    )
+    at = reader.read_datasets_at_time([KEY_A, KEY_B], t_mid)
+    assert at["AAA_USD"].count() == 2 and at["BBB_USD"].count() == 2
+    now = reader.read_datasets_at_time([KEY_A, KEY_B], time.time())
+    assert now["AAA_USD"].count() == 3 and now["BBB_USD"].count() == 3
+    # before the first commit: empty frames, not an error
+    early = reader.read_datasets_at_time([KEY_A, KEY_B], t_mid - 10_000)
+    assert early["AAA_USD"].count() == 0
