@@ -545,3 +545,84 @@ def test_read_datasets_at_time(lake, spark):
     # before the first commit: empty frames, not an error
     early = reader.read_datasets_at_time([KEY_A, KEY_B], t_mid - 10_000)
     assert early["AAA_USD"].count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: consistent_cut_at never tears a committed multi-commit, for
+# ANY random interleaving of single/multi commits and ANY probe time
+# ---------------------------------------------------------------------------
+def _mk_entry(base, rel, version, committed_at, txid=None):
+    import json as _json
+    import os as _os
+
+    d = f"{base}/{rel}/_commits"
+    _os.makedirs(d, exist_ok=True)
+    e = {"status": "committed", "committed_at": float(committed_at), "files": []}
+    if txid:
+        e["txid"] = txid
+    with open(f"{d}/{version:020d}.json", "w") as fh:
+        fh.write(_json.dumps(e))
+
+
+def test_property_consistent_cut_at_never_tears(tmp_path, spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        events=st.lists(
+            st.sampled_from(["a", "b", "m_ab", "m_ba"]), min_size=1, max_size=10
+        ),
+        data=st.data(),
+    )
+    def prop(events, data):
+        import shutil
+        import uuid as _uuid
+
+        base = str(tmp_path / f"p{_uuid.uuid4().hex[:8]}")
+        ml = MultiCommitLog(base)
+        t = 100.0
+        va = vb = -1
+        multis = []  # (txid, claim_a, claim_b)
+        for ev in events:
+            if ev == "a":
+                va += 1
+                _mk_entry(base, rel_a, va, t)
+                t += 3
+            elif ev == "b":
+                vb += 1
+                _mk_entry(base, rel_b, vb, t)
+                t += 3
+            else:  # multi-commit; finalize order a-then-b or b-then-a
+                va += 1
+                vb += 1
+                txid = _uuid.uuid4().hex
+                ml.begin({rel_a: va, rel_b: vb}, txid=txid)
+                first, second = (
+                    (rel_a, rel_b) if ev == "m_ab" else (rel_b, rel_a)
+                )
+                _mk_entry(base, first, va if first == rel_a else vb, t + 1, txid)
+                _mk_entry(base, second, va if second == rel_a else vb, t + 2, txid)
+                ml.commit(txid)
+                multis.append((txid, va, vb))
+                t += 4
+        reader = LakeReader(spark, base)
+        probe = data.draw(st.floats(min_value=99.0, max_value=t + 1))
+        cut = reader.consistent_cut_at([KEY_A, KEY_B], probe)
+        # atomicity: every committed multi-commit is in wholly or not at all
+        for _txid, ca, cb in multis:
+            assert (cut[rel_a] >= ca) == (cut[rel_b] >= cb), (
+                events, probe, cut, (ca, cb),
+            )
+        # raise-only: never below the plain timestamp resolution
+        from dl_datalake_spark.lake.commitlog import CommitLog
+
+        assert cut[rel_a] >= CommitLog(f"{base}/{rel_a}").version_at_time(probe)
+        assert cut[rel_b] >= CommitLog(f"{base}/{rel_b}").version_at_time(probe)
+        # and never beyond the head
+        assert cut[rel_a] <= va and cut[rel_b] <= vb
+        shutil.rmtree(base, ignore_errors=True)
+
+    prop()
