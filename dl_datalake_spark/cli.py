@@ -198,9 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "compact", "vacuum", "vacuum-tombstones", "prune-commits",
-            "fold-multilog",
+            "fold-multilog", "recluster",
         ],
     )
+    mt.add_argument("--path", help="recluster: one dataset directory")
+    mt.add_argument("--cols", help="recluster: comma-separated Z-order columns")
     mt.add_argument("--files-per-partition", type=int, default=1)
     mt.add_argument("--in-place", action="store_true",
                     help="compact into the live tree instead of a staged swap")
@@ -479,6 +481,18 @@ def main(argv: list[str] | None = None) -> int:
             from dl_datalake_spark.lake.multilog import MultiCommitLog
 
             rep = MultiCommitLog(args.base).fold(keep_last=args.keep_last)
+            print(json.dumps(rep))
+        elif args.action == "recluster":
+            from dl_datalake_spark.lake.maintenance import recluster
+
+            if not args.path or not args.cols:
+                raise SystemExit("recluster needs --path and --cols")
+            rep = recluster(
+                spark,
+                args.path,
+                [c.strip() for c in args.cols.split(",")],
+                files_per_month=args.files_per_partition,
+            )
             print(json.dumps(rep))
         else:
             from dl_datalake_spark.lake.maintenance import vacuum

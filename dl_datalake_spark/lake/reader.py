@@ -298,15 +298,21 @@ class LakeReader:
         reports, commit-rate monitoring). The underlying metadata is
         driver-side and tiny (one JSON per retained commit) — same cost
         model as DESCRIBE HISTORY."""
-        from dl_datalake_spark.lake.commitlog import CommitLog
-        from dl_datalake_spark.lake.paths import dataset_rel_path
-
-        log = CommitLog(
-            f"{self.base_path}/{dataset_rel_path(key.normalized())}", fs=self.fs
-        )
         rows = []
+        # one forward replay of the delta-encoded listing chain gives
+        # every version's snapshot size (files_at per version would fold
+        # the chain V times); `known` goes False across a pruned base or
+        # an untrusted barrier and True again at the next checkpoint
+        cur: set[str] = set()
+        known = False
         for e in self.dataset_history(key):
-            live = log.files_at(int(e["version"]))  # snapshot size AT the commit
+            if "files" in e:
+                cur, known = set(e["files"]), True
+            elif "files_add" in e or "files_remove" in e:
+                cur -= set(e.get("files_remove") or [])
+                cur |= set(e.get("files_add") or [])
+            elif e.get("partitions") != []:
+                known = False  # files-less data commit: untrusted barrier
             rows.append(
                 (
                     int(e["version"]),
@@ -315,7 +321,7 @@ class LakeReader:
                     e.get("time_from"),
                     e.get("time_to"),
                     len(e["partitions"]) if e.get("partitions") is not None else None,
-                    len(live) if live is not None else None,
+                    len(cur) if known else None,
                     bool(e.get("cdf", False)),
                     e.get("txid"),
                     float(e["committed_at"]) if e.get("committed_at") else None,

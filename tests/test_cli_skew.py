@@ -317,3 +317,30 @@ def test_cli_read_at_time_travel(spark, tmp_path, monkeypatch, capsys):
                      "--symbol", "BTCUSDT", "--version", "0", "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert "1.5" in out  # the v0 close price printed
+
+
+def test_cli_maintain_recluster_and_fold_multilog(spark, tmp_path, capsys):
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "lake_m")
+    w = LakeWriter(spark, base)
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+    df = spark.createDataFrame(
+        [(1672574400000 + i * 60000, float((i * 7) % 50)) for i in range(40)],
+        "ts long, price double",
+    )
+    w.write_ticks(df, key)
+    ds = w.dataset_path(key)
+
+    assert main([
+        "--base", base, "maintain", "recluster",
+        "--path", ds, "--cols", "ts,price",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files_after"] >= 1
+    assert w.commit_log(key).col_stats("price")
+
+    assert main(["--base", base, "maintain", "fold-multilog"]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["folded"] == 0  # nothing resolved-and-old yet: a no-op
