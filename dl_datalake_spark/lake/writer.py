@@ -96,6 +96,8 @@ class LakeWriter:
         commit_timeout_s: float = 60.0,
         emit_cdf: bool = False,
         stats_cols: list[str] | None = None,
+        expectations: list | None = None,
+        enforce: str = "fail",
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -111,7 +113,16 @@ class LakeWriter:
         columns (same single stats job), so `LakeReader` scans bounded
         on them prune files BEFORE any parquet footer read — pair with
         `maintenance.recluster` (Z-order) to make the ranges tight.
-        Columns absent from a batch's schema are skipped per commit."""
+        Columns absent from a batch's schema are skipped per commit.
+
+        `expectations` (lake/expectations.py constraints) are enforced
+        on every single-dataset write BEFORE the commit claim — Delta's
+        table CHECK constraints.  `enforce="fail"` (default) raises
+        ExpectationError with the dataset untouched;
+        `enforce="quarantine"` commits only the passing rows and lands
+        the violators under `<dataset>/_quarantine/<uuid>/` with the
+        per-constraint violation counts recorded in the commit payload
+        (`expectations` key) — auditable through `history_table`."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
@@ -119,6 +130,10 @@ class LakeWriter:
         self.commit_timeout_s = commit_timeout_s
         self.emit_cdf = emit_cdf
         self.stats_cols = list(stats_cols or [])
+        if enforce not in ("fail", "quarantine"):
+            raise ValueError(f"enforce must be fail|quarantine, got {enforce!r}")
+        self.expectations = list(expectations or [])
+        self.enforce = enforce
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -678,8 +693,9 @@ class LakeWriter:
         # and multi-host safe on shared storage — the log lives inside
         # the dataset directory.  Writes to different datasets stay
         # fully parallel (per-dataset logs).
+        df, exp_meta = self._enforce_expectations(df, key)
         log = self.commit_log(key)
-        payload = {"mode": mode, **(commit_meta or {})}
+        payload = {"mode": mode, **exp_meta, **(commit_meta or {})}
         with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
             res = self._write_locked(df, key, mode, cdf_version=meta["version"])
             # touched partitions in the commit record = the CDC surface:
@@ -828,6 +844,34 @@ class LakeWriter:
                 metadata={"timeframe": key.period, "rows": result.rows},
             )
         return result
+
+    def _enforce_expectations(self, df: DataFrame, key: DatasetKey):
+        """Write-time CHECK constraints (Delta parity).  fail: raise
+        BEFORE any claim, dataset untouched.  quarantine: return the
+        passing split; violators land as parquet under
+        `<dataset>/_quarantine/<uuid>/` (hidden from every data scan by
+        the underscore rule) and the per-constraint counts ride the
+        commit payload.  Returns (df_to_write, payload_extras)."""
+        if not self.expectations:
+            return df, {}
+        from dl_datalake_spark.lake.expectations import check
+
+        if self.enforce == "fail":
+            check(df, self.expectations, enforce="fail")  # raises on violation
+            return df, {}
+        import uuid as _uuid
+
+        good, bad, report = check(df, self.expectations, enforce="quarantine")
+        counts = {
+            r["name"]: int(r["violations"])
+            for r in report.collect()
+            if r["violations"] > 0
+        }
+        if not counts:
+            return df, {}
+        qdir = f"{self.dataset_path(key)}/_quarantine/{_uuid.uuid4().hex}"
+        bad.write.mode("overwrite").option("compression", "snappy").parquet(qdir)
+        return good, {"expectations": counts, "quarantine": qdir.rsplit("/", 1)[-1]}
 
     def _added_file_stats(
         self, ds_path: str, added: list[str], ts_col: str

@@ -1227,3 +1227,54 @@ def test_multi_write_emits_per_dataset_change_feed(spark, tmp_path):
             mk([("AAA/USD", jan, 1.0, 2.0, 0.5, 1.5, 10.0)]),
             "binance", "spot", mode="overwrite",
         )
+
+
+def test_writer_expectations_fail_and_quarantine(lake, spark):
+    """Write-time CHECK constraints (Delta parity): enforce='fail'
+    rejects the batch before any claim; enforce='quarantine' commits
+    only passing rows, preserves violators under _quarantine/, and the
+    commit payload carries per-constraint counts."""
+    from dl_datalake_spark.lake.expectations import (
+        ExpectationError,
+        accepted_range,
+        not_null,
+    )
+
+    writer, reader, _ = lake
+    jan = 1672574400000
+    df = spark.createDataFrame(
+        [(jan + i * 60000, float(i) if i < 8 else -1.0) for i in range(10)],
+        "ts long, price double",
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "ticks", "1m")
+
+    strict = LakeWriter(
+        spark, writer.base_path,
+        expectations=[not_null("price"), accepted_range("price", 0.0, 100.0)],
+        enforce="fail",
+    )
+    with pytest.raises(ExpectationError, match="range_price"):
+        strict.write_ticks(df, KEY)
+    assert reader.read_dataset(key).count() == 0  # untouched, no commit
+    assert strict.commit_log(key).latest_version() == -1
+
+    lenient = LakeWriter(
+        spark, writer.base_path,
+        expectations=[not_null("price"), accepted_range("price", 0.0, 100.0)],
+        enforce="quarantine",
+    )
+    res = lenient.write_ticks(df, KEY)
+    assert res.rows == 8
+    assert reader.read_dataset(key).count() == 8
+    ds = lenient.dataset_path(key)
+    qroot = os.path.join(ds, "_quarantine")
+    qdirs = os.listdir(qroot)
+    assert len(qdirs) == 1
+    q = spark.read.parquet(os.path.join(qroot, qdirs[0]))
+    assert q.count() == 2 and q.where("price >= 0").count() == 0
+    hist = lenient.commit_log(key).history()
+    assert hist[-1]["expectations"] == {"range_price": 2}
+    # a clean batch commits without expectation noise in the payload
+    ok = spark.createDataFrame([(jan + 600 * 60000, 5.0)], "ts long, price double")
+    lenient.write_ticks(ok, key)
+    assert "expectations" not in lenient.commit_log(key).history()[-1]
