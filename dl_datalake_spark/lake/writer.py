@@ -223,6 +223,38 @@ class LakeWriter:
             .withColumn("year", F.year(t))
             .withColumn("month", F.month(t))
         )
+        import uuid
+
+        # Cross-dataset visibility (lake/multilog.py): every per-dataset
+        # commit carries this txid; the intent record written just before
+        # the finalizes (end of the ExitStack body) lets a concurrent
+        # `read_datasets` exclude the half-finalized window. Generated
+        # up-front so the quarantine dir below can share it.
+        txid = uuid.uuid4().hex
+        exp_meta: dict = {}
+        if self.expectations:
+            # same write-time CHECK contract as the single-dataset path;
+            # quarantined rows keep their symbol column, one dir per txid
+            from dl_datalake_spark.lake.expectations import check
+
+            if self.enforce == "fail":
+                check(batch, self.expectations, enforce="fail")
+            else:
+                good, bad, report = check(
+                    batch, self.expectations, enforce="quarantine"
+                )
+                counts = {
+                    r["name"]: int(r["violations"])
+                    for r in report.collect()
+                    if r["violations"] > 0
+                }
+                if counts:
+                    qdir = f"{self.base_path}/_quarantine_multi/{txid}"
+                    bad.write.mode("overwrite").option(
+                        "compression", "snappy"
+                    ).parquet(qdir)
+                    batch = good
+                    exp_meta = {"expectations": counts}
         triples = [
             (r["symbol"], int(r["year"]), int(r["month"]))
             for r in batch.select("symbol", "year", "month").distinct().collect()
@@ -235,16 +267,9 @@ class LakeWriter:
             parts_by_symbol.setdefault(sym, []).append([y, m])
         keys = [DatasetKey(ex, mk, s, data_type, period) for s in symbols]
 
-        import uuid
-
         from dl_datalake_spark.lake.multilog import MultiCommitLog
         from dl_datalake_spark.lake.paths import dataset_rel_path
 
-        # Cross-dataset visibility (lake/multilog.py): every per-dataset
-        # commit carries this txid; the intent record written just before
-        # the finalizes (end of the ExitStack body) lets a concurrent
-        # `read_datasets` exclude the half-finalized window.
-        txid = uuid.uuid4().hex
         multilog = MultiCommitLog(self.base_path, fs=self.fs)
         intent_written = False
 
@@ -254,7 +279,7 @@ class LakeWriter:
                 stack.enter_context(
                     self.commit_log(k).transaction(
                         timeout=self.commit_timeout_s,
-                        payload={"mode": mode, "multi": True, "txid": txid},
+                        payload={"mode": mode, "multi": True, "txid": txid, **exp_meta},
                     )
                 )
                 for k in keys  # sorted symbol order: deadlock-free

@@ -1278,3 +1278,38 @@ def test_writer_expectations_fail_and_quarantine(lake, spark):
     ok = spark.createDataFrame([(jan + 600 * 60000, 5.0)], "ts long, price double")
     lenient.write_ticks(ok, key)
     assert "expectations" not in lenient.commit_log(key).history()[-1]
+
+
+def test_multi_write_expectations_quarantine(lake, spark):
+    from dl_datalake_spark.lake.expectations import ExpectationError, accepted_range
+
+    writer, reader, _ = lake
+    df = _multi_df(spark, ["AAA/USD", "BBB/USD"], n=5)
+    # poison two rows of BBB
+    bad = _multi_df(spark, ["BBB/USD"], n=2, start=1672574400000 + 50 * 60000,
+                    price=-9.0)
+    full = df.unionByName(bad)
+
+    strict = LakeWriter(
+        spark, writer.base_path,
+        expectations=[accepted_range("close", 0.0, 1e9)], enforce="fail",
+    )
+    with pytest.raises(ExpectationError, match="range_close"):
+        strict.write_ohlc_multi(full, "binance", "spot")
+    key_a = DatasetKey("BINANCE", "SPOT", "AAA_USD", "raw", "1m")
+    assert reader.read_dataset(key_a).count() == 0  # nothing committed
+
+    lenient = LakeWriter(
+        spark, writer.base_path,
+        expectations=[accepted_range("close", 0.0, 1e9)], enforce="quarantine",
+    )
+    res = lenient.write_ohlc_multi(full, "binance", "spot")
+    assert reader.read_dataset(key_a).count() == 5
+    key_b = DatasetKey("BINANCE", "SPOT", "BBB_USD", "raw", "1m")
+    assert reader.read_dataset(key_b).count() == 5  # bad rows excluded
+    q = spark.read.parquet(
+        os.path.join(writer.base_path, "_quarantine_multi", res["AAA_USD"].txid)
+    )
+    assert q.count() == 2 and {r["symbol"] for r in q.collect()} == {"BBB_USD"}
+    hist = lenient.commit_log(key_b).history()
+    assert hist[-1]["expectations"] == {"range_close": 2}
