@@ -330,22 +330,43 @@ def compact(
             # them every post-compaction bounded read would scan the
             # whole dataset again (compacted files are exactly the ones
             # a deployment reads most) — one ts-only scan of the rewrite
-            fstats = {}
+            fstats, colstats = {}, {}
             if compacted_files and ds in data_datasets:
                 from dl_datalake_spark.lake.snapshot import added_file_stats
 
+                # carry the generalized column index through compaction:
+                # whatever columns the dataset's retained commits indexed
+                # (writer stats_cols / recluster) get re-recorded for the
+                # rewritten files, so a compact never silently disables
+                # column-bounded file skipping
+                idx_cols = tuple(
+                    sorted(
+                        {
+                            c
+                            for e in CommitLog(ds, fs=fs).history()
+                            for c in (e.get("col_stats") or {})
+                        }
+                    )
+                )
                 try:
-                    fstats = added_file_stats(
-                        spark, {f"{out}/{rel}": compacted_files}
-                    ).get(f"{out}/{rel}", {})
+                    got = added_file_stats(
+                        spark,
+                        {f"{out}/{rel}": compacted_files},
+                        extra_cols=idx_cols,
+                    )
+                    fstats, cmap = got if idx_cols else (got, {})
+                    fstats = fstats.get(f"{out}/{rel}", {})
+                    colstats = cmap.get(f"{out}/{rel}", {}) if idx_cols else {}
                 except Exception:
-                    fstats = {}  # non-ts dataset: skipping stays disabled
+                    fstats, colstats = {}, {}  # non-ts dataset: skipping stays disabled
             if in_place:
                 # rides the held transaction: finalizes (after the swap)
                 # as this dataset's compact commit in the swapped-in tree
                 metas[ds]["files"] = compacted_files
                 if fstats:
                     metas[ds]["file_stats"] = fstats
+                if colstats:
+                    metas[ds]["col_stats"] = colstats
             else:
                 # exported tree: its copied log is live-claim-free
                 # (committed_only), so pin via a fresh commit inside it
@@ -356,6 +377,8 @@ def compact(
                 }
                 if fstats:
                     payload["file_stats"] = fstats
+                if colstats:
+                    payload["col_stats"] = colstats
                 with CommitLog(f"{out}/{rel}", fs=fs).transaction(
                     timeout=commit_timeout_s,
                     payload=payload,

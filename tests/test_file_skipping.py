@@ -262,3 +262,27 @@ def test_recluster_records_col_stats_and_tightens_pruning(tmp_path, spark):
     )
     # tombstoned pre-recluster files still serve a pinned historical read
     assert reader.read_dataset_at(KEY, log.latest_version() - 1).count() == 200
+
+
+def test_compact_carries_col_stats_through(tmp_path, spark):
+    """A compaction must not silently disable column-bounded skipping:
+    whatever columns the dataset's commits indexed get re-recorded for
+    the rewritten files."""
+    from dl_datalake_spark.lake.maintenance import compact
+
+    base = str(tmp_path / "base")
+    writer = LakeWriter(spark, base, stats_cols=["close"])
+    reader = LakeReader(spark, base)
+    writer.write_ohlc(_priced(spark, 5, JAN1, 100.0), KEY, mode="append")
+    writer.write_ohlc(_priced(spark, 5, JAN1 + 5 * 60000, 900.0), KEY, mode="append")
+    assert writer.commit_log(KEY).col_stats("close")
+
+    compact(spark, base, in_place=True)
+    log = writer.commit_log(KEY)
+    assert log.history()[-1]["mode"] == "compact"
+    live = set(log.latest_files())
+    cstats = log.col_stats("close")
+    # the compacted (live) files all carry fresh close stats
+    assert live and all(rel in cstats for rel in live)
+    got = reader.read_dataset(KEY, bounds={"close": (900.0, 904.0)})
+    assert got.count() == 5
