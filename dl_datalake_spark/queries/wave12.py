@@ -293,3 +293,138 @@ def events_bounded_read(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_recluster_read",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+kall AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+allr AS (
+  SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM v
+  UNION ALL SELECT CAST({_JAN} + (100 + b) * 60000 AS BIGINT), c FROM kall),
+bnd AS (SELECT MIN(c) AS lo, CAST(FLOOR(AVG(c)) AS BIGINT) AS hi FROM allr)
+SELECT ts, c AS price_cents FROM allr, bnd WHERE c >= lo AND c <= hi
+""",
+)
+def events_recluster_read(spark: SparkSession, sf_dir: str):
+    """Z-order recluster as a first-class operator (maintenance.
+    recluster, Delta OPTIMIZE ZORDER BY): write, RECLUSTER on
+    (ts, price), then run a price-bounded read over the rewritten
+    layout — row identity through the rewrite and bound correctness on
+    the clustered files are both oracled; the file pruning itself is
+    plan-asserted in tests/test_file_skipping.py."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.maintenance import recluster
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    clicks = _bucket_cents(ev, "click")
+
+    def _ticks(df, offset):
+        return df.select(
+            (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    allr = _ticks(views, 0).unionByName(_ticks(clicks, 100))
+    lo, hi = allr.agg(F.min("price"), F.floor(F.avg("price")).cast("double")).first()
+
+    key = DatasetKey("SIM", "SPOT", "ZRD", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_zrd_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(views, 0), key, mode="append")
+        w.write_ticks(_ticks(clicks, 100), key, mode="append")
+        recluster(spark, w.dataset_path(key), ["ts", "price"], files_per_month=4)
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key, bounds={"price": (lo, hi)})
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_write_expectations",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' AND user_id % 8 < 2 GROUP BY 1)
+SELECT 'committed_rows' AS metric, (SELECT COUNT(*) FROM v) AS value
+UNION ALL SELECT 'quarantined_rows', (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 'violations_range_price', (SELECT COUNT(*) FROM p)
+""",
+)
+def events_write_expectations(spark: SparkSession, sf_dir: str):
+    """Write-time CHECK constraints as a first-class operator: a batch
+    of valid view rows plus deterministically-poisoned purchase rows
+    (price = -c - 1, always negative) goes through
+    LakeWriter(expectations=[accepted_range(price, 0, inf)],
+    enforce='quarantine') — the committed count, the quarantine split,
+    and the commit payload's violation tally are all oracled."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.expectations import accepted_range
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    purch = _bucket_cents(ev, "purchase", max_bucket=2)
+
+    good = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    bad = purch.select(
+        (F.lit(_JAN) + (F.col("b") + 50) * 60000).cast("long").alias("ts"),
+        (-F.col("c") - 1).cast("double").alias("price"),
+    )
+
+    key = DatasetKey("SIM", "SPOT", "EXP", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_exp_lake_")
+    try:
+        w = LakeWriter(
+            spark,
+            tmp,
+            expectations=[accepted_range("price", 0.0, 1e15)],
+            enforce="quarantine",
+        )
+        w.write_ticks(good.unionByName(bad), key)
+        committed = LakeReader(spark, tmp).read_dataset(key).count()
+        entry = w.commit_log(key).history()[-1]
+        violations = int(entry.get("expectations", {}).get("range_price", 0))
+        qname = entry.get("quarantine")
+        qdir = f"{w.dataset_path(key)}/_quarantine/{qname}"
+        quarantined = spark.read.parquet(qdir).count() if qname else 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("committed_rows", committed),
+            ("quarantined_rows", quarantined),
+            ("violations_range_price", violations),
+        ],
+        "metric string, value long",
+    )
