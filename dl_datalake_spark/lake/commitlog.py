@@ -201,6 +201,23 @@ class CommitLog:
                 out.update(e.get("file_stats") or {})
         return out
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Newest committed `txn.version` recorded by `app_id` (Delta's
+        txnAppId/txnVersion idempotent-write mechanic): a writer that
+        tags commits with a monotonically increasing per-app version can
+        detect a replayed micro-batch and skip it.  -1 when the app has
+        no retained commit — prune keep_last bounds the lookback, so an
+        app idle past the retention horizon loses replay protection
+        (document the same retention trade Delta makes)."""
+        for v in reversed(self._entries()):
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            t = e.get("txn")
+            if t and t.get("app") == app_id:
+                return int(t.get("version", -1))
+        return -1
+
     def col_stats(self, col: str) -> dict[str, list]:
         """Union of every retained committed entry's `col_stats[col]`
         ({rel path: [min, max]}, newest entry wins) — the generalized

@@ -42,6 +42,12 @@ from dl_datalake_spark.lake.snapshot import (
 )
 
 
+class _ReplayedTxn(Exception):
+    """Internal: idempotent-txn replay detected under the commit claim
+    (a concurrent writer committed the same (app, version) between the
+    fast-path check and our claim) — aborts the transaction cleanly."""
+
+
 @dataclass
 class WriteResult:
     path: str
@@ -148,14 +154,32 @@ class LakeWriter:
         key: DatasetKey,
         mode: str = "upsert",
         commit_meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> WriteResult:
         """`commit_meta` is merged into the commit-log payload — the
         atomic place to persist consumer cursors (e.g. the CDC
         source_version a rollup was built from) WITH the write they
-        belong to."""
-        return self._write(df, key.normalized(), mode=mode, commit_meta=commit_meta)
+        belong to.
 
-    def write_ticks(self, df: DataFrame, key: DatasetKey, mode: str = "upsert") -> WriteResult:
+        `txn=(app_id, version)` makes the write IDEMPOTENT (Delta's
+        txnAppId/txnVersion): a commit tagged with a version at or
+        below the app's last committed version is SKIPPED (rows=0,
+        dataset untouched) — the exactly-once contract a foreachBatch
+        append sink needs when a crash lands between commit and
+        checkpoint (streaming/ingest.stream_append_ingest). Checked
+        again under the commit claim, so concurrent replays race
+        safely."""
+        return self._write(
+            df, key.normalized(), mode=mode, commit_meta=commit_meta, txn=txn
+        )
+
+    def write_ticks(
+        self,
+        df: DataFrame,
+        key: DatasetKey,
+        mode: str = "upsert",
+        txn: tuple[str, int] | None = None,
+    ) -> WriteResult:
         """Free-schema (ts + arbitrary columns) write. A key still
         carrying the default "raw" data_type is coerced to "ticks"
         (writer.py:190-232 semantics); an explicit type — e.g.
@@ -163,7 +187,7 @@ class LakeWriter:
         k = key.normalized()
         if k.data_type == "raw":
             k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
-        return self._write(df, k, mode=mode)
+        return self._write(df, k, mode=mode, txn=txn)
 
     def write_ohlc_multi(
         self,
@@ -706,6 +730,7 @@ class LakeWriter:
         key: DatasetKey,
         mode: str,
         commit_meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> WriteResult:
         # Serialize same-dataset upserts: the merge is read-modify-write
         # over the dataset's partitions, so two concurrent writers to one
@@ -718,27 +743,48 @@ class LakeWriter:
         # and multi-host safe on shared storage — the log lives inside
         # the dataset directory.  Writes to different datasets stay
         # fully parallel (per-dataset logs).
-        df, exp_meta = self._enforce_expectations(df, key)
         log = self.commit_log(key)
-        payload = {"mode": mode, **exp_meta, **(commit_meta or {})}
-        with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
-            res = self._write_locked(df, key, mode, cdf_version=meta["version"])
-            # touched partitions in the commit record = the CDC surface:
-            # an incremental consumer (reader.read_changes_since) re-reads
-            # exactly these partitions, never the dataset
-            meta.update(
-                rows=res.rows,
-                time_from=res.time_from,
-                time_to=res.time_to,
-                partitions=res.partitions,
-                files=res.files,  # the commit IS the snapshot definition
+        if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+            # replayed micro-batch (fast path, no quarantine side effects)
+            return WriteResult(
+                path=self.dataset_path(key), time_from=None, time_to=None,
+                rows=0, partitions=[],
             )
-            if res.file_stats:
-                meta["file_stats"] = res.file_stats
-            if res.col_stats:
-                meta["col_stats"] = res.col_stats
-            if self.emit_cdf:
-                meta["cdf"] = True  # read_change_feed's no-gap marker
+        df, exp_meta = self._enforce_expectations(df, key)
+        payload = {"mode": mode, **exp_meta, **(commit_meta or {})}
+        if txn is not None:
+            payload["txn"] = {"app": txn[0], "version": int(txn[1])}
+        try:
+            with log.transaction(
+                timeout=self.commit_timeout_s, payload=payload
+            ) as meta:
+                if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+                    # a concurrent replay committed between the fast path
+                    # and our claim: abort this transaction, dataset
+                    # untouched
+                    raise _ReplayedTxn()
+                res = self._write_locked(df, key, mode, cdf_version=meta["version"])
+                # touched partitions in the commit record = the CDC surface:
+                # an incremental consumer (reader.read_changes_since) re-reads
+                # exactly these partitions, never the dataset
+                meta.update(
+                    rows=res.rows,
+                    time_from=res.time_from,
+                    time_to=res.time_to,
+                    partitions=res.partitions,
+                    files=res.files,  # the commit IS the snapshot definition
+                )
+                if res.file_stats:
+                    meta["file_stats"] = res.file_stats
+                if res.col_stats:
+                    meta["col_stats"] = res.col_stats
+                if self.emit_cdf:
+                    meta["cdf"] = True  # read_change_feed's no-gap marker
+        except _ReplayedTxn:
+            return WriteResult(
+                path=self.dataset_path(key), time_from=None, time_to=None,
+                rows=0, partitions=[],
+            )
         return res
 
     def _write_locked(

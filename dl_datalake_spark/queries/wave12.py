@@ -428,3 +428,79 @@ def events_write_expectations(spark: SparkSession, sf_dir: str):
         ],
         "metric string, value long",
     )
+
+
+@register(
+    "events_stream_append_once",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+kall AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c AS price_cents FROM v
+UNION ALL
+SELECT CAST({_JAN} + (100 + b) * 60000 AS BIGINT), c FROM kall
+""",
+)
+def events_stream_append_once(spark: SparkSession, sf_dir: str):
+    """Exactly-once streaming APPEND into the lake
+    (streaming/ingest.stream_append_ingest + writer txn tags): two CSV
+    drops stream-append into a throwaway lake; the checkpoint is then
+    WIPED (crash between commit and checkpoint, maximally adversarial)
+    and the whole stream replays — the txn versions skip every replayed
+    batch, so the final rows equal the plain SQL union with no
+    duplicates. A duplicate would fail the oracle on row count."""
+    import csv
+    import io
+    import os
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.streaming.ingest import stream_append_ingest
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view").collect()
+    clicks = _bucket_cents(ev, "click").collect()
+
+    key = DatasetKey("SIM", "SPOT", "SAO", "raw", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_sao_lake_")
+    try:
+        landing = os.path.join(tmp, "landing")
+        os.makedirs(landing)
+
+        def _csv(name, rows, offset):
+            buf = io.StringIO()
+            wcsv = csv.writer(buf)
+            wcsv.writerow(["ts", "open", "high", "low", "close", "volume"])
+            for r in rows:
+                c = float(r["c"])
+                wcsv.writerow([_JAN + (r["b"] + offset) * 60000, c, c, c, c, 1.0])
+            with open(os.path.join(landing, name), "w") as fh:
+                fh.write(buf.getvalue())
+
+        _csv("views.csv", views, 0)
+        _csv("clicks.csv", clicks, 100)
+        w = LakeWriter(spark, os.path.join(tmp, "base"))
+        ckpt = os.path.join(tmp, "ckpt")
+        q = stream_append_ingest(spark, landing, w, key, ckpt, app_id="sao")
+        q.awaitTermination(180)
+        shutil.rmtree(ckpt)  # lose the checkpoint: full replay follows
+        q2 = stream_append_ingest(spark, landing, w, key, ckpt, app_id="sao")
+        q2.awaitTermination(180)
+        got = (
+            LakeReader(spark, os.path.join(tmp, "base"))
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("close").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")

@@ -53,6 +53,44 @@ def stream_ohlcv_ingest(
     )
 
 
+def stream_append_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    writer: LakeWriter,
+    key: DatasetKey,
+    checkpoint_dir: str,
+    app_id: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """EXACTLY-ONCE append sink: each micro-batch commits with
+    `txn=(app_id, batch_id)` (Delta's txnAppId/txnVersion,
+    `LakeWriter.write_ohlc`), so a batch replayed after a crash between
+    the lake commit and the checkpoint write is detected in the commit
+    log and SKIPPED — append mode needs this because, unlike the
+    keep-last upsert of `stream_ohlcv_ingest`, re-appending is not
+    idempotent. Contract (same as Delta): one app_id per stream,
+    monotonically increasing batch ids (Spark's checkpoint guarantees
+    this for a given checkpoint dir); replay protection reaches as far
+    back as commit-log prune retention."""
+    stream = (
+        spark.readStream.schema(OHLCV_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(landing_dir, header=True)
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.write_ohlc(batch_df, key, mode="append", txn=(app_id, batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_resample(
     df: DataFrame,
     every: str = "15 minutes",

@@ -551,3 +551,72 @@ def test_codec_registry_injects_decoder_and_resizer(spark):
         assert bytes(out[1]["payload"]) == b"a"
     finally:
         unregister_codec(RESIZER, "text/")
+
+
+def test_txn_idempotent_write_skips_replay(spark, tmp_path):
+    """Delta txnAppId/txnVersion parity at the writer level: a commit
+    tagged with a version <= the app's last committed version is
+    skipped (rows=0, no new commit); a higher version lands normally;
+    other apps are independent."""
+    writer = LakeWriter(spark, str(tmp_path / "base"))
+    df = spark.createDataFrame(
+        [(1672574400000 + i * 60000, 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(5)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    r0 = writer.write_ohlc(df, KEY, mode="append", txn=("appA", 0))
+    assert r0.rows == 5
+    log = writer.commit_log(KEY)
+    v_after = log.latest_version()
+    # replay of batch 0: skipped, no commit, no extra rows
+    r_replay = writer.write_ohlc(df, KEY, mode="append", txn=("appA", 0))
+    assert r_replay.rows == 0
+    assert log.latest_version() == v_after
+    reader = LakeReader(spark, str(tmp_path / "base"))
+    assert reader.read_dataset(KEY).count() == 5
+    # next batch lands; a different app is unaffected by appA's cursor
+    df2 = spark.createDataFrame(
+        [(1672574400000 + (5 + i) * 60000, 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(3)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    assert writer.write_ohlc(df2, KEY, mode="append", txn=("appA", 1)).rows == 3
+    # upsert records the merged touched-partition count (8), proving the
+    # txn tag composes with any mode
+    assert writer.write_ohlc(df2, KEY, mode="upsert", txn=("appB", 0)).rows == 8
+    assert reader.read_dataset(KEY).count() == 8
+    assert log.last_txn_version("appA") == 1
+    assert log.last_txn_version("appB") == 0
+
+
+def test_stream_append_ingest_exactly_once_across_checkpoint_loss(spark, tmp_path):
+    """The failure the upsert path can't cover: APPEND sink, checkpoint
+    wiped after a successful run (crash between commit and checkpoint,
+    maximally adversarial) — rerunning the same stream with the same
+    app_id replays the batches, the txn tags skip them, row count is
+    unchanged."""
+    from dl_datalake_spark.streaming.ingest import stream_append_ingest
+
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(10))
+    )
+    writer = LakeWriter(spark, str(tmp_path / "base2"))
+    key = DatasetKey("binance", "spot", "APPUSDT", "raw", "1m")
+    q = stream_append_ingest(
+        spark, str(landing), writer, key,
+        checkpoint_dir=str(tmp_path / "ckpt2"), app_id="ingestA",
+    )
+    q.awaitTermination(120)
+    reader = LakeReader(spark, str(tmp_path / "base2"))
+    assert reader.read_dataset(key).count() == 10
+
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt2")  # lose the checkpoint entirely
+    q2 = stream_append_ingest(
+        spark, str(landing), writer, key,
+        checkpoint_dir=str(tmp_path / "ckpt2"), app_id="ingestA",
+    )
+    q2.awaitTermination(120)
+    assert reader.read_dataset(key).count() == 10  # no duplicated appends
