@@ -103,8 +103,11 @@ class DataLakeClient:
         start: str | None = None,
         end: str | None = None,
         data_type: str = "raw",
+        bounds: dict | None = None,
     ) -> DataFrame:
-        return self.reader.read_range(exchange, symbol, data_type, start, end)
+        return self.reader.read_range(
+            exchange, symbol, data_type, start, end, bounds=bounds
+        )
 
     def list_symbols(self, exchange: str | None = None) -> list[str]:
         return self.reader.list_symbols(exchange)

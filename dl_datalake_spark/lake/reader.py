@@ -170,12 +170,15 @@ class LakeReader:
         end_date: str | None = None,
         market: str | None = None,
         period: str | None = None,
+        bounds: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Time-range scan, inclusive on both ends (reader.py:57-62).
         The bound does double duty: files whose commit-recorded ts range
         can't overlap are skipped before the scan (`_scan_paths`), and
         the residual predicate still pushes into the parquet reader for
-        row-group pruning within the files that remain."""
+        row-group pruning within the files that remain.  `bounds`
+        ({col: (lo, hi)}) composes column-stats file skipping + the
+        residual filters on top (see `read_dataset`)."""
         lo = iso_to_epoch_ms(start_date) if start_date is not None else None
         hi = iso_to_epoch_ms(end_date) if end_date is not None else None
         df = self._scan_paths(
@@ -187,6 +190,7 @@ class LakeReader:
                 period,
             ),
             ts_bounds=(lo, hi) if (lo is not None or hi is not None) else None,
+            col_bounds=bounds,
         )
         if df is None:
             return self.spark.createDataFrame([], "ts long")
@@ -195,6 +199,11 @@ class LakeReader:
             df = df.where(ts >= lo)
         if hi is not None:
             df = df.where(ts <= hi)
+        for c, (blo, bhi) in (bounds or {}).items():
+            if blo is not None:
+                df = df.where(F.col(c) >= blo)
+            if bhi is not None:
+                df = df.where(F.col(c) <= bhi)
         # Catalyst cannot translate a raw ts bound into year=/month=
         # partition predicates, so Hive-layout pruning never fires for
         # time-range reads on its own — derive the month window here
