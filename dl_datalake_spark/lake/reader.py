@@ -664,8 +664,8 @@ class LakeReader:
         for c in history:
             if c["version"] <= after_version:
                 continue
-            if c.get("mode") == "delete":
-                has_delete = True
+            if c.get("mode") in ("delete", "restore"):
+                has_delete = True  # a restore can also drop rows
             parts = c.get("partitions")
             if parts is None:
                 unknown = True  # legacy commit without partition metadata

@@ -684,6 +684,80 @@ class LakeWriter:
             )
         return result
 
+    def restore_dataset(self, key: DatasetKey, version: int) -> WriteResult:
+        """Delta ``RESTORE TABLE ... VERSION AS OF``: re-pin the live
+        listing to a committed historical snapshot as a NEW commit.
+        Metadata-only — data files are immutable, so undoing a bad
+        write/delete rewrites nothing; it only requires the restored
+        files to still exist (inside vacuum retention; a reclaimed
+        snapshot raises, same contract as `read_dataset_at`).
+
+        Touched partitions in the commit record are exactly the months
+        whose file set differs between head and target, so incremental
+        CDC consumers (`changes_since`) rebuild only what changed, and
+        the commit is flagged delete-aware (a restore can drop rows).
+        Row-level CDF consumers see a LOUD gap — no cdf rows are
+        emitted for a restore; rebuild from batch, as Delta documents.
+        Time travel keeps working across the restore: the rolled-back
+        versions stay readable via `read_dataset_at` until prune/vacuum."""
+        k = key.normalized()
+        ds = self.dataset_path(k)
+        log = self.commit_log(k)
+        with log.transaction(
+            timeout=self.commit_timeout_s,
+            payload={"mode": "restore", "restored_to": int(version)},
+        ) as meta:
+            target = log.files_at(int(version))
+            if target is None:
+                raise ValueError(
+                    f"no pinned snapshot at version {version} of {ds}: history "
+                    "pruned past it or the dataset predates pinned listings"
+                )
+            gone = [rel for rel in target if not self.fs.exists(f"{ds}/{rel}")]
+            if gone:
+                raise ValueError(
+                    f"snapshot {version} of {ds} is no longer restorable: "
+                    f"{len(gone)} of its {len(target)} files were reclaimed by "
+                    f"vacuum_tombstones (first: {gone[0]})"
+                )
+            head = log.latest_files() or []
+            changed = set(head) ^ set(target)
+            parts = sorted(
+                {partition_of(f) for f in changed} - {(None, None)}
+            )
+            if target:
+                snap = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[f"{ds}/{rel}" for rel in target]
+                )
+                s = snap.agg(
+                    F.min("ts").alias("t0"),
+                    F.max("ts").alias("t1"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                t0, t1, n = s["t0"], s["t1"], int(s["n"])
+            else:
+                t0 = t1 = None
+                n = 0
+            meta.update(
+                rows=n,
+                time_from=t0,
+                time_to=t1,
+                partitions=[list(p) for p in parts],
+                files=sorted(target),
+            )
+        result = WriteResult(
+            path=ds, time_from=t0, time_to=t1, rows=n,
+            partitions=[list(p) for p in parts], files=sorted(target),
+        )
+        if self.manifest is not None and n > 0:
+            self.manifest.add_entry(
+                exchange=k.exchange, market=k.market, symbol=k.symbol,
+                path=ds, data_type=k.data_type,
+                time_from=t0, time_to=t1,
+                metadata={"timeframe": k.period, "rows": n},
+            )
+        return result
+
     def delete_range(
         self,
         key: DatasetKey,

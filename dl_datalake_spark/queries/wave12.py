@@ -504,3 +504,55 @@ def events_stream_append_once(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_restore",
+    sql=f"""
+SELECT CAST({_JAN} + user_id % 8 * 60000 AS BIGINT) AS ts, {_CENTS_SQL} AS price_cents
+FROM events WHERE event_type = 'view' GROUP BY 1
+""",
+)
+def events_restore(spark: SparkSession, sf_dir: str):
+    """Delta RESTORE parity end-to-end (writer.restore_dataset): after
+    an upsert overwrote bucket values and a delete dropped the first
+    three buckets, restoring to version 0 must serve exactly the
+    original view rows as the new head — metadata-only rollback,
+    oracled against the plain v0 arithmetic."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    clicks4 = _bucket_cents(ev, "click", max_bucket=4)
+
+    def _ticks(df, offset=0):
+        return df.select(
+            (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    key = DatasetKey("SIM", "SPOT", "RSTQ", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_rst_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(views), key)                      # v0
+        w.write_ticks(_ticks(clicks4), key)                    # v1: upsert
+        w.delete_range(key, _JAN, _JAN + 2 * 60000)            # v2
+        w.restore_dataset(key, 0)                              # v3: rollback
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
