@@ -59,6 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
     rda.add_argument("--period", default="1m")
     rda.add_argument("--limit", type=int, default=5)
 
+    rst = sub.add_parser(
+        "restore", help="roll a dataset back to a commit version (Delta RESTORE)"
+    )
+    rst.add_argument("--exchange", required=True)
+    rst.add_argument("--symbol", required=True)
+    rst.add_argument("--version", type=int, required=True)
+    rst.add_argument("--market", default="SPOT")
+    rst.add_argument("--data-type", default="raw")
+    rst.add_argument("--period", default="1m")
+
     sub.add_parser("symbols")
 
     agg = sub.add_parser("aggregate")
@@ -279,6 +289,13 @@ def main(argv: list[str] | None = None) -> int:
             market=args.market, data_type=args.data_type, period=args.period,
         )
         df.show(args.limit, truncate=False)
+    elif args.cmd == "restore":
+        res = client.restore_ohlc(
+            args.exchange, args.symbol, args.version,
+            market=args.market, data_type=args.data_type, period=args.period,
+        )
+        print(json.dumps({"restored_to": args.version, "rows": res.rows,
+                          "partitions": res.partitions}))
     elif args.cmd == "symbols":
         print(json.dumps(client.list_symbols()))
     elif args.cmd == "aggregate":

@@ -154,6 +154,21 @@ class DataLakeClient:
         keys = [DatasetKey(exchange, market, s, data_type, period) for s in symbols]
         return self.reader.read_datasets(keys)
 
+    def restore_ohlc(
+        self,
+        exchange: str,
+        symbol: str,
+        version: int,
+        market: str = "SPOT",
+        data_type: str = "raw",
+        period: str = "1m",
+    ):
+        """Roll the dataset back to a committed version (Delta RESTORE;
+        metadata-only — see LakeWriter.restore_dataset)."""
+        return self.writer.restore_dataset(
+            DatasetKey(exchange, market, symbol, data_type, period), version
+        )
+
     def read_ohlc_multi_at(
         self,
         exchange: str,

@@ -344,3 +344,27 @@ def test_cli_maintain_recluster_and_fold_multilog(spark, tmp_path, capsys):
     assert main(["--base", base, "maintain", "fold-multilog"]) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert rep2["folded"] == 0  # nothing resolved-and-old yet: a no-op
+
+
+def test_cli_restore_roundtrip(spark, tmp_path, capsys):
+    base = str(tmp_path / "lake_r")
+    csv = tmp_path / "r.csv"
+    csv.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},1,2,0.5,1.5,10" for i in range(10))
+    )
+    assert main(["--base", base, "ingest", str(csv),
+                 "--exchange", "binance", "--symbol", "BTC/USDT"]) == 0
+    csv2 = tmp_path / "r2.csv"
+    csv2.write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{1672574400000 + i*60000},9,9,9,9,9" for i in range(10, 20))
+    )
+    assert main(["--base", base, "ingest", str(csv2),
+                 "--exchange", "binance", "--symbol", "BTC/USDT"]) == 0
+    capsys.readouterr()
+    assert main(["--base", base, "restore",
+                 "--exchange", "binance", "--symbol", "BTC/USDT",
+                 "--version", "0"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"restored_to": 0, "rows": 10, "partitions": [[2023, 1]]}
