@@ -28,7 +28,9 @@ TABLES = (
 # streaming queries run a full micro-batch pipeline per call — timing
 # them against a SQL oracle measures checkpoint setup, not the engine
 SKIP = {"events_stream_tumbling", "events_stream_session", "events_stream_interval_join",
-        "events_stateful_running_stats"}
+        "events_stateful_running_stats",
+        # round 8: run checkpointed streams (twice, with a wipe) per call
+        "events_stream_append_once"}
 
 
 def main() -> None:
