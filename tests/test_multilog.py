@@ -626,3 +626,28 @@ def test_property_consistent_cut_at_never_tears(tmp_path, spark):
         shutil.rmtree(base, ignore_errors=True)
 
     prop()
+
+
+def test_read_datasets_at_includes_unclaimed_dataset_by_time(lake, spark):
+    """A requested dataset OUTSIDE the multi-commit's record resolves by
+    the record's commit time: commits it made before the multi-commit
+    are visible, later ones are not."""
+    writer, reader, _ = lake
+    jan = 1672574400000
+    kc = DatasetKey("BINANCE", "SPOT", "CCC_USD", "raw", "1m")
+
+    def _one(ts, px):
+        return spark.createDataFrame(
+            [(ts, px, px, px, px, 1.0)],
+            "ts long, open double, high double, low double, close double, volume double",
+        )
+
+    writer.write_ohlc(_one(jan, 1.0), kc)                    # C v0 (before)
+    m = writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")
+    tx = m["AAA_USD"].txid
+    writer.write_ohlc(_one(jan + 60000, 2.0), kc)            # C v1 (after)
+
+    at = reader.read_datasets_at([KEY_A, KEY_B, kc], tx)
+    assert at["AAA_USD"].count() == 1 and at["BBB_USD"].count() == 1
+    assert at["CCC_USD"].count() == 1  # only the pre-multi commit
+    assert at["CCC_USD"].collect()[0]["close"] == 1.0

@@ -156,3 +156,33 @@ def test_restore_dataset_rolls_back_metadata_only(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no longer restorable|no pinned"):
         w.restore_dataset(key, 1)
+
+
+def test_restore_is_loud_gap_for_cdf_consumers(spark, tmp_path):
+    """A restore emits no row-level CDF: a feed consumer crossing the
+    restore commit must get the documented loud ValueError (rebuild
+    from batch), never silently stale rows."""
+    import pytest as _pytest
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "clake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    key = DatasetKey("SIM", "SPOT", "CRST", "ticks", "1m")
+    jan = 1672574400000
+    w.write_ticks(
+        spark.createDataFrame([(jan, 1.0), (jan + 60000, 2.0)], "ts long, price double"),
+        key,
+    )  # v0
+    w.write_ticks(
+        spark.createDataFrame([(jan, 9.0)], "ts long, price double"), key
+    )  # v1
+    r = LakeReader(spark, base)
+    feed, cur = r.read_change_feed(key, after_version=-1)
+    assert cur == 1 and feed.count() == 3  # 2 inserts + the upsert postimage
+
+    w.restore_dataset(key, 0)  # v2: no CDF rows
+    with _pytest.raises(ValueError, match="no row-level change data"):
+        r.read_change_feed(key, after_version=1)
