@@ -286,3 +286,59 @@ def test_compact_carries_col_stats_through(tmp_path, spark):
     assert live and all(rel in cstats for rel in live)
     got = reader.read_dataset(KEY, bounds={"close": (900.0, 904.0)})
     assert got.count() == 5
+
+
+def test_property_bounded_read_always_exact(tmp_path, spark):
+    """Soundness property: for ANY bounds and ANY stats coverage
+    (including commits written without stats and files whose stats were
+    stripped), read_dataset(bounds=) returns exactly the rows a full
+    scan + filter returns — skipping may only remove files that cannot
+    match."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = str(tmp_path / "pb")
+    w_stats = LakeWriter(spark, base, stats_cols=["close"])
+    w_plain = LakeWriter(spark, base)
+    # mixed coverage: two stats-bearing commits, one stats-less commit
+    w_stats.write_ohlc(_priced(spark, 6, JAN1, 100.0), KEY, mode="append")
+    w_plain.write_ohlc(_priced(spark, 6, JAN1 + 6 * 60000, 300.0), KEY, mode="append")
+    w_stats.write_ohlc(_priced(spark, 6, JAN1 + 12 * 60000, 500.0), KEY, mode="append")
+    # strip HALF of the recorded stats in place (stats present but partial)
+    log = w_stats.commit_log(KEY)
+    v = log._entries()[-1]
+    p = f"{log.log_dir}/{v:020d}.json"
+    e = _json.loads(open(p).read())
+    cs = e.get("col_stats", {}).get("close", {})
+    for rel in list(cs)[: len(cs) // 2]:
+        del cs[rel]
+    open(p, "w").write(_json.dumps(e))
+
+    reader = LakeReader(spark, base)
+    truth = [
+        (r["ts"], r["close"])
+        for r in reader.read_dataset(KEY).select("ts", "close").collect()
+    ]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        lo=st.one_of(st.none(), st.floats(min_value=0, max_value=600)),
+        hi=st.one_of(st.none(), st.floats(min_value=0, max_value=600)),
+    )
+    def prop(lo, hi):
+        got = sorted(
+            (r["ts"], r["close"])
+            for r in reader.read_dataset(KEY, bounds={"close": (lo, hi)})
+            .select("ts", "close")
+            .collect()
+        )
+        want = sorted(
+            (t, c)
+            for t, c in truth
+            if (lo is None or c >= lo) and (hi is None or c <= hi)
+        )
+        assert got == want, (lo, hi)
+
+    prop()
