@@ -651,3 +651,33 @@ def test_read_datasets_at_includes_unclaimed_dataset_by_time(lake, spark):
     assert at["AAA_USD"].count() == 1 and at["BBB_USD"].count() == 1
     assert at["CCC_USD"].count() == 1  # only the pre-multi commit
     assert at["CCC_USD"].collect()[0]["close"] == 1.0
+
+
+def test_multi_write_over_scheme_prefixed_base(spark, tmp_path):
+    """write_ohlc_multi end-to-end with a file:// base: the per-txid
+    staging move, CDF split renames, multilog record, and consistent
+    read all run through the JVM Hadoop filesystem (the s3a:// shape)."""
+    base = f"file://{tmp_path}/mlake"
+    writer = LakeWriter(spark, base, emit_cdf=True)
+    reader = LakeReader(spark, base)
+    res = writer.write_ohlc_multi(_multi_df(spark, n=3), "binance", "spot")
+    assert set(res) == {"AAA_USD", "BBB_USD"} and res["AAA_USD"].txid
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    assert dfs["AAA_USD"].count() == 3 and dfs["BBB_USD"].count() == 3
+    # CDF landed per dataset through the scheme filesystem
+    feed, cur = reader.read_change_feed(KEY_A, after_version=-1)
+    assert cur == 0 and feed.count() == 3
+    # historical replay by txid works over the scheme base too
+    at = reader.read_datasets_at([KEY_A, KEY_B], res["AAA_USD"].txid)
+    assert at["AAA_USD"].count() == 3 and at["BBB_USD"].count() == 3
+    # no staging leftovers behind the scheme prefix
+    import os as _os
+
+    local_root = f"{tmp_path}/mlake"
+    leftovers = [
+        d
+        for r, dirs, _ in _os.walk(local_root)
+        for d in dirs
+        if d == "_temporary" or d.startswith(("_staging_multi_", "_cdf_staging_"))
+    ]
+    assert leftovers == [], leftovers
