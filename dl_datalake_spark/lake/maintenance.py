@@ -640,6 +640,26 @@ def vacuum_tombstones(
                 except OSError:
                     continue
             removed.append(full)
+        # quarantine retention rides the same horizon: violator splits
+        # (writer expectations, `_quarantine/<uuid>` dirs) are kept for
+        # inspection for `retention_s`, then reclaimed — without this
+        # they accumulate forever on a constraint-violating feed
+        qroot = f"{ds}/_quarantine"
+        try:
+            for qname in fs.listdir(qroot):
+                qdir = f"{qroot}/{qname}"
+                try:
+                    age = now - fs.getmtime(qdir)
+                except OSError:
+                    continue
+                if age < retention_s:
+                    retained.append(qdir)
+                    continue
+                if not dry_run:
+                    fs.rmtree(qdir)
+                removed.append(qdir)
+        except OSError:
+            pass  # no quarantine dir
         if dry_run:
             continue
         # prune partition dirs the sweep emptied (visible-children test:
@@ -662,6 +682,24 @@ def vacuum_tombstones(
                     fs.rmtree(ydir)
         except OSError:
             pass
+    # lake-level multi-write quarantine (_quarantine_multi/<txid>) ages
+    # under the same horizon
+    mq = f"{base}/_quarantine_multi"
+    try:
+        for qname in fs.listdir(mq):
+            qdir = f"{mq}/{qname}"
+            try:
+                age = now - fs.getmtime(qdir)
+            except OSError:
+                continue
+            if age < retention_s:
+                retained.append(qdir)
+                continue
+            if not dry_run:
+                fs.rmtree(qdir)
+            removed.append(qdir)
+    except OSError:
+        pass
     return {"removed": removed, "retained": retained}
 
 

@@ -1313,3 +1313,37 @@ def test_multi_write_expectations_quarantine(lake, spark):
     assert q.count() == 2 and {r["symbol"] for r in q.collect()} == {"BBB_USD"}
     hist = lenient.commit_log(key_b).history()
     assert hist[-1]["expectations"] == {"range_close": 2}
+
+
+def test_vacuum_reclaims_quarantine_past_retention(lake, spark):
+    """Quarantine splits age under the vacuum horizon: retained for
+    inspection inside it, reclaimed past it — both the per-dataset and
+    the lake-level multi-write dirs."""
+    from dl_datalake_spark.lake.expectations import accepted_range
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    writer, reader, _ = lake
+    jan = 1672574400000
+    lenient = LakeWriter(
+        spark, writer.base_path,
+        expectations=[accepted_range("close", 0.0, 1e9)], enforce="quarantine",
+    )
+    bad_single = spark.createDataFrame(
+        [(jan + i * 60000, 1.0, 2.0, 0.5, -1.0, 1.0) for i in range(3)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    lenient.write_ohlc(bad_single, KEY)
+    lenient.write_ohlc_multi(
+        _multi_df(spark, ["AAA/USD"], n=2, price=-9.0), "binance", "spot"
+    )
+    key = DatasetKey("BINANCE", "SPOT", "BTC_USDT", "raw", "1m")
+    qroot = os.path.join(lenient.dataset_path(key), "_quarantine")
+    mqroot = os.path.join(writer.base_path, "_quarantine_multi")
+    assert os.listdir(qroot) and os.listdir(mqroot)
+
+    rep = vacuum_tombstones(spark, writer.base_path, retention_s=3600.0, dry_run=False)
+    assert os.listdir(qroot) and os.listdir(mqroot)  # inside horizon: kept
+    assert any("_quarantine" in p for p in rep["retained"])
+    rep2 = vacuum_tombstones(spark, writer.base_path, retention_s=0.0, dry_run=False)
+    assert any("_quarantine" in p for p in rep2["removed"])
+    assert not os.listdir(qroot) and not os.listdir(mqroot)
