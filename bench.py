@@ -115,7 +115,7 @@ def _control_bench(head_sha: str) -> dict | None:
             text=True,
             env=env,
             cwd=wt,
-            timeout=1800,
+            timeout=900,  # prev tree takes ~2-3 min at sf0.1; bound hangs
         )
         lines = [
             ln
