@@ -451,14 +451,23 @@ def test_get_fs_autoselects_conditional_cas_for_object_store_schemes(
     assert isinstance(fs, ObjectStoreFS)
 
 
-def test_objectstore_fs_commit_and_fence_race_over_jvm(spark, tmp_path, monkeypatch):
-    """The commit lifecycle + exactly-one-winner fence consumption over
+def test_objectstore_fs_commit_and_fence_consume_over_jvm(spark, tmp_path):
+    """The commit lifecycle + marker-based fence consumption over
     ObjectStoreFS with a real JVM Hadoop filesystem (file:// stands in
     for s3a://): the conditional-create marker path must work end-to-end
-    through create(overwrite=false), not just against the pure-Python
-    fake."""
-    import threading
+    through create(overwrite=false).
 
+    Deliberately NOT a thread race: RawLocalFileSystem's
+    create(overwrite=false) is CHECK-THEN-CREATE (the HadoopFS
+    docstring's documented caveat — a 6-thread race over local-JVM was
+    observed double-winning under load), so local contention proves
+    nothing about the production guarantee, which targets backends with
+    a truly conditional create (S3 If-None-Match, HDFS atomic create).
+    Exactly-one-winner under contention is pinned against an atomic
+    exclusive-create backend in
+    test_consume_rename_exactly_one_winner_on_nonatomic_backend; this
+    test pins the JVM plumbing: marker claim, winner cleanup, consumed
+    fences staying consumed, and a held marker blocking consumption."""
     from dl_datalake_spark.lake.fs import ObjectStoreFS
 
     base = f"file://{tmp_path}/oslake"
@@ -473,23 +482,21 @@ def test_objectstore_fs_commit_and_fence_race_over_jvm(spark, tmp_path, monkeypa
     assert log.latest_version() == 1
     assert [h["rows"] for h in log.history()] == [3, 4]
 
-    # racing consume_rename through the JVM conditional create
+    # marker-based consume through the JVM conditional create
     src = f"{base}/ds/_commits/000000000000.fence.racetok"
     fs.write_bytes_atomic(src, b"fence")
-    wins = []
-    barrier = threading.Barrier(6)
-
-    def racer(i):
-        barrier.wait()
-        if fs.consume_rename(src, f"{src}.abandoned.{i}"):
-            wins.append(i)
-
-    ts = [threading.Thread(target=racer, args=(i,)) for i in range(6)]
-    [t.start() for t in ts]
-    [t.join() for t in ts]
-    assert len(wins) == 1, wins
+    assert fs.consume_rename(src, f"{src}.abandoned.0") is True
     assert not fs.exists(src)
     assert not fs.exists(f"{src}.consumed")  # winner cleaned its marker
+    assert fs.exists(f"{src}.abandoned.0")
+    # a consumed fence can never be consumed again
+    assert fs.consume_rename(src, f"{src}.abandoned.1") is False
+    # a held marker blocks consumption and leaves the fence untouched
+    src2 = f"{base}/ds/_commits/000000000001.fence.tok2"
+    fs.write_bytes_atomic(src2, b"fence")
+    assert fs.create_exclusive(f"{src2}.consumed", b"held")
+    assert fs.consume_rename(src2, f"{src2}.abandoned.x") is False
+    assert fs.exists(src2)
 
 
 def test_lake_write_read_over_hadoopfs_scheme_base(spark, tmp_path):
