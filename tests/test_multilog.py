@@ -681,3 +681,31 @@ def test_multi_write_over_scheme_prefixed_base(spark, tmp_path):
         if d == "_temporary" or d.startswith(("_staging_multi_", "_cdf_staging_"))
     ]
     assert leftovers == [], leftovers
+
+
+def test_fold_crash_leaves_no_duplicates(lake, spark):
+    """Crash between segment rename-in and live-file deletion: a record
+    present BOTH live and folded must be served once (live wins), and
+    the next fold sweeps the shadowed copy."""
+    import time
+
+    writer, reader, _ = lake
+    writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    ml = MultiCommitLog(writer.base_path)
+    _fabricate_multirecs(ml, rel_a, rel_b, 6, 0, 0, time.time() - 7200, prefix="dup")
+    rep = ml.fold(keep_last=0, ttl_s=3600.0)
+    assert rep["folded"] >= 6
+    # simulate the crash: re-create one folded record's LIVE file
+    victim = ("dup0003" + "0" * 28)[:32]
+    rec = ml.record(victim)
+    assert rec is not None
+    import json as _json
+
+    open(ml._path(victim), "w").write(_json.dumps(rec))
+    recs = ml.records()
+    assert sum(1 for r in recs if r["txid"] == victim) == 1  # deduped
+    # the next fold absorbs the shadow; still exactly one copy
+    ml.fold(keep_last=0, ttl_s=3600.0)
+    assert sum(1 for r in ml.records() if r["txid"] == victim) == 1
+    assert ml.record(victim)["status"] == "committed"

@@ -186,3 +186,35 @@ def test_restore_is_loud_gap_for_cdf_consumers(spark, tmp_path):
     w.restore_dataset(key, 0)  # v2: no CDF rows
     with _pytest.raises(ValueError, match="no row-level change data"):
         r.read_change_feed(key, after_version=1)
+
+
+def test_history_table_reports_null_sizes_past_pruned_history(spark, tmp_path):
+    """history_table's snapshot sizes: NULL for retained delta commits
+    whose chain base was pruned (unknowable), exact again from the next
+    checkpoint on — never a fabricated count."""
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    base = str(tmp_path / "hlake")
+    w = LakeWriter(spark, base)
+    key = DatasetKey("SIM", "SPOT", "HPR", "ticks", "1m")
+    jan = 1672574400000
+    for i in range(13):  # past the 10-version checkpoint cadence
+        w.write_ticks(
+            spark.createDataFrame(
+                [(jan + (100 + i) * 60000, float(i))], "ts long, price double"
+            ),
+            key,
+            mode="append",
+        )
+    log = w.commit_log(key)
+    log.prune(keep_last=5)
+    hist = LakeReader(spark, base).history_table(key).orderBy("version").collect()
+    assert len(hist) >= 5
+    sizes = {r["version"]: r["n_files"] for r in hist}
+    # versions from the retained checkpoint (v10) onward are exact
+    assert sizes[12] == 13 and sizes[10] == 11
+    # any retained pre-checkpoint delta rows report NULL, never a guess
+    for v, n in sizes.items():
+        assert n is None or n == v + 1
