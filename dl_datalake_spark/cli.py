@@ -495,9 +495,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"keep_last": args.keep_last,
                               "files_removed": sum(rep.values()), "datasets": rep}))
         elif args.action == "fold-multilog":
+            from dl_datalake_spark.lake.fs import get_fs
             from dl_datalake_spark.lake.multilog import MultiCommitLog
 
-            rep = MultiCommitLog(args.base).fold(keep_last=args.keep_last)
+            # resolve the filesystem from the base's scheme like every
+            # sibling action — the LocalFS default would silently fold
+            # nothing on s3a://gs:// bases (listdir OSError swallowed)
+            rep = MultiCommitLog(args.base, fs=get_fs(args.base, spark)).fold(
+                keep_last=args.keep_last
+            )
             print(json.dumps(rep))
         elif args.action == "recluster":
             from dl_datalake_spark.lake.maintenance import recluster

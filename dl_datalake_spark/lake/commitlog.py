@@ -225,26 +225,55 @@ class CommitLog:
         (writer `stats_cols` / `maintenance.recluster`).  Best-effort
         like `file_stats`: a live file with no recorded stats is merely
         scanned, never skipped wrongly."""
-        out: dict[str, list] = {}
+        return self.col_stats_many([col])[col]
+
+    def col_stats_many(self, cols: list[str]) -> dict[str, dict[str, list]]:
+        """`col_stats` for several columns in ONE pass over the retained
+        entries ({col: {rel path: [min, max]}}).  A bounded read on N
+        columns previously cost N full log walks (one filesystem read
+        per entry per column — noticeable on object stores); this reads
+        each entry exactly once."""
+        out: dict[str, dict[str, list]] = {c: {} for c in cols}
         for v in self._entries():
             e = self._read_entry(v)
-            if e.get("status") == "committed":
-                out.update((e.get("col_stats") or {}).get(col) or {})
+            if e.get("status") != "committed":
+                continue
+            cs = e.get("col_stats") or {}
+            for c in cols:
+                out[c].update(cs.get(c) or {})
         return out
 
     def version_at_time(self, ts: float) -> int:
         """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the
         newest committed version finalized at or before `ts`; -1 when
-        nothing was committed yet.  Driver-side metadata walk over the
-        retained log — same cost model as `latest_files`."""
+        nothing was EVER committed by then.  Driver-side metadata walk
+        over the retained log — same cost model as `latest_files`.
+
+        Raises ValueError when `ts` predates the oldest RETAINED
+        commit and the log has a pruned prefix (oldest retained
+        version > 0): the dataset may well have existed at `ts`, but
+        its state then is unreconstructable — returning -1 would serve
+        an empty frame as if the dataset had no data, silently wrong.
+        Delta raises the same way for TIMESTAMP AS OF before the
+        earliest retained version."""
         best = -1
+        oldest_committed = None
         for v in self._entries():
             e = self._read_entry(v)
-            if (
-                e.get("status") == "committed"
-                and float(e.get("committed_at") or 0.0) <= ts
-            ):
+            if e.get("status") != "committed":
+                continue
+            at = float(e.get("committed_at") or 0.0)
+            if oldest_committed is None or v < oldest_committed[0]:
+                oldest_committed = (v, at)
+            if at <= ts:
                 best = max(best, v)
+        if best < 0 and oldest_committed is not None and oldest_committed[0] > 0:
+            raise ValueError(
+                f"timestamp {ts} predates the oldest retained commit of "
+                f"{self.dataset_path} (version {oldest_committed[0]} at "
+                f"{oldest_committed[1]}); earlier history was pruned and the "
+                f"snapshot at that time cannot be reconstructed"
+            )
         return best
 
     def committed_entry(self, version: int) -> dict | None:

@@ -216,8 +216,23 @@ class MultiCommitLog:
             n for n in names if n.startswith(FOLD_PREFIX) and n.endswith(".json")
         ]
         already = {r.get("txid") for seg in self._segments() for r in seg}
+        live_txids = {
+            n[: -len(".json")]
+            for n in names
+            if n.endswith(".json")
+            and not n.startswith(FOLD_PREFIX)
+            and not n.startswith(".")
+        }
         new_live_folds = [r for r in foldable if r.get("txid") not in already]
-        if not new_live_folds and len(old_segments) <= 1:
+        # crash leftovers: live files whose record is ALREADY in a segment
+        # (prior fold died between segment rename and live-file delete) —
+        # sweep them too, or their O(live) read cost persists forever
+        crash_leftovers = [
+            r
+            for r in foldable
+            if r.get("txid") in already and r.get("txid") in live_txids
+        ]
+        if not new_live_folds and not crash_leftovers and len(old_segments) <= 1:
             return {"folded": 0, "segments_merged": 0, "segment": None}
         merged = {r["txid"]: r for seg in self._segments() for r in seg}
         merged.update({r["txid"]: r for r in foldable})
@@ -229,7 +244,7 @@ class MultiCommitLog:
         tmp = f"{self.log_dir}/.{seg_name}.tmp"
         self.fs.write_bytes_atomic(tmp, body)
         self.fs.rename(tmp, f"{self.log_dir}/{seg_name}")
-        for r in new_live_folds:
+        for r in new_live_folds + crash_leftovers:
             try:
                 self.fs.remove(self._path(r["txid"]))
             except OSError:

@@ -130,7 +130,7 @@ class LakeReader:
             if live and (lo is not None or hi is not None or cbounds):
                 log = CommitLog(p, fs=self.fs)
                 stats = log.file_stats() if (lo is not None or hi is not None) else {}
-                cstats = {c: log.col_stats(c) for c in cbounds}
+                cstats = log.col_stats_many(list(cbounds)) if cbounds else {}
 
                 def _in(s, blo, bhi):
                     if not s or s[0] is None or s[1] is None:

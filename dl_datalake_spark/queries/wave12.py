@@ -448,10 +448,14 @@ def events_stream_append_once(spark: SparkSession, sf_dir: str):
     """Exactly-once streaming APPEND into the lake
     (streaming/ingest.stream_append_ingest + writer txn tags): two CSV
     drops stream-append into a throwaway lake; the checkpoint is then
-    WIPED (crash between commit and checkpoint, maximally adversarial)
-    and the whole stream replays — the txn versions skip every replayed
-    batch, so the final rows equal the plain SQL union with no
-    duplicates. A duplicate would fail the oracle on row count."""
+    WIPED after the first run fully drained the landing dir and the
+    whole stream replays — the txn versions skip every replayed batch,
+    so the final rows equal the plain SQL union with no duplicates.
+    (Scope: replay protection is safe here because every landing file
+    was committed before the wipe; a run that crashed with UNPROCESSED
+    landing files must not reuse the app_id after a wipe — see
+    stream_append_ingest's docstring.)  A duplicate would fail the
+    oracle on row count."""
     import csv
     import io
     import os

@@ -71,7 +71,18 @@ def stream_append_ingest(
     idempotent. Contract (same as Delta): one app_id per stream,
     monotonically increasing batch ids (Spark's checkpoint guarantees
     this for a given checkpoint dir); replay protection reaches as far
-    back as commit-log prune retention."""
+    back as commit-log prune retention.
+
+    The guarantee holds within ONE checkpoint lineage: replays under
+    the SAME checkpoint dir (crash between lake commit and checkpoint
+    write) are skipped exactly.  Deleting the checkpoint and restarting
+    under the same app_id is NOT safe in general — if the first run
+    crashed mid-stream (batch N committed, later landing files never
+    read), a fresh checkpoint may re-batch committed+unprocessed files
+    under a batch id <= the recorded last_txn_version, and the skip
+    would silently DROP the unprocessed rows.  Same caveat Delta
+    documents: a wiped checkpoint requires a NEW app_id (accepting
+    duplicates of committed batches) or a batch-scan rebuild."""
     stream = (
         spark.readStream.schema(OHLCV_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

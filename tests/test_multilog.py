@@ -705,7 +705,13 @@ def test_fold_crash_leaves_no_duplicates(lake, spark):
     open(ml._path(victim), "w").write(_json.dumps(rec))
     recs = ml.records()
     assert sum(1 for r in recs if r["txid"] == victim) == 1  # deduped
-    # the next fold absorbs the shadow; still exactly one copy
+    # the next fold absorbs the shadow; still exactly one copy — and the
+    # shadowed LIVE file is actually DELETED (not just deduped on read),
+    # or its O(live) read cost would persist forever (ADVICE r8)
+    import os
+
+    assert os.path.exists(ml._path(victim))
     ml.fold(keep_last=0, ttl_s=3600.0)
+    assert not os.path.exists(ml._path(victim))
     assert sum(1 for r in ml.records() if r["txid"] == victim) == 1
     assert ml.record(victim)["status"] == "committed"

@@ -589,10 +589,12 @@ def test_txn_idempotent_write_skips_replay(spark, tmp_path):
 
 def test_stream_append_ingest_exactly_once_across_checkpoint_loss(spark, tmp_path):
     """The failure the upsert path can't cover: APPEND sink, checkpoint
-    wiped after a successful run (crash between commit and checkpoint,
-    maximally adversarial) — rerunning the same stream with the same
-    app_id replays the batches, the txn tags skip them, row count is
-    unchanged."""
+    wiped after a run that fully drained the landing dir — rerunning
+    the same stream with the same app_id replays the batches, the txn
+    tags skip them, row count is unchanged.  (Reusing the app_id after
+    a wipe is only safe because every landing file was committed first;
+    a crash with unprocessed files needs a new app_id — see
+    stream_append_ingest.)"""
     from dl_datalake_spark.streaming.ingest import stream_append_ingest
 
     landing = tmp_path / "landing2"

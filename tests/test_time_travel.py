@@ -77,6 +77,30 @@ def test_read_dataset_at_edges(lake, spark):
     assert reader.read_dataset_at(KEY, log.latest_version()).count() == 3
 
 
+def test_timestamp_before_pruned_history_raises(lake, spark):
+    """TIMESTAMP AS OF before the oldest RETAINED commit on a pruned
+    log must raise, not resolve to -1 — the dataset may have existed
+    then, and -1 would serve an empty frame as if it never had data
+    (Delta raises the same way).  On an UNPRUNED log the same timestamp
+    is a true before-first-commit cut: version -1, empty frame."""
+    writer, reader, _ = lake
+    writer.write_ohlc(_candles(spark, 3), KEY)        # v0
+    log = writer.commit_log(KEY)
+    t_before = float(log.committed_entry(0)["committed_at"]) - 10.0
+    # unpruned: genuinely before the dataset existed
+    assert log.version_at_time(t_before) == -1
+    assert reader.read_datasets_at_time([KEY], t_before)[KEY.symbol].count() == 0
+    writer.write_ohlc(_candles(spark, 2, price=7.0), KEY)  # v1
+    log.prune(keep_last=1)
+    with pytest.raises(ValueError, match="pruned|predates"):
+        log.version_at_time(t_before)
+    with pytest.raises(ValueError, match="pruned|predates"):
+        reader.read_datasets_at_time([KEY], t_before)
+    # timestamps at/after the oldest retained commit still resolve
+    head_at = float(log.committed_entry(1)["committed_at"])
+    assert log.version_at_time(head_at) == 1
+
+
 def test_client_time_travel_surface(spark, tmp_path):
     from dl_datalake_spark.client import DataLakeClient
 
