@@ -104,6 +104,9 @@ class LakeWriter:
         stats_cols: list[str] | None = None,
         expectations: list | None = None,
         enforce: str = "fail",
+        cluster_by: list[str] | None = None,
+        cluster_files_per_month: int = 1,
+        cluster_bits: int = 6,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -128,14 +131,38 @@ class LakeWriter:
         `enforce="quarantine"` commits only the passing rows and lands
         the violators under `<dataset>/_quarantine/<uuid>/` with the
         per-constraint violation counts recorded in the commit payload
-        (`expectations` key) — auditable through `history_table`."""
+        (`expectations` key) — auditable through `history_table`.
+
+        `cluster_by` CLUSTERS FRESHLY INGESTED FILES on those columns at
+        write time: within each month partition the batch is
+        range-partitioned + sorted on the clustered column (one column;
+        raw ranges are disjoint) or its Z-order Morton key (several;
+        lake/clustering.py), so every added file covers a TIGHT slice of
+        the clustered domain instead of the whole of it.  Without this
+        the generalized skip index (`stats_cols`) is inert on fresh
+        data — naturally unsorted batches give every file a full-domain
+        [min, max] and nothing prunes until a post-hoc
+        `maintenance.recluster` rewrite.  The reference keeps ingest
+        files ts-sorted at write (`storage/writer.py:92`); this is the
+        same invariant generalized to arbitrary stats columns.
+        `cluster_by` columns are implicitly added to `stats_cols` so
+        the commit index records their per-file ranges.  Cost: one
+        range shuffle (plus, for >1 column, one quantile-edges agg pass)
+        per write — the batch, never the dataset.
+        `cluster_files_per_month` sizes the output (files per touched
+        month partition); `cluster_bits` is the Z-order bucket depth."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
         self.fs = fs if fs is not None else get_fs(self.base_path, spark)
         self.commit_timeout_s = commit_timeout_s
         self.emit_cdf = emit_cdf
-        self.stats_cols = list(stats_cols or [])
+        self.cluster_by = list(cluster_by or [])
+        self.cluster_files_per_month = max(1, int(cluster_files_per_month))
+        self.cluster_bits = int(cluster_bits)
+        # clustered columns are stats columns: the tight layout is only
+        # useful if the commit index records the per-file ranges
+        self.stats_cols = list(dict.fromkeys(list(stats_cols or []) + self.cluster_by))
         if enforce not in ("fail", "quarantine"):
             raise ValueError(f"enforce must be fail|quarantine, got {enforce!r}")
         self.expectations = list(expectations or [])
@@ -356,7 +383,14 @@ class LakeWriter:
                     .collect()
                 }
                 out = merged.drop("_change_type") if emit_cdf else merged
-                out = out.sortWithinPartitions(ts_col)
+                n_groups = (
+                    out.select("symbol", "year", "month").distinct().count()
+                    if any(c in out.columns for c in self.cluster_by)
+                    else 0
+                )
+                out = self._cluster_output(
+                    out, ts_col, ["symbol", "year", "month"], n_groups
+                )
                 # ONE append job for every dataset; visibility switches
                 # per dataset when its pinned list finalizes below.
                 # The job stages under a PER-TXID directory and the files
@@ -921,7 +955,7 @@ class LakeWriter:
             changed = merged.where(F.col("_change_type").isNotNull())
             self._write_cdf(key, cdf_version, changed)
 
-        out = data_rows.sortWithinPartitions(ts_col)
+        out = self._cluster_output(data_rows, ts_col, ["year", "month"], len(touched))
         if emit_cdf:
             out = out.drop("_change_type")
         # Write INTO the dataset directory (year/month partitioning only;
@@ -989,6 +1023,38 @@ class LakeWriter:
                 metadata={"timeframe": key.period, "rows": result.rows},
             )
         return result
+
+    def _cluster_output(
+        self, rows: DataFrame, ts_col: str, prefix_cols: list[str], n_groups: int
+    ) -> DataFrame:
+        """Layout stage between merge and write (see `cluster_by`).
+        Default: keep the merge's partitioning, sort within tasks by ts
+        (the reference's sorted-file invariant, row-group pruning on
+        ts).  With `cluster_by`: range-partition so each output file
+        owns a tight slice of the clustered domain within its
+        directory-partition group (`prefix_cols` lead the range key so
+        files never straddle partition dirs).  `n_groups` = touched
+        (prefix) partition count; output tasks = n_groups *
+        cluster_files_per_month.  Columns absent from this batch's
+        schema drop out (same per-commit rule as stats_cols)."""
+        cols = [c for c in self.cluster_by if c in rows.columns]
+        if not cols:
+            return rows.sortWithinPartitions(ts_col)
+        n = max(1, n_groups) * self.cluster_files_per_month
+        if len(cols) == 1:
+            # one column: raw range partitioning beats any bucketing —
+            # per-file [min, max] intervals are disjoint by construction
+            return rows.repartitionByRange(
+                n, *prefix_cols, cols[0]
+            ).sortWithinPartitions(*prefix_cols, cols[0], ts_col)
+        from dl_datalake_spark.lake.clustering import zorder_key
+
+        keyed = zorder_key(rows, cols, self.cluster_bits)
+        return (
+            keyed.repartitionByRange(n, *prefix_cols, "zval")
+            .sortWithinPartitions(*prefix_cols, "zval")
+            .drop("zval")
+        )
 
     def _enforce_expectations(self, df: DataFrame, key: DatasetKey):
         """Write-time CHECK constraints (Delta parity).  fail: raise

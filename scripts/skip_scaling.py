@@ -110,6 +110,45 @@ def main() -> None:
         timed_col_read()  # warm
         s_col0, b_col0, f_col0 = timed_col_read()
 
+        # -- third axis (round 9): WRITE-TIME clustering. cluster_by
+        # range-partitions each ingest batch on the stats columns, so
+        # freshly written files are skippable with NO recluster rewrite.
+        # Control: the same unsorted monthly ingests with stats_cols
+        # only — stats recorded but every file spans the close domain,
+        # so the commit-index skip prunes nothing.
+        def ingest_months(writer, key_, months=12):
+            for m in range(months):
+                start = t0 + m * month_ms
+                df = spark.range(rows_per_month).select(
+                    (F.lit(start) + F.col("id") * (month_ms // rows_per_month))
+                    .cast("long").alias("ts"),
+                    F.rand(seed=m).alias("open"), F.rand(seed=m + 1).alias("high"),
+                    F.rand(seed=m + 2).alias("low"), F.rand(seed=m + 3).alias("close"),
+                    F.rand(seed=m + 4).alias("volume"),
+                )
+                writer.write_ohlc(df, key_, mode="append")
+
+        key_cl = DatasetKey("SIM", "SPOT", "SKIPCL", "raw", "1m")
+        key_un = DatasetKey("SIM", "SPOT", "SKIPUN", "raw", "1m")
+        w_cl = LakeWriter(spark, base, cluster_by=["close"], cluster_files_per_month=4)
+        w_un = LakeWriter(spark, base, stats_cols=["close"])
+        ingest_months(w_cl, key_cl)
+        ingest_months(w_un, key_un)
+        n_cl = len(w_cl.commit_log(key_cl).latest_files())
+        n_un = len(w_un.commit_log(key_un).latest_files())
+
+        def timed_col_read_on(key_):
+            df = r.read_dataset(key_, bounds={"close": (0.0, 0.05)})
+            b0 = _input_bytes(spark)
+            t = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t, _input_bytes(spark) - b0, len(df.inputFiles())
+
+        timed_col_read_on(key_cl)  # warm
+        s_wc, b_wc, f_wc = timed_col_read_on(key_cl)
+        timed_col_read_on(key_un)  # warm
+        s_wu, b_wu, f_wu = timed_col_read_on(key_un)
+
         out = {
             "live_files": n_live,
             "skip": {"s": round(s_skip, 3), "mb_in": round(b_skip / 1e6, 1), "files": f_skip},
@@ -117,6 +156,10 @@ def main() -> None:
             "live_files_reclustered": n_live2,
             "col_skip": {"s": round(s_col, 3), "mb_in": round(b_col / 1e6, 1), "files": f_col},
             "col_no_skip": {"s": round(s_col0, 3), "mb_in": round(b_col0 / 1e6, 1), "files": f_col0},
+            "live_files_clustered_ingest": n_cl,
+            "live_files_unclustered_ingest": n_un,
+            "write_clustered": {"s": round(s_wc, 3), "mb_in": round(b_wc / 1e6, 1), "files": f_wc},
+            "write_unclustered": {"s": round(s_wu, 3), "mb_in": round(b_wu / 1e6, 1), "files": f_wu},
         }
         print(json.dumps(out))
         print("| variant | files in plan | input MB | wall s |")
@@ -125,6 +168,8 @@ def main() -> None:
         print(f"| ts stats stripped | {f_full} / {n_live} | {out['no_skip']['mb_in']} | {s_full:.2f} |")
         print(f"| close col_stats (reclustered) | {f_col} / {n_live2} | {out['col_skip']['mb_in']} | {s_col:.2f} |")
         print(f"| close col_stats stripped | {f_col0} / {n_live2} | {out['col_no_skip']['mb_in']} | {s_col0:.2f} |")
+        print(f"| write-time cluster_by ingest (no recluster) | {f_wc} / {n_cl} | {out['write_clustered']['mb_in']} | {s_wc:.2f} |")
+        print(f"| unclustered ingest, stats_cols only | {f_wu} / {n_un} | {out['write_unclustered']['mb_in']} | {s_wu:.2f} |")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
