@@ -169,6 +169,13 @@ class DataLakeClient:
             DatasetKey(exchange, market, symbol, data_type, period), version
         )
 
+    def restore_lake(self, txid: str):
+        """Roll EVERY dataset of multi-commit `txid` back to its state
+        as of that commit, atomically (the write-side inverse of
+        read_ohlc_multi_at — undo a bad write_ohlc_multi by restoring
+        to the last good one; see LakeWriter.restore_lake_to)."""
+        return self.writer.restore_lake_to(txid)
+
     def read_ohlc_multi_at(
         self,
         exchange: str,

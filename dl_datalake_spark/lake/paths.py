@@ -43,6 +43,25 @@ class DatasetKey:
         )
 
 
+def key_from_rel_path(rel: str) -> DatasetKey:
+    """Inverse of `dataset_rel_path`: parse a multilog record's dataset
+    identity back into a DatasetKey (lake-level restore needs to act on
+    datasets it only knows by their recorded rel paths)."""
+    parts = dict(
+        seg.split("=", 1) for seg in rel.strip("/").split("/") if "=" in seg
+    )
+    missing = {"exchange", "market", "symbol", "data_type", "period"} - set(parts)
+    if missing:
+        raise ValueError(f"not a dataset rel path (missing {sorted(missing)}): {rel!r}")
+    return DatasetKey(
+        exchange=parts["exchange"],
+        market=parts["market"],
+        symbol=parts["symbol"],
+        data_type=parts["data_type"],
+        period=parts["period"],
+    )
+
+
 def dataset_rel_path(key: DatasetKey) -> str:
     """The dataset's directory relative to the lake base — the identity
     used by the multi-dataset commit log (lake/multilog.py) and by

@@ -549,7 +549,7 @@ class LakeWriter:
                 out = _run(stack)  # finalizes run at stack exit
         except BaseException:
             if intent_written:
-                multilog.abort(txid)
+                self._abort_intent_if_unfinalized(multilog, txid)
             raise
         multilog.commit(txid)
         for res in out.values():
@@ -735,62 +735,201 @@ class LakeWriter:
         Time travel keeps working across the restore: the rolled-back
         versions stay readable via `read_dataset_at` until prune/vacuum."""
         k = key.normalized()
-        ds = self.dataset_path(k)
         log = self.commit_log(k)
         with log.transaction(
             timeout=self.commit_timeout_s,
             payload={"mode": "restore", "restored_to": int(version)},
         ) as meta:
-            target = log.files_at(int(version))
-            if target is None:
-                raise ValueError(
-                    f"no pinned snapshot at version {version} of {ds}: history "
-                    "pruned past it or the dataset predates pinned listings"
-                )
-            gone = [rel for rel in target if not self.fs.exists(f"{ds}/{rel}")]
-            if gone:
-                raise ValueError(
-                    f"snapshot {version} of {ds} is no longer restorable: "
-                    f"{len(gone)} of its {len(target)} files were reclaimed by "
-                    f"vacuum_tombstones (first: {gone[0]})"
-                )
-            head = log.latest_files() or []
-            changed = set(head) ^ set(target)
-            parts = sorted(
-                {partition_of(f) for f in changed} - {(None, None)}
+            result = self._restore_into(k, log, int(version), meta)
+        if self.manifest is not None and result.rows > 0:
+            self.manifest.add_entry(
+                exchange=k.exchange, market=k.market, symbol=k.symbol,
+                path=result.path, data_type=k.data_type,
+                time_from=result.time_from, time_to=result.time_to,
+                metadata={"timeframe": k.period, "rows": result.rows},
             )
-            if target:
-                snap = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[f"{ds}/{rel}" for rel in target]
-                )
-                s = snap.agg(
-                    F.min("ts").alias("t0"),
-                    F.max("ts").alias("t1"),
-                    F.count(F.lit(1)).alias("n"),
-                ).collect()[0]
-                t0, t1, n = s["t0"], s["t1"], int(s["n"])
-            else:
-                t0 = t1 = None
-                n = 0
-            meta.update(
-                rows=n,
-                time_from=t0,
-                time_to=t1,
-                partitions=[list(p) for p in parts],
-                files=sorted(target),
+        return result
+
+    def _restore_into(
+        self, k: DatasetKey, log: CommitLog, version: int, meta: dict
+    ) -> WriteResult:
+        """The restore computation, run INSIDE an already-claimed commit
+        transaction (`meta` is its payload dict): resolve the target
+        pinned listing, verify every file survived vacuum, derive the
+        changed partitions, and fill `meta` so the finalize pins the
+        historical snapshot as the new head.  Shared by the per-dataset
+        `restore_dataset` and the lake-level `restore_lake_to`."""
+        ds = self.dataset_path(k)
+        target = log.files_at(version)
+        if target is None:
+            raise ValueError(
+                f"no pinned snapshot at version {version} of {ds}: history "
+                "pruned past it or the dataset predates pinned listings"
             )
-        result = WriteResult(
+        gone = [rel for rel in target if not self.fs.exists(f"{ds}/{rel}")]
+        if gone:
+            raise ValueError(
+                f"snapshot {version} of {ds} is no longer restorable: "
+                f"{len(gone)} of its {len(target)} files were reclaimed by "
+                f"vacuum_tombstones (first: {gone[0]})"
+            )
+        head = log.latest_files() or []
+        changed = set(head) ^ set(target)
+        parts = sorted({partition_of(f) for f in changed} - {(None, None)})
+        if target:
+            snap = self.spark.read.option("mergeSchema", "true").parquet(
+                *[f"{ds}/{rel}" for rel in target]
+            )
+            s = snap.agg(
+                F.min("ts").alias("t0"),
+                F.max("ts").alias("t1"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            t0, t1, n = s["t0"], s["t1"], int(s["n"])
+        else:
+            t0 = t1 = None
+            n = 0
+        meta.update(
+            rows=n,
+            time_from=t0,
+            time_to=t1,
+            partitions=[list(p) for p in parts],
+            files=sorted(target),
+        )
+        return WriteResult(
             path=ds, time_from=t0, time_to=t1, rows=n,
             partitions=[list(p) for p in parts], files=sorted(target),
         )
-        if self.manifest is not None and n > 0:
-            self.manifest.add_entry(
-                exchange=k.exchange, market=k.market, symbol=k.symbol,
-                path=ds, data_type=k.data_type,
-                time_from=t0, time_to=t1,
-                metadata={"timeframe": k.period, "rows": n},
+
+    def restore_lake_to(self, txid: str) -> dict[str, WriteResult]:
+        """LAKE-LEVEL restore: roll every dataset of multi-commit `txid`
+        back to its state AS OF that commit, atomically — the write-side
+        inverse of `LakeReader.read_datasets_at` (undo a bad
+        `write_ohlc_multi` by restoring to the last good multi-commit).
+
+        Composition: the multilog record's claimed versions name each
+        dataset's target snapshot; every dataset's commit log is claimed
+        in sorted order (deadlock-free, same as write_ohlc_multi); a NEW
+        multilog intent is recorded while all claims are held and before
+        any finalize; then each dataset finalizes a metadata-only
+        restore commit (`_restore_into`) and the record flips committed.
+        A crash between per-dataset finalizes leaves the restore's
+        record in-progress — `read_datasets`' consistent cut excludes
+        the half-restored epoch exactly as it excludes a half-finalized
+        multi-write, so the restore is committed-or-invisible to
+        multi-dataset readers.  Raises (nothing finalized, intent
+        aborted) when the target txid is unknown, never fully committed,
+        or any dataset's snapshot is unreconstructable (pruned/vacuumed).
+
+        Returns {sanitized symbol: WriteResult}; each result's `txid` is
+        the restore's OWN multi-commit id (replayable via
+        read_datasets_at)."""
+        import uuid as _uuid
+        from contextlib import ExitStack
+
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path, key_from_rel_path
+
+        ml = MultiCommitLog(self.base_path, fs=self.fs)
+        rec = ml.record(txid)
+        if rec is None:
+            raise ValueError(
+                f"multi-commit {txid!r} is unknown under {self.base_path} — "
+                "never written, or its record was pruned (MultiCommitLog.prune)"
             )
-        return result
+        claimed = {r.strip("/"): int(v) for r, v in rec["datasets"].items()}
+        if rec.get("status") != "committed":
+            # same committed-fact derivation as read_datasets_at: every
+            # claimed slot finalized by THIS txid proves the flip raced
+            for r, v in claimed.items():
+                e = CommitLog(f"{self.base_path}/{r}", fs=self.fs).committed_entry(v)
+                if e is None or e.get("txid") != txid:
+                    raise ValueError(
+                        f"multi-commit {txid!r} never fully committed "
+                        f"(status={rec.get('status')!r}, dataset {r} slot {v} "
+                        "unfinalized or usurped) — there is no atomic state "
+                        "to restore to"
+                    )
+        rels = sorted(claimed)
+        keys = {r: key_from_rel_path(r).normalized() for r in rels}
+        new_txid = _uuid.uuid4().hex
+        intent_written = False
+
+        def _run(stack: "ExitStack") -> dict[str, WriteResult]:
+            nonlocal intent_written
+            metas = {
+                r: stack.enter_context(
+                    self.commit_log(keys[r]).transaction(
+                        timeout=self.commit_timeout_s,
+                        payload={
+                            "mode": "restore",
+                            "restored_to": claimed[r],
+                            "multi": True,
+                            "txid": new_txid,
+                            "restore_of": txid,
+                        },
+                    )
+                )
+                for r in rels  # sorted order: deadlock-free
+            }
+            results: dict[str, WriteResult] = {}
+            manifest_rows = []
+            for r in rels:
+                k = keys[r]
+                res = self._restore_into(
+                    k, self.commit_log(k), claimed[r], metas[r]
+                )
+                res.txid = new_txid
+                results[k.symbol] = res
+                if res.rows > 0:
+                    manifest_rows.append(
+                        {
+                            "exchange": k.exchange, "market": k.market,
+                            "symbol": k.symbol, "path": res.path,
+                            "data_type": k.data_type,
+                            "time_from": res.time_from, "time_to": res.time_to,
+                            "metadata": {"timeframe": k.period, "rows": res.rows},
+                        }
+                    )
+            if self.manifest is not None and manifest_rows:
+                self.manifest.add_entries(manifest_rows)
+            # all claims held, nothing finalized: record the restore's
+            # intent so readers can refuse the mixed-epoch window
+            ml.begin(
+                {dataset_rel_path(keys[r]): metas[r]["version"] for r in rels},
+                txid=new_txid,
+            )
+            intent_written = True
+            return results
+
+        try:
+            with ExitStack() as stack:
+                out = _run(stack)  # finalizes run at stack exit
+        except BaseException:
+            if intent_written:
+                self._abort_intent_if_unfinalized(ml, new_txid)
+            raise
+        ml.commit(new_txid)
+        return out
+
+    def _abort_intent_if_unfinalized(self, ml, txid: str) -> None:
+        """Failure path of a multi-commit: flip its intent record to
+        `aborted` ONLY when no claimed slot finalized — aborted records
+        stop constraining reader cuts, so aborting after a PARTIAL
+        finalize (an exception mid-unwind, after some transactions
+        already committed) would immediately serve the torn epoch.
+        Left in-progress instead: readers exclude the partial window
+        while the record is fresh, and past stale_timeout_s it becomes
+        the documented permanent-partial (Delta multi-table parity)."""
+        rec = ml.record(txid)
+        if rec:
+            for r, v in rec.get("datasets", {}).items():
+                e = CommitLog(
+                    f"{self.base_path}/{r.strip('/')}", fs=self.fs
+                ).committed_entry(int(v))
+                if e is not None and e.get("txid") == txid:
+                    return  # partial finalize: must stay constraining
+        ml.abort(txid)
 
     def delete_range(
         self,

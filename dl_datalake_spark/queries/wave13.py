@@ -93,3 +93,86 @@ def events_clustered_ingest(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_restore_multi",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT 'AAA_USD' AS symbol, CAST({_JAN} + b * 60000 AS BIGINT) AS ts,
+       c AS price_cents FROM v
+UNION ALL
+SELECT 'BBB_USD', CAST({_JAN} + b * 60000 AS BIGINT), c FROM k
+""",
+)
+def events_restore_multi(spark: SparkSession, sf_dir: str):
+    """LAKE-LEVEL RESTORE (VERDICT r8 #2, `LakeWriter.restore_lake_to`):
+    build the same two-dataset history as `events_time_travel_multi`
+    (M1: AAA<-views, BBB<-clicks; then a bad epoch: M2 upserts + a
+    single-dataset append + a delete), RESTORE the lake to M1, and read
+    the LIVE consistent state back — it must equal M1's arithmetic
+    exactly (the cut-1 state of events_time_travel_multi).  The restore
+    is metadata-only and itself a multi-commit; the torn-crash
+    committed-or-invisible contract is pytested in
+    tests/test_multilog.py."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view", buckets=8)
+    clicks = _bucket_cents(ev, "click", buckets=8)
+    purch = _bucket_cents(ev, "purchase", buckets=8)
+
+    def _ohlc(df, symbol, offset=0):
+        return df.select(
+            F.lit(symbol).alias("symbol"),
+            (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("open"),
+            F.col("c").cast("double").alias("high"),
+            F.col("c").cast("double").alias("low"),
+            F.col("c").cast("double").alias("close"),
+            F.lit(1.0).alias("volume"),
+        )
+
+    key_a = DatasetKey("SIM", "SPOT", "AAA_USD", "raw", "1m")
+    key_b = DatasetKey("SIM", "SPOT", "BBB_USD", "raw", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_rsm_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        m1 = w.write_ohlc_multi(
+            _ohlc(views, "AAA/USD").unionByName(_ohlc(clicks, "BBB/USD")),
+            "sim", "spot",
+        )
+        tx1 = m1["AAA_USD"].txid
+        # the bad epoch to roll back: multi upsert, lone append, a delete
+        w.write_ohlc_multi(
+            _ohlc(purch, "AAA/USD").unionByName(_ohlc(purch, "BBB/USD", offset=3)),
+            "sim", "spot",
+        )
+        w.write_ohlc(_ohlc(views, "AAA/USD", offset=20), key_a, mode="append")
+        w.delete_range(key_b, _JAN, _JAN + 2 * 60000)
+
+        w.restore_lake_to(tx1)
+
+        r = LakeReader(spark, tmp)
+        rows = []
+        for sym, df in r.read_datasets([key_a, key_b]).items():
+            rows.extend(
+                df.select(
+                    F.lit(sym).alias("symbol"),
+                    F.col("ts").cast("long").alias("ts"),
+                    F.col("close").cast("long").alias("price_cents"),
+                ).collect()
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "symbol string, ts long, price_cents long")

@@ -715,3 +715,129 @@ def test_fold_crash_leaves_no_duplicates(lake, spark):
     assert not os.path.exists(ml._path(victim))
     assert sum(1 for r in ml.records() if r["txid"] == victim) == 1
     assert ml.record(victim)["status"] == "committed"
+
+
+# ---------------------------------------------------------------------------
+# Lake-level restore (VERDICT r8 #2): restore_lake_to(txid) — the write-side
+# inverse of read_datasets_at
+# ---------------------------------------------------------------------------
+def test_restore_lake_to_rolls_back_all_datasets_atomically(lake, spark):
+    writer, reader, _ = lake
+    r1 = writer.write_ohlc_multi(_multi_df(spark, n=2, price=1.0), "binance", "spot")
+    m1 = r1["AAA_USD"].txid
+    # bad epoch: a multi upsert AND an interleaved single-dataset write
+    writer.write_ohlc_multi(_multi_df(spark, n=3, price=9.0), "binance", "spot")
+    writer.write_ohlc(
+        spark.createDataFrame(
+            [(1672574400000 + 10 * 60000, 5.0, 6.0, 4.0, 5.5, 1.0)],
+            "ts long, open double, high double, low double, close double, volume double",
+        ),
+        KEY_A,
+        mode="append",
+    )
+
+    out = writer.restore_lake_to(m1)
+    assert set(out) == {"AAA_USD", "BBB_USD"}
+    restore_txid = out["AAA_USD"].txid
+    assert restore_txid and restore_txid == out["BBB_USD"].txid
+
+    # the live consistent read is exactly the M1 state
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    for sym in ("AAA_USD", "BBB_USD"):
+        rows = sorted((r["ts"], r["open"]) for r in dfs[sym].collect())
+        assert rows == [
+            (1672574400000, 1.0),
+            (1672574400000 + 60000, 1.0),
+        ], sym
+    # the restore is itself a replayable multi-commit
+    ml = MultiCommitLog(writer.base_path)
+    assert ml.record(restore_txid)["status"] == "committed"
+    replay = reader.read_datasets_at([KEY_A, KEY_B], restore_txid)
+    assert replay["AAA_USD"].count() == 2 and replay["BBB_USD"].count() == 2
+    # rolled-back epochs stay time-travelable (metadata-only restore)
+    log_a = CommitLog(f"{writer.base_path}/{dataset_rel_path(KEY_A)}")
+    pre_restore = log_a.latest_version() - 1
+    assert reader.read_dataset_at(KEY_A, pre_restore).count() == 4  # 3 upsert + 1 append
+
+
+def test_restore_lake_to_unknown_or_uncommitted_txid_raises(lake, spark):
+    writer, reader, _ = lake
+    res = writer.write_ohlc_multi(_multi_df(spark, n=1), "binance", "spot")
+    with pytest.raises(ValueError, match="unknown"):
+        writer.restore_lake_to("deadbeef" * 4)
+    # an intent that never fully committed is not a restorable state
+    ml = MultiCommitLog(writer.base_path)
+    fake = ml.begin({dataset_rel_path(KEY_A): 7, dataset_rel_path(KEY_B): 7})
+    with pytest.raises(ValueError, match="never fully committed"):
+        writer.restore_lake_to(fake)
+    assert res["AAA_USD"].txid  # original state untouched
+    assert reader.read_datasets([KEY_A, KEY_B])["AAA_USD"].count() == 1
+
+
+def test_restore_lake_torn_crash_is_committed_or_invisible(lake, spark, monkeypatch):
+    """Crash between per-dataset restore finalizes: the restore's
+    multilog record must stay CONSTRAINING (in-progress, not aborted),
+    so a consistent multi-dataset read keeps serving the pre-restore
+    epoch — the restore is committed-or-invisible, never torn."""
+    writer, reader, _ = lake
+    r1 = writer.write_ohlc_multi(_multi_df(spark, n=2, price=1.0), "binance", "spot")
+    m1 = r1["AAA_USD"].txid
+    writer.write_ohlc_multi(_multi_df(spark, n=3, price=9.0), "binance", "spot")
+
+    # die on the SECOND finalize of the restore's unwind (first succeeds)
+    real_finalize = CommitLog._finalize
+    calls = {"n": 0}
+
+    def dying_finalize(self, version, payload, token):
+        if payload is not None and payload.get("mode") == "restore":
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash between restore finalizes")
+        return real_finalize(self, version, payload, token)
+
+    monkeypatch.setattr(CommitLog, "_finalize", dying_finalize)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        writer.restore_lake_to(m1)
+    monkeypatch.setattr(CommitLog, "_finalize", real_finalize)
+
+    ml = MultiCommitLog(writer.base_path)
+    partial = [r for r in ml.records() if r.get("status") == "in-progress"]
+    assert len(partial) == 1  # NOT aborted: one dataset finalized
+    # the torn epoch is invisible to a consistent read: both datasets
+    # serve the pre-restore head (price 9.0, 3 rows each)
+    dfs = reader.read_datasets([KEY_A, KEY_B])
+    for sym in ("AAA_USD", "BBB_USD"):
+        rows = dfs[sym].collect()
+        assert len(rows) == 3 and all(r["open"] == 9.0 for r in rows), sym
+
+
+def test_restore_lake_clean_failure_aborts_intent(lake, spark, monkeypatch):
+    """A failure BEFORE any finalize (e.g. one dataset's target snapshot
+    was vacuumed) must abort the restore's intent record — nothing
+    committed, nothing constraining."""
+    writer, reader, _ = lake
+    r1 = writer.write_ohlc_multi(_multi_df(spark, n=2, price=1.0), "binance", "spot")
+    m1 = r1["AAA_USD"].txid
+    writer.write_ohlc_multi(_multi_df(spark, n=3, price=9.0), "binance", "spot")
+
+    real = LakeWriter._restore_into
+    calls = {"n": 0}
+
+    def dying_restore(self, k, log, version, meta):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ValueError("snapshot reclaimed by vacuum_tombstones (simulated)")
+        return real(self, k, log, version, meta)
+
+    monkeypatch.setattr(LakeWriter, "_restore_into", dying_restore)
+    with pytest.raises(ValueError, match="vacuum"):
+        writer.restore_lake_to(m1)
+    monkeypatch.setattr(LakeWriter, "_restore_into", real)
+
+    ml = MultiCommitLog(writer.base_path)
+    assert all(r.get("status") != "in-progress" for r in ml.records())
+    # head untouched, next restore succeeds
+    assert reader.read_datasets([KEY_A, KEY_B])["AAA_USD"].count() == 3
+    out = writer.restore_lake_to(m1)
+    assert reader.read_datasets([KEY_A, KEY_B])["AAA_USD"].count() == 2
+    assert out["AAA_USD"].txid
