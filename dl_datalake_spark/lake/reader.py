@@ -343,6 +343,53 @@ class LakeReader:
             "txid string, committed_at double",
         )
 
+    def quarantine_table(self, key: DatasetKey) -> DataFrame:
+        """The dataset's quarantined rows as ONE queryable DataFrame
+        (VERDICT r8 #4 — quarantine as a first-class surface, not a raw
+        path): every `_quarantine/<uuid>` split a write-time
+        expectations gate produced (writer `enforce="quarantine"`),
+        with the data columns plus
+          `_violated`     array<string> — the constraint names the row failed
+          `version`       the commit whose write quarantined it
+          `committed_at`  that commit's wall-clock finalize time
+          `requeued`      whether requeue_quarantine already consumed the split
+        DESCRIBE-HISTORY-shaped like `history_table` and joinable to it
+        on `version`.  Splits reclaimed by vacuum_tombstones (past
+        retention) simply drop out.  Cost: one bounded parquet scan per
+        retained quarantine split — the violators, never the dataset."""
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        ds = f"{self.base_path}/{dataset_rel_path(key.normalized())}"
+        frames = []
+        for e in self.dataset_history(key):
+            q = e.get("quarantine")
+            if not q:
+                continue
+            qdir = f"{ds}/_quarantine/{q}"
+            if not self.fs.exists(qdir):
+                continue  # vacuumed past retention
+            frames.append(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(qdir)
+                .withColumn("version", F.lit(int(e["version"])))
+                .withColumn(
+                    "committed_at", F.lit(float(e.get("committed_at") or 0.0))
+                )
+                .withColumn(
+                    "requeued", F.lit(self.fs.exists(f"{qdir}/_REQUEUED"))
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame(
+                [],
+                "_violated array<string>, version long, committed_at double, "
+                "requeued boolean",
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def multilog_table(self) -> DataFrame:
         """The lake-level multi-commit intent log as a DataFrame: one
         row per record (live or folded) with txid/status/times and the

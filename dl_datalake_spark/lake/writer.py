@@ -301,9 +301,9 @@ class LakeWriter:
                 }
                 if counts:
                     qdir = f"{self.base_path}/_quarantine_multi/{txid}"
-                    bad.write.mode("overwrite").option(
-                        "compression", "snappy"
-                    ).parquet(qdir)
+                    bad.withColumn("_violated", self._violated_col()).write.mode(
+                        "overwrite"
+                    ).option("compression", "snappy").parquet(qdir)
                     batch = good
                     exp_meta = {"expectations": counts}
         triples = [
@@ -1220,8 +1220,80 @@ class LakeWriter:
         if not counts:
             return df, {}
         qdir = f"{self.dataset_path(key)}/_quarantine/{_uuid.uuid4().hex}"
-        bad.write.mode("overwrite").option("compression", "snappy").parquet(qdir)
+        bad.withColumn("_violated", self._violated_col()).write.mode(
+            "overwrite"
+        ).option("compression", "snappy").parquet(qdir)
         return good, {"expectations": counts, "quarantine": qdir.rsplit("/", 1)[-1]}
+
+    def requeue_quarantine(
+        self,
+        key: DatasetKey,
+        versions: list[int] | None = None,
+        transform=None,
+        mode: str = "upsert",
+    ) -> WriteResult | None:
+        """Re-drive quarantined rows through the NORMAL write gate: read
+        the dataset's unconsumed `_quarantine/<uuid>` splits (optionally
+        only those of specific commit `versions`), apply `transform`
+        (DataFrame -> DataFrame — the caller's correction), and write the
+        result through `_write` — expectations are re-enforced, so rows
+        still violating either raise (enforce='fail') or land in a NEW
+        quarantine split (enforce='quarantine'), never silently enter
+        the dataset.  Consumed splits are marked `_REQUEUED` (hidden
+        marker file) AFTER the commit: `quarantine_table` reports them
+        as requeued, and vacuum_tombstones ages the dirs out under the
+        normal retention horizon.  Returns the write's result, or None
+        when nothing was pending.  The requeue commit records
+        `requeue_of: [versions]` so history ties correction to cause."""
+        k = key.normalized()
+        ds = self.dataset_path(k)
+        log = self.commit_log(k)
+        pending: list[tuple[int, str]] = []
+        for e in log.history():
+            q = e.get("quarantine")
+            if not q:
+                continue
+            if versions is not None and int(e["version"]) not in set(versions):
+                continue
+            qdir = f"{ds}/_quarantine/{q}"
+            if self.fs.exists(qdir) and not self.fs.exists(f"{qdir}/_REQUEUED"):
+                pending.append((int(e["version"]), qdir))
+        if not pending:
+            return None
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[d for _, d in pending])
+            .drop("_violated")
+        )
+        if transform is not None:
+            df = transform(df)
+        res = self._write(
+            df, k, mode=mode, commit_meta={"requeue_of": [v for v, _ in pending]}
+        )
+        for _, qdir in pending:
+            # marked only after the commit finalized — a crash before
+            # this line re-offers the split (upsert requeues are
+            # idempotent; append requeues should pass txn= semantics
+            # through a follow-up if needed)
+            self.fs.write_bytes_atomic(f"{qdir}/_REQUEUED", b"")
+        return res
+
+    def _violated_col(self) -> "F.Column":
+        """Array of the row-level constraint NAMES a violator failed —
+        the audit column `LakeReader.quarantine_table` serves.
+        NULL-predicate rows count as violations, matching
+        expectations.check's three-valued-logic rule."""
+        from dl_datalake_spark.lake.expectations import Expectation
+
+        return F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(e.predicate, F.lit(False)), F.lit(e.name))
+                    for e in self.expectations
+                    if isinstance(e, Expectation)
+                ]
+            )
+        )
 
     def _added_file_stats(
         self, ds_path: str, added: list[str], ts_col: str

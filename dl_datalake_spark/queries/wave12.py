@@ -412,12 +412,12 @@ def events_write_expectations(spark: SparkSession, sf_dir: str):
             enforce="quarantine",
         )
         w.write_ticks(good.unionByName(bad), key)
-        committed = LakeReader(spark, tmp).read_dataset(key).count()
+        reader = LakeReader(spark, tmp)
+        committed = reader.read_dataset(key).count()
         entry = w.commit_log(key).history()[-1]
         violations = int(entry.get("expectations", {}).get("range_price", 0))
-        qname = entry.get("quarantine")
-        qdir = f"{w.dataset_path(key)}/_quarantine/{qname}"
-        quarantined = spark.read.parquet(qdir).count() if qname else 0
+        # first-class surface (VERDICT r8 #4): no raw-path read
+        quarantined = reader.quarantine_table(key).count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

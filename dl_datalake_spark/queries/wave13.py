@@ -176,3 +176,103 @@ def events_restore_multi(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "symbol string, ts long, price_cents long")
+
+
+@register(
+    "events_quarantine_requeue",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT user_id % 8 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' AND user_id % 8 < 2 GROUP BY 1)
+SELECT 'quarantined_rows' AS metric, (SELECT COUNT(*) FROM p) AS value
+UNION ALL SELECT 'violated_range_price', (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 'quarantine_join_upsert_commit', (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 'requeued_after', (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 'committed_after_requeue',
+          (SELECT COUNT(*) FROM v) + (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 'requeue_cents_sum',
+          (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM p)
+""",
+)
+def events_quarantine_requeue(spark: SparkSession, sf_dir: str):
+    """Quarantine as a first-class surface (VERDICT r8 #4): poisoned
+    rows (price = -c - 1) land in quarantine under
+    enforce='quarantine'; `LakeReader.quarantine_table` serves them
+    with `_violated` constraint names and the quarantining commit's
+    version, JOINED here to `history_table` on version (the
+    DESCRIBE-HISTORY join the raw path couldn't do); then
+    `requeue_quarantine` corrects them (price -> -price - 1 == c) and
+    re-drives them through the SAME expectations gate — the corrected
+    rows commit, the split flips to requeued, and the final dataset
+    equals views + corrected purchases."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.expectations import accepted_range
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view", buckets=8)
+    purch = (
+        _bucket_cents(ev, "purchase", buckets=8).where(F.col("b") < 2)
+    )
+
+    good = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    bad = purch.select(
+        (F.lit(_JAN) + (F.col("b") + 50) * 60000).cast("long").alias("ts"),
+        (-F.col("c") - 1).cast("double").alias("price"),
+    )
+
+    key = DatasetKey("SIM", "SPOT", "QRQ", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_qrq_lake_")
+    try:
+        w = LakeWriter(
+            spark, tmp,
+            expectations=[accepted_range("price", 0.0, 1e15)],
+            enforce="quarantine",
+        )
+        w.write_ticks(good.unionByName(bad), key)
+        reader = LakeReader(spark, tmp)
+
+        qt = reader.quarantine_table(key)
+        hist = reader.history_table(key)
+        joined = qt.join(hist, "version")
+        quarantined = qt.count()
+        violated = qt.where(
+            F.array_contains(F.col("_violated"), "range_price")
+        ).count()
+        join_upsert = joined.where(F.col("mode") == "upsert").count()
+
+        w.requeue_quarantine(
+            key,
+            transform=lambda df: df.withColumn("price", -F.col("price") - 1),
+        )
+        requeued_after = reader.quarantine_table(key).where("requeued").count()
+        committed = reader.read_dataset(key).count()
+        cents_sum = int(
+            reader.read_dataset(key)
+            .where(F.col("ts") >= _JAN + 50 * 60000)
+            .agg(F.coalesce(F.sum(F.col("price").cast("long")), F.lit(0)))
+            .first()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("quarantined_rows", quarantined),
+            ("violated_range_price", violated),
+            ("quarantine_join_upsert_commit", join_upsert),
+            ("requeued_after", requeued_after),
+            ("committed_after_requeue", committed),
+            ("requeue_cents_sum", cents_sum),
+        ],
+        "metric string, value long",
+    )
