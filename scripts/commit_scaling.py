@@ -99,6 +99,87 @@ def main() -> None:
             f"{r['resolve_snapshot_ms']} |"
         )
 
+    # -- contention axis (round 9, VERDICT r8 #5): N concurrent writers,
+    # ONE dataset. Each writer appends `appends_each` disjoint months
+    # (no data overlap — the contention is purely on the commit log's
+    # claim/fence protocol). Measured: aggregate + per-writer commit
+    # throughput, claim retries (optimistic losses, from the commits'
+    # claim_conflicts payload), and fence-consumption losses
+    # (CommitConflict = a live writer usurped — must be 0 with
+    # heartbeats on).
+    import threading
+
+    from dl_datalake_spark.lake.commitlog import CommitConflict, CommitTimeout
+
+    appends_each = 6
+    contention = []
+    for n_writers in (1, 2, 4, 8):
+        base = tempfile.mkdtemp(prefix="commit_contend_")
+        try:
+            writers = [
+                LakeWriter(spark, base, commit_timeout_s=600.0)
+                for _ in range(n_writers)
+            ]
+            errors: list[str] = []
+            barrier = threading.Barrier(n_writers)
+
+            def run(idx: int) -> None:
+                try:
+                    barrier.wait()
+                    for i in range(appends_each):
+                        m = idx * appends_each + i
+                        batch = spark.range(rows).select(
+                            (F.lit(T0 + m * MONTH_MS) + F.col("id") * 60_000)
+                            .cast("long").alias("ts"),
+                            F.rand(6).alias("open"), F.rand(7).alias("high"),
+                            F.rand(8).alias("low"), F.rand(9).alias("close"),
+                            F.rand(10).alias("volume"),
+                        )
+                        writers[idx].write_ohlc(batch, key, mode="append")
+                except (CommitConflict, CommitTimeout) as e:
+                    errors.append(f"{type(e).__name__}: {e}")
+                except BaseException as e:  # surfaced in the table
+                    errors.append(repr(e))
+
+            threads = [
+                threading.Thread(target=run, args=(i,)) for i in range(n_writers)
+            ]
+            t = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.time() - t
+            hist = LakeWriter(spark, base).commit_log(key).history()
+            commits = len(hist)
+            retries = sum(int(h.get("claim_conflicts", 0)) for h in hist)
+            contention.append({
+                "writers": n_writers,
+                "commits": commits,
+                "expected": n_writers * appends_each,
+                "wall_s": round(wall, 2),
+                "commits_per_s": round(commits / wall, 2),
+                "per_writer_commits_per_s": round(commits / wall / n_writers, 3),
+                "claim_retries": retries,
+                "retries_per_commit": round(retries / max(1, commits), 2),
+                "fence_losses_or_errors": len(errors),
+            })
+            if errors:
+                contention[-1]["errors"] = errors[:3]
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"rows_per_batch": rows, "appends_each": appends_each,
+                      "contention": contention}))
+    print("| writers | commits | wall s | commits/s | per-writer commits/s | claim retries | retries/commit | losses |")
+    print("|---|---|---|---|---|---|---|---|")
+    for c in contention:
+        print(
+            f"| {c['writers']} | {c['commits']}/{c['expected']} | {c['wall_s']} | "
+            f"{c['commits_per_s']} | {c['per_writer_commits_per_s']} | "
+            f"{c['claim_retries']} | {c['retries_per_commit']} | "
+            f"{c['fence_losses_or_errors']} |"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -122,6 +122,16 @@ def test_two_process_writers_lose_nothing_and_detect_conflicts(tmp_path):
     # with 4 processes hammering one log, at least one claim race must
     # have happened and been retried (recorded in the commit payloads)
     assert sum(conflict_counts) > 0 or any("claim_conflicts" in h for h in hist)
+    # regression guard on retry cost (VERDICT r8 #5, measured in
+    # scripts/commit_scaling.py: 0.08-0.29 retries/commit at 2-8
+    # writers): a claim race is only lost to a writer that COMMITTED in
+    # between, so total retries are bounded by commits x contenders; a
+    # spin regression (claims lost without progress) blows well past it
+    total_commits = n_procs * n_iters
+    assert sum(conflict_counts) <= total_commits * (n_procs - 1), (
+        f"retry storm: {sum(conflict_counts)} claim retries for "
+        f"{total_commits} commits from {n_procs} writers"
+    )
 
 
 # ---------------------------------------------------------------------------
