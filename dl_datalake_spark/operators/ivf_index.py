@@ -416,6 +416,128 @@ def delete_from_ivf_index(
     return before - after
 
 
+class _ReplayedIvfTxn(Exception):
+    """Internal: idempotent-txn replay detected under the index commit
+    claim — aborts the transaction cleanly (mirrors lake/writer.py)."""
+
+
+def apply_cdf_to_ivf(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Apply ONE batch of row-level CDF changes (lake change feed:
+    `_change_type` in insert / update_postimage / delete, plus
+    `commit_version`) to a persisted IVF index as ONE index commit —
+    the glue that lets the ANN index FOLLOW the lake
+    (streaming/ingest.stream_cdf_into_ivf wires it into foreachBatch).
+
+    A batch may span many lake commits (availableNow drains history),
+    so the final state per id is resolved FIRST (newest commit_version
+    wins), then inserts/update-postimages upsert against the frozen
+    centroids and deletes purge every copy — the same O(batch + touched
+    cells) cycle as upsert_ivf_index/delete_from_ivf_index, in one
+    transaction so a crash can't apply half a batch.
+
+    `txn=(app_id, version)` makes the application IDEMPOTENT (the
+    index commit log records Delta-style txnAppId/txnVersion,
+    `CommitLog.last_txn_version`): a replayed micro-batch is skipped,
+    giving the stream exactly-once semantics within one checkpoint
+    lineage (same scope caveat as stream_append_ingest — a wiped
+    checkpoint with UNPROCESSED lake commits must use a new app_id or
+    rebuild).  Returns {"rows": upserted-cell rows, "removed": n,
+    "skipped": bool}."""
+    log = _index_log(path, spark)
+    if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+        return {"rows": 0, "removed": 0, "skipped": True}
+    payload: dict = {"op": "cdf_apply"}
+    if txn is not None:
+        payload["txn"] = {"app": txn[0], "version": int(txn[1])}
+    ch = changes.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+        F.col("_change_type").alias("_ct"),
+        (
+            F.col("commit_version")
+            if "commit_version" in changes.columns
+            else F.lit(0)
+        ).cast("long").alias("_cv"),
+    )
+    # final state per id across the batch's lake commits
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cv"))
+    final = ch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    ups = final.where(F.col("_ct").isin("insert", "update_postimage")).select(
+        "vec_id", "embedding"
+    )
+    dels = final.where(F.col("_ct") == "delete").select("vec_id")
+    vdir = os.path.join(path, VECTORS_DIR)
+    try:
+        with log.transaction(payload=payload) as meta:
+            if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+                raise _ReplayedIvfTxn()
+            cents = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+            new_seq = log.latest_version() + 1
+            assigned = _assign(ups, cents).withColumn(
+                "_ingest_seq", F.lit(new_seq).cast("long")
+            )
+            v = _vectors_with_seq(spark, vdir)
+            del_df = dels.distinct()
+            up_cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+            probe_cells = {
+                r["cell"]
+                for r in v.join(F.broadcast(del_df), "vec_id")
+                .select("cell")
+                .distinct()
+                .collect()
+            }
+            cells = sorted(up_cells | probe_cells)
+            if not cells:
+                meta.update(rows=0, removed=0, cells=0)
+                return {"rows": 0, "removed": 0, "skipped": False}
+            sub = v.where(F.col("cell").isin(cells))
+            removed = sub.join(F.broadcast(del_df), "vec_id").count()
+            wk = Window.partitionBy("vec_id").orderBy(F.desc("_ingest_seq"))
+            keep = (
+                sub.unionByName(assigned)
+                .withColumn("_rn", F.row_number().over(wk))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+                .join(F.broadcast(del_df), "vec_id", "left_anti")
+                .persist()
+            )
+            try:
+                n = keep.count()
+                keep_cells = {
+                    r["cell"] for r in keep.select("cell").distinct().collect()
+                }
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    if n:
+                        (
+                            keep.repartition("cell")
+                            .write.mode("overwrite")
+                            .partitionBy("cell")
+                            .parquet(vdir)
+                        )
+                finally:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                fs = get_fs(vdir, spark)
+                for c in set(cells) - keep_cells:
+                    fs.rmtree(os.path.join(vdir, f"cell={c}"))
+            finally:
+                keep.unpersist()
+            meta.update(rows=n, removed=removed, cells=len(cells))
+            return {"rows": n, "removed": removed, "skipped": False}
+    except _ReplayedIvfTxn:
+        return {"rows": 0, "removed": 0, "skipped": True}
+
+
 def fsck_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     """Index consistency check: vec_ids present in MORE THAN ONE cell —
     the stale-copy state a cell-changing upsert can leave behind.

@@ -276,3 +276,116 @@ def events_quarantine_requeue(spark: SparkSession, sf_dir: str):
         ],
         "metric string, value long",
     )
+
+
+@register(
+    "emb_stream_cdf_ivf",
+    sql=f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+base AS (SELECT vec_id, e FROM d WHERE vec_id < 24),
+upd AS (SELECT vec_id, list_transform(e, x -> x * 2) AS e FROM d WHERE vec_id < 6),
+ins AS (SELECT vec_id, e FROM d WHERE vec_id >= 24 AND vec_id < 28),
+final AS (
+  SELECT b.vec_id, COALESCE(u.e, b.e) AS e
+  FROM base b LEFT JOIN upd u ON b.vec_id = u.vec_id
+  WHERE b.vec_id NOT BETWEEN 20 AND 23
+  UNION ALL
+  SELECT vec_id, e FROM ins
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(e, x -> CAST(ROUND(x * 1000000) AS BIGINT)))
+            AS BIGINT) AS checksum_micros
+FROM final
+""",
+)
+def emb_stream_cdf_ivf(spark: SparkSession, sf_dir: str):
+    """CDF->IVF streaming maintenance end-to-end (VERDICT r8 #6,
+    `streaming.ingest.stream_cdf_into_ivf`): a lake dataset of
+    embeddings evolves (update x2, insert, delete), the change feed
+    streams into a persisted IVF index via foreachBatch with index-side
+    txn tags, the CHECKPOINT IS WIPED and the stream replayed (the
+    index commit log skips the replayed batch — exactly-once, same
+    contract as events_stream_append_once), and the final INDEX CONTENT
+    is returned — it must equal the live lake state, which the DuckDB
+    oracle reconstructs from the embeddings table arithmetic.  The
+    streamed-equals-rebuild property is therefore value-hashed per
+    vector, not just counted."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.operators.ivf_index import read_ivf_index, train_ivf, write_ivf_index
+    from dl_datalake_spark.streaming.ingest import stream_cdf_into_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def _ticks(df):
+        return df.select(
+            (F.lit(_JAN) + F.col("vec_id") * 60000).cast("long").alias("ts"),
+            F.col("e").alias("embedding"),
+        )
+
+    key = DatasetKey("SIM", "SPOT", "IVFSTR", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_ivfstr_")
+    try:
+        base_dir = f"{tmp}/lake"
+        idx = f"{tmp}/ivf"
+        w = LakeWriter(spark, base_dir, emit_cdf=True)
+        w.write_ticks(_ticks(d.where("vec_id < 24")), key)                       # v0
+        from dl_datalake_spark.lake.reader import LakeReader
+
+        reader = LakeReader(spark, base_dir)
+        v0 = reader.read_dataset_at(key, 0).select(
+            F.col("ts").alias("vec_id"), "embedding"
+        )
+        cents = train_ivf(v0, num_cells=4, iters=2)
+        write_ivf_index(v0, cents, idx)
+
+        w.write_ticks(
+            _ticks(
+                d.where("vec_id < 6").withColumn(
+                    "e", F.transform("e", lambda x: x * 2)
+                )
+            ),
+            key,
+        )                                                                        # v1
+        w.write_ticks(
+            _ticks(d.where("vec_id >= 24 and vec_id < 28")), key, mode="append"
+        )                                                                        # v2
+        w.delete_range(key, _JAN + 20 * 60000, _JAN + 23 * 60000)                # v3
+
+        for run in range(2):
+            q = stream_cdf_into_ivf(
+                spark, w.dataset_path(key), idx,
+                checkpoint_dir=f"{tmp}/ckpt", app_id="ivfQ",
+                id_col="ts", vec_col="embedding", after_version=0,
+            )
+            q.awaitTermination(300)
+            if run == 0:
+                shutil.rmtree(f"{tmp}/ckpt")  # wipe: the replay must skip
+
+        _, vecs = read_ivf_index(spark, idx)
+        rows = (
+            vecs.select(
+                ((F.col("vec_id") - _JAN) / 60000).cast("long").alias("vec_id"),
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(x * 1000000).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("checksum_micros"),
+            )
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, checksum_micros long")

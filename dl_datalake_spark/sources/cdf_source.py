@@ -177,11 +177,22 @@ def _infer_data_schema(path: str) -> str:
             if name.startswith(("_", ".")) or not name.endswith(".parquet"):
                 continue
             schema = pq.read_schema(px.url(f"{rel_dir}/{name}"))
+            import pyarrow as pa
+
+            def _ddl_type(t) -> str | None:
+                got = _ARROW_TO_DDL.get(str(t))
+                if got is not None:
+                    return got
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    inner = _ddl_type(t.value_type)
+                    return f"array<{inner}>" if inner else None
+                return None
+
             cols = []
             for f_ in schema:
                 if f_.name == "commit_version":
                     continue
-                ddl = _ARROW_TO_DDL.get(str(f_.type))
+                ddl = _ddl_type(f_.type)
                 if ddl is None:
                     raise ValueError(
                         f"cannot map arrow type {f_.type} of column "
@@ -309,6 +320,19 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return iter(())
         import pyarrow.parquet as pq
 
+        def _clean(v):
+            # NULL/NaN -> None; numpy scalars/arrays -> python values
+            # (array<...> data columns — e.g. embeddings — arrive from
+            # pandas as ndarrays, where a bare `v != v` NaN test would
+            # raise on the elementwise result)
+            if v is None:
+                return None
+            if isinstance(v, float):
+                return None if v != v else v
+            if hasattr(v, "tolist"):
+                return v.tolist()
+            return v
+
         def gen():
             for f in partition.files:
                 pdf = pq.read_table(f).to_pandas()
@@ -320,9 +344,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 # older commits may predate later columns: serve NULLs
                 pdf = pdf.reindex(columns=partition.columns)
                 for row, cv in zip(pdf.itertuples(index=False, name=None), vers):
-                    yield tuple(
-                        None if v is None or v != v else v for v in row
-                    ) + (cv,)
+                    yield tuple(_clean(v) for v in row) + (cv,)
 
         return gen()
 

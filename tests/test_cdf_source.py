@@ -273,3 +273,105 @@ def test_stream_over_scheme_prefixed_root(spark, tmp_path):
         for r in spark.table("cdf_scheme_q2").collect()
     )
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# CDF -> IVF streaming maintenance (VERDICT r8 #6): the ANN index follows
+# the lake exactly-once
+# ---------------------------------------------------------------------------
+def _emb_rows(ids, scale=1.0):
+    return [
+        (JAN + i * 60000, [float(i % 4 == d) * scale + 0.1 * d for d in range(4)])
+        for i in ids
+    ]
+
+
+def _index_content(spark, idx):
+    from dl_datalake_spark.operators.ivf_index import read_ivf_index
+
+    _, v = read_ivf_index(spark, idx)
+    return sorted(
+        (r["vec_id"], tuple(round(x, 6) for x in r["embedding"]))
+        for r in v.collect()
+    )
+
+
+def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
+    """Insert/update/delete commits stream into a persisted IVF index;
+    the index's content equals a from-scratch rebuild of the live lake
+    state; a checkpoint-wipe replay (after a full drain) is skipped by
+    the index txn tags — same contract as events_stream_append_once."""
+    import shutil
+
+    from dl_datalake_spark.operators.ivf_index import (
+        read_ivf_index,
+        train_ivf,
+        write_ivf_index,
+    )
+    from dl_datalake_spark.streaming.ingest import stream_cdf_into_ivf
+
+    base = str(tmp_path / "lake")
+    idx = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    key = DatasetKey("SIM", "SPOT", "EMB", "ticks", "1m")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    schema = "ts long, embedding array<double>"
+    w.write_ticks(spark.createDataFrame(_emb_rows(range(12)), schema), key)  # v0
+    ds = w.dataset_path(key)
+
+    # bootstrap: index trained+built from the v0 snapshot
+    reader = LakeReader(spark, base)
+    v0 = reader.read_dataset_at(key, 0).select(
+        F.col("ts").alias("vec_id"), "embedding"
+    )
+    cents = train_ivf(v0, num_cells=3, iters=2)
+    write_ivf_index(v0, cents, idx)
+
+    # lake evolves: update 3 vectors, insert 2, delete 2
+    w.write_ticks(
+        spark.createDataFrame(_emb_rows(range(3), scale=5.0), schema), key
+    )                                                                       # v1
+    w.write_ticks(
+        spark.createDataFrame(_emb_rows([20, 21]), schema), key, mode="append"
+    )                                                                       # v2
+    w.delete_range(key, JAN + 10 * 60000, JAN + 11 * 60000)                 # v3
+
+    q = stream_cdf_into_ivf(
+        spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
+        id_col="ts", vec_col="embedding", after_version=0,
+    )
+    q.awaitTermination(180)
+
+    # streamed index == from-scratch rebuild of the live state
+    live = reader.read_dataset(key).select(F.col("ts").alias("vec_id"), "embedding")
+    expected = sorted(
+        (r["vec_id"], tuple(round(float(x), 6) for x in r["embedding"]))
+        for r in live.collect()
+    )
+    got = _index_content(spark, idx)
+    assert got == expected and len(got) == 12 + 2 - 2
+
+    # checkpoint WIPED after a full drain: replay is skipped by txn tags
+    shutil.rmtree(ckpt)
+    q2 = stream_cdf_into_ivf(
+        spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
+        id_col="ts", vec_col="embedding", after_version=0,
+    )
+    q2.awaitTermination(180)
+    assert _index_content(spark, idx) == expected
+    # the skip is visible in the index log: no new cdf_apply commit
+    from dl_datalake_spark.operators.ivf_index import _index_log
+
+    ops = [h.get("op") for h in _index_log(idx, spark).history()]
+    assert ops.count("cdf_apply") == 1
+
+    # a FRESH commit after the wipe still flows (new batch id > last txn)
+    w.write_ticks(
+        spark.createDataFrame(_emb_rows([30]), schema), key, mode="append"
+    )                                                                       # v4
+    q3 = stream_cdf_into_ivf(
+        spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
+        id_col="ts", vec_col="embedding", after_version=0,
+    )
+    q3.awaitTermination(180)
+    assert len(_index_content(spark, idx)) == 13
