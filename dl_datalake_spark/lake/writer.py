@@ -730,8 +730,11 @@ class LakeWriter:
         whose file set differs between head and target, so incremental
         CDC consumers (`changes_since`) rebuild only what changed, and
         the commit is flagged delete-aware (a restore can drop rows).
-        Row-level CDF consumers see a LOUD gap — no cdf rows are
-        emitted for a restore; rebuild from batch, as Delta documents.
+        Row-level CDF: with `emit_cdf=True` the restore emits a
+        SYNTHETIC diff (head vs target over the changed partitions —
+        `_restore_tag_changes`), so feed subscribers follow the restore
+        without a batch rebuild; without it, consumers get the loud
+        ValueError gap (rebuild from batch, as Delta documents).
         Time travel keeps working across the restore: the rolled-back
         versions stay readable via `read_dataset_at` until prune/vacuum."""
         k = key.normalized()
@@ -789,6 +792,20 @@ class LakeWriter:
         else:
             t0 = t1 = None
             n = 0
+        if self.emit_cdf and parts:
+            # SYNTHETIC CDF for the restore (round-9; previously a loud
+            # gap): the row-level diff of head vs target over the
+            # changed partitions — target rows tagged insert /
+            # update_postimage, vanished head rows as delete pre-images
+            # (same convention as mode=overwrite: every target row in a
+            # changed partition is re-emitted, so folding the feed
+            # reproduces the restored partition state exactly). Feed
+            # subscribers survive a restore without a batch rebuild;
+            # cost is O(changed partitions), metadata-only otherwise.
+            self._write_cdf(
+                k, meta["version"], self._restore_tag_changes(ds, head, target, parts)
+            )
+            meta["cdf"] = True
         meta.update(
             rows=n,
             time_from=t0,
@@ -799,6 +816,57 @@ class LakeWriter:
         return WriteResult(
             path=ds, time_from=t0, time_to=t1, rows=n,
             partitions=[list(p) for p in parts], files=sorted(target),
+        )
+
+    def _restore_tag_changes(
+        self, ds: str, head: list[str], target: list[str], parts: list
+    ) -> DataFrame:
+        """Row-level diff of the head vs target snapshots over the
+        restore's changed partitions, `_change_type`-tagged for the
+        feed: target row with an existing ts -> update_postimage,
+        target-only ts -> insert, head-only ts -> delete pre-image.
+        Window key is `ts` alone — the other dataset coordinates are
+        directory-constant within one dataset."""
+        t_set = {tuple(p) for p in parts}
+
+        def _rd(files):
+            sel = [f"{ds}/{rel}" for rel in files if partition_of(rel) in t_set]
+            if not sel:
+                return None
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", ds)
+                .parquet(*sel)
+            )
+
+        old, new = _rd(head), _rd(target)
+        if old is None and new is None:
+            raise ValueError("restore diff requested with no changed files")
+        if old is None:
+            return new.withColumn("_change_type", F.lit("insert"))
+        if new is None:
+            return old.withColumn("_change_type", F.lit("delete"))
+        unioned = old.withColumn("_src", F.lit(0)).unionByName(
+            new.withColumn("_src", F.lit(1)), allowMissingColumns=True
+        )
+        wf = Window.partitionBy("ts")
+        tagged = unioned.withColumn(
+            "_had_old", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wf)
+        ).withColumn(
+            "_had_new", F.max(F.when(F.col("_src") == 1, 1).otherwise(0)).over(wf)
+        )
+        change = (
+            F.when(
+                (F.col("_src") == 1) & (F.col("_had_old") == 1),
+                F.lit("update_postimage"),
+            )
+            .when(F.col("_src") == 1, F.lit("insert"))
+            .when(F.col("_had_new") == 0, F.lit("delete"))
+        )
+        return (
+            tagged.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .drop("_src", "_had_old", "_had_new")
         )
 
     def restore_lake_to(self, txid: str) -> dict[str, WriteResult]:

@@ -513,8 +513,12 @@ def events_stream_append_once(spark: SparkSession, sf_dir: str):
 @register(
     "events_restore",
     sql=f"""
-SELECT CAST({_JAN} + user_id % 8 * 60000 AS BIGINT) AS ts, {_CENTS_SQL} AS price_cents
-FROM events WHERE event_type = 'view' GROUP BY 1
+WITH v AS (
+  SELECT CAST({_JAN} + user_id % 8 * 60000 AS BIGINT) AS ts, {_CENTS_SQL} AS price_cents
+  FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT 'head' AS via, ts, price_cents FROM v
+UNION ALL
+SELECT 'feed', ts, price_cents FROM v
 """,
 )
 def events_restore(spark: SparkSession, sf_dir: str):
@@ -522,9 +526,17 @@ def events_restore(spark: SparkSession, sf_dir: str):
     an upsert overwrote bucket values and a delete dropped the first
     three buckets, restoring to version 0 must serve exactly the
     original view rows as the new head — metadata-only rollback,
-    oracled against the plain v0 arithmetic."""
+    oracled against the plain v0 arithmetic.  Round-9 extension: the
+    writer runs with emit_cdf=True and the restore emits a SYNTHETIC
+    head-vs-target CDF diff, so the query also folds the ENTIRE change
+    feed across the restore (latest change per ts wins, deletes drop) —
+    via='feed' must reproduce the same restored state via='head' reads
+    directly, proving feed subscribers survive a restore without a
+    batch rebuild."""
     import shutil
     import tempfile
+
+    from pyspark.sql import Window
 
     from dl_datalake_spark.lake.paths import DatasetKey
     from dl_datalake_spark.lake.reader import LakeReader
@@ -543,20 +555,30 @@ def events_restore(spark: SparkSession, sf_dir: str):
     key = DatasetKey("SIM", "SPOT", "RSTQ", "ticks", "1m")
     tmp = tempfile.mkdtemp(prefix="dl_rst_lake_")
     try:
-        w = LakeWriter(spark, tmp)
+        w = LakeWriter(spark, tmp, emit_cdf=True)
         w.write_ticks(_ticks(views), key)                      # v0
         w.write_ticks(_ticks(clicks4), key)                    # v1: upsert
         w.delete_range(key, _JAN, _JAN + 2 * 60000)            # v2
-        w.restore_dataset(key, 0)                              # v3: rollback
-        got = (
-            LakeReader(spark, tmp)
-            .read_dataset(key)
+        w.restore_dataset(key, 0)                              # v3: rollback + CDF diff
+        reader = LakeReader(spark, tmp)
+        head = reader.read_dataset(key).select(
+            F.lit("head").alias("via"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("price").cast("long").alias("price_cents"),
+        )
+        feed, cur = reader.read_change_feed(key, after_version=-1)
+        assert cur == 3
+        wv = Window.partitionBy("ts").orderBy(F.desc("commit_version"))
+        folded = (
+            feed.withColumn("_rn", F.row_number().over(wv))
+            .where((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
             .select(
+                F.lit("feed").alias("via"),
                 F.col("ts").cast("long").alias("ts"),
                 F.col("price").cast("long").alias("price_cents"),
             )
         )
-        rows = got.collect()
+        rows = head.unionByName(folded).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, "ts long, price_cents long")
+    return spark.createDataFrame(rows, "via string, ts long, price_cents long")

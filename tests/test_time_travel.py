@@ -182,10 +182,11 @@ def test_restore_dataset_rolls_back_metadata_only(spark, tmp_path):
         w.restore_dataset(key, 1)
 
 
-def test_restore_is_loud_gap_for_cdf_consumers(spark, tmp_path):
-    """A restore emits no row-level CDF: a feed consumer crossing the
-    restore commit must get the documented loud ValueError (rebuild
-    from batch), never silently stale rows."""
+def test_restore_emits_synthetic_cdf_or_loud_gap(spark, tmp_path):
+    """Round-9 upgrade of the restore/CDF contract: with emit_cdf=True
+    the restore EMITS a synthetic head-vs-target diff, so a feed
+    consumer folds straight through the restore to the restored state;
+    without emit_cdf the documented loud ValueError gap remains."""
     import pytest as _pytest
 
     from dl_datalake_spark.lake.paths import DatasetKey
@@ -201,15 +202,41 @@ def test_restore_is_loud_gap_for_cdf_consumers(spark, tmp_path):
         key,
     )  # v0
     w.write_ticks(
-        spark.createDataFrame([(jan, 9.0)], "ts long, price double"), key
-    )  # v1
+        spark.createDataFrame(
+            [(jan, 9.0), (jan + 120000, 3.0)], "ts long, price double"
+        ),
+        key,
+    )  # v1: update + insert
     r = LakeReader(spark, base)
     feed, cur = r.read_change_feed(key, after_version=-1)
-    assert cur == 1 and feed.count() == 3  # 2 inserts + the upsert postimage
+    assert cur == 1 and feed.count() == 4  # 3 inserts + the upsert postimage
 
-    w.restore_dataset(key, 0)  # v2: no CDF rows
+    w.restore_dataset(key, 0)  # v2: synthetic CDF diff
+    feed2, cur2 = r.read_change_feed(key, after_version=1)
+    assert cur2 == 2
+    changes = {
+        (x["ts"], x["_change_type"]): x["price"] for x in feed2.collect()
+    }
+    # the vanished v1 insert is a delete pre-image; v0 rows re-emitted
+    assert changes[(jan + 120000, "delete")] == 3.0
+    assert changes[(jan, "update_postimage")] == 1.0
+    assert changes[(jan + 60000, "update_postimage")] == 2.0
+    # folding the feed reproduces the restored state
+    upserts = {
+        x["ts"]: x["price"]
+        for x in feed2.where("_change_type != 'delete'").collect()
+    }
+    restored = {x["ts"]: x["price"] for x in r.read_dataset(key).collect()}
+    assert upserts == restored
+
+    # no emit_cdf: the loud gap stays
+    w2 = LakeWriter(spark, base)  # same lake, CDF off
+    w2.write_ticks(
+        spark.createDataFrame([(jan, 5.0)], "ts long, price double"), key
+    )  # v3 (no cdf)
+    w2.restore_dataset(key, 2)  # v4 (no cdf)
     with _pytest.raises(ValueError, match="no row-level change data"):
-        r.read_change_feed(key, after_version=1)
+        r.read_change_feed(key, after_version=2)
 
 
 def test_history_table_reports_null_sizes_past_pruned_history(spark, tmp_path):
