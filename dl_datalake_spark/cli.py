@@ -69,6 +69,23 @@ def build_parser() -> argparse.ArgumentParser:
     rst.add_argument("--data-type", default="raw")
     rst.add_argument("--period", default="1m")
 
+    rsl = sub.add_parser(
+        "restore-lake",
+        help="roll EVERY dataset of a multi-commit back atomically "
+        "(write-side inverse of the consistent multi-read)",
+    )
+    rsl.add_argument("--txid", required=True)
+
+    qt = sub.add_parser(
+        "quarantine", help="list a dataset's quarantined rows (expectations)"
+    )
+    qt.add_argument("--exchange", required=True)
+    qt.add_argument("--symbol", required=True)
+    qt.add_argument("--market", default="SPOT")
+    qt.add_argument("--data-type", default="raw")
+    qt.add_argument("--period", default="1m")
+    qt.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("symbols")
 
     agg = sub.add_parser("aggregate")
@@ -296,6 +313,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"restored_to": args.version, "rows": res.rows,
                           "partitions": res.partitions}))
+    elif args.cmd == "restore-lake":
+        out = client.restore_lake(args.txid)
+        print(json.dumps({
+            "restored_to_txid": args.txid,
+            "datasets": {s: {"rows": r.rows, "txid": r.txid} for s, r in out.items()},
+        }))
+    elif args.cmd == "quarantine":
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        df = client.reader.quarantine_table(
+            DatasetKey(args.exchange, args.market, args.symbol,
+                       args.data_type, args.period)
+        )
+        df.show(args.limit, truncate=False)
     elif args.cmd == "symbols":
         print(json.dumps(client.list_symbols()))
     elif args.cmd == "aggregate":
