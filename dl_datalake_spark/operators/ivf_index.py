@@ -486,9 +486,17 @@ def apply_cdf_to_ivf(
             v = _vectors_with_seq(spark, vdir)
             del_df = dels.distinct()
             up_cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+            # probe EVERY changed id's existing cells (key-only broadcast
+            # join, embeddings never shuffle): deleted ids so every copy
+            # is purged, AND updated ids so a cell-CHANGING update's old
+            # copy lands in the touched set and is dropped by the
+            # keep-last merge — stronger than upsert_ivf_index's
+            # documented stale-copy exposure, because the feed tells us
+            # exactly which ids changed
+            probe_ids = final.select("vec_id").distinct()
             probe_cells = {
                 r["cell"]
-                for r in v.join(F.broadcast(del_df), "vec_id")
+                for r in v.join(F.broadcast(probe_ids), "vec_id")
                 .select("cell")
                 .distinct()
                 .collect()

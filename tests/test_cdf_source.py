@@ -375,3 +375,20 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
     )
     q3.awaitTermination(180)
     assert len(_index_content(spark, idx)) == 13
+
+    # a cell-CHANGING update must not leave a stale copy: flip one
+    # vector to the opposite direction (re-assigns), stream, and the
+    # index holds exactly one copy per id (fsck empty)
+    from dl_datalake_spark.operators.ivf_index import fsck_ivf_index
+
+    flipped = [(JAN, [-5.0, -0.1, -0.2, -0.3])]
+    w.write_ticks(spark.createDataFrame(flipped, schema), key)              # v5
+    q4 = stream_cdf_into_ivf(
+        spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
+        id_col="ts", vec_col="embedding", after_version=0,
+    )
+    q4.awaitTermination(180)
+    content = _index_content(spark, idx)
+    assert len(content) == 13  # still one copy per id
+    assert dict(content)[JAN] == (-5.0, -0.1, -0.2, -0.3)
+    assert fsck_ivf_index(spark, idx).count() == 0
