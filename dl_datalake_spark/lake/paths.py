@@ -62,6 +62,16 @@ def key_from_rel_path(rel: str) -> DatasetKey:
     )
 
 
+def dataset_marker_tag(key: DatasetKey) -> str:
+    """Short filesystem-safe token naming a dataset inside a SHARED
+    artifact dir (e.g. per-dataset `_REQUEUED.<tag>` markers in a
+    multi-write quarantine split, which several datasets consume
+    independently)."""
+    import hashlib
+
+    return hashlib.md5(dataset_rel_path(key).encode()).hexdigest()[:12]
+
+
 def dataset_rel_path(key: DatasetKey) -> str:
     """The dataset's directory relative to the lake base — the identity
     used by the multi-dataset commit log (lake/multilog.py) and by

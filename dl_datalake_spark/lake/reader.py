@@ -355,30 +355,55 @@ class LakeReader:
           `requeued`      whether requeue_quarantine already consumed the split
         DESCRIBE-HISTORY-shaped like `history_table` and joinable to it
         on `version`.  Splits reclaimed by vacuum_tombstones (past
-        retention) simply drop out.  Cost: one bounded parquet scan per
-        retained quarantine split — the violators, never the dataset."""
-        from dl_datalake_spark.lake.paths import dataset_rel_path
+        retention) simply drop out.  Multi-write splits
+        (`<base>/_quarantine_multi/<txid>`, shared across the
+        commit's datasets) are filtered to THIS dataset's rows and
+        served too, with per-dataset requeue markers.  Cost: one
+        bounded parquet scan per retained quarantine split — the
+        violators, never the dataset."""
+        from dl_datalake_spark.lake.paths import dataset_marker_tag, dataset_rel_path
 
-        ds = f"{self.base_path}/{dataset_rel_path(key.normalized())}"
+        k = key.normalized()
+        ds = f"{self.base_path}/{dataset_rel_path(k)}"
         frames = []
         for e in self.dataset_history(key):
             q = e.get("quarantine")
-            if not q:
+            if q:
+                qdir = f"{ds}/_quarantine/{q}"
+                if not self.fs.exists(qdir):
+                    continue  # vacuumed past retention
+                frames.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(qdir)
+                    .withColumn("version", F.lit(int(e["version"])))
+                    .withColumn(
+                        "committed_at", F.lit(float(e.get("committed_at") or 0.0))
+                    )
+                    .withColumn(
+                        "requeued", F.lit(self.fs.exists(f"{qdir}/_REQUEUED"))
+                    )
+                )
                 continue
-            qdir = f"{ds}/_quarantine/{q}"
-            if not self.fs.exists(qdir):
-                continue  # vacuumed past retention
-            frames.append(
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(qdir)
-                .withColumn("version", F.lit(int(e["version"])))
-                .withColumn(
-                    "committed_at", F.lit(float(e.get("committed_at") or 0.0))
+            if e.get("multi") and e.get("expectations") and e.get("txid"):
+                qdir = f"{self.base_path}/_quarantine_multi/{e['txid']}"
+                if not self.fs.exists(qdir):
+                    continue  # vacuumed
+                df = self.spark.read.option("mergeSchema", "true").parquet(qdir)
+                for col, want in (
+                    ("exchange", k.exchange), ("market", k.market),
+                    ("symbol", k.symbol), ("data_type", k.data_type),
+                    ("period", k.period),
+                ):
+                    if col in df.columns:
+                        df = df.where(F.col(col) == want)
+                marker = f"{qdir}/_REQUEUED.{dataset_marker_tag(k)}"
+                frames.append(
+                    df.withColumn("version", F.lit(int(e["version"])))
+                    .withColumn(
+                        "committed_at", F.lit(float(e.get("committed_at") or 0.0))
+                    )
+                    .withColumn("requeued", F.lit(self.fs.exists(marker)))
                 )
-                .withColumn(
-                    "requeued", F.lit(self.fs.exists(f"{qdir}/_REQUEUED"))
-                )
-            )
         if not frames:
             return self.spark.createDataFrame(
                 [],

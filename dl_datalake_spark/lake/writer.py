@@ -889,9 +889,13 @@ class LakeWriter:
         aborted) when the target txid is unknown, never fully committed,
         or any dataset's snapshot is unreconstructable (pruned/vacuumed).
 
-        Returns {sanitized symbol: WriteResult}; each result's `txid` is
-        the restore's OWN multi-commit id (replayable via
-        read_datasets_at)."""
+        Returns {dataset rel path: WriteResult} — rel paths are the
+        multilog's own dataset identity and stay unambiguous when one
+        symbol appears under several data_types/periods; each result's
+        `txid` is the restore's OWN multi-commit id (replayable via
+        read_datasets_at).  Manifest rows are registered only after the
+        whole restore commits, so a torn crash never leaves the catalog
+        advertising an invisible restore."""
         import uuid as _uuid
         from contextlib import ExitStack
 
@@ -941,26 +945,13 @@ class LakeWriter:
                 for r in rels  # sorted order: deadlock-free
             }
             results: dict[str, WriteResult] = {}
-            manifest_rows = []
             for r in rels:
                 k = keys[r]
                 res = self._restore_into(
                     k, self.commit_log(k), claimed[r], metas[r]
                 )
                 res.txid = new_txid
-                results[k.symbol] = res
-                if res.rows > 0:
-                    manifest_rows.append(
-                        {
-                            "exchange": k.exchange, "market": k.market,
-                            "symbol": k.symbol, "path": res.path,
-                            "data_type": k.data_type,
-                            "time_from": res.time_from, "time_to": res.time_to,
-                            "metadata": {"timeframe": k.period, "rows": res.rows},
-                        }
-                    )
-            if self.manifest is not None and manifest_rows:
-                self.manifest.add_entries(manifest_rows)
+                results[dataset_rel_path(k)] = res
             # all claims held, nothing finalized: record the restore's
             # intent so readers can refuse the mixed-epoch window
             ml.begin(
@@ -978,6 +969,23 @@ class LakeWriter:
                 self._abort_intent_if_unfinalized(ml, new_txid)
             raise
         ml.commit(new_txid)
+        # manifest AFTER the restore committed (same ordering as
+        # restore_dataset): a torn crash above leaves the catalog as it
+        # was, never advertising a restore no reader can see
+        if self.manifest is not None:
+            manifest_rows = [
+                {
+                    "exchange": keys[r].exchange, "market": keys[r].market,
+                    "symbol": keys[r].symbol, "path": res.path,
+                    "data_type": keys[r].data_type,
+                    "time_from": res.time_from, "time_to": res.time_to,
+                    "metadata": {"timeframe": keys[r].period, "rows": res.rows},
+                }
+                for r, res in out.items()
+                if res.rows > 0
+            ]
+            if manifest_rows:
+                self.manifest.add_entries(manifest_rows)
         return out
 
     def _abort_intent_if_unfinalized(self, ml, txid: str) -> None:
@@ -1313,37 +1321,67 @@ class LakeWriter:
         normal retention horizon.  Returns the write's result, or None
         when nothing was pending.  The requeue commit records
         `requeue_of: [versions]` so history ties correction to cause."""
+        from dl_datalake_spark.lake.paths import dataset_marker_tag
+
         k = key.normalized()
         ds = self.dataset_path(k)
         log = self.commit_log(k)
+        want = set(versions) if versions is not None else None
         pending: list[tuple[int, str]] = []
+        markers: list[str] = []
+        frames: list[DataFrame] = []
         for e in log.history():
+            if want is not None and int(e["version"]) not in want:
+                continue
             q = e.get("quarantine")
-            if not q:
+            if q:
+                qdir = f"{ds}/_quarantine/{q}"
+                if self.fs.exists(qdir) and not self.fs.exists(f"{qdir}/_REQUEUED"):
+                    pending.append((int(e["version"]), qdir))
+                    markers.append(f"{qdir}/_REQUEUED")
                 continue
-            if versions is not None and int(e["version"]) not in set(versions):
-                continue
-            qdir = f"{ds}/_quarantine/{q}"
-            if self.fs.exists(qdir) and not self.fs.exists(f"{qdir}/_REQUEUED"):
+            # multi-write split: this dataset's share of the shared
+            # <base>/_quarantine_multi/<txid> dir, consumed under a
+            # per-dataset marker so sibling datasets requeue their own
+            if e.get("multi") and e.get("expectations") and e.get("txid"):
+                qdir = f"{self.base_path}/_quarantine_multi/{e['txid']}"
+                marker = f"{qdir}/_REQUEUED.{dataset_marker_tag(k)}"
+                if not self.fs.exists(qdir) or self.fs.exists(marker):
+                    continue
+                mdf = self.spark.read.option("mergeSchema", "true").parquet(qdir)
+                for col, wantv in (
+                    ("exchange", k.exchange), ("market", k.market),
+                    ("symbol", k.symbol), ("data_type", k.data_type),
+                    ("period", k.period),
+                ):
+                    if col in mdf.columns:
+                        mdf = mdf.where(F.col(col) == wantv)
                 pending.append((int(e["version"]), qdir))
+                markers.append(marker)
+                frames.append(mdf.drop("_violated"))
         if not pending:
             return None
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*[d for _, d in pending])
-            .drop("_violated")
-        )
+        per_ds = [d for (_, d), m in zip(pending, markers) if "/_quarantine/" in d]
+        df = None
+        if per_ds:
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*per_ds)
+                .drop("_violated")
+            )
+        for f in frames:
+            df = f if df is None else df.unionByName(f, allowMissingColumns=True)
         if transform is not None:
             df = transform(df)
         res = self._write(
             df, k, mode=mode, commit_meta={"requeue_of": [v for v, _ in pending]}
         )
-        for _, qdir in pending:
+        for marker in markers:
             # marked only after the commit finalized — a crash before
             # this line re-offers the split (upsert requeues are
             # idempotent; append requeues should pass txn= semantics
             # through a follow-up if needed)
-            self.fs.write_bytes_atomic(f"{qdir}/_REQUEUED", b"")
+            self.fs.write_bytes_atomic(marker, b"")
         return res
 
     def _violated_col(self) -> "F.Column":

@@ -49,10 +49,28 @@ def _index_log(path: str, spark: SparkSession | None = None) -> CommitLog:
     return CommitLog(p, fs=get_fs(p, spark), log_dir=p + "_commits")
 
 
-def _vectors_with_seq(spark: SparkSession, vdir: str) -> DataFrame:
+def _vectors_with_seq(
+    spark: SparkSession, vdir: str, empty_like: DataFrame | None = None
+) -> DataFrame:
     """Vectors with their ingest sequence; indexes written before the
-    _ingest_seq column existed read as seq 0 (mergeSchema + coalesce)."""
-    v = spark.read.option("mergeSchema", "true").parquet(vdir)
+    _ingest_seq column existed read as seq 0 (mergeSchema + coalesce).
+
+    `empty_like`: a frame whose (vec_id, embedding, cell, _ingest_seq)
+    schema stands in when the vectors dir holds no parquet files — the
+    state a delete that emptied the index leaves behind.  Maintenance
+    paths pass it so the next batch repopulates instead of dying on
+    UNABLE_TO_INFER_SCHEMA; read paths omit it (an empty index should
+    fail their scan loudly)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        v = spark.read.option("mergeSchema", "true").parquet(vdir)
+    except AnalysisException:
+        if empty_like is None:
+            raise
+        return empty_like.select(
+            "vec_id", "embedding", "cell", "_ingest_seq"
+        ).limit(0)
     if "_ingest_seq" not in v.columns:
         v = v.withColumn("_ingest_seq", F.lit(0).cast("long"))
     return v.withColumn("_ingest_seq", F.coalesce(F.col("_ingest_seq"), F.lit(0)).cast("long"))
@@ -310,7 +328,9 @@ def upsert_ivf_index(
             meta["rows"] = 0
             return 0
         vdir = os.path.join(path, VECTORS_DIR)
-        existing = _vectors_with_seq(spark, vdir).where(F.col("cell").isin(cells))
+        existing = _vectors_with_seq(spark, vdir, empty_like=assigned).where(
+            F.col("cell").isin(cells)
+        )
         w = Window.partitionBy("vec_id").orderBy(F.desc("_ingest_seq"))
         merged = (
             existing.unionByName(assigned)
@@ -466,9 +486,16 @@ def apply_cdf_to_ivf(
             else F.lit(0)
         ).cast("long").alias("_cv"),
     )
-    # final state per id across the batch's lake commits
+    # final state per id across the batch's lake commits — persisted:
+    # ups/dels/probe_ids/removed all derive from it across several
+    # actions, and re-running the batch window per action would
+    # multiply the catch-up batch's scan cost
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cv"))
-    final = ch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    final = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .persist()
+    )
     ups = final.where(F.col("_ct").isin("insert", "update_postimage")).select(
         "vec_id", "embedding"
     )
@@ -483,7 +510,8 @@ def apply_cdf_to_ivf(
             assigned = _assign(ups, cents).withColumn(
                 "_ingest_seq", F.lit(new_seq).cast("long")
             )
-            v = _vectors_with_seq(spark, vdir)
+            # empty_like: a prior batch may have deleted the index empty
+            v = _vectors_with_seq(spark, vdir, empty_like=assigned)
             del_df = dels.distinct()
             up_cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
             # probe EVERY changed id's existing cells (key-only broadcast
@@ -544,6 +572,8 @@ def apply_cdf_to_ivf(
             return {"rows": n, "removed": removed, "skipped": False}
     except _ReplayedIvfTxn:
         return {"rows": 0, "removed": 0, "skipped": True}
+    finally:
+        final.unpersist()
 
 
 def fsck_ivf_index(spark: SparkSession, path: str) -> DataFrame:

@@ -324,13 +324,15 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             # NULL/NaN -> None; numpy scalars/arrays -> python values
             # (array<...> data columns — e.g. embeddings — arrive from
             # pandas as ndarrays, where a bare `v != v` NaN test would
-            # raise on the elementwise result)
+            # raise on the elementwise result).  Convert BEFORE the NaN
+            # test: np.float32 is not a Python float, so testing first
+            # would let float32-column NULLs leak through as NaN.
             if v is None:
                 return None
-            if isinstance(v, float):
-                return None if v != v else v
             if hasattr(v, "tolist"):
-                return v.tolist()
+                v = v.tolist()  # numpy scalar -> scalar, ndarray -> list
+            if isinstance(v, float) and v != v:
+                return None
             return v
 
         def gen():

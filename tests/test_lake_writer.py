@@ -1370,7 +1370,7 @@ def test_quarantine_table_and_requeue_roundtrip(lake, spark):
         [(jan + i * 60000, float(i) if i < 8 else -float(i)) for i in range(10)],
         "ts long, price double",
     )
-    lenient.write_ticks(df, KEY)  # v0: 8 good, 2 quarantined
+    lenient.write_ticks(df, key)  # v0: 8 good, 2 quarantined
     qt = reader.quarantine_table(key)
     assert qt.count() == 2
     import pyspark.sql.functions as F
@@ -1402,3 +1402,49 @@ def test_quarantine_table_and_requeue_roundtrip(lake, spark):
     assert hist[-1].get("requeue_of") == [0]
     # nothing pending after the fresh split's version is excluded
     assert lenient.requeue_quarantine(key, versions=[0]) is None
+
+
+def test_multi_quarantine_served_and_requeued_per_dataset(lake, spark):
+    """Multi-write quarantine splits (<base>/_quarantine_multi/<txid>)
+    flow through the SAME first-class surface as per-dataset splits:
+    quarantine_table serves each dataset's filtered share with the
+    commit version, and requeue_quarantine consumes it under a
+    PER-DATASET marker so sibling datasets' shares stay pending."""
+    from dl_datalake_spark.lake.expectations import accepted_range
+
+    writer, reader, _ = lake
+    df = _multi_df(spark, ["AAA/USD", "BBB/USD"], n=4)
+    bad = _multi_df(
+        spark, ["BBB/USD"], n=2, start=1672574400000 + 50 * 60000, price=-9.0
+    )
+    lenient = LakeWriter(
+        spark, writer.base_path,
+        expectations=[accepted_range("close", 0.0, 1e9)], enforce="quarantine",
+    )
+    lenient.write_ohlc_multi(df.unionByName(bad), "binance", "spot")
+    key_a = DatasetKey("BINANCE", "SPOT", "AAA_USD", "raw", "1m")
+    key_b = DatasetKey("BINANCE", "SPOT", "BBB_USD", "raw", "1m")
+
+    import pyspark.sql.functions as F
+
+    qa = reader.quarantine_table(key_a)
+    qb = reader.quarantine_table(key_b)
+    assert qa.count() == 0  # AAA has no share of the split
+    assert qb.count() == 2
+    assert qb.where(F.array_contains("_violated", "range_close")).count() == 2
+    assert qb.where("requeued").count() == 0
+    v_b = qb.first()["version"]
+    assert lenient.commit_log(key_b).committed_entry(v_b)["multi"] is True
+
+    # requeue ONLY BBB's share (corrected); AAA untouched, split retained
+    res = lenient.requeue_quarantine(
+        key_b, transform=lambda d: d.withColumn("close", -F.col("close"))
+    )
+    assert res is not None and res.rows > 0
+    assert reader.read_dataset(key_b).count() == 6
+    assert reader.quarantine_table(key_b).where("requeued").count() == 2
+    # second requeue for BBB: nothing pending; AAA still sees its empty share
+    assert lenient.requeue_quarantine(key_b) is None
+    assert reader.quarantine_table(key_a).count() == 0
+    # requeue lineage recorded against the multi commit's version
+    assert lenient.commit_log(key_b).history()[-1]["requeue_of"] == [v_b]

@@ -737,9 +737,10 @@ def test_restore_lake_to_rolls_back_all_datasets_atomically(lake, spark):
     )
 
     out = writer.restore_lake_to(m1)
-    assert set(out) == {"AAA_USD", "BBB_USD"}
-    restore_txid = out["AAA_USD"].txid
-    assert restore_txid and restore_txid == out["BBB_USD"].txid
+    rel_a, rel_b = dataset_rel_path(KEY_A), dataset_rel_path(KEY_B)
+    assert set(out) == {rel_a, rel_b}  # keyed by dataset rel path
+    restore_txid = out[rel_a].txid
+    assert restore_txid and restore_txid == out[rel_b].txid
 
     # the live consistent read is exactly the M1 state
     dfs = reader.read_datasets([KEY_A, KEY_B])
@@ -840,4 +841,4 @@ def test_restore_lake_clean_failure_aborts_intent(lake, spark, monkeypatch):
     assert reader.read_datasets([KEY_A, KEY_B])["AAA_USD"].count() == 3
     out = writer.restore_lake_to(m1)
     assert reader.read_datasets([KEY_A, KEY_B])["AAA_USD"].count() == 2
-    assert out["AAA_USD"].txid
+    assert out[dataset_rel_path(KEY_A)].txid
