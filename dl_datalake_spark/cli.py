@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--where", default=None, help="SQL predicate over the dataset's rows")
     dr.add_argument("--start-ms", type=int, default=None)
     dr.add_argument("--end-ms", type=int, default=None)
+    dr.add_argument(
+        "--strategy", default="rewrite", choices=["rewrite", "dv"],
+        help="rewrite = copy-on-write touched partitions; dv = merge-on-read "
+        "deletion vectors (no data file rewritten)",
+    )
 
     exp = sub.add_parser("export")
     exp.add_argument("--exchange", required=True)
@@ -353,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
                     where=args.where,
                     start_ms=args.start_ms,
                     end_ms=args.end_ms,
+                    strategy=args.strategy,
                 )
             )
         )

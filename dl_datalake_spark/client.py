@@ -447,11 +447,15 @@ class DataLakeClient:
         where: str | None = None,
         start_ms: int | None = None,
         end_ms: int | None = None,
+        strategy: str = "rewrite",
     ) -> dict:
-        """Row-level delete (copy-on-write rewrite of touched partitions
-        under the commit log — see LakeWriter.delete_where).  Give either
+        """Row-level delete (see LakeWriter.delete_where).  Give either
         a SQL `where` predicate or an inclusive [start_ms, end_ms] ts
-        range (the range form partition-prunes the probe scan)."""
+        range (the range form partition-prunes the probe scan).
+        `strategy="rewrite"` copy-on-writes the touched partitions;
+        `strategy="dv"` records merge-on-read deletion vectors and
+        rewrites nothing (lake/dv.py) — the right call when the matched
+        fraction is tiny."""
         from dl_datalake_spark.lake.paths import DatasetKey
 
         key = DatasetKey(exchange, market, symbol, data_type, period)
@@ -464,10 +468,10 @@ class DataLakeClient:
             # validation error the API layer maps ValueError to
             raise ValueError("ts-range delete requires BOTH start_ms and end_ms")
         if where is not None:
-            res = self.writer.delete_where(key, where)
+            res = self.writer.delete_where(key, where, strategy=strategy)
         else:
             res = self.writer.delete_range(
-                key, int(start_ms), int(end_ms)
+                key, int(start_ms), int(end_ms), strategy=strategy
             )
         return {"deleted": res.rows, "partitions": res.partitions}
 

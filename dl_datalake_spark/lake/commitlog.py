@@ -243,6 +243,65 @@ class CommitLog:
                 out[c].update(cs.get(c) or {})
         return out
 
+    def dv_at(self, upto: int | None) -> dict[str, str]:
+        """The dataset's deletion-vector map ({rel data file: rel DV
+        dir}, lake/dv.py) as of commit `upto` (None = head).
+
+        Resolution is ONE entry read: `_carry_dv` re-records the
+        (live-filtered) map on every finalize while any DV state exists,
+        so the newest committed entry at/below the cut either carries
+        the exact map or proves it empty — there is no chain to fold and
+        prune can never orphan the state.  An entry written without a
+        ``dv`` key (pre-DV history, or a commit whose listing base was
+        an untrusted barrier) means no deletion vectors apply at that
+        cut, which matches the listing's own trust rules: across a
+        barrier the reader is on the live directory scan anyway."""
+        for v in reversed(self._entries()):
+            if upto is not None and v > upto:
+                continue
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            return dict(e.get("dv") or {})
+        return {}
+
+    def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:
+        """Carry the deletion-vector map forward into a commit that
+        didn't set one, filtered to the commit's own live file set —
+        refs for files the commit rewrote or dropped vanish here, which
+        is what lets compaction/upserts retire DVs without knowing they
+        exist.  Writers that CHANGE the map (delete-dv, restore) set
+        ``payload["dv"]`` explicitly and skip this.  `prev_files` is a
+        zero-arg callable yielding `_fold_files(version - 1)`, shared
+        (memoized) with `_encode_files` so finalize folds the chain at
+        most once — and not at all on the no-DV fast path."""
+        if "dv" in payload:
+            return payload
+        prior = self.dv_at(version - 1)
+        if not prior:
+            return payload
+        if "files" in payload:
+            live = set(payload["files"])
+        elif "files_add" in payload or "files_remove" in payload:
+            base = prev_files()
+            if base is None:
+                return payload  # unknowable base: never fabricate
+            live = (set(base) - set(payload.get("files_remove") or [])) | set(
+                payload.get("files_add") or []
+            )
+        elif payload.get("partitions") == []:
+            base = prev_files()
+            if base is None:
+                return payload
+            live = set(base)
+        else:
+            # files-less data commit: the listing fold treats it as an
+            # untrusted barrier and so does dv_at — recording nothing is
+            # consistent (the DV state dies with the listing's trust)
+            return payload
+        payload["dv"] = {f: d for f, d in prior.items() if f in live}
+        return payload
+
     def version_at_time(self, ts: float) -> int:
         """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the
         newest committed version finalized at or before `ts`; -1 when
@@ -505,18 +564,19 @@ class CommitLog:
 
     CHECKPOINT_EVERY = 10
 
-    def _encode_files(self, version: int, payload: dict) -> dict:
+    def _encode_files(self, version: int, payload: dict, prev: list | None) -> dict:
         """Delta-encode the commit's pinned listing when that is smaller
         than the full list: store `files_add`/`files_remove` against the
-        prior snapshot.  Full `files` is kept as a CHECKPOINT every
-        `CHECKPOINT_EVERY` versions, whenever no prior snapshot resolves,
-        and whenever the delta wouldn't actually be smaller (partition
-        rewrites replace most files — a full list doubles as a fresh
-        checkpoint there).  Writers stay oblivious: they always hand in
-        the full list; resolution (`_fold_files`) serves both shapes."""
+        prior snapshot (`prev` = `_fold_files(version - 1)`, resolved
+        once by the finalize and shared with `_carry_dv`).  Full `files`
+        is kept as a CHECKPOINT every `CHECKPOINT_EVERY` versions,
+        whenever no prior snapshot resolves, and whenever the delta
+        wouldn't actually be smaller (partition rewrites replace most
+        files — a full list doubles as a fresh checkpoint there).
+        Writers stay oblivious: they always hand in the full list;
+        resolution (`_fold_files`) serves both shapes."""
         if version % self.CHECKPOINT_EVERY == 0:
             return payload
-        prev = self._fold_files(version - 1)
         if prev is None:
             return payload
         files = list(payload["files"])
@@ -540,8 +600,22 @@ class CommitLog:
                 f"(transaction exceeded stale_timeout_s={self.stale_timeout_s}); "
                 f"this writer's output must not be trusted as committed"
             ) from None
-        if payload and "files" in payload:
-            payload = self._encode_files(version, dict(payload))
+        if payload:
+            payload = dict(payload)
+            # lazy one-shot fold of the prior snapshot, shared by the
+            # delta encoding and the DV carry-forward (neither, one, or
+            # both may need it — a plain append with no DV state folds
+            # exactly once, same as before)
+            memo: list = []
+
+            def prev_files():
+                if not memo:
+                    memo.append(self._fold_files(version - 1))
+                return memo[0]
+
+            if "files" in payload and version % self.CHECKPOINT_EVERY != 0:
+                payload = self._encode_files(version, payload, prev_files())
+            payload = self._carry_dv(version, payload, prev_files)
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}
         self.fs.write_bytes_atomic(
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()

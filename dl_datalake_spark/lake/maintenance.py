@@ -302,6 +302,16 @@ def compact(
                 continue  # pinned-empty dataset: nothing to rewrite
             srcs = [ds] if live is None else [f"{ds}/{rel}" for rel in live]
             df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(*srcs)
+            if live is not None:
+                # merge-on-read deletes (lake/dv.py): apply them at the
+                # rewrite — the compacted tree materializes the deletes
+                # and its fresh pin retires the refs via carry-forward
+                dv_map = CommitLog(ds, fs=fs).dv_at(None)
+                if dv_map:
+                    from dl_datalake_spark.lake import dv as dvmod
+
+                    keys, dv_dirs = dvmod.plan_dv(ds, base, live, dv_map)
+                    df = dvmod.apply_dv(spark, df, base, keys, dv_dirs, fs=fs)
             part_cols = [c for c in PARTITION_COLS if c in df.columns]
             (
                 df.repartition(target_files_per_partition, *part_cols)
@@ -511,6 +521,18 @@ def recluster(
             .option("basePath", ds)
             .parquet(*[f"{ds}/{rel}" for rel in live])
         )
+        # merge-on-read deletes (lake/dv.py): the recluster rewrite
+        # materializes them; the fresh pin retires the refs (carry-
+        # forward filters the map to the new files -> empty).  DV keys
+        # are lake-base-relative, so derive the lake root from the
+        # dataset's own hive suffix.
+        dv_map = log.dv_at(None)
+        if dv_map:
+            from dl_datalake_spark.lake import dv as dvmod
+
+            lake_base = ds.rsplit("/exchange=", 1)[0] if "/exchange=" in ds else ds
+            keys, dv_dirs = dvmod.plan_dv(ds, lake_base, live, dv_map)
+            df = dvmod.apply_dv(spark, df, lake_base, keys, dv_dirs, fs=fs)
         months = df.select("year", "month").distinct().count()
         keyed = zorder_key(df, cols, bits)
         (
@@ -640,6 +662,38 @@ def vacuum_tombstones(
                 except OSError:
                     continue
             removed.append(full)
+        # deletion-vector sidecars (lake/dv.py, `_dv/<dir>`): reclaim
+        # dirs referenced by NO retained commit's dv map once past the
+        # horizon — aborted transactions' orphans and sidecars whose
+        # every referencing commit was pruned.  A dir referenced by ANY
+        # retained commit stays (time travel to that commit needs it);
+        # `read_dataset_at` raises loudly if a reclaimed sidecar is
+        # requested, same contract as data-file tombstones.
+        dv_root = f"{ds}/_dv"
+        try:
+            dv_names = fs.listdir(dv_root)
+        except OSError:
+            dv_names = []
+        if dv_names:
+            referenced = {
+                d
+                for e in CommitLog(ds, fs=fs).history()
+                for d in (e.get("dv") or {}).values()
+            }
+            for name in dv_names:
+                if f"_dv/{name}" in referenced:
+                    continue
+                dvdir = f"{dv_root}/{name}"
+                try:
+                    age = now - fs.getmtime(dvdir)
+                except OSError:
+                    continue
+                if age < retention_s:
+                    retained.append(dvdir)
+                    continue
+                if not dry_run:
+                    fs.rmtree(dvdir)
+                removed.append(dvdir)
         # quarantine retention rides the same horizon: violator splits
         # (writer expectations, `_quarantine/<uuid>` dirs) are kept for
         # inspection for `retention_s`, then reclaimed — without this

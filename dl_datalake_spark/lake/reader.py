@@ -117,18 +117,23 @@ class LakeReader:
         from dl_datalake_spark.lake.commitlog import CommitLog
         from dl_datalake_spark.lake.snapshot import resolve_live_files
 
+        from dl_datalake_spark.lake import dv as dvmod
+
         if not paths:
             return None
         lo, hi = ts_bounds if ts_bounds is not None else (None, None)
         cbounds = dict(col_bounds or {})
         srcs: list[str] = []
+        dv_keys: list[str] = []
+        dv_dirs: list[str] = []
         for p in paths:
             live = resolve_live_files(self.fs, p)
             if live is None:
                 srcs.append(p)
                 continue
+            log = CommitLog(p, fs=self.fs)
+            dv_map = log.dv_at(None) if live else {}
             if live and (lo is not None or hi is not None or cbounds):
-                log = CommitLog(p, fs=self.fs)
                 stats = log.file_stats() if (lo is not None or hi is not None) else {}
                 cstats = log.col_stats_many(list(cbounds)) if cbounds else {}
 
@@ -150,14 +155,26 @@ class LakeReader:
                     )
 
                 live = [rel for rel in live if _overlaps(rel)]
+            if dv_map:
+                # merge-on-read deletes (lake/dv.py): remember which of
+                # the PLANNED files carry a deletion vector; their rows
+                # get anti-joined out after the scan is built
+                ks, ds_ = dvmod.plan_dv(p, self.base_path, live, dv_map)
+                dv_keys.extend(ks)
+                dv_dirs.extend(ds_)
             srcs.extend(f"{p}/{rel}" for rel in live)
         if not srcs:
             return None  # pinned-empty or every file skipped by stats
-        return (
+        df = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
             .parquet(*srcs)
         )
+        if dv_keys:
+            df = dvmod.apply_dv(
+                self.spark, df, self.base_path, dv_keys, dv_dirs, fs=self.fs
+            )
+        return df
 
     # -- public API ---------------------------------------------------------
 
@@ -281,11 +298,32 @@ class LakeReader:
                 f"vacuum_tombstones (first: {gone[0]}) — raise the vacuum "
                 f"retention horizon if older snapshots must stay readable"
             )
-        return (
+        df = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
             .parquet(*[f"{path}/{rel}" for rel in files])
         )
+        # the snapshot's deletion vectors are part of its definition
+        # (lake/dv.py): the same vacuum-reclaim contract applies to the
+        # sidecars as to the data files
+        dv_map = log.dv_at(version)
+        dv_map = {rel: d for rel, d in dv_map.items() if rel in set(files)}
+        if dv_map:
+            from dl_datalake_spark.lake import dv as dvmod
+
+            dv_gone = sorted(
+                {d for d in dv_map.values() if not self.fs.exists(f"{path}/{d}")}
+            )
+            if dv_gone:
+                raise ValueError(
+                    f"snapshot {version} of {path} is no longer reconstructable: "
+                    f"its deletion-vector sidecar {dv_gone[0]} was reclaimed by "
+                    f"vacuum_tombstones — raise the vacuum retention horizon if "
+                    f"older snapshots must stay readable"
+                )
+            keys, dirs = dvmod.plan_dv(path, self.base_path, files, dv_map)
+            df = dvmod.apply_dv(self.spark, df, self.base_path, keys, dirs, fs=self.fs)
+        return df
 
     def dataset_history(self, key: DatasetKey) -> list[dict]:
         """The dataset's finalized commits, oldest first (version, mode,
@@ -334,13 +372,14 @@ class LakeReader:
                     bool(e.get("cdf", False)),
                     e.get("txid"),
                     float(e["committed_at"]) if e.get("committed_at") else None,
+                    len(e["dv"]) if e.get("dv") is not None else 0,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version long, mode string, rows long, time_from long, "
             "time_to long, n_partitions int, n_files int, cdf boolean, "
-            "txid string, committed_at double",
+            "txid string, committed_at double, n_dv_files int",
         )
 
     def quarantine_table(self, key: DatasetKey) -> DataFrame:
@@ -736,7 +775,7 @@ class LakeReader:
         for c in history:
             if c["version"] <= after_version:
                 continue
-            if c.get("mode") in ("delete", "restore"):
+            if c.get("mode") in ("delete", "delete-dv", "restore"):
                 has_delete = True  # a restore can also drop rows
             parts = c.get("partitions")
             if parts is None:

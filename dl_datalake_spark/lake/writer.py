@@ -564,10 +564,19 @@ class LakeWriter:
         predicate,
         months: list[tuple[int, int]] | None = None,
         commit_meta: dict | None = None,
+        strategy: str = "rewrite",
     ) -> WriteResult:
         """Row-level DELETE: rewrite only the partitions holding matching
         rows (Delta's copy-on-write DELETE mechanic on plain parquet),
         serialized through the dataset's commit log like every write.
+
+        `strategy="dv"` switches to MERGE-ON-READ deletion vectors
+        (lake/dv.py): no data file is rewritten — the commit records the
+        matched (file, row position) pairs in a tiny sidecar and readers
+        anti-join them out.  Right choice when the matched fraction is
+        small (GDPR purges, bad-row surgery on a 100 TB dataset);
+        copy-on-write remains right when a large share of the touched
+        partitions dies (the rewrite pays for itself in scan savings).
 
         `predicate` is a Column or SQL string; rows where it is TRUE are
         deleted — FALSE and NULL rows are kept (SQL DELETE semantics).
@@ -591,6 +600,10 @@ class LakeWriter:
         drop, manifest.py delete path); this is lake-layer surface the
         100 TB story needs (GDPR purges, bad-ingest rollback).
         """
+        if strategy == "dv":
+            return self._delete_where_dv(key, predicate, months, commit_meta)
+        if strategy != "rewrite":
+            raise ValueError(f"unknown delete strategy {strategy!r} (rewrite|dv)")
         k = key.normalized()
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
@@ -718,6 +731,167 @@ class LakeWriter:
             )
         return result
 
+    def _delete_where_dv(
+        self,
+        key: DatasetKey,
+        predicate,
+        months: list[tuple[int, int]] | None = None,
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
+        """Merge-on-read DELETE via deletion vectors (lake/dv.py;
+        `delete_where(strategy="dv")` is the public door).
+
+        One probe scan of the pinned snapshot — filtered through the
+        CURRENT deletion vectors so already-deleted rows are never
+        re-counted or re-emitted to the change feed — finds the matched
+        rows; their (lake-relative file, parquet row index) pairs become
+        a new sidecar parquet under the dataset's hidden ``_dv/`` tree.
+        For files that already carried a DV the new sidecar holds the
+        UNION of old and new positions (Delta's DV-supersedes-DV rule),
+        so the reader resolves exactly one sidecar per file.  The commit
+        pins an UNCHANGED file listing (`files_add/files_remove: []` —
+        the listing fold treats it as an empty delta) plus the full
+        updated ``dv`` map; data files are untouched, which is the whole
+        point at 100 TB.  CDF delete pre-images are emitted like the
+        copy-on-write path, so feed consumers cannot tell the strategies
+        apart.  Requires a commit-pinned dataset (legacy directories
+        have no snapshot to anchor positions to)."""
+        import uuid as _uuid
+
+        from dl_datalake_spark.lake import dv as dvmod
+
+        k = key.normalized()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        class _NoMatch(Exception):
+            pass
+
+        log = self.commit_log(k)
+        payload = {"mode": "delete-dv", **(commit_meta or {})}
+        path = self.dataset_path(k)
+        base = self.base_path.rstrip("/")
+        ds_rel = path[len(base) + 1 :]
+        try:
+            with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
+                live = resolve_live_files(self.fs, path)
+                if live is None:
+                    raise ValueError(
+                        f"delete strategy 'dv' needs a commit-pinned snapshot; "
+                        f"{path} has no pinned file list (legacy dataset) — "
+                        f"use strategy='rewrite' or write through LakeWriter first"
+                    )
+                if not live:
+                    raise _NoMatch
+                dv_map = log.dv_at(None)
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", self.base_path)
+                    .parquet(*[f"{path}/{rel}" for rel in live])
+                )
+                # key columns captured from the scan relation, then the
+                # current DVs anti-joined out so the probe sees exactly
+                # the LIVE rows
+                df = dvmod.with_scan_key(df, self.base_path)
+                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
+                if keys:
+                    df = dvmod.anti_join_dv(
+                        df,
+                        dvmod.read_dv_rows(self.spark, dirs, keys),
+                        broadcast=dvmod.dv_total_bytes(self.fs, dirs)
+                        <= dvmod.BROADCAST_MAX_BYTES,
+                        keep_keys=True,
+                    )
+                if months:
+                    scan_pred = F.lit(False)
+                    for y, m in months:
+                        scan_pred = scan_pred | (
+                            (F.col("year") == int(y)) & (F.col("month") == int(m))
+                        )
+                    df = df.where(scan_pred)
+                # NULL predicate rows survive, like SQL DELETE
+                probe = df.where(F.coalesce(pred, F.lit(False))).persist()
+                try:
+                    agg = (
+                        probe.groupBy("year", "month")
+                        .agg(F.count(F.lit(1)).alias("n_del"))
+                        .collect()
+                    )
+                    if not agg:
+                        raise _NoMatch
+                    touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
+                    rows_deleted = int(sum(r["n_del"] for r in agg))
+                    if self.emit_cdf:
+                        self._write_cdf(
+                            k,
+                            meta["version"],
+                            probe.drop("_dv_file", "_dv_pos").withColumn(
+                                "_change_type", F.lit("delete")
+                            ),
+                        )
+                        meta["cdf"] = True
+                    # driver-side file list is O(matched files) — the
+                    # same order as the live listing itself
+                    hit_keys = [
+                        r["_dv_file"]
+                        for r in probe.select("_dv_file").distinct().collect()
+                    ]
+                    hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
+                    newpos = probe.select(
+                        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+                    )
+                    # supersede: carry the old positions of the hit files
+                    # into the new sidecar (disjoint from the probe's by
+                    # construction — the probe never saw deleted rows)
+                    old_dirs = sorted({dv_map[r] for r in hit_rels if r in dv_map})
+                    if old_dirs:
+                        newpos = newpos.unionByName(
+                            self.spark.read.parquet(
+                                *[f"{path}/{d}" for d in old_dirs]
+                            ).where(F.col("file").isin(hit_keys))
+                        )
+                    dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
+                    (
+                        newpos.repartition(
+                            max(1, min(32, len(hit_rels))), "file"
+                        )
+                        .write.option("compression", "snappy")
+                        .parquet(f"{path}/{dv_rel}")
+                    )
+                finally:
+                    probe.unpersist()
+                hit_set = set(hit_rels)
+                new_map = {r: d for r, d in dv_map.items() if r not in hit_set}
+                for r in hit_rels:
+                    new_map[r] = dv_rel
+                meta.update(
+                    rows=rows_deleted,
+                    partitions=[list(p) for p in touched],
+                    files_add=[],
+                    files_remove=[],
+                    dv=new_map,
+                )
+        except _NoMatch:
+            return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+
+        result = WriteResult(
+            path=path, time_from=None, time_to=None, rows=rows_deleted,
+            partitions=[list(p) for p in touched],
+        )
+        remaining = self._read_existing(k) if self.manifest is not None else None
+        if remaining is not None:
+            s = remaining.agg(
+                F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            result.time_from, result.time_to = s["t0"], s["t1"]
+            self.manifest.add_entry(
+                exchange=k.exchange, market=k.market, symbol=k.symbol,
+                path=path, data_type=k.data_type,
+                time_from=s["t0"], time_to=s["t1"],
+                metadata={"timeframe": k.period, "rows": s["n"]},
+            )
+        return result
+
     def restore_dataset(self, key: DatasetKey, version: int) -> WriteResult:
         """Delta ``RESTORE TABLE ... VERSION AS OF``: re-pin the live
         listing to a committed historical snapshot as a NEW commit.
@@ -777,12 +951,33 @@ class LakeWriter:
                 f"vacuum_tombstones (first: {gone[0]})"
             )
         head = log.latest_files() or []
+        # the snapshot's deletion vectors are part of its definition
+        # (lake/dv.py): the target's map must be restorable and gets
+        # re-pinned explicitly (carrying the HEAD's map forward would
+        # keep rows deleted that the target still had)
+        dv_target = {
+            rel: d for rel, d in log.dv_at(version).items() if rel in set(target)
+        }
+        dv_head = {rel: d for rel, d in log.dv_at(None).items() if rel in set(head)}
+        dv_gone = sorted(
+            {d for d in dv_target.values() if not self.fs.exists(f"{ds}/{d}")}
+        )
+        if dv_gone:
+            raise ValueError(
+                f"snapshot {version} of {ds} is no longer restorable: its "
+                f"deletion-vector sidecar {dv_gone[0]} was reclaimed by "
+                f"vacuum_tombstones"
+            )
         changed = set(head) ^ set(target)
+        # a DV-only difference changes rows without changing the listing
+        changed |= {
+            f
+            for f in set(head) & set(target)
+            if dv_head.get(f) != dv_target.get(f)
+        }
         parts = sorted({partition_of(f) for f in changed} - {(None, None)})
         if target:
-            snap = self.spark.read.option("mergeSchema", "true").parquet(
-                *[f"{ds}/{rel}" for rel in target]
-            )
+            snap = self._read_snapshot(ds, target, dv_target)
             s = snap.agg(
                 F.min("ts").alias("t0"),
                 F.max("ts").alias("t1"),
@@ -803,7 +998,11 @@ class LakeWriter:
             # subscribers survive a restore without a batch rebuild;
             # cost is O(changed partitions), metadata-only otherwise.
             self._write_cdf(
-                k, meta["version"], self._restore_tag_changes(ds, head, target, parts)
+                k,
+                meta["version"],
+                self._restore_tag_changes(
+                    ds, head, target, parts, dv_head, dv_target
+                ),
             )
             meta["cdf"] = True
         meta.update(
@@ -812,34 +1011,62 @@ class LakeWriter:
             time_to=t1,
             partitions=[list(p) for p in parts],
             files=sorted(target),
+            dv=dv_target,
         )
         return WriteResult(
             path=ds, time_from=t0, time_to=t1, rows=n,
             partitions=[list(p) for p in parts], files=sorted(target),
         )
 
+    def _read_snapshot(
+        self, ds: str, files: list[str], dv_map: dict[str, str], base_path: str | None = None
+    ) -> DataFrame:
+        """Scan an explicit pinned file list through its deletion
+        vectors — the snapshot AS DEFINED, shared by restore's row
+        counting and its CDF diff."""
+        bp = base_path if base_path is not None else self.base_path
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", bp)
+            .parquet(*[f"{ds}/{rel}" for rel in files])
+        )
+        dvm = {rel: d for rel, d in dv_map.items() if rel in set(files)}
+        if dvm:
+            from dl_datalake_spark.lake import dv as dvmod
+
+            # DV keys are ALWAYS lake-base-relative (that's what the
+            # sidecars store) regardless of the basePath read option,
+            # which only drives partition-column inference
+            keys, dirs = dvmod.plan_dv(ds, self.base_path, files, dvm)
+            df = dvmod.apply_dv(self.spark, df, self.base_path, keys, dirs, fs=self.fs)
+        return df
+
     def _restore_tag_changes(
-        self, ds: str, head: list[str], target: list[str], parts: list
+        self,
+        ds: str,
+        head: list[str],
+        target: list[str],
+        parts: list,
+        dv_head: dict[str, str] | None = None,
+        dv_target: dict[str, str] | None = None,
     ) -> DataFrame:
         """Row-level diff of the head vs target snapshots over the
         restore's changed partitions, `_change_type`-tagged for the
         feed: target row with an existing ts -> update_postimage,
         target-only ts -> insert, head-only ts -> delete pre-image.
         Window key is `ts` alone — the other dataset coordinates are
-        directory-constant within one dataset."""
+        directory-constant within one dataset.  Each side reads through
+        its OWN deletion vectors, so a restore across a DV delete diffs
+        the row sets the two snapshots actually served."""
         t_set = {tuple(p) for p in parts}
 
-        def _rd(files):
-            sel = [f"{ds}/{rel}" for rel in files if partition_of(rel) in t_set]
+        def _rd(files, dvm):
+            sel = [rel for rel in files if partition_of(rel) in t_set]
             if not sel:
                 return None
-            return (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", ds)
-                .parquet(*sel)
-            )
+            return self._read_snapshot(ds, sel, dvm or {}, base_path=ds)
 
-        old, new = _rd(head), _rd(target)
+        old, new = _rd(head, dv_head), _rd(target, dv_target)
         if old is None and new is None:
             raise ValueError("restore diff requested with no changed files")
         if old is None:
@@ -1013,6 +1240,7 @@ class LakeWriter:
         start_ms: int,
         end_ms: int,
         commit_meta: dict | None = None,
+        strategy: str = "rewrite",
     ) -> WriteResult:
         """Delete rows with start_ms <= ts <= end_ms (epoch millis,
         inclusive like read_range).  Derives the candidate [year, month]
@@ -1031,7 +1259,9 @@ class LakeWriter:
         pred = (F.col("ts").cast("long") >= start_ms) & (
             F.col("ts").cast("long") <= end_ms
         )
-        return self.delete_where(key, pred, months=months, commit_meta=commit_meta)
+        return self.delete_where(
+            key, pred, months=months, commit_meta=commit_meta, strategy=strategy
+        )
 
     # -- core ---------------------------------------------------------------
 
@@ -1661,11 +1891,24 @@ class LakeWriter:
         if live is not None:
             if not live:
                 return None  # pinned-empty: every row deleted
-            return (
+            df = (
                 self.spark.read.option("mergeSchema", "true")
                 .option("basePath", self.base_path)
                 .parquet(*[f"{path}/{rel}" for rel in live])
             )
+            # merge-on-read deletes (lake/dv.py): rows a DV commit
+            # removed must be invisible to every rewrite that reads
+            # existing data — an upsert/overwrite/CoW-delete that read
+            # them raw would RESURRECT them in its output
+            dv_map = CommitLog(path, fs=self.fs).dv_at(None)
+            if dv_map:
+                from dl_datalake_spark.lake import dv as dvmod
+
+                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
+                df = dvmod.apply_dv(
+                    self.spark, df, self.base_path, keys, dirs, fs=self.fs
+                )
+            return df
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset
         return (
