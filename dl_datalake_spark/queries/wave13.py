@@ -389,3 +389,139 @@ def emb_stream_cdf_ivf(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id long, checksum_micros long")
+
+
+@register(
+    "events_delete_dv",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+t AS (SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM v),
+bnd AS (SELECT CAST(FLOOR(AVG(c)) AS BIGINT) AS hi FROM t)
+SELECT ts, c AS price_cents FROM t, bnd
+WHERE NOT (c > hi) AND NOT (((ts - {_JAN}) / 60000) % 4 = 0)
+""",
+)
+def events_delete_dv(spark: SparkSession, sf_dir: str):
+    """MERGE-ON-READ row-level DELETE via deletion vectors (lake/dv.py,
+    `delete_where(strategy='dv')`): two successive DV deletes — a
+    price predicate, then a bucket-parity predicate whose sidecar must
+    MERGE with the first on shared files — and the read-back must equal
+    plain SQL `WHERE NOT pred1 AND NOT pred2`.  The query asserts the
+    merge-on-read mechanic itself: after both deletes the dataset's
+    data files are byte-identical to the initial write (no rewrite
+    happened — only hidden ``_dv/`` sidecars appeared).  The reference
+    has no row-level delete at all; Delta's DV feature is the contract
+    to match, re-expressed with `_metadata.row_index` + a broadcast
+    anti-join."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.snapshot import list_data_files
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    ticks = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    hi = float(ticks.agg(F.floor(F.avg("price"))).first()[0])
+
+    key = DatasetKey("SIM", "SPOT", "DV", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_dv_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(ticks, key)                                      # v0
+        ds = w.dataset_path(key)
+        files_v0 = list_data_files(w.fs, ds)
+        w.delete_where(key, F.col("price") > hi, strategy="dv")        # v1
+        w.delete_where(                                                # v2
+            key,
+            F.expr(f"((ts - {_JAN}) DIV 60000) % 4 = 0"),
+            strategy="dv",
+        )
+        if list_data_files(w.fs, ds) != files_v0:
+            raise AssertionError(
+                "DV delete rewrote data files — merge-on-read contract broken"
+            )
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_dv_time_travel",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+t AS (SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM v),
+bnd AS (SELECT CAST(FLOOR(AVG(c)) AS BIGINT) AS hi FROM t)
+SELECT CAST(0 AS INT) AS cut, ts, c AS price_cents FROM t
+UNION ALL
+SELECT 1, ts, c FROM t, bnd WHERE NOT (c > bnd.hi)
+UNION ALL
+SELECT 2, ts, c FROM t, bnd
+WHERE NOT (c > bnd.hi) AND NOT (((ts - {_JAN}) / 60000) % 4 = 0)
+""",
+)
+def events_dv_time_travel(spark: SparkSession, sf_dir: str):
+    """Time travel ACROSS deletion-vector commits: every historical cut
+    of a DV-deleted dataset reconstructs exactly (`read_dataset_at`
+    applies the dv map AS OF that version — v0 pre-delete, v1 after the
+    price purge, v2 after the parity purge), because the sidecars are
+    part of the snapshot definition and survive until vacuum retention
+    like data tombstones.  Delta semantics (VERSION AS OF across DV
+    commits), verified against the cut arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    ticks = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    hi = float(ticks.agg(F.floor(F.avg("price"))).first()[0])
+
+    key = DatasetKey("SIM", "SPOT", "DVT", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_dvt_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(ticks, key)                                      # v0
+        w.delete_where(key, F.col("price") > hi, strategy="dv")        # v1
+        w.delete_where(                                                # v2
+            key,
+            F.expr(f"((ts - {_JAN}) DIV 60000) % 4 = 0"),
+            strategy="dv",
+        )
+        r = LakeReader(spark, tmp)
+        out = None
+        for cut in (0, 1, 2):
+            part = r.read_dataset_at(key, cut).select(
+                F.lit(cut).cast("int").alias("cut"),
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+            out = part if out is None else out.unionByName(part)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "cut int, ts long, price_cents long")
