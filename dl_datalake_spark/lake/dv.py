@@ -147,6 +147,46 @@ def apply_dv(
     )
 
 
+def scan_with_dv(
+    spark: SparkSession,
+    base_path: str,
+    srcs: list[str],
+    dv_keys: list[str],
+    dv_dirs: list[str],
+    fs=None,
+    read_options: dict | None = None,
+) -> DataFrame:
+    """Build the scan so that ONLY the files carrying a deletion vector
+    pay the anti-join: clean files (the overwhelming majority after a
+    surgical purge on a 100 TB dataset) scan through the untouched
+    fast path, and the two halves union by name.  A plan that wrapped
+    the whole scan in the join would tax every row for deletes that
+    touch a handful of files."""
+    opts = {"mergeSchema": "true", "basePath": base_path, **(read_options or {})}
+
+    def _read(paths):
+        r = spark.read
+        for key_, val in opts.items():
+            r = r.option(key_, val)
+        return r.parquet(*paths)
+
+    keyset = set(dv_keys)
+    marker = base_marker(base_path)
+
+    def _key_of(p: str) -> str:
+        _, _, suffix = p.rpartition(marker)
+        return suffix
+
+    dv_srcs = [p for p in srcs if _key_of(p) in keyset]
+    clean_srcs = [p for p in srcs if _key_of(p) not in keyset]
+    if not dv_srcs:
+        return _read(srcs)
+    dirty = apply_dv(spark, _read(dv_srcs), base_path, dv_keys, dv_dirs, fs=fs)
+    if not clean_srcs:
+        return dirty
+    return _read(clean_srcs).unionByName(dirty, allowMissingColumns=True)
+
+
 def plan_dv(
     dataset_path: str, base_path: str, live: list[str], dv_map: dict[str, str]
 ) -> tuple[list[str], list[str]]:

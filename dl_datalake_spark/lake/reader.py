@@ -165,16 +165,16 @@ class LakeReader:
             srcs.extend(f"{p}/{rel}" for rel in live)
         if not srcs:
             return None  # pinned-empty or every file skipped by stats
-        df = (
+        if dv_keys:
+            # split scan: only the DV-bearing files pay the anti-join
+            return dvmod.scan_with_dv(
+                self.spark, self.base_path, srcs, dv_keys, dv_dirs, fs=self.fs
+            )
+        return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.base_path)
             .parquet(*srcs)
         )
-        if dv_keys:
-            df = dvmod.apply_dv(
-                self.spark, df, self.base_path, dv_keys, dv_dirs, fs=self.fs
-            )
-        return df
 
     # -- public API ---------------------------------------------------------
 
@@ -298,11 +298,6 @@ class LakeReader:
                 f"vacuum_tombstones (first: {gone[0]}) — raise the vacuum "
                 f"retention horizon if older snapshots must stay readable"
             )
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*[f"{path}/{rel}" for rel in files])
-        )
         # the snapshot's deletion vectors are part of its definition
         # (lake/dv.py): the same vacuum-reclaim contract applies to the
         # sidecars as to the data files
@@ -322,8 +317,19 @@ class LakeReader:
                     f"older snapshots must stay readable"
                 )
             keys, dirs = dvmod.plan_dv(path, self.base_path, files, dv_map)
-            df = dvmod.apply_dv(self.spark, df, self.base_path, keys, dirs, fs=self.fs)
-        return df
+            return dvmod.scan_with_dv(
+                self.spark,
+                self.base_path,
+                [f"{path}/{rel}" for rel in files],
+                keys,
+                dirs,
+                fs=self.fs,
+            )
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(*[f"{path}/{rel}" for rel in files])
+        )
 
     def dataset_history(self, key: DatasetKey) -> list[dict]:
         """The dataset's finalized commits, oldest first (version, mode,

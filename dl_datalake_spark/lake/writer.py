@@ -850,10 +850,13 @@ class LakeWriter:
                             ).where(F.col("file").isin(hit_keys))
                         )
                     dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
+                    # size the sidecar by POSITION count (~4M (file,pos)
+                    # rows per output file), not by hit-file count — a
+                    # 240-row purge must land ONE file, not 32 stubs the
+                    # next read pays listing+task overhead for
+                    nparts = max(1, min(256, 1 + rows_deleted // 4_000_000))
                     (
-                        newpos.repartition(
-                            max(1, min(32, len(hit_rels))), "file"
-                        )
+                        newpos.repartition(nparts, "file")
                         .write.option("compression", "snappy")
                         .parquet(f"{path}/{dv_rel}")
                     )
@@ -1025,21 +1028,29 @@ class LakeWriter:
         vectors — the snapshot AS DEFINED, shared by restore's row
         counting and its CDF diff."""
         bp = base_path if base_path is not None else self.base_path
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", bp)
-            .parquet(*[f"{ds}/{rel}" for rel in files])
-        )
         dvm = {rel: d for rel, d in dv_map.items() if rel in set(files)}
         if dvm:
             from dl_datalake_spark.lake import dv as dvmod
 
             # DV keys are ALWAYS lake-base-relative (that's what the
             # sidecars store) regardless of the basePath read option,
-            # which only drives partition-column inference
+            # which only drives partition-column inference — scan_with_dv
+            # splits on those keys but reads with `bp`
             keys, dirs = dvmod.plan_dv(ds, self.base_path, files, dvm)
-            df = dvmod.apply_dv(self.spark, df, self.base_path, keys, dirs, fs=self.fs)
-        return df
+            return dvmod.scan_with_dv(
+                self.spark,
+                self.base_path,
+                [f"{ds}/{rel}" for rel in files],
+                keys,
+                dirs,
+                fs=self.fs,
+                read_options={"basePath": bp},
+            )
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", bp)
+            .parquet(*[f"{ds}/{rel}" for rel in files])
+        )
 
     def _restore_tag_changes(
         self,
@@ -1891,11 +1902,6 @@ class LakeWriter:
         if live is not None:
             if not live:
                 return None  # pinned-empty: every row deleted
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in live])
-            )
             # merge-on-read deletes (lake/dv.py): rows a DV commit
             # removed must be invisible to every rewrite that reads
             # existing data — an upsert/overwrite/CoW-delete that read
@@ -1905,10 +1911,19 @@ class LakeWriter:
                 from dl_datalake_spark.lake import dv as dvmod
 
                 keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                df = dvmod.apply_dv(
-                    self.spark, df, self.base_path, keys, dirs, fs=self.fs
+                return dvmod.scan_with_dv(
+                    self.spark,
+                    self.base_path,
+                    [f"{path}/{rel}" for rel in live],
+                    keys,
+                    dirs,
+                    fs=self.fs,
                 )
-            return df
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.base_path)
+                .parquet(*[f"{path}/{rel}" for rel in live])
+            )
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset
         return (
