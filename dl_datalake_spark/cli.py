@@ -121,6 +121,21 @@ def build_parser() -> argparse.ArgumentParser:
         "deletion vectors (no data file rewritten)",
     )
 
+    ur = sub.add_parser(
+        "update-rows", help="row-level UPDATE ... SET over a dataset"
+    )
+    ur.add_argument("--exchange", required=True)
+    ur.add_argument("--symbol", required=True)
+    ur.add_argument("--data-type", default="raw")
+    ur.add_argument("--market", default="SPOT")
+    ur.add_argument("--period", default="1m")
+    ur.add_argument("--where", required=True, help="SQL predicate selecting rows")
+    ur.add_argument(
+        "--set", required=True, action="append", metavar="COL=EXPR",
+        help="assignment (repeatable), e.g. --set 'close=close*1.01'",
+    )
+    ur.add_argument("--strategy", default="rewrite", choices=["rewrite", "dv"])
+
     exp = sub.add_parser("export")
     exp.add_argument("--exchange", required=True)
     exp.add_argument("--symbol", required=True)
@@ -358,6 +373,27 @@ def main(argv: list[str] | None = None) -> int:
                     where=args.where,
                     start_ms=args.start_ms,
                     end_ms=args.end_ms,
+                    strategy=args.strategy,
+                )
+            )
+        )
+    elif args.cmd == "update-rows":
+        sets = {}
+        for item in args.set:
+            col, eq, expr = item.partition("=")
+            if not eq or not col.strip():
+                raise SystemExit(f"--set needs COL=EXPR, got {item!r}")
+            sets[col.strip()] = expr
+        print(
+            json.dumps(
+                client.update_rows(
+                    args.exchange,
+                    args.symbol,
+                    where=args.where,
+                    set=sets,
+                    data_type=args.data_type,
+                    market=args.market,
+                    period=args.period,
                     strategy=args.strategy,
                 )
             )

@@ -475,6 +475,28 @@ class DataLakeClient:
             )
         return {"deleted": res.rows, "partitions": res.partitions}
 
+    def update_rows(
+        self,
+        exchange: str,
+        symbol: str,
+        where: str,
+        set: dict[str, str],
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+        strategy: str = "rewrite",
+    ) -> dict:
+        """Row-level UPDATE ... SET (LakeWriter.update_where): `set`
+        maps column -> SQL expression evaluated against the pre-update
+        row; `where` is a SQL predicate.  `strategy="dv"` uses the
+        merge-on-read shape (deletion-vector the old copies, append the
+        post-images) — O(matched rows) of write on any dataset size."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        res = self.writer.update_where(key, set, where, strategy=strategy)
+        return {"updated": res.rows, "partitions": res.partitions}
+
     # -- SQL surface (reference: DuckDB SQL over parquet, reader.py:57-62) ---
     def register_view(
         self,

@@ -781,8 +781,11 @@ class LakeReader:
         for c in history:
             if c["version"] <= after_version:
                 continue
-            if c.get("mode") in ("delete", "delete-dv", "restore"):
-                has_delete = True  # a restore can also drop rows
+            if c.get("mode") in ("delete", "delete-dv", "update", "update-dv", "restore"):
+                # restores can drop rows; updates can MOVE a row's ts out
+                # of a bucket (SET ts = ...), which a rollup consumer
+                # must treat as a deletion from the old bucket
+                has_delete = True
             parts = c.get("partitions")
             if parts is None:
                 unknown = True  # legacy commit without partition metadata

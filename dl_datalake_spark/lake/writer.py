@@ -706,30 +706,11 @@ class LakeWriter:
                     meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-
-        result = WriteResult(
-            path=path, time_from=None, time_to=None, rows=rows_deleted,
-            partitions=[list(p) for p in touched],
-        )
         # _read_existing resolves the freshly-pinned list (tombstones of
         # an emptied dataset keep the directory non-empty, so visible-
-        # children alone no longer implies live rows)
-        remaining = self._read_existing(k) if self.manifest is not None else None
-        if remaining is not None:
-            # refresh the catalog's time range / row count from what
-            # remains (ts min/max scans ride the parquet footer stats)
-            s = remaining.agg(
-                F.min("ts").alias("t0"), F.max("ts").alias("t1"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            result.time_from, result.time_to = s["t0"], s["t1"]
-            self.manifest.add_entry(
-                exchange=k.exchange, market=k.market, symbol=k.symbol,
-                path=path, data_type=k.data_type,
-                time_from=s["t0"], time_to=s["t1"],
-                metadata={"timeframe": k.period, "rows": s["n"]},
-            )
-        return result
+        # children alone no longer implies live rows); the manifest's
+        # time range / row count refresh rides the parquet footer stats
+        return self._refresh_manifest_result(k, path, rows_deleted, touched)
 
     def _delete_where_dv(
         self,
@@ -875,9 +856,171 @@ class LakeWriter:
                 )
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+        return self._refresh_manifest_result(k, path, rows_deleted, touched)
 
+    _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
+
+    def update_where(
+        self,
+        key: DatasetKey,
+        assignments: dict,
+        predicate,
+        months: list[tuple[int, int]] | None = None,
+        commit_meta: dict | None = None,
+        strategy: str = "rewrite",
+    ) -> WriteResult:
+        """Row-level UPDATE ... SET (Delta's UPDATE on plain parquet),
+        completing the DML triad next to upsert (keyed merge) and
+        delete.  `assignments` maps column -> Column/SQL-string; rows
+        where `predicate` is TRUE are transformed, FALSE/NULL rows kept
+        verbatim.  Assigning `ts` is allowed and re-derives the year/
+        month partition (rows MOVE partitions like Delta); assigning
+        partition-identity or derived partition columns directly is
+        refused.
+
+        `strategy="rewrite"` copy-on-writes the touched partitions.
+        `strategy="dv"` is the merge-on-read shape (Iceberg's MoR
+        update): the matched rows' old copies are deletion-vectored out
+        (lake/dv.py) and their post-images APPENDED as new files — the
+        write cost is O(matched rows), not O(touched partitions), the
+        right trade for surgical fixes on a 100 TB dataset.
+
+        CDF convention: matched rows are emitted as `update_postimage`;
+        a row whose ts CHANGED additionally emits a `delete` pre-image
+        at the old ts (so ts-keyed feed folding reproduces the move).
+        Returns a WriteResult whose `rows` is the UPDATED row count.
+        The reference has no row-level update at all."""
+        k = key.normalized()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sets = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        if not sets:
+            raise ValueError("update_where needs at least one assignment")
+        bad = sorted(set(sets) & set(self._UPDATE_FORBIDDEN))
+        if bad:
+            raise ValueError(
+                f"cannot assign partition-identity/derived columns {bad}; "
+                f"assign `ts` to move rows between months"
+            )
+        if strategy == "dv":
+            return self._update_where_dv(k, sets, pred, months, commit_meta)
+        if strategy != "rewrite":
+            raise ValueError(f"unknown update strategy {strategy!r} (rewrite|dv)")
+
+        class _NoMatch(Exception):
+            pass
+
+        log = self.commit_log(k)
+        payload = {"mode": "update", **(commit_meta or {})}
+        path = self.dataset_path(k)
+        try:
+            with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
+                existing = self._read_existing(k)
+                if existing is None:
+                    raise _NoMatch
+                if months:
+                    scan_pred = F.lit(False)
+                    for y, m in months:
+                        scan_pred = scan_pred | (
+                            (F.col("year") == int(y)) & (F.col("month") == int(m))
+                        )
+                    existing = existing.where(scan_pred)
+                matched = F.coalesce(pred, F.lit(False))
+                probe = (
+                    existing.where(matched)
+                    .groupBy("year", "month")
+                    .agg(F.count(F.lit(1)).alias("n_upd"))
+                    .collect()
+                )
+                if not probe:
+                    raise _NoMatch
+                touched = sorted((int(r["year"]), int(r["month"])) for r in probe)
+                rows_updated = int(sum(r["n_upd"] for r in probe))
+
+                month_pred = F.lit(False)
+                for y, m in touched:
+                    month_pred = month_pred | (
+                        (F.col("year") == y) & (F.col("month") == m)
+                    )
+                updated = self._apply_assignments(
+                    existing.where(month_pred), sets, matched
+                )
+                if self.emit_cdf:
+                    self._write_cdf(
+                        k,
+                        meta["version"],
+                        self._update_cdf_rows(existing.where(month_pred), updated, matched, sets),
+                    )
+                    meta["cdf"] = True
+                pre_live = resolve_live_files(self.fs, path)
+                on_disk = set(list_data_files(self.fs, path))
+                (
+                    updated.sortWithinPartitions("ts")
+                    .drop("exchange", "market", "symbol", "data_type", "period")
+                    .write.partitionBy("year", "month")
+                    .option("compression", "snappy")
+                    .mode("append")
+                    .parquet(path)
+                )
+                added = [
+                    f for f in list_data_files(self.fs, path) if f not in on_disk
+                ]
+                base_live = pre_live if pre_live is not None else sorted(on_disk)
+                t_set = set(touched)
+                new_live = sorted(
+                    {f for f in base_live if partition_of(f) not in t_set}.union(added)
+                )
+                all_parts = sorted(
+                    t_set | ({partition_of(f) for f in added} - {(None, None)})
+                )
+                meta.update(
+                    rows=rows_updated,
+                    partitions=[list(p) for p in all_parts],
+                    files=new_live,
+                )
+                fstats, cstats = self._added_file_stats(path, added, "ts")
+                if fstats:
+                    meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
+        except _NoMatch:
+            return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+        return self._refresh_manifest_result(k, path, rows_updated, touched)
+
+    def _apply_assignments(self, df: DataFrame, sets: dict, matched) -> DataFrame:
+        """SET semantics: assignment expressions all evaluate against the
+        PRE-update row (standard SQL UPDATE), then year/month re-derive
+        from the possibly-moved ts."""
+        pre = [F.when(matched, e).otherwise(F.col(c)).alias(c) for c, e in sets.items()]
+        out = df.withColumns({c: col for c, col in zip(sets, pre)})
+        if "ts" in sets:
+            t = F.timestamp_millis(F.col("ts").cast("long"))
+            out = out.withColumn("year", F.year(t)).withColumn("month", F.month(t))
+        return out
+
+    def _update_cdf_rows(
+        self, pre: DataFrame, post: DataFrame, matched, sets: dict
+    ) -> DataFrame:
+        """update_postimage for every matched row; plus a delete
+        pre-image at the OLD ts when the update moved it."""
+        out = post.where(matched).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        if "ts" in sets:
+            ts_expr = sets["ts"]
+            moved = pre.where(matched).where(
+                ts_expr.cast("long") != F.col("ts").cast("long")
+            ).withColumn("_change_type", F.lit("delete"))
+            out = out.unionByName(moved, allowMissingColumns=True)
+        return out
+
+    def _refresh_manifest_result(
+        self, k: DatasetKey, path: str, n_rows: int, touched: list
+    ) -> WriteResult:
         result = WriteResult(
-            path=path, time_from=None, time_to=None, rows=rows_deleted,
+            path=path, time_from=None, time_to=None, rows=n_rows,
             partitions=[list(p) for p in touched],
         )
         remaining = self._read_existing(k) if self.manifest is not None else None
@@ -894,6 +1037,150 @@ class LakeWriter:
                 metadata={"timeframe": k.period, "rows": s["n"]},
             )
         return result
+
+    def _update_where_dv(
+        self,
+        k: DatasetKey,
+        sets: dict,
+        pred,
+        months: list[tuple[int, int]] | None,
+        commit_meta: dict | None,
+    ) -> WriteResult:
+        """Merge-on-read UPDATE: deletion-vector the matched rows' old
+        copies, append their post-images — O(matched rows) of write,
+        no partition rewrite (`update_where(strategy='dv')`)."""
+        import uuid as _uuid
+
+        from dl_datalake_spark.lake import dv as dvmod
+
+        class _NoMatch(Exception):
+            pass
+
+        log = self.commit_log(k)
+        payload = {"mode": "update-dv", **(commit_meta or {})}
+        path = self.dataset_path(k)
+        base = self.base_path.rstrip("/")
+        ds_rel = path[len(base) + 1 :]
+        try:
+            with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
+                live = resolve_live_files(self.fs, path)
+                if live is None:
+                    raise ValueError(
+                        f"update strategy 'dv' needs a commit-pinned snapshot; "
+                        f"{path} has no pinned file list — use strategy='rewrite'"
+                    )
+                if not live:
+                    raise _NoMatch
+                dv_map = log.dv_at(None)
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", self.base_path)
+                    .parquet(*[f"{path}/{rel}" for rel in live])
+                )
+                df = dvmod.with_scan_key(df, self.base_path)
+                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
+                if keys:
+                    df = dvmod.anti_join_dv(
+                        df,
+                        dvmod.read_dv_rows(self.spark, dirs, keys),
+                        broadcast=dvmod.dv_total_bytes(self.fs, dirs)
+                        <= dvmod.BROADCAST_MAX_BYTES,
+                        keep_keys=True,
+                    )
+                if months:
+                    scan_pred = F.lit(False)
+                    for y, m in months:
+                        scan_pred = scan_pred | (
+                            (F.col("year") == int(y)) & (F.col("month") == int(m))
+                        )
+                    df = df.where(scan_pred)
+                probe = df.where(F.coalesce(pred, F.lit(False))).persist()
+                try:
+                    agg = (
+                        probe.groupBy("year", "month")
+                        .agg(F.count(F.lit(1)).alias("n_upd"))
+                        .collect()
+                    )
+                    if not agg:
+                        raise _NoMatch
+                    touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
+                    rows_updated = int(sum(r["n_upd"] for r in agg))
+                    # post-images: every probe row IS matched, so the
+                    # transform applies unconditionally
+                    post = self._apply_assignments(
+                        probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True)
+                    )
+                    if self.emit_cdf:
+                        feed = post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                        if "ts" in sets:
+                            moved = probe.drop("_dv_file", "_dv_pos").where(
+                                sets["ts"].cast("long") != F.col("ts").cast("long")
+                            ).withColumn("_change_type", F.lit("delete"))
+                            feed = feed.unionByName(moved, allowMissingColumns=True)
+                        self._write_cdf(k, meta["version"], feed)
+                        meta["cdf"] = True
+                    # deletion vector over the OLD copies
+                    hit_keys = [
+                        r["_dv_file"]
+                        for r in probe.select("_dv_file").distinct().collect()
+                    ]
+                    hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
+                    newpos = probe.select(
+                        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+                    )
+                    old_dirs = sorted({dv_map[r] for r in hit_rels if r in dv_map})
+                    if old_dirs:
+                        newpos = newpos.unionByName(
+                            self.spark.read.parquet(
+                                *[f"{path}/{d}" for d in old_dirs]
+                            ).where(F.col("file").isin(hit_keys))
+                        )
+                    dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
+                    nparts = max(1, min(256, 1 + rows_updated // 4_000_000))
+                    (
+                        newpos.repartition(nparts, "file")
+                        .write.option("compression", "snappy")
+                        .parquet(f"{path}/{dv_rel}")
+                    )
+                    # append the post-images as fresh files
+                    on_disk = set(list_data_files(self.fs, path))
+                    (
+                        post.sortWithinPartitions("ts")
+                        .drop("exchange", "market", "symbol", "data_type", "period")
+                        .write.partitionBy("year", "month")
+                        .option("compression", "snappy")
+                        .mode("append")
+                        .parquet(path)
+                    )
+                    added = [
+                        f for f in list_data_files(self.fs, path) if f not in on_disk
+                    ]
+                finally:
+                    probe.unpersist()
+                hit_set = set(hit_rels)
+                new_map = {r: d for r, d in dv_map.items() if r not in hit_set}
+                for r in hit_rels:
+                    new_map[r] = dv_rel
+                all_parts = sorted(
+                    set(touched) | ({partition_of(f) for f in added} - {(None, None)})
+                )
+                meta.update(
+                    rows=rows_updated,
+                    partitions=[list(p) for p in all_parts],
+                    files_add=sorted(added),
+                    files_remove=[],
+                    dv=new_map,
+                )
+                fstats, cstats = self._added_file_stats(path, added, "ts")
+                if fstats:
+                    meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
+        except _NoMatch:
+            return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+        return self._refresh_manifest_result(k, path, rows_updated, touched)
 
     def restore_dataset(self, key: DatasetKey, version: int) -> WriteResult:
         """Delta ``RESTORE TABLE ... VERSION AS OF``: re-pin the live

@@ -525,3 +525,128 @@ def events_dv_time_travel(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "cut int, ts long, price_cents long")
+
+
+@register(
+    "events_update_where",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+t AS (SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c FROM v),
+bnd AS (SELECT CAST(FLOOR(AVG(c)) AS BIGINT) AS hi FROM t)
+SELECT ts,
+       CASE WHEN c > bnd.hi THEN c + 1000000 ELSE c END AS price_cents
+FROM t, bnd
+""",
+)
+def events_update_where(spark: SparkSession, sf_dir: str):
+    """Row-level UPDATE ... SET (writer.update_where, copy-on-write):
+    rows matching a price predicate are transformed in place, everything
+    else is byte-identical — verified against the CASE WHEN arithmetic
+    in plain SQL.  Completes the DML triad (upsert / delete / update);
+    the reference has none of the three."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    ticks = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    hi = float(ticks.agg(F.floor(F.avg("price"))).first()[0])
+
+    key = DatasetKey("SIM", "SPOT", "UPD", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_upd_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(ticks, key)                                      # v0
+        w.update_where(                                                # v1
+            key, {"price": F.col("price") + 1000000.0}, F.col("price") > hi
+        )
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_update_dv",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT CASE WHEN b % 4 = 0
+            THEN CAST({_JAN} + b * 60000 AS BIGINT) + CAST(40 AS BIGINT) * 86400000
+            ELSE CAST({_JAN} + b * 60000 AS BIGINT) END AS ts,
+       CASE WHEN b % 4 = 0 THEN c * 2 ELSE c END AS price_cents
+FROM v
+""",
+)
+def events_update_dv(spark: SparkSession, sf_dir: str):
+    """MERGE-ON-READ update (`update_where(strategy='dv')` — Iceberg's
+    MoR shape): matched rows' old copies are deletion-vectored out and
+    their post-images appended, INCLUDING a ts reassignment that moves
+    them 40 days into the next month partition.  Write cost is
+    O(matched rows); no partition rewrite.  The read-back must equal
+    the CASE WHEN arithmetic in plain SQL, and the query asserts the
+    pre-update data files survived untouched (merge-on-read
+    contract)."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.snapshot import list_data_files
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    ticks = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+
+    key = DatasetKey("SIM", "SPOT", "UPDV", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_updv_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(ticks, key)                                      # v0
+        ds = w.dataset_path(key)
+        files_v0 = set(list_data_files(w.fs, ds))
+        w.update_where(                                                # v1
+            key,
+            {"ts": F.col("ts") + 40 * 86400000, "price": F.col("price") * 2},
+            F.expr(f"((ts - {_JAN}) DIV 60000) % 4 = 0"),
+            strategy="dv",
+        )
+        if not files_v0 <= set(list_data_files(w.fs, ds)):
+            raise AssertionError(
+                "DV update rewrote pre-existing data files — "
+                "merge-on-read contract broken"
+            )
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
