@@ -781,7 +781,7 @@ class LakeReader:
         for c in history:
             if c["version"] <= after_version:
                 continue
-            if c.get("mode") in ("delete", "delete-dv", "update", "update-dv", "restore"):
+            if c.get("mode") in ("delete", "delete-dv", "update", "update-dv", "merge", "restore"):
                 # restores can drop rows; updates can MOVE a row's ts out
                 # of a bucket (SET ts = ...), which a rollup consumer
                 # must treat as a deletion from the old bucket

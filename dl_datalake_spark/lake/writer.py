@@ -27,7 +27,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.lake.commitlog import CommitLog
@@ -857,6 +857,250 @@ class LakeWriter:
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
         return self._refresh_manifest_result(k, path, rows_deleted, touched)
+
+    def merge_into(
+        self,
+        key: DatasetKey,
+        source: DataFrame,
+        on: str | list[str] = "ts",
+        when_matched_update: dict | str | None = None,
+        when_matched_delete=None,
+        when_not_matched_insert=True,
+        commit_meta: dict | None = None,
+    ) -> WriteResult:
+        """General MERGE INTO (Delta's flagship DML), strictly wider
+        than the keep-last upsert (`write_ohlc(mode="upsert")` ==
+        merge with update="*", insert=True):
+
+        - rows are matched by equality on `on` (default ``ts``);
+          multiple SOURCE rows hitting one target key raise, like
+          Delta's duplicate-source-match error;
+        - `when_matched_update`: dict target col -> Column/SQL over
+          aliases ``t`` (target) and ``s`` (source), or the string
+          ``"*"`` to take every source column; None leaves matched
+          rows untouched (unless deleted);
+        - `when_matched_delete`: Column/SQL condition over t/s (True
+          deletes every matched row); evaluated BEFORE update;
+        - `when_not_matched_insert`: bool or Column/SQL condition over
+          s — unmatched source rows inserted when it holds.
+
+        Assigning the merge keys or partition-identity columns is
+        refused (rows cannot move partitions in a merge — use
+        `update_where` for that).  Cost model: the rewrite is bounded
+        by the SOURCE batch's months (partition-pruned exactly like the
+        upsert), the join inside each month is a hash join on the merge
+        key, and deletion vectors on the touched files are applied
+        before the merge so dead rows never resurrect.  CDF: updated
+        rows emit ``update_postimage``, deleted rows a ``delete``
+        pre-image, inserted rows ``insert``.
+
+        Returns a WriteResult whose `rows` is inserted+updated+deleted;
+        the commit records the per-action counts
+        (``merge_inserted/merge_updated/merge_deleted``)."""
+        k = key.normalized()
+        on_cols = [on] if isinstance(on, str) else list(on)
+        upd = when_matched_update
+        if isinstance(upd, dict):
+            upd = {c: (F.expr(e) if isinstance(e, str) else e) for c, e in upd.items()}
+            bad = sorted(set(upd) & (set(self._UPDATE_FORBIDDEN) | set(on_cols) | {"ts"}))
+            if bad:
+                raise ValueError(
+                    f"merge cannot assign key/partition columns {bad}; "
+                    f"use update_where to move rows"
+                )
+        del_cond = (
+            F.expr(when_matched_delete)
+            if isinstance(when_matched_delete, str)
+            else when_matched_delete
+        )
+        ins_cond = (
+            F.expr(when_not_matched_insert)
+            if isinstance(when_not_matched_insert, str)
+            else when_not_matched_insert
+        )
+
+        class _NoMatch(Exception):
+            pass
+
+        log = self.commit_log(k)
+        payload = {"mode": "merge", **(commit_meta or {})}
+        path = self.dataset_path(k)
+        _require_ts(source, "ts")
+        src = self._partitioned(source, k, "ts")
+        dup = (
+            src.groupBy(*on_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has multiple rows for key "
+                f"{[dup[0][c] for c in on_cols]} — deduplicate the source "
+                f"first (Delta raises the same way)"
+            )
+        try:
+            with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
+                months = [
+                    (int(r["year"]), int(r["month"]))
+                    for r in src.select("year", "month").distinct().collect()
+                ]
+                if not months:
+                    raise _NoMatch
+                existing = self._read_existing(k)
+                month_pred = F.lit(False)
+                for y, m in months:
+                    month_pred = month_pred | (
+                        (F.col("year") == y) & (F.col("month") == m)
+                    )
+                t_df = (
+                    existing.where(month_pred) if existing is not None else None
+                )
+                s_df = src.withColumn("_s1", F.lit(1))
+                if t_df is None:
+                    joined = None
+                else:
+                    joined = (
+                        t_df.withColumn("_t1", F.lit(1))
+                        .alias("t")
+                        .join(
+                            s_df.alias("s"),
+                            [F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in on_cols],
+                            "full_outer",
+                        )
+                        .persist()
+                    )
+                try:
+                    if joined is None:
+                        matched_n = deleted_n = 0
+                        ins = (
+                            s_df.where(
+                                ins_cond if isinstance(ins_cond, Column) else F.lit(bool(ins_cond))
+                            )
+                            .drop("_s1")
+                        )
+                        inserted_n = ins.count()
+                        if inserted_n == 0:
+                            raise _NoMatch
+                        out = ins
+                        cdf = (
+                            out.withColumn("_change_type", F.lit("insert"))
+                            if self.emit_cdf
+                            else None
+                        )
+                    else:
+                        is_m = F.col("t._t1").isNotNull() & F.col("s._s1").isNotNull()
+                        is_t = F.col("t._t1").isNotNull() & F.col("s._s1").isNull()
+                        is_s = F.col("t._t1").isNull() & F.col("s._s1").isNotNull()
+                        dele = (
+                            is_m & F.coalesce(del_cond, F.lit(False))
+                            if del_cond is not None
+                            else F.lit(False)
+                        )
+                        insc = (
+                            ins_cond
+                            if isinstance(ins_cond, Column)
+                            else F.lit(bool(ins_cond))
+                        )
+                        counts = joined.agg(
+                            F.sum(F.when(is_m & ~dele & F.lit(upd is not None), 1).otherwise(0)).alias("u"),
+                            F.sum(F.when(dele, 1).otherwise(0)).alias("d"),
+                            F.sum(F.when(is_s & F.coalesce(insc, F.lit(False)), 1).otherwise(0)).alias("i"),
+                        ).collect()[0]
+                        matched_n = int(counts["u"] or 0)
+                        deleted_n = int(counts["d"] or 0)
+                        inserted_n = int(counts["i"] or 0)
+                        if matched_n + deleted_n + inserted_n == 0:
+                            raise _NoMatch
+                        t_cols = [c for c in t_df.columns]
+                        s_cols = [c for c in src.columns]
+                        kept_t = joined.where(is_t).select(
+                            *[F.col(f"t.{c}").alias(c) for c in t_cols]
+                        )
+                        if upd == "*":
+                            upd_map = {
+                                c: F.col(f"s.{c}") for c in s_cols if c not in on_cols
+                            }
+                        else:
+                            upd_map = dict(upd or {})
+                        merged = joined.where(is_m & ~dele).select(
+                            *[
+                                (upd_map[c] if c in upd_map else F.col(f"t.{c}")).alias(c)
+                                for c in t_cols
+                            ]
+                        )
+                        ins = joined.where(is_s & F.coalesce(insc, F.lit(False))).select(
+                            *[F.col(f"s.{c}").alias(c) for c in s_cols]
+                        )
+                        out = kept_t.unionByName(merged, allowMissingColumns=True)
+                        out = out.unionByName(ins, allowMissingColumns=True)
+                        if self.emit_cdf:
+                            parts = []
+                            if upd is not None:
+                                parts.append(
+                                    joined.where(is_m & ~dele).select(
+                                        *[
+                                            (upd_map[c] if c in upd_map else F.col(f"t.{c}")).alias(c)
+                                            for c in t_cols
+                                        ]
+                                    ).withColumn("_change_type", F.lit("update_postimage"))
+                                )
+                            if del_cond is not None:
+                                parts.append(
+                                    joined.where(dele)
+                                    .select(*[F.col(f"t.{c}").alias(c) for c in t_cols])
+                                    .withColumn("_change_type", F.lit("delete"))
+                                )
+                            parts.append(
+                                ins.withColumn("_change_type", F.lit("insert"))
+                            )
+                            cdf = parts[0]
+                            for p in parts[1:]:
+                                cdf = cdf.unionByName(p, allowMissingColumns=True)
+                        else:
+                            cdf = None
+                    if cdf is not None:
+                        self._write_cdf(k, meta["version"], cdf)
+                        meta["cdf"] = True
+                    pre_live = resolve_live_files(self.fs, path)
+                    on_disk = set(list_data_files(self.fs, path))
+                    (
+                        out.sortWithinPartitions("ts")
+                        .drop("exchange", "market", "symbol", "data_type", "period")
+                        .write.partitionBy("year", "month")
+                        .option("compression", "snappy")
+                        .mode("append")
+                        .parquet(path)
+                    )
+                finally:
+                    if joined is not None:
+                        joined.unpersist()
+                added = [
+                    f for f in list_data_files(self.fs, path) if f not in on_disk
+                ]
+                base_live = pre_live if pre_live is not None else sorted(on_disk - set(added))
+                t_set = set(months)
+                new_live = sorted(
+                    {f for f in base_live if partition_of(f) not in t_set}.union(added)
+                )
+                total = matched_n + deleted_n + inserted_n
+                meta.update(
+                    rows=total,
+                    partitions=[list(p) for p in sorted(months)],
+                    files=new_live,
+                    merge_inserted=inserted_n,
+                    merge_updated=matched_n,
+                    merge_deleted=deleted_n,
+                )
+                fstats, cstats = self._added_file_stats(path, added, "ts")
+                if fstats:
+                    meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
+        except _NoMatch:
+            return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
+        return self._refresh_manifest_result(k, path, total, sorted(months))
 
     _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
 

@@ -650,3 +650,77 @@ def events_update_dv(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_merge_into",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 32 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+tgt AS (SELECT b AS pos, c FROM v),
+srcr AS (SELECT b + 16 AS pos, c FROM k)
+SELECT CAST({_JAN} + t.pos * 60000 AS BIGINT) AS ts,
+       CASE WHEN s.pos IS NULL THEN t.c ELSE t.c + s.c END AS price_cents
+FROM tgt t LEFT JOIN srcr s ON t.pos = s.pos
+WHERE s.pos IS NULL OR s.c % 3 <> 0
+UNION ALL
+SELECT CAST({_JAN} + s.pos * 60000 AS BIGINT), s.c
+FROM srcr s LEFT JOIN tgt t ON s.pos = t.pos
+WHERE t.pos IS NULL AND s.c % 3 <> 0
+""",
+)
+def events_merge_into(spark: SparkSession, sf_dir: str):
+    """General MERGE INTO (writer.merge_into — Delta's flagship DML,
+    strictly wider than the keep-last upsert): view buckets are the
+    target, click buckets shifted by 16 slots the source, so half the
+    source matches and half inserts.  Matched rows with cents divisible
+    by 3 are DELETED, the rest UPDATED to t+s; unmatched source rows
+    INSERT under the same mod-3 condition.  The read-back must equal
+    the two-sided outer-join arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view")
+    clicks = _bucket_cents(ev, "click")
+    tgt = views.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    src = clicks.select(
+        (F.lit(_JAN) + (F.col("b") + 16) * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+
+    key = DatasetKey("SIM", "SPOT", "MRG", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_mrg_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(tgt, key)                                        # v0
+        w.merge_into(                                                  # v1
+            key,
+            src,
+            when_matched_update={"price": "t.price + s.price"},
+            when_matched_delete="CAST(s.price AS BIGINT) % 3 = 0",
+            when_not_matched_insert="CAST(s.price AS BIGINT) % 3 <> 0",
+        )
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key)
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
