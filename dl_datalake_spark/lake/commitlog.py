@@ -243,6 +243,33 @@ class CommitLog:
                 out[c].update(cs.get(c) or {})
         return out
 
+    def bucket_index(self) -> dict:
+        """The point-lookup skip index (writer `bucket_by`): union of
+        every retained committed entry's ``file_buckets`` (newest entry
+        wins per file) plus the newest ``bucket_by`` spec per column —
+        ``{col: {"spec": [n_buckets, dtype], "files": {rel: [ids]}}}``.
+        Same one-pass cost model as `file_stats`/`col_stats_many`;
+        best-effort by design: a live file with no recorded buckets is
+        merely scanned, never skipped wrongly."""
+        out: dict = {}
+        for v in self._entries():
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            spec = e.get("bucket_by") or {}
+            fb = e.get("file_buckets") or {}
+            for c in set(spec) | set(fb):
+                d = out.setdefault(c, {"spec": None, "files": {}})
+                s = spec.get(c)
+                if s is not None and s != d["spec"]:
+                    # the bucket count/dtype CHANGED: sets recorded under
+                    # the old spec live in a different bucket space —
+                    # pruning with them would be unsound, drop them
+                    d["spec"] = s
+                    d["files"] = {}
+                d["files"].update(fb.get(c) or {})
+        return {c: d for c, d in out.items() if d["spec"]}
+
     def dv_at(self, upto: int | None) -> dict[str, str]:
         """The dataset's deletion-vector map ({rel data file: rel DV
         dir}, lake/dv.py) as of commit `upto` (None = head).

@@ -59,6 +59,7 @@ class LakeReader:
         # abstraction (lake/fs.py) makes an s3a://... base_path work via
         # the JVM Hadoop FileSystem instead of os.listdir.
         self.fs = fs if fs is not None else get_fs(self.base_path, spark)
+        self._bucket_memo: dict = {}
 
     def _level_values(self, prefix: str, level: str) -> list[str]:
         out = []
@@ -89,11 +90,31 @@ class LakeReader:
                     paths.append(d)
         return paths
 
+    def _bucket_of(self, value, nb: int, dtype: str) -> int | None:
+        """The commit index's bucket id for a point-lookup literal —
+        computed THROUGH Spark's own xxhash64 so it matches the write
+        side bit-for-bit (a reimplementation would silently diverge on
+        type widths).  One 1-row local job, memoized per literal."""
+        key = (repr(value), int(nb), dtype)
+        if key not in self._bucket_memo:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(dtype)), F.lit(int(nb))
+                    ).alias("b")
+                )
+                .first()
+            )
+            self._bucket_memo[key] = None if row["b"] is None else int(row["b"])
+        return self._bucket_memo[key]
+
     def _scan_paths(
         self,
         paths: list[str],
         ts_bounds: tuple[int | None, int | None] | None = None,
         col_bounds: dict[str, tuple] | None = None,
+        points: dict | None = None,
     ) -> DataFrame | None:
         """Snapshot-isolated scan (lake/snapshot.py): a dataset whose
         commit log pins a live file list is read as EXACTLY those files
@@ -155,6 +176,25 @@ class LakeReader:
                     )
 
                 live = [rel for rel in live if _overlaps(rel)]
+            if live and points:
+                # point-lookup skipping (writer `bucket_by`): drop files
+                # whose recorded bucket-id set excludes the literal's
+                # bucket — before any footer RPC; files without recorded
+                # buckets are kept, so skipping is always sound, and the
+                # caller's residual equality filter keeps results exact
+                bi = log.bucket_index()
+                for c, val in points.items():
+                    ent = bi.get(c)
+                    if not ent:
+                        continue
+                    nb, dtype = ent["spec"]
+                    b = self._bucket_of(val, int(nb), dtype)
+                    if b is None:
+                        continue
+                    fmap = ent["files"]
+                    live = [
+                        rel for rel in live if rel not in fmap or b in fmap[rel]
+                    ]
             if dv_map:
                 # merge-on-read deletes (lake/dv.py): remember which of
                 # the PLANNED files carry a deletion vector; their rows
@@ -188,6 +228,7 @@ class LakeReader:
         market: str | None = None,
         period: str | None = None,
         bounds: dict[str, tuple] | None = None,
+        point: dict | None = None,
     ) -> DataFrame:
         """Time-range scan, inclusive on both ends (reader.py:57-62).
         The bound does double duty: files whose commit-recorded ts range
@@ -208,6 +249,7 @@ class LakeReader:
             ),
             ts_bounds=(lo, hi) if (lo is not None or hi is not None) else None,
             col_bounds=bounds,
+            points=point,
         )
         if df is None:
             return self.spark.createDataFrame([], "ts long")
@@ -221,6 +263,8 @@ class LakeReader:
                 df = df.where(F.col(c) >= blo)
             if bhi is not None:
                 df = df.where(F.col(c) <= bhi)
+        for c, val in (point or {}).items():
+            df = df.where(F.col(c) == F.lit(val))
         # Catalyst cannot translate a raw ts bound into year=/month=
         # partition predicates, so Hive-layout pruning never fires for
         # time-range reads on its own — derive the month window here
@@ -239,19 +283,27 @@ class LakeReader:
         return df.orderBy("ts")
 
     def read_dataset(
-        self, key: DatasetKey, bounds: dict[str, tuple] | None = None
+        self,
+        key: DatasetKey,
+        bounds: dict[str, tuple] | None = None,
+        point: dict | None = None,
     ) -> DataFrame:
         """`bounds` = {column: (lo, hi)} (either side None for open):
         the rows satisfying every bound, with commit-level per-column
         file skipping applied first — files whose recorded [min, max]
         for a bounded column can't overlap never enter the plan
-        (`read_range` is the ts-specialized sibling).  The residual
-        predicate still runs, so results are exact whether or not stats
-        exist."""
+        (`read_range` is the ts-specialized sibling).  `point` =
+        {column: value} is the EQUALITY sibling: on a dataset written
+        with `bucket_by` the commit-level bucket index prunes files
+        whose bucket set excludes the value's bucket (the point-lookup
+        case min/max stats can't serve on unsorted data).  The residual
+        predicates still run, so results are exact whether or not
+        stats/buckets exist."""
         k = key.normalized()
         df = self._scan_paths(
             self._dataset_paths(k.exchange, k.symbol, k.data_type, k.market, k.period),
             col_bounds=bounds,
+            points=point,
         )
         if df is None:
             return self.spark.createDataFrame([], "ts long")
@@ -260,6 +312,8 @@ class LakeReader:
                 df = df.where(F.col(c) >= blo)
             if bhi is not None:
                 df = df.where(F.col(c) <= bhi)
+        for c, val in (point or {}).items():
+            df = df.where(F.col(c) == F.lit(val))
         return df
 
     def read_dataset_at(self, key: DatasetKey, version: int) -> DataFrame:

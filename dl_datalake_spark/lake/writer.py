@@ -58,6 +58,8 @@ class WriteResult:
     files: list[str] | None = None  # post-commit live file list (snapshot)
     file_stats: dict | None = None  # {added rel path: [min_ts, max_ts]}
     col_stats: dict | None = None  # {col: {added rel path: [min, max]}}
+    file_buckets: dict | None = None  # {col: {added rel path: [bucket ids]}}
+    bucket_spec: dict | None = None  # {col: [n_buckets, dtype]} (writer bucket_by)
     txid: str | None = None  # multi-commit id (write_ohlc_multi) — the
     # handle LakeReader.read_datasets_at replays the whole cut from
 
@@ -107,6 +109,7 @@ class LakeWriter:
         cluster_by: list[str] | None = None,
         cluster_files_per_month: int = 1,
         cluster_bits: int = 6,
+        bucket_by: dict[str, int] | None = None,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -150,7 +153,24 @@ class LakeWriter:
         range shuffle (plus, for >1 column, one quantile-edges agg pass)
         per write — the batch, never the dataset.
         `cluster_files_per_month` sizes the output (files per touched
-        month partition); `cluster_bits` is the Z-order bucket depth."""
+        month partition); `cluster_bits` is the Z-order bucket depth.
+
+        `bucket_by` ({column: n_buckets}) is the POINT-LOOKUP skip
+        index — the complement of `cluster_by`/`stats_cols`, which only
+        prune RANGE predicates on order-correlated columns.  Within
+        each month partition the batch is hash-partitioned on
+        ``pmod(xxhash64(col), n_buckets)`` so each output file holds few
+        buckets, and the commit records the per-file bucket-id SET
+        (``file_buckets``) plus the spec (``bucket_by``).  A
+        `LakeReader.read_dataset(key, point={col: value})` then prunes
+        every file whose bucket set excludes the value's bucket BEFORE
+        any parquet footer RPC — at 1e5 files an equality lookup on an
+        unsorted high-cardinality column (user_id, doc_id) plans
+        ~1/n_buckets of the files (Hive bucketing re-expressed on the
+        commit index; the reference has no secondary indexing at all).
+        Files written without the spec (legacy, compacted) are merely
+        scanned — skipping is always sound.  Mutually exclusive with
+        `cluster_by` (the output layouts conflict)."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
@@ -163,6 +183,14 @@ class LakeWriter:
         # clustered columns are stats columns: the tight layout is only
         # useful if the commit index records the per-file ranges
         self.stats_cols = list(dict.fromkeys(list(stats_cols or []) + self.cluster_by))
+        self.bucket_by = {c: int(n) for c, n in (bucket_by or {}).items()}
+        if any(n < 2 for n in self.bucket_by.values()):
+            raise ValueError("bucket_by needs n_buckets >= 2 per column")
+        if self.bucket_by and self.cluster_by:
+            raise ValueError(
+                "bucket_by and cluster_by are mutually exclusive (hash vs "
+                "range output layout) — pick per dataset"
+            )
         if enforce not in ("fail", "quarantine"):
             raise ValueError(f"enforce must be fail|quarantine, got {enforce!r}")
         self.expectations = list(expectations or [])
@@ -1873,6 +1901,10 @@ class LakeWriter:
                     meta["file_stats"] = res.file_stats
                 if res.col_stats:
                     meta["col_stats"] = res.col_stats
+                if res.file_buckets:
+                    meta["file_buckets"] = res.file_buckets
+                if res.bucket_spec:
+                    meta["bucket_by"] = res.bucket_spec
                 if self.emit_cdf:
                     meta["cdf"] = True  # read_change_feed's no-gap marker
         except _ReplayedTxn:
@@ -1988,6 +2020,7 @@ class LakeWriter:
             kept = [f for f in base_live if partition_of(f) not in t_set]
             new_live = sorted(set(kept).union(added))
         fstats, cstats = self._added_file_stats(ds_path, added, ts_col)
+        fbuckets, bspec = self._added_file_buckets(ds_path, added)
         result = WriteResult(
             path=ds_path,
             time_from=stats["t0"],
@@ -1997,6 +2030,8 @@ class LakeWriter:
             files=new_live,
             file_stats=fstats,
             col_stats=cstats or None,
+            file_buckets=fbuckets or None,
+            bucket_spec=bspec or None,
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -2024,6 +2059,25 @@ class LakeWriter:
         (prefix) partition count; output tasks = n_groups *
         cluster_files_per_month.  Columns absent from this batch's
         schema drop out (same per-commit rule as stats_cols)."""
+        bcols = [c for c in self.bucket_by if c in rows.columns]
+        if bcols:
+            # hash-bucket layout (point-lookup index, see `bucket_by`):
+            # partition by (month dirs, bucket ids) so each output file
+            # holds FEW buckets and the commit's per-file bucket sets
+            # stay tight; ts-sort within for row-group pruning
+            n = max(1, n_groups) * max(self.bucket_by[c] for c in bcols)
+            bexprs = [
+                F.pmod(F.xxhash64(F.col(c)), F.lit(self.bucket_by[c]))
+                for c in bcols
+            ]
+            # RANGE partition on the bucket ids: with n tasks for n
+            # (month, bucket) groups the sampled boundaries fall between
+            # the discrete ids, so each file carries ~1 bucket — a plain
+            # hash repartition would collide ids into shared tasks and
+            # fatten every file's bucket set
+            return rows.repartitionByRange(
+                min(n, 4096), *prefix_cols, *bexprs
+            ).sortWithinPartitions(ts_col)
         cols = [c for c in self.cluster_by if c in rows.columns]
         if not cols:
             return rows.sortWithinPartitions(ts_col)
@@ -2172,6 +2226,42 @@ class LakeWriter:
                 ]
             )
         )
+
+    def _added_file_buckets(
+        self, ds_path: str, added: list[str]
+    ) -> tuple[dict, dict]:
+        """Per-added-file bucket-id sets for the point-lookup skip index
+        (see `bucket_by`): one bucket-columns-only scan of JUST the
+        files this commit added, aggregating
+        ``collect_set(pmod(xxhash64(col), n))`` per file.  Returns
+        ({col: {rel: [ids]}}, {col: [n_buckets, dtype]})."""
+        if not self.bucket_by or not added:
+            return {}, {}
+        df = self.spark.read.parquet(*[f"{ds_path}/{f}" for f in added])
+        cols = [c for c in self.bucket_by if c in df.columns]
+        if not cols:
+            return {}, {}
+        aggs = [
+            F.collect_set(
+                F.pmod(F.xxhash64(F.col(c)), F.lit(self.bucket_by[c]))
+            ).alias(f"b{i}")
+            for i, c in enumerate(cols)
+        ]
+        rows = df.groupBy(F.col("_metadata.file_path").alias("fp")).agg(*aggs).collect()
+        out: dict = {c: {} for c in cols}
+        for r in rows:
+            rel = next(
+                (f for f in added if r["fp"].endswith(f"{ds_path}/{f}")), None
+            )
+            if rel is None:
+                continue
+            for i, c in enumerate(cols):
+                out[c][rel] = sorted(int(x) for x in r[f"b{i}"] if x is not None)
+        spec = {
+            c: [int(self.bucket_by[c]), df.schema[c].dataType.simpleString()]
+            for c in cols
+        }
+        return out, spec
 
     def _added_file_stats(
         self, ds_path: str, added: list[str], ts_col: str

@@ -724,3 +724,57 @@ def events_merge_into(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_point_lookup",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 256 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+pick AS (SELECT c AS want FROM v WHERE b = 7)
+SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c AS price_cents
+FROM v, pick WHERE v.c = pick.want
+""",
+)
+def events_point_lookup(spark: SparkSession, sf_dir: str):
+    """Point-lookup file skipping (writer `bucket_by` + reader
+    `point=`): 256 bucket rows land hash-bucketed into 16 buckets at
+    write, the commit records each file's bucket-id set, and an
+    equality read on one deterministic cents value prunes every file
+    whose set excludes the value's bucket BEFORE any footer RPC — the
+    lookup shape min/max stats can't serve on unsorted data (Hive
+    bucketing re-expressed on the commit index).  The residual filter
+    keeps results exact, verified against the plain SQL equality."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    v = _bucket_cents(ev, "view", buckets=256)
+    ticks = v.select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("double").alias("price"),
+    )
+    want = float(v.where(F.col("b") == 7).select("c").first()[0])
+
+    key = DatasetKey("SIM", "SPOT", "PT", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_pt_lake_")
+    try:
+        w = LakeWriter(spark, tmp, bucket_by={"price": 16})
+        w.write_ticks(ticks, key)
+        got = (
+            LakeReader(spark, tmp)
+            .read_dataset(key, point={"price": want})
+            .select(
+                F.col("ts").cast("long").alias("ts"),
+                F.col("price").cast("long").alias("price_cents"),
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")
