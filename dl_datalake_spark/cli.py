@@ -244,7 +244,7 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument(
         "action",
         choices=[
-            "compact", "vacuum", "vacuum-tombstones", "prune-commits",
+            "plan", "compact", "vacuum", "vacuum-tombstones", "prune-commits",
             "fold-multilog", "recluster",
         ],
     )
@@ -539,7 +539,11 @@ def main(argv: list[str] | None = None) -> int:
             {"cursor": cursor, "n": len(rows), "truncated": truncated, "changes": rows}
         ))
     elif args.cmd == "maintain":
-        if args.action == "compact":
+        if args.action == "plan":
+            from dl_datalake_spark.lake.maintenance import plan_maintenance
+
+            print(json.dumps(plan_maintenance(spark, args.base)))
+        elif args.action == "compact":
             from dl_datalake_spark.lake.maintenance import compact
 
             out = compact(

@@ -930,3 +930,114 @@ def prune_commit_logs(
     if n_multi:
         out[f"{base_path.rstrip('/')}/_multilog"] = n_multi
     return out
+
+
+def plan_maintenance(
+    spark: SparkSession,
+    base_path: str,
+    fs: Filesystem | None = None,
+    max_files_per_partition: int = 4,
+    min_file_bytes: int = 32 << 20,
+    tombstone_frac: float = 0.10,
+    dv_frac: float = 0.10,
+    keep_last: int = 100,
+    fold_live_threshold: int = 64,
+) -> dict:
+    """Advisor for the maintenance cadence (the OPTIMIZE-scheduling
+    question every lakehouse deployment asks): inspect each dataset's
+    COMMIT METADATA and directory shape — never the data — and
+    recommend which of the existing actions to run.  Driver-side only;
+    cost is one walk of listings + per-file `getsize`, the same order
+    as `vacuum_tombstones`'s own sweep, so running the planner is
+    always cheaper than running every action blindly.
+
+    Signals → actions:
+    - a partition holding > `max_files_per_partition` live files, or a
+      median live file under `min_file_bytes` → **compact** (small
+      files tax every scan's task scheduling and footer reads);
+    - superseded on-disk bytes > `tombstone_frac` of live bytes →
+      **vacuum-tombstones** (storage reclaim past retention);
+    - > `dv_frac` of live files carrying deletion vectors →
+      **compact** (materialize the merge-on-read deletes and retire
+      the read-side anti-join tax — lake/dv.py);
+    - > `keep_last` retained commit entries → **prune-commits**;
+    - > `fold_live_threshold` live multilog intent files →
+      **fold-multilog** (lake level).
+
+    Returns {"datasets": {rel: {signals..., "actions": [...]}},
+    "lake": {...}} — `cli maintain plan` prints it as JSON."""
+    from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
+    from dl_datalake_spark.lake.snapshot import partition_of
+
+    fs = fs if fs is not None else get_fs(base_path, spark)
+    base = base_path.rstrip("/")
+    datasets = sorted(
+        {
+            root[: -len("/" + LOG_DIR)]
+            for root, f in fs.walk_files(base)
+            if root.endswith("/" + LOG_DIR)
+        }
+    )
+    report: dict = {"datasets": {}, "lake": {}}
+    for ds in datasets:
+        live = resolve_live_files(fs, ds)
+        if live is None:
+            continue  # legacy: directory IS the state, nothing to plan on
+        log = CommitLog(ds, fs=fs)
+        on_disk = list_data_files(fs, ds)
+        live_set = set(live)
+
+        def _size(rel):
+            try:
+                return fs.getsize(f"{ds}/{rel}")
+            except OSError:
+                return 0
+
+        live_sizes = sorted(_size(rel) for rel in live)
+        live_bytes = sum(live_sizes)
+        tomb_bytes = sum(_size(rel) for rel in on_disk if rel not in live_set)
+        per_part: dict = {}
+        for rel in live:
+            per_part[partition_of(rel)] = per_part.get(partition_of(rel), 0) + 1
+        worst_part = max(per_part.values()) if per_part else 0
+        median_bytes = live_sizes[len(live_sizes) // 2] if live_sizes else 0
+        dv_files = len(log.dv_at(None))
+        n_entries = len(log.history())
+
+        actions = []
+        if live and (
+            worst_part > max_files_per_partition or median_bytes < min_file_bytes
+        ):
+            actions.append("compact")
+        if dv_files and dv_files / max(1, len(live)) > dv_frac:
+            if "compact" not in actions:
+                actions.append("compact")
+            actions.append("materialize-dv")
+        if live_bytes and tomb_bytes / live_bytes > tombstone_frac:
+            actions.append("vacuum-tombstones")
+        if n_entries > keep_last:
+            actions.append("prune-commits")
+        report["datasets"][ds[len(base) + 1 :]] = {
+            "live_files": len(live),
+            "live_bytes": live_bytes,
+            "tombstone_bytes": tomb_bytes,
+            "worst_partition_files": worst_part,
+            "median_file_bytes": median_bytes,
+            "dv_files": dv_files,
+            "commit_entries": n_entries,
+            "actions": actions,
+        }
+    # lake level: multilog fold pressure
+    try:
+        ml_live = [
+            n
+            for n in fs.listdir(f"{base}/_multilog")
+            if n.endswith(".json") and not n.startswith("segment-")
+        ]
+    except OSError:
+        ml_live = []
+    lake_actions = []
+    if len(ml_live) > fold_live_threshold:
+        lake_actions.append("fold-multilog")
+    report["lake"] = {"multilog_live_records": len(ml_live), "actions": lake_actions}
+    return report

@@ -1,0 +1,79 @@
+"""Maintenance planner (maintenance.plan_maintenance): metadata-only
+signals -> recommended actions, the OPTIMIZE-scheduling advisor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.lake.maintenance import plan_maintenance
+from dl_datalake_spark.lake.paths import DatasetKey
+from dl_datalake_spark.lake.writer import LakeWriter
+
+KEY = DatasetKey("SIM", "SPOT", "PLN", "ticks", "1m")
+T0 = 1672574400000
+
+
+def _rows(spark, n=50, start=T0):
+    return spark.createDataFrame(
+        [(start + i * 60000, float(i)) for i in range(n)], "ts long, price double"
+    )
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    base = str(tmp_path / "base")
+    return LakeWriter(spark, base), base
+
+
+def test_small_files_recommend_compact(lake, spark):
+    w, base = lake
+    # five appends into ONE month -> >4 files in that partition
+    for i in range(5):
+        w.write_ticks(_rows(spark, n=10, start=T0 + i * 600000), KEY, mode="append")
+    rep = plan_maintenance(spark, base, fs=w.fs)
+    ds = next(iter(rep["datasets"].values()))
+    assert ds["worst_partition_files"] >= 5
+    assert "compact" in ds["actions"]
+
+
+def test_tombstones_recommend_vacuum(lake, spark):
+    w, base = lake
+    w.write_ticks(_rows(spark, n=200), KEY)
+    # rewrite the month twice: the superseded files stay as tombstones
+    w.write_ticks(_rows(spark, n=200), KEY, mode="overwrite")
+    w.write_ticks(_rows(spark, n=200), KEY, mode="overwrite")
+    rep = plan_maintenance(spark, base, fs=w.fs)
+    ds = next(iter(rep["datasets"].values()))
+    assert ds["tombstone_bytes"] > 0
+    assert "vacuum-tombstones" in ds["actions"]
+
+
+def test_dv_load_recommends_materialize(lake, spark):
+    w, base = lake
+    w.write_ticks(_rows(spark, n=100), KEY)
+    w.delete_where(KEY, F.col("price") >= 90, strategy="dv")
+    rep = plan_maintenance(spark, base, fs=w.fs)
+    ds = next(iter(rep["datasets"].values()))
+    assert ds["dv_files"] >= 1
+    assert "materialize-dv" in ds["actions"]
+
+
+def test_healthy_dataset_recommends_nothing(lake, spark):
+    w, base = lake
+    w.write_ticks(_rows(spark, n=100), KEY)
+    rep = plan_maintenance(
+        spark, base, fs=w.fs, min_file_bytes=1  # tiny test files are "big"
+    )
+    ds = next(iter(rep["datasets"].values()))
+    assert ds["actions"] == []
+    assert rep["lake"]["actions"] == []
+
+
+def test_long_log_recommends_prune(lake, spark):
+    w, base = lake
+    for i in range(6):
+        w.write_ticks(_rows(spark, n=5, start=T0 + i * 60000), KEY)
+    rep = plan_maintenance(spark, base, fs=w.fs, keep_last=3, min_file_bytes=1)
+    ds = next(iter(rep["datasets"].values()))
+    assert "prune-commits" in ds["actions"]
