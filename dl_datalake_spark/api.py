@@ -494,6 +494,32 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
                 where=body.get("where"),
                 start_ms=body.get("start_ms"),
                 end_ms=body.get("end_ms"),
+                strategy=body.get("strategy", "rewrite"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 422
+        return jsonify(out)
+
+    @app.post("/datasets/rows/update")
+    def update_rows():
+        """Row-level UPDATE ... SET (LakeWriter.update_where): body
+        names the dataset, a `where` SQL predicate, a `set` object of
+        column -> SQL expression (evaluated against the pre-update
+        row), and optionally strategy="dv" for the merge-on-read
+        shape."""
+        body = request.get_json(force=True)
+        try:
+            out = client.update_rows(
+                body["exchange"],
+                body["symbol"],
+                where=body["where"],
+                set=body["set"],
+                data_type=body.get("data_type", "raw"),
+                market=body.get("market", "SPOT"),
+                period=body.get("period", "1m"),
+                strategy=body.get("strategy", "rewrite"),
             )
         except KeyError as exc:
             return jsonify({"error": f"missing field {exc}"}), 422

@@ -381,6 +381,45 @@ def test_delete_rows_route(app_client):
     assert http.delete("/datasets/rows", json={"symbol": "BTCUSDT"}).status_code == 422
 
 
+def test_update_rows_route(app_client):
+    http, client, _ = app_client
+    start = 1672574400000
+    r = http.post(
+        "/datasets/rows/update",
+        json={
+            "exchange": "BINANCE", "symbol": "BTCUSDT",
+            "where": f"ts = {start}", "set": {"close": "close + 1000"},
+        },
+    )
+    assert r.status_code == 200
+    assert r.get_json()["updated"] == 1
+    got = client.read_ohlc("BINANCE", "BTCUSDT")
+    assert got.where("close > 1000").count() == 1
+
+    # dv strategy over HTTP
+    r2 = http.post(
+        "/datasets/rows/update",
+        json={
+            "exchange": "BINANCE", "symbol": "BTCUSDT",
+            "where": f"ts = {start + 60000}", "set": {"close": "close + 2000"},
+            "strategy": "dv",
+        },
+    )
+    assert r2.status_code == 200 and r2.get_json()["updated"] == 1
+    assert client.read_ohlc("BINANCE", "BTCUSDT").where("close > 2000").count() == 1
+
+    # missing set -> 422; bad column -> 422
+    assert http.post(
+        "/datasets/rows/update",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT", "where": "1=1"},
+    ).status_code == 422
+    assert http.post(
+        "/datasets/rows/update",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT",
+              "where": "1=1", "set": {"symbol": "'X'"}},
+    ).status_code == 422
+
+
 def test_change_feed_route(spark, tmp_path):
     """CDF over HTTP: rows per commit with change types; a non-CDF
     commit in range surfaces as 409 (loud gap), never a silent hole."""
