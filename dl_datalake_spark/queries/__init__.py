@@ -33,3 +33,4 @@ from dl_datalake_spark.queries import wave10  # noqa: F401, E402
 from dl_datalake_spark.queries import wave11  # noqa: F401, E402
 from dl_datalake_spark.queries import wave12  # noqa: F401, E402
 from dl_datalake_spark.queries import wave13  # noqa: F401, E402
+from dl_datalake_spark.queries import wave14  # noqa: F401, E402

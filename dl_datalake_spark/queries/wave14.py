@@ -1,0 +1,126 @@
+"""Round-9 (second wave): streaming CDF -> incremental MinHash-LSH
+dedup index.  The throwaway-lake pattern (wave11-13) over the
+`documents` table: every input and transform is reconstructable in
+plain SQL so the DuckDB oracle pins the streamed index content
+bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.tables import load_table
+
+_JAN = 1672574400000  # 2023-01-01T12:00Z (ms)
+
+_NB = 8  # bands (one 32-bit min-hash each, r=1 — operators/dedup.py)
+
+
+def _stream_lsh_sql() -> str:
+    # mirror operators/dedup.minhash_signatures over the FINAL corpus
+    # the CDF ops leave behind: base docs (doc_id < 40) minus the
+    # mod-5 deletes, with the mod-8 docs' text updated
+    concat3 = "words[i]||' '||words[i+1]||' '||words[i+2]"
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(_NB)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(_NB)
+    )
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 8 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM base WHERE doc_id % 5 <> 0
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM fin),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+                               i -> {concat3})) AS shingle
+  FROM w
+),
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT doc_id, band, sig FROM ({bands})
+"""
+
+
+@register("docs_stream_cdf_lsh", sql=_stream_lsh_sql())
+def docs_stream_cdf_lsh(spark: SparkSession, sf_dir: str):
+    """Incremental dedup-index maintenance, end to end
+    (`streaming.ingest.stream_cdf_into_lsh` +
+    `operators.lsh_index.apply_cdf_to_lsh`): a document lake goes
+    through append -> upsert (late inserts + text updates) -> DV
+    delete; the LSH band index subscribes to the change feed and
+    follows exactly-once.  After a CHECKPOINT WIPE the full replay is
+    skipped via the index's txn tags, and the final band table must
+    equal the salted-md5 min-hash arithmetic over the surviving corpus
+    in plain SQL — i.e. the streamed index is bit-identical to a
+    from-scratch rebuild.  This is the dedup twin of
+    `emb_stream_cdf_ivf`: new training data arrives, the near-dup
+    index keeps up at O(batch), never O(corpus)."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.operators.lsh_index import read_lsh_index, write_lsh_index
+    from dl_datalake_spark.streaming.ingest import stream_cdf_into_lsh
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    key = DatasetKey("SIM", "SPOT", "LSHDOCS", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_lsh_lake_")
+    try:
+        w = LakeWriter(spark, tmp, emit_cdf=True)
+        ds = w.dataset_path(key)
+        idx = f"{tmp}/lsh_index"
+
+        def _ticks(df):
+            return df.select(
+                (F.lit(_JAN) + F.col("doc_id") * 60000).cast("long").alias("ts"),
+                "doc_id",
+                "text",
+            )
+
+        w.write_ticks(_ticks(docs.where(F.col("doc_id") % 4 != 3)), key)   # v0
+        late = docs.where(F.col("doc_id") % 4 == 3)
+        upd = docs.where(F.col("doc_id") % 8 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updated"))
+        )
+        w.write_ticks(_ticks(late.unionByName(upd)), key)                  # v1
+        w.delete_where(key, F.col("doc_id") % 5 == 0, strategy="dv")       # v2
+
+        write_lsh_index(
+            spark,
+            spark.createDataFrame([], "doc_id long, text string"),
+            idx,
+            num_bands=_NB,
+            n_buckets=8,
+        )
+        for run in (0, 1):
+            q = stream_cdf_into_lsh(
+                spark, ds, idx, f"{tmp}/ckpt", app_id="lsh-oracle"
+            )
+            q.awaitTermination(300)
+            if run == 0:
+                shutil.rmtree(f"{tmp}/ckpt")  # wipe: the replay must skip
+
+        rows = (
+            read_lsh_index(spark, idx)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("band").cast("int").alias("band"),
+                F.col("sig").cast("string").alias("sig"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, band int, sig string")

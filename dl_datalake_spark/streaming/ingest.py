@@ -154,6 +154,53 @@ def stream_cdf_into_ivf(
     )
 
 
+def stream_cdf_into_lsh(
+    spark: SparkSession,
+    dataset_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str | None = None,
+    after_version: int = -1,
+) -> StreamingQuery:
+    """Keep a persisted MinHash-LSH band index FOLLOWING a lake
+    dataset's row-level change feed, exactly-once — the dedup twin of
+    `stream_cdf_into_ivf`: subscribe to `<dataset>/_cdf` through the
+    lake_cdf source and apply each micro-batch as ONE index commit
+    (`operators.lsh_index.apply_cdf_to_lsh`: surviving inserts/updates
+    get fresh signatures, changed docs' old band rows drop, only the
+    hash buckets holding changed docs rewrite) tagged
+    `txn=(app_id, batch_id)` so a replayed batch is skipped.  Same
+    exactly-once scope as stream_append_ingest: exact within one
+    checkpoint lineage; a WIPED checkpoint with unprocessed lake
+    commits needs a new app_id or a `write_lsh_index` rebuild."""
+    from dl_datalake_spark.operators.lsh_index import apply_cdf_to_lsh
+    from dl_datalake_spark.sources.cdf_source import stream_change_feed
+
+    stream = stream_change_feed(
+        spark, dataset_path, after_version=after_version, schema=schema
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdf_to_lsh(
+            spark,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_resample(
     df: DataFrame,
     every: str = "15 minutes",

@@ -34,7 +34,10 @@ SKIP = {"events_stream_tumbling", "events_stream_session", "events_stream_interv
         # round 9: trains an IVF index then runs TWO checkpointed CDF
         # streams (with a wipe between) per call — times checkpoint
         # setup and index builds, not the engine
-        "emb_stream_cdf_ivf"}
+        "emb_stream_cdf_ivf",
+        # round 9 second wave: same two-checkpointed-streams shape for
+        # the LSH dedup index
+        "docs_stream_cdf_lsh"}
 
 
 def main() -> None:
