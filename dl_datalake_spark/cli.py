@@ -592,6 +592,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.path,
                 [c.strip() for c in args.cols.split(",")],
                 files_per_month=args.files_per_partition,
+                base_path=args.base,
             )
             print(json.dumps(rep))
         else:

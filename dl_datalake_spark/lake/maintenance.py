@@ -474,6 +474,7 @@ def recluster(
     bits: int = 6,
     fs: Filesystem | None = None,
     commit_timeout_s: float = 60.0,
+    base_path: str | None = None,
 ) -> dict:
     """Z-order recluster of ONE dataset as an MVCC commit — Delta's
     ``OPTIMIZE ZORDER BY`` (VERDICT r7 #2): read the pinned snapshot,
@@ -530,7 +531,21 @@ def recluster(
         if dv_map:
             from dl_datalake_spark.lake import dv as dvmod
 
-            lake_base = ds.rsplit("/exchange=", 1)[0] if "/exchange=" in ds else ds
+            # DV sidecar keys are LAKE-BASE-relative: resolve the base
+            # from the caller (`base_path`) or the standard hive layout;
+            # guessing wrong would make the anti-join match nothing and
+            # silently RESURRECT every DV-deleted row in the rewrite, so
+            # an unrecognizable layout refuses instead
+            if base_path is not None:
+                lake_base = base_path.rstrip("/")
+            elif "/exchange=" in ds:
+                lake_base = ds.rsplit("/exchange=", 1)[0]
+            else:
+                raise ValueError(
+                    f"{ds} carries deletion vectors but its lake base cannot "
+                    f"be derived from the path — pass base_path= so the DV "
+                    f"keys resolve (a wrong base would resurrect deleted rows)"
+                )
             keys, dv_dirs = dvmod.plan_dv(ds, lake_base, live, dv_map)
             df = dvmod.apply_dv(spark, df, lake_base, keys, dv_dirs, fs=fs)
         months = df.select("year", "month").distinct().count()
@@ -662,32 +677,48 @@ def vacuum_tombstones(
                 except OSError:
                     continue
             removed.append(full)
-        # deletion-vector sidecars (lake/dv.py, `_dv/<dir>`): reclaim
-        # dirs referenced by NO retained commit's dv map once past the
-        # horizon — aborted transactions' orphans and sidecars whose
-        # every referencing commit was pruned.  A dir referenced by ANY
-        # retained commit stays (time travel to that commit needs it);
-        # `read_dataset_at` raises loudly if a reclaimed sidecar is
-        # requested, same contract as data-file tombstones.
+        # deletion-vector sidecars (lake/dv.py, `_dv/<dir>`): the HEAD
+        # dv map's sidecars are live state and always stay; every other
+        # sidecar is a TOMBSTONE aging from its SUPERSESSION time — the
+        # committed_at of the first commit after the newest one whose
+        # map still referenced it (the same commit-history-derived
+        # clock the data-file sweep uses; mtime only for orphans the
+        # history never saw, e.g. aborted transactions' leftovers).
+        # Past the horizon they reclaim even if an old retained commit
+        # references them — `read_dataset_at` then raises loudly, the
+        # identical contract as reclaimed data files.
         dv_root = f"{ds}/_dv"
         try:
             dv_names = fs.listdir(dv_root)
         except OSError:
             dv_names = []
         if dv_names:
-            referenced = {
-                d
-                for e in CommitLog(ds, fs=fs).history()
-                for d in (e.get("dv") or {}).values()
-            }
+            head_refs = set(CommitLog(ds, fs=fs).dv_at(None).values())
+            last_ref: dict[str, float] = {}  # dir -> newest referencing commit time
+            next_after: dict[str, float] = {}  # dir -> first commit time AFTER that
+            for e in CommitLog(ds, fs=fs).history():
+                at = float(e.get("committed_at") or 0.0)
+                for d in set(last_ref) - {
+                    dd for dd in (e.get("dv") or {}).values()
+                }:
+                    if d not in next_after and last_ref[d] < at:
+                        next_after[d] = at
+                for d in (e.get("dv") or {}).values():
+                    last_ref[d] = at
+                    next_after.pop(d, None)  # re-referenced: not superseded
             for name in dv_names:
-                if f"_dv/{name}" in referenced:
-                    continue
+                rel_dv = f"_dv/{name}"
+                if rel_dv in head_refs:
+                    continue  # live state
                 dvdir = f"{dv_root}/{name}"
-                try:
-                    age = now - fs.getmtime(dvdir)
-                except OSError:
-                    continue
+                dropped = next_after.get(rel_dv)
+                if dropped is not None:
+                    age = now - dropped
+                else:
+                    try:
+                        age = now - fs.getmtime(dvdir)
+                    except OSError:
+                        continue
                 if age < retention_s:
                     retained.append(dvdir)
                     continue

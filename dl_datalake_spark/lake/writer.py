@@ -734,11 +734,12 @@ class LakeWriter:
                     meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-        # _read_existing resolves the freshly-pinned list (tombstones of
-        # an emptied dataset keep the directory non-empty, so visible-
-        # children alone no longer implies live rows); the manifest's
-        # time range / row count refresh rides the parquet footer stats
-        return self._refresh_manifest_result(k, path, rows_deleted, touched)
+        # incremental catalog refresh: a delete only removes rows, so
+        # the prior entry's count adjusts by the delta and its (widen-
+        # only) time range stands — no dataset rescan
+        return self._refresh_manifest_result(
+            k, path, rows_deleted, touched, delta_rows=-rows_deleted
+        )
 
     def _delete_where_dv(
         self,
@@ -765,10 +766,6 @@ class LakeWriter:
         copy-on-write path, so feed consumers cannot tell the strategies
         apart.  Requires a commit-pinned dataset (legacy directories
         have no snapshot to anchor positions to)."""
-        import uuid as _uuid
-
-        from dl_datalake_spark.lake import dv as dvmod
-
         k = key.normalized()
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
@@ -778,8 +775,7 @@ class LakeWriter:
         log = self.commit_log(k)
         payload = {"mode": "delete-dv", **(commit_meta or {})}
         path = self.dataset_path(k)
-        base = self.base_path.rstrip("/")
-        ds_rel = path[len(base) + 1 :]
+        ds_rel = path[len(self.base_path.rstrip("/")) + 1 :]
         try:
             with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
                 live = resolve_live_files(self.fs, path)
@@ -792,31 +788,7 @@ class LakeWriter:
                 if not live:
                     raise _NoMatch
                 dv_map = log.dv_at(None)
-                df = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", self.base_path)
-                    .parquet(*[f"{path}/{rel}" for rel in live])
-                )
-                # key columns captured from the scan relation, then the
-                # current DVs anti-joined out so the probe sees exactly
-                # the LIVE rows
-                df = dvmod.with_scan_key(df, self.base_path)
-                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                if keys:
-                    df = dvmod.anti_join_dv(
-                        df,
-                        dvmod.read_dv_rows(self.spark, dirs, keys),
-                        broadcast=dvmod.dv_total_bytes(self.fs, dirs)
-                        <= dvmod.BROADCAST_MAX_BYTES,
-                        keep_keys=True,
-                    )
-                if months:
-                    scan_pred = F.lit(False)
-                    for y, m in months:
-                        scan_pred = scan_pred | (
-                            (F.col("year") == int(y)) & (F.col("month") == int(m))
-                        )
-                    df = df.where(scan_pred)
+                df = self._dv_probe_frame(path, live, dv_map, months)
                 # NULL predicate rows survive, like SQL DELETE
                 probe = df.where(F.coalesce(pred, F.lit(False))).persist()
                 try:
@@ -838,36 +810,8 @@ class LakeWriter:
                             ),
                         )
                         meta["cdf"] = True
-                    # driver-side file list is O(matched files) — the
-                    # same order as the live listing itself
-                    hit_keys = [
-                        r["_dv_file"]
-                        for r in probe.select("_dv_file").distinct().collect()
-                    ]
-                    hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
-                    newpos = probe.select(
-                        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
-                    )
-                    # supersede: carry the old positions of the hit files
-                    # into the new sidecar (disjoint from the probe's by
-                    # construction — the probe never saw deleted rows)
-                    old_dirs = sorted({dv_map[r] for r in hit_rels if r in dv_map})
-                    if old_dirs:
-                        newpos = newpos.unionByName(
-                            self.spark.read.parquet(
-                                *[f"{path}/{d}" for d in old_dirs]
-                            ).where(F.col("file").isin(hit_keys))
-                        )
-                    dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
-                    # size the sidecar by POSITION count (~4M (file,pos)
-                    # rows per output file), not by hit-file count — a
-                    # 240-row purge must land ONE file, not 32 stubs the
-                    # next read pays listing+task overhead for
-                    nparts = max(1, min(256, 1 + rows_deleted // 4_000_000))
-                    (
-                        newpos.repartition(nparts, "file")
-                        .write.option("compression", "snappy")
-                        .parquet(f"{path}/{dv_rel}")
+                    dv_rel, hit_rels = self._write_dv_sidecar(
+                        path, ds_rel, probe, dv_map, rows_deleted
                     )
                 finally:
                     probe.unpersist()
@@ -884,7 +828,9 @@ class LakeWriter:
                 )
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-        return self._refresh_manifest_result(k, path, rows_deleted, touched)
+        return self._refresh_manifest_result(
+            k, path, rows_deleted, touched, delta_rows=-rows_deleted
+        )
 
     def merge_into(
         self,
@@ -927,6 +873,17 @@ class LakeWriter:
         (``merge_inserted/merge_updated/merge_deleted``)."""
         k = key.normalized()
         on_cols = [on] if isinstance(on, str) else list(on)
+        if "ts" not in on_cols:
+            # the target scan is bounded to the SOURCE batch's months —
+            # sound only when the merge key derives the partition. A
+            # non-ts key could match target rows in months the batch
+            # never touches; scanning silently too little would insert
+            # duplicates, so refuse rather than guess.
+            raise ValueError(
+                "merge_into requires 'ts' among the `on` columns (matching is "
+                "partition-bounded by the source batch's months); for keyed "
+                "merges on other columns use update_where/delete_where"
+            )
         upd = when_matched_update
         if isinstance(upd, dict):
             upd = {c: (F.expr(e) if isinstance(e, str) else e) for c, e in upd.items()}
@@ -954,7 +911,10 @@ class LakeWriter:
         payload = {"mode": "merge", **(commit_meta or {})}
         path = self.dataset_path(k)
         _require_ts(source, "ts")
-        src = self._partitioned(source, k, "ts")
+        # persist: the duplicate-key check, the months collect, and the
+        # outer-join build all consume the same source lineage — an
+        # expensive upstream plan must not recompute three times
+        src = self._partitioned(source, k, "ts").persist()
         dup = (
             src.groupBy(*on_cols)
             .agg(F.count(F.lit(1)).alias("n"))
@@ -963,6 +923,7 @@ class LakeWriter:
             .collect()
         )
         if dup:
+            src.unpersist()
             raise ValueError(
                 f"merge source has multiple rows for key "
                 f"{[dup[0][c] for c in on_cols]} — deduplicate the source "
@@ -1002,8 +963,11 @@ class LakeWriter:
                 try:
                     if joined is None:
                         matched_n = deleted_n = 0
+                        # alias "s" here too: insert conditions are
+                        # documented as expressions over s (an empty
+                        # target must not crash "s.price > 0")
                         ins = (
-                            s_df.where(
+                            s_df.alias("s").where(
                                 ins_cond if isinstance(ins_cond, Column) else F.lit(bool(ins_cond))
                             )
                             .drop("_s1")
@@ -1128,7 +1092,13 @@ class LakeWriter:
                     meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-        return self._refresh_manifest_result(k, path, total, sorted(months))
+        finally:
+            src.unpersist()
+        return self._refresh_manifest_result(
+            k, path, total, sorted(months),
+            delta_rows=inserted_n - deleted_n,
+            batch_bounds=self._stats_bounds(fstats),
+        )
 
     _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
 
@@ -1223,7 +1193,7 @@ class LakeWriter:
                     self._write_cdf(
                         k,
                         meta["version"],
-                        self._update_cdf_rows(existing.where(month_pred), updated, matched, sets),
+                        self._update_cdf_rows(existing.where(month_pred), matched, sets),
                     )
                     meta["cdf"] = True
                 pre_live = resolve_live_files(self.fs, path)
@@ -1259,7 +1229,13 @@ class LakeWriter:
                     meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-        return self._refresh_manifest_result(k, path, rows_updated, touched)
+        # incremental catalog refresh: updates keep the row count and
+        # can only EXTEND the range (ts moves ride the added files'
+        # stats) — no dataset rescan
+        return self._refresh_manifest_result(
+            k, path, rows_updated, touched,
+            delta_rows=0, batch_bounds=self._stats_bounds(fstats),
+        )
 
     def _apply_assignments(self, df: DataFrame, sets: dict, matched) -> DataFrame:
         """SET semantics: assignment expressions all evaluate against the
@@ -1272,14 +1248,17 @@ class LakeWriter:
             out = out.withColumn("year", F.year(t)).withColumn("month", F.month(t))
         return out
 
-    def _update_cdf_rows(
-        self, pre: DataFrame, post: DataFrame, matched, sets: dict
-    ) -> DataFrame:
+    def _update_cdf_rows(self, pre: DataFrame, matched, sets: dict) -> DataFrame:
         """update_postimage for every matched row; plus a delete
-        pre-image at the OLD ts when the update moved it."""
-        out = post.where(matched).withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
+        pre-image at the OLD ts when the update moved it.  Matching is
+        evaluated against the PRE-update rows and the post-images are
+        derived from that matched set — filtering the post-update frame
+        by the predicate would silently drop the feed rows of any
+        update whose assignment falsifies its own predicate (e.g.
+        SET price = 0 WHERE price > 100)."""
+        out = self._apply_assignments(
+            pre.where(matched), sets, F.lit(True)
+        ).withColumn("_change_type", F.lit("update_postimage"))
         if "ts" in sets:
             ts_expr = sets["ts"]
             moved = pre.where(matched).where(
@@ -1288,14 +1267,80 @@ class LakeWriter:
             out = out.unionByName(moved, allowMissingColumns=True)
         return out
 
+    @staticmethod
+    def _stats_bounds(fstats: dict | None) -> tuple | None:
+        """[min,max] ts across a commit's added-file stats — the free
+        batch bounds the incremental manifest refresh extends with."""
+        if not fstats:
+            return None
+        lows = [v[0] for v in fstats.values() if v and v[0] is not None]
+        highs = [v[1] for v in fstats.values() if v and v[1] is not None]
+        if not lows or not highs:
+            return None
+        return (min(lows), max(highs))
+
     def _refresh_manifest_result(
-        self, k: DatasetKey, path: str, n_rows: int, touched: list
+        self,
+        k: DatasetKey,
+        path: str,
+        n_rows: int,
+        touched: list,
+        delta_rows: int | None = None,
+        batch_bounds: tuple | None = None,
     ) -> WriteResult:
+        """Catalog refresh after row-level DML.  With `delta_rows`
+        given, the refresh is INCREMENTAL: the prior manifest entry's
+        row count adjusts by the delta and the time range extends by
+        `batch_bounds` (the post-image batch's [min,max] ts) — no
+        dataset scan, which is what keeps a DV delete of 1000 rows on
+        a 100 TB dataset O(matched), not O(dataset).  The manifest's
+        range contract is widen-only (manifest.add_entries), so
+        carrying the prior bounds is exactly what a full rescan would
+        record anyway.  Falls back to the full min/max/count scan when
+        no prior entry (or no recorded row count) exists."""
         result = WriteResult(
             path=path, time_from=None, time_to=None, rows=n_rows,
             partitions=[list(p) for p in touched],
         )
-        remaining = self._read_existing(k) if self.manifest is not None else None
+        if self.manifest is None:
+            return result
+        if delta_rows is not None:
+            import json as _json
+
+            prior = (
+                self.manifest.list_entries(path=path)
+                .select("time_from", "time_to", "metadata_json")
+                .limit(1)
+                .collect()
+            )
+            prior_rows = None
+            if prior:
+                try:
+                    prior_rows = int(
+                        _json.loads(prior[0]["metadata_json"] or "{}").get("rows")
+                    )
+                except (TypeError, ValueError):
+                    prior_rows = None
+            if prior_rows is not None:
+                t0, t1 = prior[0]["time_from"], prior[0]["time_to"]
+                if batch_bounds is not None:
+                    b0, b1 = batch_bounds
+                    lows = [x for x in (t0, b0) if x is not None]
+                    highs = [x for x in (t1, b1) if x is not None]
+                    t0 = min(lows) if lows else None
+                    t1 = max(highs) if highs else None
+                result.time_from, result.time_to = t0, t1
+                self.manifest.add_entry(
+                    exchange=k.exchange, market=k.market, symbol=k.symbol,
+                    path=path, data_type=k.data_type,
+                    time_from=t0, time_to=t1,
+                    metadata={
+                        "timeframe": k.period,
+                        "rows": max(0, prior_rows + int(delta_rows)),
+                    },
+                )
+                return result
+        remaining = self._read_existing(k)
         if remaining is not None:
             s = remaining.agg(
                 F.min("ts").alias("t0"), F.max("ts").alias("t1"),
@@ -1321,18 +1366,13 @@ class LakeWriter:
         """Merge-on-read UPDATE: deletion-vector the matched rows' old
         copies, append their post-images — O(matched rows) of write,
         no partition rewrite (`update_where(strategy='dv')`)."""
-        import uuid as _uuid
-
-        from dl_datalake_spark.lake import dv as dvmod
-
         class _NoMatch(Exception):
             pass
 
         log = self.commit_log(k)
         payload = {"mode": "update-dv", **(commit_meta or {})}
         path = self.dataset_path(k)
-        base = self.base_path.rstrip("/")
-        ds_rel = path[len(base) + 1 :]
+        ds_rel = path[len(self.base_path.rstrip("/")) + 1 :]
         try:
             with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
                 live = resolve_live_files(self.fs, path)
@@ -1344,28 +1384,7 @@ class LakeWriter:
                 if not live:
                     raise _NoMatch
                 dv_map = log.dv_at(None)
-                df = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", self.base_path)
-                    .parquet(*[f"{path}/{rel}" for rel in live])
-                )
-                df = dvmod.with_scan_key(df, self.base_path)
-                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                if keys:
-                    df = dvmod.anti_join_dv(
-                        df,
-                        dvmod.read_dv_rows(self.spark, dirs, keys),
-                        broadcast=dvmod.dv_total_bytes(self.fs, dirs)
-                        <= dvmod.BROADCAST_MAX_BYTES,
-                        keep_keys=True,
-                    )
-                if months:
-                    scan_pred = F.lit(False)
-                    for y, m in months:
-                        scan_pred = scan_pred | (
-                            (F.col("year") == int(y)) & (F.col("month") == int(m))
-                        )
-                    df = df.where(scan_pred)
+                df = self._dv_probe_frame(path, live, dv_map, months)
                 probe = df.where(F.coalesce(pred, F.lit(False))).persist()
                 try:
                     agg = (
@@ -1394,27 +1413,8 @@ class LakeWriter:
                         self._write_cdf(k, meta["version"], feed)
                         meta["cdf"] = True
                     # deletion vector over the OLD copies
-                    hit_keys = [
-                        r["_dv_file"]
-                        for r in probe.select("_dv_file").distinct().collect()
-                    ]
-                    hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
-                    newpos = probe.select(
-                        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
-                    )
-                    old_dirs = sorted({dv_map[r] for r in hit_rels if r in dv_map})
-                    if old_dirs:
-                        newpos = newpos.unionByName(
-                            self.spark.read.parquet(
-                                *[f"{path}/{d}" for d in old_dirs]
-                            ).where(F.col("file").isin(hit_keys))
-                        )
-                    dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
-                    nparts = max(1, min(256, 1 + rows_updated // 4_000_000))
-                    (
-                        newpos.repartition(nparts, "file")
-                        .write.option("compression", "snappy")
-                        .parquet(f"{path}/{dv_rel}")
+                    dv_rel, hit_rels = self._write_dv_sidecar(
+                        path, ds_rel, probe, dv_map, rows_updated
                     )
                     # append the post-images as fresh files
                     on_disk = set(list_data_files(self.fs, path))
@@ -1452,7 +1452,84 @@ class LakeWriter:
                     meta["col_stats"] = cstats
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
-        return self._refresh_manifest_result(k, path, rows_updated, touched)
+        # incremental catalog refresh: updates keep the row count and
+        # can only EXTEND the range (ts moves ride the added files'
+        # stats) — no dataset rescan
+        return self._refresh_manifest_result(
+            k, path, rows_updated, touched,
+            delta_rows=0, batch_bounds=self._stats_bounds(fstats),
+        )
+
+    def _dv_probe_frame(self, path: str, live: list[str], dv_map: dict, months):
+        """The DV-delete/update probe input: the pinned live files with
+        the scan-key columns (`_dv_file`/`_dv_pos`) materialized and the
+        CURRENT deletion vectors anti-joined out, optionally bounded to
+        known [year, month] partitions — shared by `_delete_where_dv`
+        and `_update_where_dv` so the broadcast gating and key handling
+        cannot drift between them."""
+        from dl_datalake_spark.lake import dv as dvmod
+
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(*[f"{path}/{rel}" for rel in live])
+        )
+        df = dvmod.with_scan_key(df, self.base_path)
+        keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
+        if keys:
+            df = dvmod.anti_join_dv(
+                df,
+                dvmod.read_dv_rows(self.spark, dirs, keys),
+                broadcast=dvmod.dv_total_bytes(self.fs, dirs)
+                <= dvmod.BROADCAST_MAX_BYTES,
+                keep_keys=True,
+            )
+        if months:
+            scan_pred = F.lit(False)
+            for y, m in months:
+                scan_pred = scan_pred | (
+                    (F.col("year") == int(y)) & (F.col("month") == int(m))
+                )
+            df = df.where(scan_pred)
+        return df
+
+    def _write_dv_sidecar(
+        self, path: str, ds_rel: str, probe: DataFrame, dv_map: dict, n_rows: int
+    ) -> tuple[str, list[str]]:
+        """Write the superseding sidecar for a probe's matched rows:
+        new positions unioned with the hit files' OLD positions (the
+        probe never saw already-deleted rows, so the sets are disjoint
+        by construction), sized by position count.  Returns
+        (sidecar rel dir, hit data-file rel paths)."""
+        import uuid as _uuid
+
+        from dl_datalake_spark.lake import dv as dvmod
+
+        hit_keys = [
+            r["_dv_file"] for r in probe.select("_dv_file").distinct().collect()
+        ]
+        hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
+        newpos = probe.select(
+            F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+        )
+        old_dirs = sorted({dv_map[r] for r in hit_rels if r in dv_map})
+        if old_dirs:
+            newpos = newpos.unionByName(
+                self.spark.read.parquet(*[f"{path}/{d}" for d in old_dirs]).where(
+                    F.col("file").isin(hit_keys)
+                )
+            )
+        dv_rel = f"{dvmod.DV_DIR}/dv-{_uuid.uuid4().hex}"
+        # size the sidecar by POSITION count (~4M (file,pos) rows per
+        # output file) — a 240-row purge must land ONE file, not 32
+        # stubs the next read pays listing+task overhead for
+        nparts = max(1, min(256, 1 + n_rows // 4_000_000))
+        (
+            newpos.repartition(nparts, "file")
+            .write.option("compression", "snappy")
+            .parquet(f"{path}/{dv_rel}")
+        )
+        return dv_rel, hit_rels
 
     def restore_dataset(self, key: DatasetKey, version: int) -> WriteResult:
         """Delta ``RESTORE TABLE ... VERSION AS OF``: re-pin the live

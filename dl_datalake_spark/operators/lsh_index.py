@@ -137,12 +137,19 @@ _BANDS_SCHEMA = "doc_id long, band int, sig string, bucket int"
 
 def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
     """The persisted band table (doc_id, band, sig, bucket); an index
-    built empty (or deleted empty) reads as an empty frame."""
-    try:
-        return spark.read.parquet(os.path.join(path.rstrip("/"), BANDS_DIR))
-    except Exception:
-        _params(_index_log(path, spark))  # raises loudly if never built
+    built empty (or deleted empty) reads as an empty frame.  Only the
+    genuinely-empty case maps to empty — a transient store error or a
+    corrupt footer must fail loudly, never masquerade as 'no
+    duplicates'."""
+    _params(_index_log(path, spark))  # raises loudly if never built
+    bdir = os.path.join(path.rstrip("/"), BANDS_DIR)
+    fs = get_fs(bdir, spark)
+    has_data = fs.exists(bdir) and any(
+        not f.startswith((".", "_")) for _, f in fs.walk_files(bdir)
+    )
+    if not has_data:
         return spark.createDataFrame([], _BANDS_SCHEMA)
+    return spark.read.parquet(bdir)
 
 
 def lsh_index_pairs(spark: SparkSession, path: str) -> DataFrame:
@@ -227,11 +234,15 @@ def apply_cdf_to_lsh(
             touched = sorted(
                 int(r["bucket"]) for r in changed.select("bucket").distinct().collect()
             )
-            try:
+            fs_b = get_fs(bdir, spark)
+            has_data = fs_b.exists(bdir) and any(
+                not f.startswith((".", "_")) for _, f in fs_b.walk_files(bdir)
+            )
+            if has_data:
                 existing = spark.read.parquet(bdir).where(
                     F.col("bucket").isin(touched)
                 )
-            except Exception:
+            else:
                 existing = None  # first apply onto an empty build
             changed_ids = changed.select("doc_id").distinct()
             keep = fresh

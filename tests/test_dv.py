@@ -5,8 +5,9 @@ copy-on-write strategy — reads, time travel, CDF, restore, CDC flags —
 while rewriting NO data file.  These tests pin both halves: the
 semantics (no resurrection through upserts/CoW deletes/compaction/
 recluster, exact time travel, exact CDF) and the mechanics (listing
-unchanged, sidecars written, refs retired by rewrites, vacuum
-reclaims orphans but never referenced sidecars).
+unchanged, sidecars written, refs retired by rewrites, vacuum ages
+superseded sidecars from their supersession time and never touches
+the head map's live state).
 """
 
 from __future__ import annotations
@@ -283,3 +284,27 @@ def test_dv_delete_range_strategy_passthrough(lake, spark):
     assert res.rows == 3
     assert list_data_files(w.fs, ds) == files_before
     assert r.read_dataset(KEY).count() == 7
+
+
+def test_dv_superseded_sidecar_ages_out(lake, spark):
+    """Review regression: a sidecar superseded by a later DV delete is
+    a tombstone aging from its supersession time — it reclaims past
+    the horizon even while old retained commits still reference it
+    (the data-file contract), and time travel to those commits then
+    raises loudly."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    w, r, base = lake
+    w.write_ohlc(_candles(spark, 10), KEY)                              # v0
+    w.delete_where(KEY, F.col("ts") == T0, strategy="dv")               # v1
+    w.delete_where(KEY, F.col("ts") == T0 + 60000, strategy="dv")       # v2
+    log = CommitLog(_ds_path(w), fs=w.fs)
+    old_dv = list(log.dv_at(1).values())[0]
+    head_dv = list(log.dv_at(None).values())[0]
+    assert old_dv != head_dv
+    vacuum_tombstones(spark, base, retention_s=0.0, dry_run=False, fs=w.fs)
+    assert not w.fs.exists(f"{_ds_path(w)}/{old_dv}")   # superseded: reclaimed
+    assert w.fs.exists(f"{_ds_path(w)}/{head_dv}")      # live state: kept
+    assert r.read_dataset(KEY).count() == 8
+    with pytest.raises(ValueError, match="deletion-vector"):
+        r.read_dataset_at(KEY, 1)

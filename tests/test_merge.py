@@ -161,3 +161,22 @@ def test_merge_respects_deletion_vectors(lake, spark):
     assert got == {T0: 77.0, T0 + 60000: 20.0, T0 + 2 * 60000: 30.0}
     # the month rewrite retired the DV ref
     assert CommitLog(w.dataset_path(KEY), fs=w.fs).dv_at(None) == {}
+
+
+def test_merge_requires_ts_key(lake, spark):
+    w, _, _ = lake
+    w.write_ticks(_ticks(spark, [(0, 10)]), KEY)
+    with pytest.raises(ValueError, match="requires 'ts'"):
+        w.merge_into(KEY, _ticks(spark, [(0, 1)]), on="price")
+
+
+def test_merge_empty_target_with_s_condition(lake, spark):
+    """Review regression: an s.-qualified insert condition must work
+    when the target dataset does not exist yet."""
+    w, r, _ = lake
+    res = w.merge_into(
+        KEY, _ticks(spark, [(0, 10), (1, 100)]),
+        when_not_matched_insert="s.price > 50",
+    )
+    assert res.rows == 1
+    assert r.read_dataset(KEY).collect()[0]["price"] == 100.0

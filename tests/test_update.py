@@ -180,3 +180,17 @@ def test_update_dv_on_dv_deleted_rows_skips_them(lake, spark):
     assert got.count() == 9
     assert got.where(F.col("ts") == T0).count() == 0
     assert got.where(F.col("close") == 42.0).count() == 1
+
+
+@pytest.mark.parametrize("strategy", ["rewrite", "dv"])
+def test_update_cdf_survives_self_falsifying_predicate(lake, spark, strategy):
+    """Review regression: SET close = 0 WHERE close > 1 — the
+    assignment falsifies its own predicate, but the postimages must
+    still reach the feed (they were matched on the PRE-update rows)."""
+    w, r, _ = lake
+    w.write_ohlc(_candles(spark, 5), KEY)  # close = 1.5 everywhere
+    res = w.update_where(KEY, {"close": F.lit(0.0)}, F.col("close") > 1.0, strategy=strategy)
+    assert res.rows == 5
+    feed, _ = r.read_change_feed(KEY, after_version=0)
+    rows = feed.where(F.col("_change_type") == "update_postimage").collect()
+    assert len(rows) == 5 and all(x["close"] == 0.0 for x in rows)
