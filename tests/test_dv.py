@@ -308,3 +308,20 @@ def test_dv_superseded_sidecar_ages_out(lake, spark):
     assert r.read_dataset(KEY).count() == 8
     with pytest.raises(ValueError, match="deletion-vector"):
         r.read_dataset_at(KEY, 1)
+
+
+def test_dv_two_writers_compose_maps(lake, spark, tmp_path):
+    """Two independent LakeWriter instances (separate processes in
+    production) DV-delete different rows: the commit-log serialization
+    makes the second writer's probe see the first's sidecar, and the
+    final map holds the union of both deletions."""
+    w1, r, base = lake
+    w1.write_ohlc(_candles(spark, 10), KEY)
+    w2 = LakeWriter(spark, base)  # fresh instance, no shared state
+    assert w1.delete_where(KEY, F.col("ts") == T0, strategy="dv").rows == 1
+    assert w2.delete_where(KEY, F.col("ts") == T0 + 60000, strategy="dv").rows == 1
+    # w1 again: must NOT re-match w2's deleted row
+    assert w1.delete_where(KEY, F.col("ts") <= T0 + 2 * 60000, strategy="dv").rows == 1
+    got = r.read_dataset(KEY)
+    assert got.count() == 7
+    assert got.agg(F.min("ts")).collect()[0][0] == T0 + 3 * 60000
