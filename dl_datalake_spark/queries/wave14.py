@@ -10,6 +10,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dl_datalake_spark.queries.registry import register
+from dl_datalake_spark.queries.wave13 import _bucket_cents
 from dl_datalake_spark.tables import load_table
 
 _JAN = 1672574400000  # 2023-01-01T12:00Z (ms)
@@ -124,3 +125,77 @@ def docs_stream_cdf_lsh(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long, band int, sig string")
+
+
+@register(
+    "events_stream_appends",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 16 AS b, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c AS price_cents,
+       CAST(0 AS BIGINT) AS commit_version FROM v
+UNION ALL
+SELECT CAST({_JAN} + (100 + b) * 60000 AS BIGINT), c, 1 FROM k
+""",
+)
+def events_stream_appends(spark: SparkSession, sf_dir: str):
+    """The lake as an APPEND streaming source without CDF
+    (sources/append_source.py — Delta's files-added streaming
+    semantics on the commit log): two append commits drain through
+    `spark.readStream.format("lake_appends")` with per-commit
+    attribution, and the emitted rows must equal the bucket arithmetic
+    in plain SQL.  Offsets are commit versions, so the checkpoint owns
+    the cursor and availableNow replay equals batch — the same
+    contract the CDF source pins, now available to emit_cdf=False
+    writers."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.writer import LakeWriter
+    from dl_datalake_spark.sources.append_source import stream_appends
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view", buckets=16)
+    clicks = _bucket_cents(ev, "click", buckets=16)
+
+    def _ticks(df, offset):
+        return df.select(
+            (F.lit(_JAN) + (F.col("b") + offset) * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    key = DatasetKey("SIM", "SPOT", "APPQ", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_app_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(views, 0), key, mode="append")    # v0
+        w.write_ticks(_ticks(clicks, 100), key, mode="append")  # v1
+        ds = w.dataset_path(key)
+        out: list = []
+
+        def _collect(batch_df, _bid):
+            out.extend(
+                batch_df.select("ts", "price", "commit_version").collect()
+            )
+
+        q = (
+            stream_appends(spark, ds)
+            .writeStream.foreachBatch(_collect)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [
+            (int(r["ts"]), int(r["price"]), int(r["commit_version"])) for r in out
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts long, price_cents long, commit_version long"
+    )

@@ -1,0 +1,308 @@
+"""Lake datasets as an APPEND streaming source (Spark 4 Python Data
+Source API) — no change feed required.
+
+`lake_cdf` (sources/cdf_source.py) streams row-level deltas but needs
+the writer to run with `emit_cdf=True`.  This source is the other half
+of Delta's streaming story: subscribe to a dataset's NEWLY ADDED FILES
+per commit, which every write records for free in the pinned-listing
+deltas (`files`/`files_add` — lake/commitlog.py):
+
+    spark.readStream.format("lake_appends").option("path", dataset_dir)
+
+- **offsets are commit versions** (`{"version": N}`), exactly like the
+  CDF source: data files are immutable once committed, so any
+  (start, end] range replays identically — exactly-once from the
+  checkpoint, `trigger(availableNow=True)` drains history then stops.
+- **append-only contract, loudly enforced** (Delta's semantics): a
+  commit that REMOVED or REPLACED data (upsert/overwrite rewrite,
+  delete, restore — or a deletion-vector commit, which changes rows
+  without touching the listing) fails the stream at planning time.
+  `.option("skip_change_commits", "true")` skips such commits wholesale
+  (Delta's skipChangeCommits); `.option("ignore_changes", "true")`
+  serves their ADDED files anyway (Delta's ignoreChanges — rewritten
+  rows may be re-served; consumers must be idempotent).
+- **planning is driver-side metadata, reading is executor-side**: the
+  planner replays the delta-encoded listing chain once per batch to
+  derive each commit's added files; executors read them with pyarrow.
+  The hive `year=`/`month=` partition values are parsed from each
+  file's path (single-file pyarrow reads don't infer them) and served
+  as columns, plus `commit_version`.
+
+Self-containment: same contract as the CDF source — stdlib + pyarrow
+only in the runner processes; `register_append_source` pickles this
+module AND the shared cdf_source helpers by value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from dl_datalake_spark.sources.cdf_source import (
+    _ARROW_TO_DDL,
+    _committed_entries,
+    _Paths,
+)
+
+LOG_DIR = "_commits"
+
+
+def _replay_listing(history: list[dict]) -> dict[int, dict]:
+    """One oldest-first replay of the delta-encoded listing chain:
+    {version: {"added": [...], "removed": [...], "dv_changed": bool,
+    "known": bool}} — `known=False` marks commits whose adds are
+    unknowable (files-less data commit / pruned base)."""
+    out: dict[int, dict] = {}
+    cur: set[str] = set()
+    known = False
+    prev_dv: dict = {}
+    for e in history:
+        v = e["version"]
+        if "files" in e:
+            new = set(e["files"])
+            added = sorted(new - cur) if known else sorted(new)
+            removed = sorted(cur - new) if known else []
+            cur, known = new, True
+        elif "files_add" in e or "files_remove" in e:
+            added = sorted(e.get("files_add") or [])
+            removed = sorted(e.get("files_remove") or [])
+            cur = (cur - set(removed)) | set(added)
+        elif e.get("partitions") == []:
+            added, removed = [], []
+        else:
+            # files-less data commit: adds unknowable
+            out[v] = {"added": [], "removed": [], "dv_changed": False, "known": False}
+            known = False
+            cur = set()
+            prev_dv = {}
+            continue
+        dv = e.get("dv")
+        dv_changed = dv is not None and dv != prev_dv
+        if dv is not None:
+            prev_dv = dv
+        out[v] = {
+            "added": added,
+            "removed": removed,
+            "dv_changed": dv_changed,
+            "known": known,
+        }
+    return out
+
+
+def _partition_cols(rel: str) -> tuple[int | None, int | None]:
+    y = m = None
+    for part in rel.split("/"):
+        if part.startswith("year="):
+            try:
+                y = int(part[5:])
+            except ValueError:
+                pass
+        elif part.startswith("month="):
+            try:
+                m = int(part[6:])
+            except ValueError:
+                pass
+    return y, m
+
+
+def _infer_append_schema(path: str) -> str:
+    """DDL of the data columns from the newest live file, via the
+    listing replay (never a directory walk — tombstones would leak)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    px = _Paths(path)
+    history = _committed_entries(path)
+    replay = _replay_listing(history)
+    # newest added file across history, newest commit first
+    for e in reversed(history):
+        info = replay.get(e["version"]) or {}
+        for rel in reversed(info.get("added") or []):
+            schema = pq.read_schema(px.url(rel))
+
+            def _ddl_type(t) -> str | None:
+                got = _ARROW_TO_DDL.get(str(t))
+                if got is not None:
+                    return got
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    inner = _ddl_type(t.value_type)
+                    return f"array<{inner}>" if inner else None
+                return None
+
+            cols = []
+            for f_ in schema:
+                ddl = _ddl_type(f_.type)
+                if ddl is None:
+                    raise ValueError(
+                        f"cannot map arrow type {f_.type} of column "
+                        f"{f_.name!r} — pass an explicit schema option"
+                    )
+                cols.append(f"{f_.name} {ddl}")
+            return ", ".join(cols)
+    raise ValueError(
+        f"no committed data file found under {path} — write through "
+        "LakeWriter first or pass a schema option"
+    )
+
+
+@dataclass
+class AppendPartition(InputPartition):
+    version: int
+    files: list[str] = field(default_factory=list)  # absolute URLs
+    rels: list[str] = field(default_factory=list)  # dataset-relative (year=/month=)
+    columns: list[str] = field(default_factory=list)
+
+
+class LakeAppendsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, data_schema: str):
+        self.path = options["path"].rstrip("/")
+        self.after = int(options.get("after_version", -1))
+        self.skip_changes = str(options.get("skip_change_commits", "")).lower() == "true"
+        self.ignore_changes = str(options.get("ignore_changes", "")).lower() == "true"
+        self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.after}
+
+    def latestOffset(self) -> dict:
+        entries = _committed_entries(self.path)
+        latest = entries[-1]["version"] if entries else -1
+        return {"version": max(latest, self.after)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return [AppendPartition(-1)]
+        history = _committed_entries(self.path)
+        if history and min(c["version"] for c in history) > lo + 1:
+            raise ValueError(
+                f"append stream of {self.path} is truncated past offset {lo} — "
+                "commits were pruned; rebuild the consumer from a batch scan"
+            )
+        replay = _replay_listing(history)
+        px = _Paths(self.path)
+        parts = []
+        for c in history:
+            v = c["version"]
+            if v <= lo or v > hi:
+                continue
+            info = replay[v]
+            if not info["known"]:
+                raise ValueError(
+                    f"commit {v} of {self.path} has no pinned listing (legacy "
+                    "writer / external tool) — its added rows are unknowable; "
+                    "rebuild the consumer from a batch scan"
+                )
+            is_change = bool(info["removed"]) or info["dv_changed"]
+            if is_change and not self.ignore_changes:
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"commit {v} of {self.path} (mode={c.get('mode')}) removed or "
+                    "rewrote data — an append-only stream cannot represent it. "
+                    "Use skip_change_commits=true to drop such commits, "
+                    "ignore_changes=true to serve their added files anyway "
+                    "(idempotent consumers only), or the lake_cdf source for "
+                    "exact row-level deltas."
+                )
+            if not info["added"]:
+                continue
+            parts.append(
+                AppendPartition(
+                    v,
+                    [px.url(rel) for rel in info["added"]],
+                    list(info["added"]),
+                    self.columns,
+                )
+            )
+        return parts or [AppendPartition(-1)]
+
+    def read(self, partition):
+        if partition.version < 0 or not partition.files:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        def _clean(v):
+            if v is None:
+                return None
+            if hasattr(v, "tolist"):
+                v = v.tolist()
+            if isinstance(v, float) and v != v:
+                return None
+            return v
+
+        def gen():
+            for url, rel in zip(partition.files, partition.rels):
+                y, m = _partition_cols(rel)
+                pdf = pq.read_table(url).to_pandas()
+                pdf = pdf.reindex(columns=partition.columns)
+                for row in pdf.itertuples(index=False, name=None):
+                    yield tuple(_clean(v) for v in row) + (y, m, partition.version)
+
+        return gen()
+
+    def commit(self, end: dict) -> None:
+        pass  # data files are immutable; retention is vacuum's concern
+
+
+class LakeAppendsDataSource(DataSource):
+    """``register_append_source(spark)`` then
+    ``spark.readStream.format("lake_appends").option("path", dataset_dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_appends"
+
+    def schema(self) -> str:
+        data = self.options.get("schema") or _infer_append_schema(
+            self.options["path"].rstrip("/")
+        )
+        return f"{data}, year int, month int, commit_version long"
+
+    def streamReader(self, schema) -> LakeAppendsStreamReader:
+        data_ddl = self.options.get("schema") or _infer_append_schema(
+            self.options["path"].rstrip("/")
+        )
+        return LakeAppendsStreamReader(self.options, data_ddl)
+
+
+def register_append_source(spark) -> None:
+    """Register the source with pickle-by-value for this module and the
+    shared cdf_source helpers, so the data-source runner processes never
+    need `dl_datalake_spark` on their PYTHONPATH."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from dl_datalake_spark.sources import cdf_source as _cdf
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_cdf)
+    spark.dataSource.register(LakeAppendsDataSource)
+
+
+def stream_appends(
+    spark, dataset_path: str, after_version: int = -1, schema: str | None = None,
+    skip_change_commits: bool = False, ignore_changes: bool = False,
+):
+    """Convenience: the dataset's committed appends as an unbounded
+    streaming DataFrame (data columns + year/month + commit_version).
+    Pair with ``trigger(availableNow=True)`` for drain-and-stop."""
+    register_append_source(spark)
+    r = (
+        spark.readStream.format("lake_appends")
+        .option("path", dataset_path)
+        .option("after_version", str(int(after_version)))
+    )
+    if schema:
+        r = r.option("schema", schema)
+    if skip_change_commits:
+        r = r.option("skip_change_commits", "true")
+    if ignore_changes:
+        r = r.option("ignore_changes", "true")
+    return r.load()

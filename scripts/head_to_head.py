@@ -37,7 +37,9 @@ SKIP = {"events_stream_tumbling", "events_stream_session", "events_stream_interv
         "emb_stream_cdf_ivf",
         # round 9 second wave: same two-checkpointed-streams shape for
         # the LSH dedup index
-        "docs_stream_cdf_lsh"}
+        "docs_stream_cdf_lsh",
+        # lake_appends source: checkpointed stream per call
+        "events_stream_appends"}
 
 
 def main() -> None:
