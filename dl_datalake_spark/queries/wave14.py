@@ -199,3 +199,67 @@ def events_stream_appends(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         rows, "ts long, price_cents long, commit_version long"
     )
+
+
+def _index_pairs_sql() -> str:
+    concat3 = "words[i]||' '||words[i+1]||' '||words[i+2]"
+    mins = ", ".join(
+        f"MIN(substr(md5('{b // 4}:' || shingle), {(b % 4) * 8 + 1}, 8)) AS mh{b}"
+        for b in range(_NB)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS sig FROM m" for b in range(_NB)
+    )
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM base),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+                               i -> {concat3})) AS shingle
+  FROM w
+),
+m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+b AS ({bands})
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("docs_lsh_index_pairs", sql=_index_pairs_sql())
+def docs_lsh_index_pairs(spark: SparkSession, sf_dir: str):
+    """Candidate near-dup pairs from the PERSISTED LSH index
+    (`operators.lsh_index.write_lsh_index` + `lsh_index_pairs`): the
+    (band, sig) self-equi-join runs on stored state with zero signature
+    recomputation — the read path an incremental dedup deployment uses
+    between CDF catch-ups.  Verified against the full salted-md5
+    min-hash band arithmetic in plain SQL."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.operators.lsh_index import (
+        lsh_index_pairs,
+        write_lsh_index,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="dl_lshp_")
+    try:
+        idx = f"{tmp}/idx"
+        write_lsh_index(spark, docs, idx, num_bands=_NB, n_buckets=8)
+        rows = (
+            lsh_index_pairs(spark, idx)
+            .select(
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "id_a long, id_b long")
