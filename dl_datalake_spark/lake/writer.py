@@ -775,62 +775,167 @@ class LakeWriter:
         log = self.commit_log(k)
         payload = {"mode": "delete-dv", **(commit_meta or {})}
         path = self.dataset_path(k)
-        ds_rel = path[len(self.base_path.rstrip("/")) + 1 :]
         try:
             with log.transaction(timeout=self.commit_timeout_s, payload=payload) as meta:
-                live = resolve_live_files(self.fs, path)
-                if live is None:
-                    raise ValueError(
-                        f"delete strategy 'dv' needs a commit-pinned snapshot; "
-                        f"{path} has no pinned file list (legacy dataset) — "
-                        f"use strategy='rewrite' or write through LakeWriter first"
-                    )
-                if not live:
-                    raise _NoMatch
-                dv_map = log.dv_at(None)
-                df = self._dv_probe_frame(path, live, dv_map, months)
-                # NULL predicate rows survive, like SQL DELETE
-                probe = df.where(F.coalesce(pred, F.lit(False))).persist()
-                try:
-                    agg = (
-                        probe.groupBy("year", "month")
-                        .agg(F.count(F.lit(1)).alias("n_del"))
-                        .collect()
-                    )
-                    if not agg:
-                        raise _NoMatch
-                    touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
-                    rows_deleted = int(sum(r["n_del"] for r in agg))
-                    if self.emit_cdf:
-                        self._write_cdf(
-                            k,
-                            meta["version"],
-                            probe.drop("_dv_file", "_dv_pos").withColumn(
-                                "_change_type", F.lit("delete")
-                            ),
-                        )
-                        meta["cdf"] = True
-                    dv_rel, hit_rels = self._write_dv_sidecar(
-                        path, ds_rel, probe, dv_map, rows_deleted
-                    )
-                finally:
-                    probe.unpersist()
-                hit_set = set(hit_rels)
-                new_map = {r: d for r, d in dv_map.items() if r not in hit_set}
-                for r in hit_rels:
-                    new_map[r] = dv_rel
-                meta.update(
-                    rows=rows_deleted,
-                    partitions=[list(p) for p in touched],
-                    files_add=[],
-                    files_remove=[],
-                    dv=new_map,
-                )
+                rows_deleted, touched = self._delete_dv_into(k, log, pred, months, meta)
+                if rows_deleted == 0:
+                    raise _NoMatch  # abort: a no-match delete commits nothing
         except _NoMatch:
             return WriteResult(path=path, time_from=None, time_to=None, rows=0, partitions=[])
         return self._refresh_manifest_result(
             k, path, rows_deleted, touched, delta_rows=-rows_deleted
         )
+
+    def _delete_dv_into(
+        self, k: DatasetKey, log: CommitLog, pred, months, meta: dict
+    ) -> tuple[int, list]:
+        """The DV-delete computation inside an ALREADY-CLAIMED commit
+        transaction (`meta` is its payload dict) — shared by the
+        single-dataset `_delete_where_dv` and the lake-level
+        `delete_where_multi` (which holds claims on many datasets at
+        once).  Fills `meta`; a no-match fills a zero-partition noop
+        (the multi path commits it to keep the epoch atomic; the single
+        path aborts instead).  Returns (rows deleted, touched)."""
+        path = self.dataset_path(k)
+        ds_rel = path[len(self.base_path.rstrip("/")) + 1 :]
+        live = resolve_live_files(self.fs, path)
+        if live is None:
+            raise ValueError(
+                f"delete strategy 'dv' needs a commit-pinned snapshot; "
+                f"{path} has no pinned file list (legacy dataset) — "
+                f"use strategy='rewrite' or write through LakeWriter first"
+            )
+        if not live:
+            meta.update(rows=0, partitions=[])
+            return 0, []
+        dv_map = log.dv_at(None)
+        df = self._dv_probe_frame(path, live, dv_map, months)
+        # NULL predicate rows survive, like SQL DELETE
+        probe = df.where(F.coalesce(pred, F.lit(False))).persist()
+        try:
+            agg = (
+                probe.groupBy("year", "month")
+                .agg(F.count(F.lit(1)).alias("n_del"))
+                .collect()
+            )
+            if not agg:
+                meta.update(rows=0, partitions=[])
+                return 0, []
+            touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
+            rows_deleted = int(sum(r["n_del"] for r in agg))
+            if self.emit_cdf:
+                self._write_cdf(
+                    k,
+                    meta["version"],
+                    probe.drop("_dv_file", "_dv_pos").withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                )
+                meta["cdf"] = True
+            dv_rel, hit_rels = self._write_dv_sidecar(
+                path, ds_rel, probe, dv_map, rows_deleted
+            )
+        finally:
+            probe.unpersist()
+        hit_set = set(hit_rels)
+        new_map = {r: d for r, d in dv_map.items() if r not in hit_set}
+        for r in hit_rels:
+            new_map[r] = dv_rel
+        meta.update(
+            rows=rows_deleted,
+            partitions=[list(p) for p in touched],
+            files_add=[],
+            files_remove=[],
+            dv=new_map,
+        )
+        return rows_deleted, touched
+
+    def delete_where_multi(
+        self, keys: list[DatasetKey], predicate, months=None
+    ) -> dict[str, WriteResult]:
+        """ATOMIC multi-dataset row-level DELETE via deletion vectors —
+        the real GDPR shape: purge one user's rows from EVERY dataset
+        that holds them, committed-or-invisible as one epoch.  A
+        half-applied purge is worse than none (an audit sees the user
+        'deleted' in one dataset and present in another), so this
+        composes the DV delete with the multilog's consistent-cut
+        mechanic exactly like `write_ohlc_multi`/`restore_lake_to`:
+
+        - every dataset's commit log is claimed in sorted order
+          (deadlock-free), the DV probe/sidecar runs per dataset under
+          the held claims (`_delete_dv_into`; a dataset the predicate
+          misses commits a zero-partition noop — the epoch stays
+          atomic);
+        - a multilog intent records all (dataset, version) pairs before
+          any finalize, then the claims finalize and the record flips
+          committed — readers' consistent cut excludes the half-deleted
+          window, and `read_datasets_at(keys, txid)` replays the
+          pre-purge or post-purge state but never a mix;
+        - rewrite cost is zero (merge-on-read); the manifest refreshes
+          incrementally after the flip.
+
+        Returns {dataset rel path: WriteResult} with the shared `txid`."""
+        import uuid as _uuid
+        from contextlib import ExitStack
+
+        from dl_datalake_spark.lake.multilog import MultiCommitLog
+        from dl_datalake_spark.lake.paths import dataset_rel_path
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        norm = [k.normalized() for k in keys]
+        rels = sorted(dataset_rel_path(k) for k in norm)
+        by_rel = {dataset_rel_path(k): k for k in norm}
+        if len(by_rel) != len(norm):
+            raise ValueError("delete_where_multi: duplicate dataset keys")
+        ml = MultiCommitLog(self.base_path, fs=self.fs)
+        txid = _uuid.uuid4().hex
+        intent_written = False
+        counts: dict[str, tuple[int, list]] = {}
+
+        def _run(stack: "ExitStack") -> dict[str, WriteResult]:
+            nonlocal intent_written
+            metas = {
+                r: stack.enter_context(
+                    self.commit_log(by_rel[r]).transaction(
+                        timeout=self.commit_timeout_s,
+                        payload={"mode": "delete-dv", "multi": True, "txid": txid},
+                    )
+                )
+                for r in rels  # sorted order: deadlock-free
+            }
+            results: dict[str, WriteResult] = {}
+            for r in rels:
+                k = by_rel[r]
+                log = self.commit_log(k)
+                n, touched = self._delete_dv_into(k, log, pred, months, metas[r])
+                counts[r] = (n, touched)
+                results[r] = WriteResult(
+                    path=self.dataset_path(k), time_from=None, time_to=None,
+                    rows=n, partitions=[list(p) for p in touched], txid=txid,
+                )
+            ml.begin({r: metas[r]["version"] for r in rels}, txid=txid)
+            intent_written = True
+            return results
+
+        try:
+            with ExitStack() as stack:
+                out = _run(stack)  # finalizes run at stack exit
+        except BaseException:
+            if intent_written:
+                self._abort_intent_if_unfinalized(ml, txid)
+            raise
+        ml.commit(txid)
+        # manifest AFTER the flip (committed-or-invisible to the catalog
+        # too); incremental — no dataset rescan
+        if self.manifest is not None:
+            for r in rels:
+                n, touched = counts[r]
+                if n > 0:
+                    self._refresh_manifest_result(
+                        by_rel[r], self.dataset_path(by_rel[r]), n, touched,
+                        delta_rows=-n,
+                    )
+        return out
 
     def merge_into(
         self,

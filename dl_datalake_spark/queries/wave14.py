@@ -263,3 +263,74 @@ def docs_lsh_index_pairs(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+@register(
+    "events_delete_multi",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 16 AS b, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT 'AAA_USD' AS symbol, CAST({_JAN} + b * 60000 AS BIGINT) AS ts, c AS price_cents
+FROM v WHERE b % 3 <> 0
+UNION ALL
+SELECT 'BBB_USD', CAST({_JAN} + b * 60000 AS BIGINT), c
+FROM k WHERE b % 3 <> 0
+""",
+)
+def events_delete_multi(spark: SparkSession, sf_dir: str):
+    """ATOMIC multi-dataset row-level DELETE (writer.delete_where_multi
+    — the real GDPR purge shape): one predicate removed from TWO
+    datasets as a single multilog epoch, merge-on-read (deletion
+    vectors, zero rewrite).  Both datasets' read-back must equal the
+    WHERE NOT arithmetic in plain SQL, and the query asserts the
+    shared txid replays a CONSISTENT post-purge cut through
+    `read_datasets_at` — committed-or-invisible, never a mix."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    views = _bucket_cents(ev, "view", buckets=16)
+    clicks = _bucket_cents(ev, "click", buckets=16)
+
+    def _ticks(df):
+        return df.select(
+            (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    ka = DatasetKey("SIM", "SPOT", "AAA_USD", "ticks", "1m")
+    kb = DatasetKey("SIM", "SPOT", "BBB_USD", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_dmulti_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(views), ka)
+        w.write_ticks(_ticks(clicks), kb)
+        out = w.delete_where_multi(
+            [ka, kb], F.expr(f"((ts - {_JAN}) DIV 60000) % 3 = 0")
+        )
+        txid = next(iter({res.txid for res in out.values()}))
+        r = LakeReader(spark, tmp)
+        cut = r.read_datasets_at([ka, kb], txid)
+        rows = []
+        for sym in ("AAA_USD", "BBB_USD"):
+            live = r.read_dataset(
+                DatasetKey("SIM", "SPOT", sym, "ticks", "1m")
+            )
+            # the live head and the txid cut must agree (consistent epoch)
+            if live.count() != cut[sym].count():
+                raise AssertionError(f"txid cut and live head disagree for {sym}")
+            rows.extend(
+                (sym, int(x["ts"]), int(x["price"]))
+                for x in live.select("ts", "price").collect()
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "symbol string, ts long, price_cents long")

@@ -325,3 +325,47 @@ def test_dv_two_writers_compose_maps(lake, spark, tmp_path):
     got = r.read_dataset(KEY)
     assert got.count() == 7
     assert got.agg(F.min("ts")).collect()[0][0] == T0 + 3 * 60000
+
+
+def test_delete_where_multi_atomic_purge(lake, spark):
+    """GDPR purge across datasets as ONE multi-commit epoch: both
+    datasets lose the matched rows, the shared txid replays a
+    consistent cut, and a no-match dataset commits a noop (the epoch
+    stays atomic)."""
+    import dataclasses
+
+    w, r, base = lake
+    k1 = dataclasses.replace(KEY, symbol="AAA_USD", data_type="ticks")
+    k2 = dataclasses.replace(KEY, symbol="BBB_USD", data_type="ticks")
+    k3 = dataclasses.replace(KEY, symbol="CCC_USD", data_type="ticks")
+    df1 = spark.createDataFrame(
+        [(T0 + i * 60000, float(i)) for i in range(6)], "ts long, price double"
+    )
+    df2 = spark.createDataFrame(
+        [(T0 + i * 60000, float(i) + 3) for i in range(6)], "ts long, price double"
+    )
+    df3 = spark.createDataFrame(
+        [(T0, 1.0)], "ts long, price double"
+    )
+    w.write_ticks(df1, k1)
+    w.write_ticks(df2, k2)
+    w.write_ticks(df3, k3)
+
+    out = w.delete_where_multi([k1, k2, k3], F.col("price") >= 5.0)
+    rows = {rel.split("symbol=")[1].split("/")[0]: res.rows for rel, res in out.items()}
+    assert rows == {"AAA_USD": 1, "BBB_USD": 4, "CCC_USD": 0}
+    txids = {res.txid for res in out.values()}
+    assert len(txids) == 1
+    assert r.read_dataset(k1).count() == 5
+    assert r.read_dataset(k2).count() == 2
+    assert r.read_dataset(k3).count() == 1
+    # the purge is one consistent epoch: replaying its txid serves the
+    # post-purge state of EVERY dataset
+    got = r.read_datasets_at([k1, k2, k3], next(iter(txids)))
+    assert got["AAA_USD"].count() == 5
+    assert got["BBB_USD"].count() == 2
+    assert got["CCC_USD"].count() == 1
+    # no data file was rewritten anywhere (merge-on-read everywhere)
+    for k in (k1, k2):
+        dv_map = CommitLog(w.dataset_path(k), fs=w.fs).dv_at(None)
+        assert dv_map
