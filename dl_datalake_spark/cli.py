@@ -136,6 +136,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ur.add_argument("--strategy", default="rewrite", choices=["rewrite", "dv"])
 
+    pg = sub.add_parser(
+        "purge-rows",
+        help="ATOMIC cross-dataset delete (deletion vectors, one multilog "
+        "epoch) — the GDPR 'remove user X everywhere' shape",
+    )
+    pg.add_argument("--where", required=True, help="SQL predicate over every dataset's rows")
+    pg.add_argument("--exchange", default=None)
+    pg.add_argument("--market", default=None)
+    pg.add_argument("--data-type", default=None)
+
     exp = sub.add_parser("export")
     exp.add_argument("--exchange", required=True)
     exp.add_argument("--symbol", required=True)
@@ -395,6 +405,17 @@ def main(argv: list[str] | None = None) -> int:
                     market=args.market,
                     period=args.period,
                     strategy=args.strategy,
+                )
+            )
+        )
+    elif args.cmd == "purge-rows":
+        print(
+            json.dumps(
+                client.purge_rows(
+                    args.where,
+                    exchange=args.exchange,
+                    market=args.market,
+                    data_type=args.data_type,
                 )
             )
         )

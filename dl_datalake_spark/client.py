@@ -497,6 +497,40 @@ class DataLakeClient:
         res = self.writer.update_where(key, set, where, strategy=strategy)
         return {"updated": res.rows, "partitions": res.partitions}
 
+    def purge_rows(
+        self,
+        where: str,
+        exchange: str | None = None,
+        market: str | None = None,
+        data_type: str | None = None,
+    ) -> dict:
+        """ATOMIC cross-dataset purge (LakeWriter.delete_where_multi):
+        delete `where` from every cataloged dataset matching the
+        filters, merge-on-read, committed-or-invisible as one multilog
+        epoch — the GDPR shape ('remove user X everywhere').  Returns
+        {'txid': ..., 'deleted': {dataset rel path: rows}}."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        entries = self.manifest.list_entries(
+            exchange=exchange, market=market, data_type=data_type
+        )
+        keys = [
+            DatasetKey(
+                r["exchange"], r["market"], r["symbol"], r["data_type"],
+                __import__("json").loads(r["metadata_json"] or "{}").get(
+                    "timeframe", "1m"
+                ),
+            )
+            for r in entries.select(
+                "exchange", "market", "symbol", "data_type", "metadata_json"
+            ).distinct().collect()
+        ]
+        if not keys:
+            return {"txid": None, "deleted": {}}
+        out = self.writer.delete_where_multi(keys, where)
+        txid = next(iter({res.txid for res in out.values()}), None)
+        return {"txid": txid, "deleted": {r: res.rows for r, res in out.items()}}
+
     # -- SQL surface (reference: DuckDB SQL over parquet, reader.py:57-62) ---
     def register_view(
         self,
