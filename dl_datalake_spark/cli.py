@@ -254,8 +254,8 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument(
         "action",
         choices=[
-            "plan", "compact", "vacuum", "vacuum-tombstones", "prune-commits",
-            "fold-multilog", "recluster",
+            "plan", "auto", "compact", "vacuum", "vacuum-tombstones",
+            "prune-commits", "fold-multilog", "recluster",
         ],
     )
     mt.add_argument("--path", help="recluster: one dataset directory")
@@ -564,6 +564,18 @@ def main(argv: list[str] | None = None) -> int:
             from dl_datalake_spark.lake.maintenance import plan_maintenance
 
             print(json.dumps(plan_maintenance(spark, args.base)))
+        elif args.action == "auto":
+            from dl_datalake_spark.lake.maintenance import run_maintenance
+
+            print(
+                json.dumps(
+                    run_maintenance(
+                        spark, args.base, apply=args.apply,
+                        retention_s=args.retention_s,
+                        keep_last=args.keep_last,
+                    )
+                )
+            )
         elif args.action == "compact":
             from dl_datalake_spark.lake.maintenance import compact
 

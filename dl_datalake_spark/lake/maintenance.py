@@ -1072,3 +1072,73 @@ def plan_maintenance(
         lake_actions.append("fold-multilog")
     report["lake"] = {"multilog_live_records": len(ml_live), "actions": lake_actions}
     return report
+
+
+def run_maintenance(
+    spark: SparkSession,
+    base_path: str,
+    manifest: ManifestManager | None = None,
+    fs: Filesystem | None = None,
+    apply: bool = False,
+    retention_s: float = 7 * 86400.0,
+    keep_last: int = 100,
+    **plan_kwargs,
+) -> dict:
+    """Execute what `plan_maintenance` recommends — the auto-OPTIMIZE
+    loop a deployment crons: plan (metadata-only), then run exactly the
+    actions the signals justify, nothing else.
+
+    - any dataset flagged **compact** (small files or DV load) → one
+      `compact(in_place=True)` pass over the lake (compaction is
+      lake-scoped; it rewrites only real small-file pressure anyway and
+      materializes deletion vectors as a side effect);
+    - any **vacuum-tombstones** flag → one sweep at `retention_s`;
+    - any **prune-commits** flag → `prune_commit_logs(keep_last)`;
+    - a lake-level **fold-multilog** flag → `MultiCommitLog.fold`.
+
+    `apply=False` (default) returns the plan plus the action list
+    WITHOUT executing — the dry-run an operator reads before running
+    with apply=True.  Returns {"plan": ..., "executed": [...],
+    "results": {...}}."""
+    fs = fs if fs is not None else get_fs(base_path, spark)
+    plan = plan_maintenance(spark, base_path, fs=fs, keep_last=keep_last, **plan_kwargs)
+    wanted: list[str] = []
+    ds_actions = [a for d in plan["datasets"].values() for a in d["actions"]]
+    if "compact" in ds_actions:
+        wanted.append("compact")
+    if "vacuum-tombstones" in ds_actions:
+        wanted.append("vacuum-tombstones")
+    if "prune-commits" in ds_actions:
+        wanted.append("prune-commits")
+    if "fold-multilog" in plan["lake"]["actions"]:
+        wanted.append("fold-multilog")
+    out: dict = {"plan": plan, "executed": [], "results": {}}
+    if not apply:
+        out["would_execute"] = wanted
+        return out
+    # order matters: compact first (rewrites retire DVs and supersede
+    # small files), then the sweeps that reclaim what it superseded,
+    # then the log prunes
+    for action in wanted:
+        if action == "compact":
+            out["results"]["compact"] = compact(
+                spark, base_path, in_place=True, fs=fs
+            )
+        elif action == "vacuum-tombstones":
+            rep = vacuum_tombstones(
+                spark, base_path, retention_s=retention_s, dry_run=False, fs=fs
+            )
+            out["results"]["vacuum-tombstones"] = {
+                "removed": len(rep["removed"]), "retained": len(rep["retained"])
+            }
+        elif action == "prune-commits":
+            rep = prune_commit_logs(spark, base_path, keep_last=keep_last)
+            out["results"]["prune-commits"] = {"files_removed": sum(rep.values())}
+        elif action == "fold-multilog":
+            from dl_datalake_spark.lake.multilog import MultiCommitLog
+
+            out["results"]["fold-multilog"] = MultiCommitLog(
+                base_path, fs=fs
+            ).fold(keep_last=keep_last)
+        out["executed"].append(action)
+    return out

@@ -77,3 +77,42 @@ def test_long_log_recommends_prune(lake, spark):
     rep = plan_maintenance(spark, base, fs=w.fs, keep_last=3, min_file_bytes=1)
     ds = next(iter(rep["datasets"].values()))
     assert "prune-commits" in ds["actions"]
+
+
+def test_run_maintenance_dry_run_then_apply(lake, spark):
+    """The plan->act loop (maintenance.run_maintenance): dry run lists
+    the justified actions without touching anything; apply executes
+    them and the follow-up plan is clean."""
+    from dl_datalake_spark.lake.maintenance import run_maintenance
+    from dl_datalake_spark.lake.snapshot import list_data_files
+
+    w, base = lake
+    for i in range(6):
+        w.write_ticks(_rows(spark, n=20, start=T0 + i * 600000), KEY, mode="append")
+    w.delete_where(KEY, F.col("price") >= 18, strategy="dv")
+    ds = w.dataset_path(KEY)
+    files_before = list_data_files(w.fs, ds)
+
+    dry = run_maintenance(spark, base, fs=w.fs, keep_last=3)
+    assert "compact" in dry["would_execute"]
+    assert "prune-commits" in dry["would_execute"]
+    assert dry["executed"] == []
+    assert list_data_files(w.fs, ds) == files_before  # nothing touched
+
+    done = run_maintenance(
+        spark, base, fs=w.fs, apply=True, retention_s=0.0, keep_last=3
+    )
+    assert "compact" in done["executed"]
+    # compaction collapsed the small files and materialized the DV
+    after = list_data_files(w.fs, done["results"]["compact"] + "/" + ds[len(base.rstrip('/')) + 1:])
+    assert len(after) < len(files_before)
+    from dl_datalake_spark.lake.commitlog import CommitLog
+    from dl_datalake_spark.lake.reader import LakeReader
+
+    assert CommitLog(ds, fs=w.fs).dv_at(None) == {}
+    got = LakeReader(spark, base).read_dataset(KEY)
+    assert got.count() == 6 * 20 - 6 * 2  # prices 18,19 deleted per append
+    # the follow-up plan recommends nothing structural
+    again = run_maintenance(spark, base, fs=w.fs, keep_last=3, min_file_bytes=1)
+    acts = [a for d in again["plan"]["datasets"].values() for a in d["actions"]]
+    assert "compact" not in acts and "materialize-dv" not in acts
