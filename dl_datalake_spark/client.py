@@ -507,9 +507,18 @@ class DataLakeClient:
         """ATOMIC cross-dataset purge (LakeWriter.delete_where_multi):
         delete `where` from every cataloged dataset matching the
         filters, merge-on-read, committed-or-invisible as one multilog
-        epoch — the GDPR shape ('remove user X everywhere').  Returns
-        {'txid': ..., 'deleted': {dataset rel path: rows}}."""
-        from dl_datalake_spark.lake.paths import DatasetKey
+        epoch — the GDPR shape ('remove user X everywhere').
+
+        A heterogeneous catalog must not block the purge: datasets the
+        DV delete cannot serve — legacy ones with no commit-pinned
+        listing, or ones whose schema lacks a column the predicate
+        references — are PRE-FILTERED (one driver-side schema analysis
+        each, no job) and reported under ``skipped`` with the reason,
+        instead of aborting the whole epoch with an AnalysisException
+        mid-claim.  Returns {'txid': ..., 'deleted': {dataset rel
+        path: rows}, 'skipped': {dataset rel path: reason}}."""
+        from dl_datalake_spark.lake.paths import DatasetKey, dataset_rel_path
+        from dl_datalake_spark.lake.snapshot import resolve_live_files
 
         entries = self.manifest.list_entries(
             exchange=exchange, market=market, data_type=data_type
@@ -525,11 +534,44 @@ class DataLakeClient:
                 "exchange", "market", "symbol", "data_type", "metadata_json"
             ).distinct().collect()
         ]
-        if not keys:
-            return {"txid": None, "deleted": {}}
-        out = self.writer.delete_where_multi(keys, where)
+        eligible: list[DatasetKey] = []
+        skipped: dict[str, str] = {}
+        for k in keys:
+            rel = dataset_rel_path(k.normalized())
+            path = self.writer.dataset_path(k)
+            live = resolve_live_files(self.writer.fs, path)
+            if live is None:
+                skipped[rel] = (
+                    "no commit-pinned listing (legacy dataset) — purge it "
+                    "with delete_rows(strategy='rewrite') individually"
+                )
+                continue
+            if live:
+                try:
+                    # analysis only (limit(0), never executed): does the
+                    # predicate resolve against this dataset's schema?
+                    (
+                        self.spark.read.option("basePath", path)
+                        .parquet(f"{path}/{live[0]}")
+                        .limit(0)
+                        .where(where)
+                        .schema
+                    )
+                except Exception as exc:
+                    skipped[rel] = (
+                        f"predicate does not resolve against schema: {exc}"
+                    )
+                    continue
+            eligible.append(k)
+        if not eligible:
+            return {"txid": None, "deleted": {}, "skipped": skipped}
+        out = self.writer.delete_where_multi(eligible, where)
         txid = next(iter({res.txid for res in out.values()}), None)
-        return {"txid": txid, "deleted": {r: res.rows for r, res in out.items()}}
+        return {
+            "txid": txid,
+            "deleted": {r: res.rows for r, res in out.items()},
+            "skipped": skipped,
+        }
 
     # -- SQL surface (reference: DuckDB SQL over parquet, reader.py:57-62) ---
     def register_view(

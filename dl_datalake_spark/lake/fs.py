@@ -47,6 +47,12 @@ class Filesystem:
     market=Y/...``); implementations map them to their store's API.
     """
 
+    #: True when `rename` is an atomic directory move (POSIX, HDFS, ADLS
+    #: Gen2 w/ hierarchical namespace).  Object stores whose rename is a
+    #: copy+delete set this False; in-place operations that swap whole
+    #: directory trees (maintenance.compact) refuse to run there.
+    ATOMIC_RENAME = True
+
     # -- discovery ---------------------------------------------------------
     def listdir(self, path: str) -> list[str]:
         """Child NAMES (not paths) of a directory; [] if it does not exist."""
@@ -472,6 +478,8 @@ class ObjectStoreFS(ConditionalConsumeFS, HadoopFS):
     copy+delete rename. `get_fs` selects this class automatically for
     the schemes above — the safety is zero-config, the scheme set is
     env-tunable."""
+
+    ATOMIC_RENAME = False
 
 
 def has_visible_children(fs: Filesystem, path: str) -> bool:

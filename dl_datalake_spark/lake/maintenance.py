@@ -217,6 +217,7 @@ def compact(
     in_place: bool = False,
     fs: Filesystem | None = None,
     commit_timeout_s: float = 60.0,
+    datasets: list[str] | None = None,
 ) -> str:
     """Partition-preserving small-file compaction (reference:
     unimplemented placeholder, flows.py:127-130). Rewrites every
@@ -245,6 +246,15 @@ def compact(
       `partitions: []` — data is byte-identical, so CDC consumers
       advance their cursor and rebuild nothing (reader.changes_since
       returns an empty slice for zero-partition commits).
+
+    `datasets=` (dataset-relative paths, as `plan_maintenance` reports
+    them) scopes the rewrite to just those datasets; with
+    `in_place=True` a scoped compact swaps each dataset DIRECTORY
+    individually (never the lake base), so one fragmented dataset never
+    forces a lake-wide rename.  `in_place=True` is refused outright on
+    object-store schemes whose rename is copy+delete (a failure
+    mid-swap would leave the tree half-moved) — export with
+    `in_place=False` and flip the manifest pointer there instead.
     """
     import uuid as _uuid
     from contextlib import ExitStack
@@ -252,6 +262,14 @@ def compact(
     from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
 
     fs = fs if fs is not None else get_fs(base_path, spark)
+    if in_place and not getattr(fs, "ATOMIC_RENAME", True):
+        raise ValueError(
+            "compact(in_place=True) needs atomic directory rename; "
+            f"{base_path} resolves to an object-store filesystem whose "
+            "rename is copy+delete — a mid-swap failure would leave the "
+            "tree half-moved. Use in_place=False and re-point the "
+            "manifest at the exported tree."
+        )
     base = base_path.rstrip("/")
     # One rewrite PER DATASET directory: a single mergeSchema read of the
     # whole lake would rewrite every dataset with the UNION schema of all
@@ -274,6 +292,20 @@ def compact(
             if root.endswith("/" + LOG_DIR)
         }
     )
+    scoped = datasets is not None
+    if scoped:
+        wanted_abs = {f"{base}/{rel.strip('/')}" for rel in datasets}
+        known = set(data_datasets) | set(logged_datasets)
+        unknown = sorted(wanted_abs - known)
+        if unknown:
+            raise ValueError(
+                f"compact: unknown dataset(s) under {base}: "
+                + ", ".join(p[len(base) + 1 :] for p in unknown)
+            )
+        data_datasets = [d for d in data_datasets if d in wanted_abs]
+        logged_datasets = [d for d in logged_datasets if d in wanted_abs]
+        if not wanted_abs:
+            return base
     datasets = sorted(set(data_datasets) | set(logged_datasets))
     out = base + "_compacted"
     fs.rmtree(out)
@@ -399,6 +431,36 @@ def compact(
             # commit in the ORIGINAL tree — an audit row whose empty
             # partition set CDC consumers skip.
             return out
+        if scoped:
+            # Scoped in-place: swap each dataset DIRECTORY individually —
+            # the unselected datasets never move, and each swap window is
+            # two renames on one subtree.  The displaced original parks
+            # under a hidden (`.`-prefixed) sibling so an in-flight scan
+            # of the lake base never sees a conflicting partition value.
+            for ds in datasets:
+                rel = ds[len(base) + 1 :]
+                parent, _, leaf = ds.rpartition("/")
+                old = f"{parent}/.{leaf}.precompact.{_uuid.uuid4().hex}"
+                fs.rename(ds, old)
+                try:
+                    fs.rename(f"{out}/{rel}", ds)
+                except BaseException:
+                    fs.rename(old, ds)
+                    raise
+                log_dir = f"{ds}/{LOG_DIR}"
+                try:
+                    for name in fs.listdir(log_dir):
+                        if ".abandoned." in name:
+                            continue
+                        try:
+                            fs.touch(f"{log_dir}/{name}")
+                        except OSError:
+                            pass
+                except OSError:
+                    pass
+                fs.rmtree(old)
+            fs.rmtree(out)  # only empty parent scaffolding remains
+            return base
         # In-place swap: atomic renames on POSIX/HDFS; on S3A rename is
         # copy+delete, so there prefer in_place=False + a manifest pointer
         # flip to the compacted tree.  The held claims were copied into
@@ -1089,9 +1151,12 @@ def run_maintenance(
     actions the signals justify, nothing else.
 
     - any dataset flagged **compact** (small files or DV load) → one
-      `compact(in_place=True)` pass over the lake (compaction is
-      lake-scoped; it rewrites only real small-file pressure anyway and
-      materializes deletion vectors as a side effect);
+      `compact(in_place=True, datasets=[...])` pass scoped to exactly
+      the flagged datasets (each swapped individually — never a
+      lake-base rename), materializing their deletion vectors as a
+      side effect; on object-store schemes without atomic rename the
+      action is REFUSED and reported under ``skipped`` instead of
+      risking a half-moved tree (export with in_place=False there);
     - any **vacuum-tombstones** flag → one sweep at `retention_s`;
     - any **prune-commits** flag → `prune_commit_logs(keep_last)`;
     - a lake-level **fold-multilog** flag → `MultiCommitLog.fold`.
@@ -1103,16 +1168,27 @@ def run_maintenance(
     fs = fs if fs is not None else get_fs(base_path, spark)
     plan = plan_maintenance(spark, base_path, fs=fs, keep_last=keep_last, **plan_kwargs)
     wanted: list[str] = []
+    skipped: dict[str, str] = {}
+    compact_rels = sorted(
+        rel for rel, d in plan["datasets"].items() if "compact" in d["actions"]
+    )
+    if compact_rels:
+        if not getattr(fs, "ATOMIC_RENAME", True):
+            skipped["compact"] = (
+                "in-place compact needs atomic directory rename; this "
+                "store's rename is copy+delete — run "
+                "compact(in_place=False) and re-point the manifest"
+            )
+        else:
+            wanted.append("compact")
     ds_actions = [a for d in plan["datasets"].values() for a in d["actions"]]
-    if "compact" in ds_actions:
-        wanted.append("compact")
     if "vacuum-tombstones" in ds_actions:
         wanted.append("vacuum-tombstones")
     if "prune-commits" in ds_actions:
         wanted.append("prune-commits")
     if "fold-multilog" in plan["lake"]["actions"]:
         wanted.append("fold-multilog")
-    out: dict = {"plan": plan, "executed": [], "results": {}}
+    out: dict = {"plan": plan, "executed": [], "results": {}, "skipped": skipped}
     if not apply:
         out["would_execute"] = wanted
         return out
@@ -1121,9 +1197,12 @@ def run_maintenance(
     # then the log prunes
     for action in wanted:
         if action == "compact":
-            out["results"]["compact"] = compact(
-                spark, base_path, in_place=True, fs=fs
-            )
+            out["results"]["compact"] = {
+                "path": compact(
+                    spark, base_path, in_place=True, fs=fs, datasets=compact_rels
+                ),
+                "datasets": compact_rels,
+            }
         elif action == "vacuum-tombstones":
             rep = vacuum_tombstones(
                 spark, base_path, retention_s=retention_s, dry_run=False, fs=fs

@@ -1613,7 +1613,12 @@ class LakeWriter:
         hit_keys = [
             r["_dv_file"] for r in probe.select("_dv_file").distinct().collect()
         ]
-        hit_rels = [kk[len(ds_rel) + 1 :] for kk in hit_keys]
+        # keys are "<ds_rel>/<file_rel>"; when the dataset path IS the
+        # lake base (ds_rel == "") there is no prefix to strip — the
+        # naive len+1 slice would eat the first character of every key
+        # and silently corrupt the dv map (same guard as dv.plan_dv)
+        prefix = f"{ds_rel}/" if ds_rel else ""
+        hit_rels = [kk[len(prefix) :] for kk in hit_keys]
         newpos = probe.select(
             F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
         )

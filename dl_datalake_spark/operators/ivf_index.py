@@ -490,7 +490,14 @@ def apply_cdf_to_ivf(
     # ups/dels/probe_ids/removed all derive from it across several
     # actions, and re-running the batch window per action would
     # multiply the catch-up batch's scan cost
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cv"))
+    # ts-moving update_where emits a delete pre-image AND an
+    # update_postimage for the SAME vec at the SAME commit_version —
+    # break the tie deterministically (live image beats tombstone).
+    ct_rank = (
+        F.when(F.col("_ct").isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cv"), ct_rank.desc())
     final = (
         ch.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

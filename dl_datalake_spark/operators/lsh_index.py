@@ -204,7 +204,15 @@ def apply_cdf_to_lsh(
             else F.lit(0)
         ).cast("long").alias("_cv"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_cv"))
+    # ts-moving update_where emits a delete pre-image AND an
+    # update_postimage for the SAME doc at the SAME commit_version —
+    # break the tie deterministically (live image beats tombstone) or a
+    # live doc can silently drop from the index.
+    ct_rank = (
+        F.when(F.col("_ct").isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_cv"), ct_rank.desc())
     final = (
         ch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).persist()
     )

@@ -65,6 +65,22 @@ def _replay_listing(history: list[dict]) -> dict[int, dict]:
         v = e["version"]
         if "files" in e:
             new = set(e["files"])
+            if not known and v > 0:
+                # Full listing with an unknown base (pruned history or a
+                # files-less commit before it): the listing is a snapshot of
+                # EVERYTHING live, not this commit's adds — serving it would
+                # re-deliver every pre-existing row.  Only version 0 may
+                # treat a full listing as all-added.  Seed the state so
+                # SUBSEQUENT commits replay exactly.
+                out[v] = {
+                    "added": [],
+                    "removed": [],
+                    "dv_changed": False,
+                    "known": False,
+                }
+                cur, known = new, True
+                prev_dv = e.get("dv") or {}
+                continue
             added = sorted(new - cur) if known else sorted(new)
             removed = sorted(cur - new) if known else []
             cur, known = new, True
@@ -194,9 +210,12 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
             info = replay[v]
             if not info["known"]:
                 raise ValueError(
-                    f"commit {v} of {self.path} has no pinned listing (legacy "
-                    "writer / external tool) — its added rows are unknowable; "
-                    "rebuild the consumer from a batch scan"
+                    f"commit {v} of {self.path}: its added files are "
+                    "unknowable — either it has no pinned listing (legacy "
+                    "writer / external tool) or it is a full-listing "
+                    "checkpoint whose prior history was pruned (serving it "
+                    "would re-deliver every pre-existing row); rebuild the "
+                    "consumer from a batch scan"
                 )
             is_change = bool(info["removed"]) or info["dv_changed"]
             if is_change and not self.ignore_changes:

@@ -93,3 +93,30 @@ def test_appends_ignore_changes_serves_added_files(tmp_path, spark):
     assert sum(1 for r in got if r["commit_version"] == 0) == 4
     assert sum(1 for r in got if r["commit_version"] == 1) == 4
     assert sum(1 for r in got if r["commit_version"] == 1 and r["price"] == 9.0) == 2
+
+
+def test_appends_resume_at_pruned_checkpoint_refuses(tmp_path, spark):
+    """Resume-after-prune must not fabricate adds: when commit pruning
+    leaves a full-listing CHECKPOINT as the oldest retained entry (its
+    listing is a snapshot of everything live, not its own adds), a
+    consumer resuming just below it must get a loud refusal — not the
+    ENTIRE dataset re-served as 'newly appended' rows."""
+    from dl_datalake_spark.lake.commitlog import CommitLog
+    from dl_datalake_spark.sources.append_source import (
+        LakeAppendsStreamReader,
+        _infer_append_schema,
+    )
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    for i in range(12):  # v0..v11; v10 is a full-files checkpoint
+        w.write_ticks(_ticks(spark, 1, start=T0 + i * 60000), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    CommitLog(ds, fs=w.fs).prune(keep_last=2)  # retained: v10 (ckpt), v11
+
+    r = LakeAppendsStreamReader({"path": ds}, _infer_append_schema(ds))
+    with pytest.raises(ValueError, match="unknowable"):
+        r.partitions({"version": 9}, {"version": 11})
+    # a consumer that already saw the checkpoint commit replays exactly
+    parts = r.partitions({"version": 10}, {"version": 11})
+    assert [p.version for p in parts] == [11] and len(parts[0].files) == 1

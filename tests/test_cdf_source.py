@@ -392,3 +392,38 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
     assert len(content) == 13  # still one copy per id
     assert dict(content)[JAN] == (-5.0, -0.1, -0.2, -0.3)
     assert fsck_ivf_index(spark, idx).count() == 0
+
+
+def test_apply_cdf_to_ivf_same_commit_update_beats_delete(spark, tmp_path):
+    """Same tie as the LSH test: a ts-moving update emits delete +
+    update_postimage at ONE commit_version for one vec_id — the live
+    image must win deterministically or a live vector silently leaves
+    the index."""
+    from dl_datalake_spark.operators.ivf_index import (
+        apply_cdf_to_ivf,
+        train_ivf,
+        write_ivf_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 == d) + 0.1 * d for d in range(3)]) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(vecs, train_ivf(vecs, num_cells=2, iters=2), idx)
+
+    new_emb = [9.0, 9.0, 9.0]
+    old = vecs.where(F.col("vec_id") == 4).select(
+        "vec_id", "embedding",
+        F.lit("delete").alias("_change_type"),
+        F.lit(7).cast("long").alias("commit_version"),
+    )
+    new = spark.createDataFrame([(4, new_emb)], "vec_id long, embedding array<double>").select(
+        "vec_id", "embedding",
+        F.lit("update_postimage").alias("_change_type"),
+        F.lit(7).cast("long").alias("commit_version"),
+    )
+    apply_cdf_to_ivf(spark, old.unionByName(new), idx)
+    got = dict(_index_content(spark, idx))
+    assert 4 in got and got[4] == (9.0, 9.0, 9.0)
+    assert len(got) == 9

@@ -360,3 +360,44 @@ def test_gdpr_purge_end_to_end_lake_rollup_and_ann_index(client, tmp_path, spark
     # both purge paths are idempotent replays (crash-safety contract)
     assert client.refresh_rollup_cdc("binance", "spot", "BTCUSDT", "1m", "15m") is None
     assert delete_from_ivf_index(spark, purge_ids, ivf_path) == 0
+
+
+def test_purge_rows_skips_incompatible_datasets(client, tmp_path, spark):
+    """A heterogeneous catalog must not block the GDPR purge: datasets
+    the DV delete cannot serve — legacy (no commit-pinned listing) or
+    lacking a predicate column — are pre-filtered into ``skipped`` with
+    a reason, and the epoch still lands atomically on the rest."""
+    from pyspark.sql import functions as F
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    # dataset 1: ticks with a `price` column — purgeable
+    k1 = DatasetKey("binance", "spot", "AAA", "ticks", "1m")
+    rows = spark.createDataFrame(
+        [(1672574400000 + i * 60000, float(i)) for i in range(10)],
+        "ts long, price double",
+    )
+    client.writer.write_ticks(rows, k1, mode="append")
+    # dataset 2: OHLC — NO `price` column, predicate cannot resolve
+    client.ingest_csv(_csv(tmp_path), "binance", "spot", "BBB")
+    # dataset 3: legacy — raw parquet + manifest row, no commit log
+    legacy_key = DatasetKey("binance", "spot", "CCC", "raw", "1m")
+    legacy_path = client.writer.dataset_path(legacy_key)
+    rows.write.parquet(legacy_path)
+    client.manifest.add_entry(
+        "binance", "spot", "CCC", legacy_path, data_type="raw",
+        metadata={"timeframe": "1m"},
+    )
+
+    out = client.purge_rows("price >= 5.0")
+    assert out["txid"] is not None
+    from dl_datalake_spark.lake.paths import dataset_rel_path
+
+    assert out["deleted"].get(dataset_rel_path(k1.normalized())) == 5
+    skipped = out["skipped"]
+    assert "no commit-pinned listing" in skipped[dataset_rel_path(legacy_key.normalized())]
+    bbb = DatasetKey("binance", "spot", "BBB", "raw", "1m")
+    assert "does not resolve" in skipped[dataset_rel_path(bbb.normalized())]
+    # the purge actually landed on the eligible dataset
+    got = client.reader.read_dataset(k1)
+    assert got.count() == 5 and got.agg(F.max("price")).first()[0] == 4.0

@@ -34,6 +34,8 @@ class S3LikeFS(ConditionalConsumeFS, LocalFS):
     """LocalFS with S3's copy+delete rename (non-atomic); the
     conditional-CAS mixin supplies consume_rename's one-winner rule."""
 
+    ATOMIC_RENAME = False
+
     def rename(self, src: str, dst: str) -> None:
         data = self.read_bytes(src)
         self.write_bytes_atomic(dst, data)

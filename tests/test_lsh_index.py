@@ -86,6 +86,25 @@ def test_apply_newest_commit_wins_within_batch(tmp_path, spark):
     assert read_lsh_index(spark, idx).where(F.col("doc_id") == 9).count() == 0
 
 
+def test_apply_same_commit_update_beats_delete(tmp_path, spark):
+    """ts-moving update_where emits a delete pre-image AND an
+    update_postimage for the SAME doc at the SAME commit_version; the
+    live image must win DETERMINISTICALLY (ordering on commit_version
+    alone ties, and an arbitrary winner can silently drop a live doc
+    from the index)."""
+    idx = str(tmp_path / "lsh")
+    write_lsh_index(spark, _docs(spark), idx, n_buckets=8)
+    changes = _changes(spark, [(2, DOCS[2][1])], "delete", cv=5).unionByName(
+        _changes(spark, [(2, DOCS[3][1])], "update_postimage", cv=5)
+    )
+    apply_cdf_to_lsh(spark, changes, idx)
+    bands = read_lsh_index(spark, idx)
+    assert bands.where(F.col("doc_id") == 2).count() == 8  # still indexed
+    # and the indexed content is the POST-image (duplicates doc 3 now)
+    got = {(r["id_a"], r["id_b"]) for r in lsh_index_pairs(spark, idx).collect()}
+    assert (2, 3) in got
+
+
 def test_apply_txn_replay_skipped(tmp_path, spark):
     idx = str(tmp_path / "lsh")
     write_lsh_index(spark, _docs(spark), idx, n_buckets=8)

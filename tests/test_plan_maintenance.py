@@ -104,7 +104,8 @@ def test_run_maintenance_dry_run_then_apply(lake, spark):
     )
     assert "compact" in done["executed"]
     # compaction collapsed the small files and materialized the DV
-    after = list_data_files(w.fs, done["results"]["compact"] + "/" + ds[len(base.rstrip('/')) + 1:])
+    assert done["results"]["compact"]["datasets"] == [ds[len(base.rstrip('/')) + 1:]]
+    after = list_data_files(w.fs, done["results"]["compact"]["path"] + "/" + ds[len(base.rstrip('/')) + 1:])
     assert len(after) < len(files_before)
     from dl_datalake_spark.lake.commitlog import CommitLog
     from dl_datalake_spark.lake.reader import LakeReader
@@ -116,3 +117,56 @@ def test_run_maintenance_dry_run_then_apply(lake, spark):
     again = run_maintenance(spark, base, fs=w.fs, keep_last=3, min_file_bytes=1)
     acts = [a for d in again["plan"]["datasets"].values() for a in d["actions"]]
     assert "compact" not in acts and "materialize-dv" not in acts
+
+
+def test_scoped_compact_touches_only_flagged_dataset(lake, spark):
+    """compact(datasets=[...]) swaps the selected dataset DIRECTORY
+    only: the other dataset's files, log, and claim history never
+    move, and the compacted dataset keeps its version lineage."""
+    from dl_datalake_spark.lake.commitlog import CommitLog
+    from dl_datalake_spark.lake.maintenance import compact
+    from dl_datalake_spark.lake.snapshot import list_data_files
+
+    w, base = lake
+    other = DatasetKey("SIM", "SPOT", "OTH", "ticks", "1m")
+    for i in range(5):
+        w.write_ticks(_rows(spark, n=10, start=T0 + i * 600000), KEY, mode="append")
+    w.write_ticks(_rows(spark, n=10), other, mode="append")
+    ds, ds_other = w.dataset_path(KEY), w.dataset_path(other)
+    frag_before = list_data_files(w.fs, ds)
+    other_before = list_data_files(w.fs, ds_other)
+    v_before = CommitLog(ds, fs=w.fs).latest_version()
+
+    rel = ds[len(base.rstrip("/")) + 1 :]
+    out = compact(spark, base, in_place=True, fs=w.fs, datasets=[rel])
+    assert out == base.rstrip("/")
+    assert list_data_files(w.fs, ds_other) == other_before  # untouched
+    after = list_data_files(w.fs, ds)
+    assert len(after) < len(frag_before)
+    # version lineage continues (+1 compact commit), data identical
+    assert CommitLog(ds, fs=w.fs).latest_version() == v_before + 1
+    from dl_datalake_spark.lake.reader import LakeReader
+
+    assert LakeReader(spark, base).read_dataset(KEY).count() == 50
+
+    # unknown dataset name: loud
+    with pytest.raises(ValueError, match="unknown dataset"):
+        compact(spark, base, fs=w.fs, datasets=["no/such/dataset"])
+
+
+def test_compact_in_place_refused_on_non_atomic_rename(lake, spark, tmp_path):
+    """in_place=True must refuse a store whose rename is copy+delete (a
+    mid-swap failure strands the tree); run_maintenance downgrades the
+    same situation to a reported skip instead of risking it."""
+    from dl_datalake_spark.lake.maintenance import compact, run_maintenance
+    from tests.test_fs_matrix import S3LikeFS
+
+    w, base = lake
+    for i in range(5):
+        w.write_ticks(_rows(spark, n=10, start=T0 + i * 600000), KEY, mode="append")
+    s3 = S3LikeFS()
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        compact(spark, base, in_place=True, fs=s3)
+    rep = run_maintenance(spark, base, fs=s3, apply=True, keep_last=1000)
+    assert "compact" not in rep["executed"]
+    assert "compact" in rep["skipped"]
