@@ -259,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
         ],
     )
     mt.add_argument("--path", help="recluster: one dataset directory")
+    mt.add_argument("--index", action="append", default=[],
+                    help="plan/auto: ANN/LSH index directory to health-check "
+                         "(repeatable; recommendations only, never auto-run)")
     mt.add_argument("--cols", help="recluster: comma-separated Z-order columns")
     mt.add_argument("--files-per-partition", type=int, default=1)
     mt.add_argument("--in-place", action="store_true",
@@ -563,7 +566,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "plan":
             from dl_datalake_spark.lake.maintenance import plan_maintenance
 
-            print(json.dumps(plan_maintenance(spark, args.base)))
+            print(json.dumps(plan_maintenance(
+                spark, args.base, index_paths=args.index or None
+            )))
         elif args.action == "auto":
             from dl_datalake_spark.lake.maintenance import run_maintenance
 
@@ -573,6 +578,7 @@ def main(argv: list[str] | None = None) -> int:
                         spark, args.base, apply=args.apply,
                         retention_s=args.retention_s,
                         keep_last=args.keep_last,
+                        index_paths=args.index or None,
                     )
                 )
             )

@@ -292,6 +292,36 @@ class CommitLog:
             return dict(e.get("dv") or {})
         return {}
 
+    def schema_at(self, upto: int | None = None) -> dict | None:
+        """The dataset's resolved column schema ({name: Spark DDL type},
+        lake/schema.py) as of commit `upto` (None = head); None for
+        history predating the write-time contract.  One-entry read:
+        `_carry_schema` re-records the schema on every finalize, so the
+        newest committed entry at/below the cut either carries it or
+        proves the dataset pre-contract — no chain to fold, and prune
+        can never orphan the contract (the `dv_at` mechanic)."""
+        for v in reversed(self._entries()):
+            if upto is not None and v > upto:
+                continue
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            sch = e.get("schema")
+            return dict(sch) if sch is not None else None
+        return None
+
+    def _carry_schema(self, version: int, payload: dict) -> dict:
+        """Carry the schema contract forward into a commit that didn't
+        set one (deletes, DV commits, compaction) — writers that CHANGE
+        the schema (appends under the contract, restore) set
+        ``payload["schema"]`` explicitly and skip this."""
+        if "schema" in payload:
+            return payload
+        prior = self.schema_at(version - 1)
+        if prior:
+            payload["schema"] = prior
+        return payload
+
     def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:
         """Carry the deletion-vector map forward into a commit that
         didn't set one, filtered to the commit's own live file set —
@@ -643,6 +673,7 @@ class CommitLog:
             if "files" in payload and version % self.CHECKPOINT_EVERY != 0:
                 payload = self._encode_files(version, payload, prev_files())
             payload = self._carry_dv(version, payload, prev_files)
+            payload = self._carry_schema(version, payload)
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}
         self.fs.write_bytes_atomic(
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()

@@ -155,17 +155,24 @@ def scan_with_dv(
     dv_dirs: list[str],
     fs=None,
     read_options: dict | None = None,
+    schema_ddl: str | None = None,
 ) -> DataFrame:
     """Build the scan so that ONLY the files carrying a deletion vector
     pay the anti-join: clean files (the overwhelming majority after a
     surgical purge on a 100 TB dataset) scan through the untouched
     fast path, and the two halves union by name.  A plan that wrapped
     the whole scan in the join would tax every row for deletes that
-    touch a handful of files."""
+    touch a handful of files.  `schema_ddl` pins the read to a recorded
+    write-time contract (lake/schema.py) instead of mergeSchema
+    inference — required to read widened columns."""
     opts = {"mergeSchema": "true", "basePath": base_path, **(read_options or {})}
+    if schema_ddl is not None:
+        opts.pop("mergeSchema", None)
 
     def _read(paths):
         r = spark.read
+        if schema_ddl is not None:
+            r = r.schema(schema_ddl)
         for key_, val in opts.items():
             r = r.option(key_, val)
         return r.parquet(*paths)

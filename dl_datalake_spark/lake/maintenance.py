@@ -1035,6 +1035,7 @@ def plan_maintenance(
     dv_frac: float = 0.10,
     keep_last: int = 100,
     fold_live_threshold: int = 64,
+    index_paths: list[str] | None = None,
 ) -> dict:
     """Advisor for the maintenance cadence (the OPTIMIZE-scheduling
     question every lakehouse deployment asks): inspect each dataset's
@@ -1133,6 +1134,147 @@ def plan_maintenance(
     if len(ml_live) > fold_live_threshold:
         lake_actions.append("fold-multilog")
     report["lake"] = {"multilog_live_records": len(ml_live), "actions": lake_actions}
+    if index_paths:
+        # ANN/LSH index health (one O(index) aggregate per path — only
+        # over explicitly passed paths, the rest of the plan stays
+        # metadata-only); actions here are RECOMMEND-ONLY
+        report["indexes"] = plan_index_maintenance(spark, index_paths)
+    return report
+
+
+def plan_index_maintenance(
+    spark: SparkSession,
+    index_paths: list[str],
+    skew_threshold: float = 3.0,
+    min_mean_sim: float = 0.35,
+    stale_applies: int = 50,
+    lsh_hot_share: float = 0.05,
+) -> dict:
+    """Health advisor for the persisted ANN/LSH indexes (VERDICT r9 #5)
+    — the signals `plan_maintenance`'s dataset walk cannot see because
+    indexes degrade by DISTRIBUTION, not by file shape:
+
+    - **IVF** (`operators/ivf_index.py`): incremental upserts/CDF
+      applies assign new vectors against FROZEN centroids, so a
+      shifting distribution shows up as cell imbalance
+      (`max_over_mean` from `ivf_drift_report` — hot cells stop
+      pruning searches) and falling `mean_centroid_sim` (candidate
+      quality).  Either past threshold → recommend **retrain-ivf**
+      (`train_ivf` + `write_ivf_index`).
+    - **LSH** (`operators/lsh_index.py`): the band table's hottest
+      (band, bucket) vs the mean — a hot bucket makes
+      `lsh_index_pairs`' self-join quadratic in that bucket —
+      and staleness (cdf_apply commits since the last full build;
+      the stop-shingle cap was calibrated at build time, so a corpus
+      that grew 50 applies past it deserves a rebuild).  Either →
+      recommend **rebuild-lsh**.
+
+    Unlike `plan_maintenance` this reads index DATA (one O(index)
+    aggregate per index), so it only runs over the paths you pass.
+    Recommendations are never auto-executed — `run_maintenance`
+    surfaces them under ``recommend_only`` for an operator to act on
+    (a retrain is a modeling decision, not a sweep)."""
+    report: dict = {}
+    for p in index_paths:
+        p = p.rstrip("/")
+        fs = get_fs(p, spark)
+        info: dict = {"actions": []}
+        try:
+            if fs.isdir(f"{p}/centroids") and fs.isdir(f"{p}/vectors"):
+                from dl_datalake_spark.operators.ivf_index import (
+                    _index_log,
+                    ivf_drift_report,
+                )
+
+                rows = ivf_drift_report(spark, p).collect()
+                worst = max((float(r["load_vs_mean"]) for r in rows), default=0.0)
+                n_vec = sum(int(r["n_vectors"]) for r in rows)
+                mean_sim = (
+                    sum(float(r["mean_centroid_sim"]) * int(r["n_vectors"]) for r in rows)
+                    / n_vec
+                    if n_vec
+                    else 0.0
+                )
+                hist = _index_log(p, spark).history()
+                applies = 0
+                for e in reversed(hist):
+                    if e.get("op") == "rebuild":
+                        break
+                    applies += 1
+                info.update(
+                    kind="ivf", cells=len(rows), vectors=n_vec,
+                    max_over_mean=round(worst, 3),
+                    mean_centroid_sim=round(mean_sim, 6),
+                    applies_since_build=applies,
+                )
+                reasons = []
+                if worst > skew_threshold:
+                    reasons.append(f"cell imbalance {worst:.2f}x > {skew_threshold}x")
+                if n_vec and mean_sim < min_mean_sim:
+                    reasons.append(
+                        f"mean centroid sim {mean_sim:.3f} < {min_mean_sim}"
+                    )
+                if applies > stale_applies:
+                    reasons.append(
+                        f"{applies} incremental commits since last rebuild"
+                    )
+                if reasons:
+                    info["actions"].append("retrain-ivf")
+                    info["reasons"] = reasons
+            elif fs.isdir(f"{p}/bands"):
+                from dl_datalake_spark.operators.lsh_index import (
+                    _index_log,
+                    read_lsh_index,
+                )
+
+                # the pair join groups on the SIGNATURE key (band, sig)
+                # — a group holding share s of the corpus generates
+                # (s*N)^2 candidate pairs, so the HOT GROUP'S SHARE OF
+                # DOCS is the quadratic-blowup signal (a mean-relative
+                # ratio deflates exactly when duplicates collapse many
+                # docs into few groups; the `bucket` column is only the
+                # doc-id storage shard, uniform by construction)
+                bands_df = read_lsh_index(spark, p)
+                per = (
+                    bands_df.groupBy("band", "sig")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.max("n").alias("mx"), F.sum("n").alias("rows"))
+                    .first()
+                )
+                n_docs = bands_df.select("doc_id").distinct().count()
+                hist = _index_log(p, spark).history()
+                applies = 0
+                for e in reversed(hist):
+                    if e.get("op") == "build":
+                        break
+                    applies += 1
+                rows_n = int(per["rows"] or 0) if per else 0
+                hot_share = float(per["mx"]) / n_docs if n_docs else 0.0
+                info.update(
+                    kind="lsh", band_rows=rows_n, docs=n_docs,
+                    hot_group_share=round(hot_share, 4),
+                    applies_since_build=applies,
+                )
+                reasons = []
+                if hot_share > lsh_hot_share:
+                    reasons.append(
+                        f"one signature group holds {hot_share:.0%} of the "
+                        f"corpus > {lsh_hot_share:.0%} (its pair join is "
+                        "quadratic in that group — dedup-resolve or rebuild)"
+                    )
+                if applies > stale_applies:
+                    reasons.append(
+                        f"{applies} incremental commits since last build "
+                        "(stop-shingle cap calibrated then)"
+                    )
+                if reasons:
+                    info["actions"].append("rebuild-lsh")
+                    info["reasons"] = reasons
+            else:
+                info.update(kind="unknown", error="not an IVF or LSH index dir")
+        except Exception as exc:  # unreadable index: report, never crash the plan
+            info.update(error=str(exc))
+        report[p] = info
     return report
 
 
@@ -1189,6 +1331,15 @@ def run_maintenance(
     if "fold-multilog" in plan["lake"]["actions"]:
         wanted.append("fold-multilog")
     out: dict = {"plan": plan, "executed": [], "results": {}, "skipped": skipped}
+    # index actions are NEVER auto-executed (a retrain is a modeling
+    # decision): surface them for the operator instead
+    recommend = {
+        p: {"actions": d["actions"], "reasons": d.get("reasons", [])}
+        for p, d in plan.get("indexes", {}).items()
+        if d.get("actions")
+    }
+    if recommend:
+        out["recommend_only"] = recommend
     if not apply:
         out["would_execute"] = wanted
         return out

@@ -109,6 +109,33 @@ class LakeReader:
             self._bucket_memo[key] = None if row["b"] is None else int(row["b"])
         return self._bucket_memo[key]
 
+    def _contract_ddl(self, log, path: str, file_rel: str, version=None) -> str | None:
+        """The explicit read schema for a dataset whose commit log
+        records a write-time contract (lake/schema.py): the contract's
+        data columns plus the hive partition columns actually present
+        in this dataset's path layout (parsed from the dataset path +
+        one file path — never guessed, so no ghost null columns).
+
+        Reading with it instead of mergeSchema serves WIDENED columns
+        (Spark 4's parquet reader takes INT32 under bigint / FLOAT
+        under double; footer-merge inference throws
+        CANNOT_MERGE_SCHEMAS) and skips the O(files) footer inference
+        entirely — at 1e5 files that is 1e5 saved metadata RPCs per
+        scan.  None for pre-contract history (mergeSchema fallback)."""
+        from dl_datalake_spark.lake.schema import to_ddl
+
+        sch = log.schema_at(version)
+        if not sch:
+            return None
+        base = self.base_path.rstrip("/")
+        rel = path[len(base) + 1 :] if path.startswith(base + "/") else ""
+        full = dict(sch)
+        for seg in f"{rel}/{file_rel}".split("/"):
+            name, eq, _ = seg.partition("=")
+            if eq and name not in full:
+                full[name] = "int" if name in ("year", "month") else "string"
+        return to_ddl(full)
+
     def _scan_paths(
         self,
         paths: list[str],
@@ -147,12 +174,19 @@ class LakeReader:
         srcs: list[str] = []
         dv_keys: list[str] = []
         dv_dirs: list[str] = []
+        contract: str | None = None
         for p in paths:
             live = resolve_live_files(self.fs, p)
             if live is None:
                 srcs.append(p)
                 continue
             log = CommitLog(p, fs=self.fs)
+            if len(paths) == 1 and live:
+                # single pinned dataset: serve the recorded write-time
+                # schema explicitly (widened columns + zero footer
+                # inference); multi-dataset unions keep mergeSchema
+                # (their contracts may genuinely differ)
+                contract = self._contract_ddl(log, p, live[0])
             dv_map = log.dv_at(None) if live else {}
             if live and (lo is not None or hi is not None or cbounds):
                 stats = log.file_stats() if (lo is not None or hi is not None) else {}
@@ -208,7 +242,14 @@ class LakeReader:
         if dv_keys:
             # split scan: only the DV-bearing files pay the anti-join
             return dvmod.scan_with_dv(
-                self.spark, self.base_path, srcs, dv_keys, dv_dirs, fs=self.fs
+                self.spark, self.base_path, srcs, dv_keys, dv_dirs, fs=self.fs,
+                schema_ddl=contract,
+            )
+        if contract is not None:
+            return (
+                self.spark.read.schema(contract)
+                .option("basePath", self.base_path)
+                .parquet(*srcs)
             )
         return (
             self.spark.read.option("mergeSchema", "true")
@@ -378,6 +419,16 @@ class LakeReader:
                 keys,
                 dirs,
                 fs=self.fs,
+                schema_ddl=self._contract_ddl(log, path, files[0], version=version),
+            )
+        # time travel serves the HISTORICAL schema: the contract as of
+        # `version`, not the head's post-evolution shape
+        contract = self._contract_ddl(log, path, files[0], version=version)
+        if contract is not None:
+            return (
+                self.spark.read.schema(contract)
+                .option("basePath", self.base_path)
+                .parquet(*[f"{path}/{rel}" for rel in files])
             )
         return (
             self.spark.read.option("mergeSchema", "true")
@@ -770,10 +821,16 @@ class LakeReader:
             elif not files:
                 df = None
             else:
-                df = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", self.base_path)
-                    .parquet(*[f"{path}/{rel_f}" for rel_f in files])
+                contract = self._contract_ddl(
+                    CommitLog(path, fs=self.fs), path, files[0], version=cut[rel]
+                )
+                r = (
+                    self.spark.read.schema(contract)
+                    if contract is not None
+                    else self.spark.read.option("mergeSchema", "true")
+                )
+                df = r.option("basePath", self.base_path).parquet(
+                    *[f"{path}/{rel_f}" for rel_f in files]
                 )
             out[k.symbol] = (
                 df if df is not None else self.spark.createDataFrame([], "ts long")

@@ -110,6 +110,7 @@ class LakeWriter:
         cluster_files_per_month: int = 1,
         cluster_bits: int = 6,
         bucket_by: dict[str, int] | None = None,
+        merge_schema: bool = False,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -170,7 +171,21 @@ class LakeWriter:
         commit index; the reference has no secondary indexing at all).
         Files written without the spec (legacy, compacted) are merely
         scanned — skipping is always sound.  Mutually exclusive with
-        `cluster_by` (the output layouts conflict)."""
+        `cluster_by` (the output layouts conflict).
+
+        `merge_schema` opts into WRITE-TIME SCHEMA EVOLUTION
+        (lake/schema.py — Delta's mergeSchema write option): every data
+        commit records the dataset's resolved schema in the commit log
+        and appends are checked against it UNDER THE CLAIM.  With the
+        default False, a batch adding new columns or widening a type is
+        REJECTED (SchemaContractError, dataset untouched) — the
+        write-side contract parquet alone lacks (the reference checks
+        only that ts exists, storage/writer.py:162-164; a silent type
+        flip there corrupts the dataset for every reader).  Batches
+        with NARROWER lossless types (int into bigint, float into
+        double) are silently upcast at write either way.  See
+        `CommitLog.schema_at(version)` for the historical schemas time
+        travel serves."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.manifest = manifest
@@ -195,6 +210,7 @@ class LakeWriter:
             raise ValueError(f"enforce must be fail|quarantine, got {enforce!r}")
         self.expectations = list(expectations or [])
         self.enforce = enforce
+        self.merge_schema = bool(merge_schema)
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -353,7 +369,7 @@ class LakeWriter:
         intent_written = False
 
         def _run(stack: "ExitStack") -> dict[str, WriteResult]:
-            nonlocal intent_written
+            nonlocal intent_written, batch
             metas = [
                 stack.enter_context(
                     self.commit_log(k).transaction(
@@ -363,6 +379,38 @@ class LakeWriter:
                 )
                 for k in keys  # sorted symbol order: deadlock-free
             ]
+            # Write-time schema contract per dataset, ONE shared batch
+            # (lake/schema.py): gather every dataset's lossless up-casts
+            # first and apply the WIDEST (the single write job produces
+            # identical files for all datasets), then re-resolve so each
+            # commit records its own schema — a genuine cross-dataset
+            # type conflict surfaces as a loud SchemaContractError here,
+            # claims abort, nothing written.
+            from dl_datalake_spark.lake import schema as _sc
+
+            fp = _sc.fingerprint(batch)
+            for c in PARTITION_COLS:
+                fp.pop(c, None)
+            prevs: dict = {}
+            union_upcasts: dict[str, str] = {}
+            for k in keys:
+                prev = self.commit_log(k).schema_at(None)
+                if prev is None:
+                    prev = self._bootstrap_schema(self.dataset_path(k))
+                prevs[k.symbol] = prev
+                _, ups = _sc.resolve_append(
+                    prev, fp, self.merge_schema, f"write {k.symbol}"
+                )
+                for c, t in ups.items():
+                    cur = union_upcasts.get(c)
+                    if cur is None or (cur, t) in _sc.WIDENINGS:
+                        union_upcasts[c] = t
+            batch = _sc.apply_upcasts(batch, union_upcasts)
+            fp.update(union_upcasts)
+            for k, meta in zip(keys, metas):
+                meta["schema"], _ = _sc.resolve_append(
+                    prevs[k.symbol], fp, self.merge_schema, f"write {k.symbol}"
+                )
             emit_cdf = self.emit_cdf
             if mode == "upsert":
                 merged = self._merge_keep_last_multi(
@@ -946,6 +994,7 @@ class LakeWriter:
         when_matched_delete=None,
         when_not_matched_insert=True,
         commit_meta: dict | None = None,
+        full_scan: bool = False,
     ) -> WriteResult:
         """General MERGE INTO (Delta's flagship DML), strictly wider
         than the keep-last upsert (`write_ohlc(mode="upsert")` ==
@@ -978,16 +1027,22 @@ class LakeWriter:
         (``merge_inserted/merge_updated/merge_deleted``)."""
         k = key.normalized()
         on_cols = [on] if isinstance(on, str) else list(on)
-        if "ts" not in on_cols:
+        if "ts" not in on_cols and not full_scan:
             # the target scan is bounded to the SOURCE batch's months —
             # sound only when the merge key derives the partition. A
             # non-ts key could match target rows in months the batch
             # never touches; scanning silently too little would insert
-            # duplicates, so refuse rather than guess.
+            # duplicates, so refuse rather than guess.  full_scan=True
+            # opts into Delta's actual shape for this case: a
+            # partition-UNBOUNDED hash join that rewrites every touched
+            # target partition — O(dataset), the honest cost of a
+            # non-partition-key merge.
             raise ValueError(
                 "merge_into requires 'ts' among the `on` columns (matching is "
-                "partition-bounded by the source batch's months); for keyed "
-                "merges on other columns use update_where/delete_where"
+                "partition-bounded by the source batch's months); pass "
+                "full_scan=True to match against the FULL target instead "
+                "(partition-unbounded join, rewrites every touched partition), "
+                "or use update_where/delete_where for keyed row edits"
             )
         upd = when_matched_update
         if isinstance(upd, dict):
@@ -1043,14 +1098,27 @@ class LakeWriter:
                 if not months:
                     raise _NoMatch
                 existing = self._read_existing(k)
-                month_pred = F.lit(False)
-                for y, m in months:
-                    month_pred = month_pred | (
-                        (F.col("year") == y) & (F.col("month") == m)
+                if full_scan and "ts" not in on_cols and existing is not None:
+                    # partition-unbounded match: the rewrite spans every
+                    # target partition (kept_t re-emits all unmatched
+                    # rows) plus the batch's own months
+                    t_months = [
+                        (int(r["year"]), int(r["month"]))
+                        for r in existing.select("year", "month")
+                        .distinct()
+                        .collect()
+                    ]
+                    months = sorted(set(months) | set(t_months))
+                    t_df = existing
+                else:
+                    month_pred = F.lit(False)
+                    for y, m in months:
+                        month_pred = month_pred | (
+                            (F.col("year") == y) & (F.col("month") == m)
+                        )
+                    t_df = (
+                        existing.where(month_pred) if existing is not None else None
                     )
-                t_df = (
-                    existing.where(month_pred) if existing is not None else None
-                )
                 s_df = src.withColumn("_s1", F.lit(1))
                 if t_df is None:
                     joined = None
@@ -1081,6 +1149,7 @@ class LakeWriter:
                         if inserted_n == 0:
                             raise _NoMatch
                         out = ins
+                        changed = ins
                         cdf = (
                             out.withColumn("_change_type", F.lit("insert"))
                             if self.emit_cdf
@@ -1132,6 +1201,7 @@ class LakeWriter:
                         )
                         out = kept_t.unionByName(merged, allowMissingColumns=True)
                         out = out.unionByName(ins, allowMissingColumns=True)
+                        changed = merged.unionByName(ins, allowMissingColumns=True)
                         if self.emit_cdf:
                             parts = []
                             if upd is not None:
@@ -1160,6 +1230,11 @@ class LakeWriter:
                     if cdf is not None:
                         self._write_cdf(k, meta["version"], cdf)
                         meta["cdf"] = True
+                    # DML gate: schema exactness over the written frame,
+                    # CHECK expectations over the updated/inserted rows
+                    out = self._enforce_dml_contract(
+                        out, log, f"merge_into {k.symbol}", post_only=changed
+                    )
                     pre_live = resolve_live_files(self.fs, path)
                     on_disk = set(list_data_files(self.fs, path))
                     (
@@ -1294,6 +1369,17 @@ class LakeWriter:
                 updated = self._apply_assignments(
                     existing.where(month_pred), sets, matched
                 )
+                # DML gate: schema exactness over the written frame,
+                # CHECK expectations over just the transformed rows
+                updated = self._enforce_dml_contract(
+                    updated,
+                    log,
+                    f"update_where {k.symbol}",
+                    post_only=self._apply_assignments(
+                        existing.where(month_pred).where(matched), sets, F.lit(True)
+                    ),
+                    assigned_types=self._assignment_types(existing, sets),
+                )
                 if self.emit_cdf:
                     self._write_cdf(
                         k,
@@ -1341,6 +1427,67 @@ class LakeWriter:
             k, path, rows_updated, touched,
             delta_rows=0, batch_bounds=self._stats_bounds(fstats),
         )
+
+    def _enforce_dml_contract(
+        self,
+        post: DataFrame,
+        log: CommitLog,
+        context: str,
+        post_only: DataFrame | None = None,
+        assigned_types: dict | None = None,
+    ) -> DataFrame:
+        """UPDATE/MERGE post-image gate (Delta enforces both on DML):
+
+        - SCHEMA EXACTNESS (lake/schema.py): a DML never evolves the
+          dataset schema — an assignment producing a new column or an
+          incompatible type raises; a narrower lossless type is upcast.
+          Driver-side only (no job).
+        - CHECK EXPECTATIONS: the declared constraints run over the
+          post-image rows in fail mode — an UPDATE/MERGE may not
+          produce a row the same write path would have refused to
+          insert.  (Quarantine is a write-path shape: rerouting half an
+          update's post-images would tear the DML's atomicity, so DML
+          always fails loudly.)  One aggregate over the post-images.
+
+        `post` is the frame the DML writes (and what the schema check +
+        up-casts apply to); `post_only` optionally narrows the
+        expectation scan to just the transformed rows (the rewrite
+        path's written frame includes untouched rows that passed the
+        gate at their own insert); `assigned_types` are the RAW
+        assignment expression types (update_where probes them before
+        when/otherwise coercion masks a type flip behind a runtime
+        cast).  Returns the (possibly upcast) written frame."""
+        from dl_datalake_spark.lake import schema as _sc
+
+        table = log.schema_at(None)
+        if assigned_types:
+            _sc.enforce_exact(table, dict(assigned_types), context)
+        fp = _sc.fingerprint(post)
+        for c in (*PARTITION_COLS, "_change_type", "_dv_file", "_dv_pos"):
+            fp.pop(c, None)
+        ups = _sc.enforce_exact(table, fp, context)
+        if ups:
+            post = _sc.apply_upcasts(post, ups)
+        if self.expectations:
+            from dl_datalake_spark.lake.expectations import check
+
+            check(
+                post_only if post_only is not None else post,
+                self.expectations,
+                enforce="fail",
+            )
+        return post
+
+    @staticmethod
+    def _assignment_types(frame: DataFrame, sets: dict) -> dict[str, str]:
+        """Raw types of the assignment expressions against the pre-row
+        schema — analysis only (limit(0)), no job.  Probed BEFORE
+        when/otherwise folds them into the old column's type, which
+        would mask a type flip behind a runtime CAST error."""
+        probe = frame.limit(0).select(
+            *[e.alias(c) for c, e in sets.items()]
+        )
+        return {f.name: f.dataType.simpleString() for f in probe.schema.fields}
 
     def _apply_assignments(self, df: DataFrame, sets: dict, matched) -> DataFrame:
         """SET semantics: assignment expressions all evaluate against the
@@ -1505,6 +1652,15 @@ class LakeWriter:
                     # transform applies unconditionally
                     post = self._apply_assignments(
                         probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True)
+                    )
+                    # DML gate: the post-images ARE the written files
+                    post = self._enforce_dml_contract(
+                        post,
+                        log,
+                        f"update_where(dv) {k.symbol}",
+                        assigned_types=self._assignment_types(
+                            probe.drop("_dv_file", "_dv_pos"), sets
+                        ),
                     )
                     if self.emit_cdf:
                         feed = post.withColumn(
@@ -1762,6 +1918,12 @@ class LakeWriter:
             files=sorted(target),
             dv=dv_target,
         )
+        # the restored snapshot's SCHEMA is part of its definition too:
+        # carrying the head's forward would present post-evolution
+        # columns/types the target never had (lake/schema.py)
+        target_schema = log.schema_at(version)
+        if target_schema is not None:
+            meta["schema"] = target_schema
         return WriteResult(
             path=ds, time_from=t0, time_to=t1, rows=n,
             partitions=[list(p) for p in parts], files=sorted(target),
@@ -2022,6 +2184,52 @@ class LakeWriter:
 
     # -- core ---------------------------------------------------------------
 
+    def _bootstrap_schema(self, path: str) -> dict | None:
+        """First contract-aware write on a PRE-CONTRACT dataset: resolve
+        the union schema of what's already live (one driver-side footer
+        inference, no job) so the recorded contract covers columns the
+        batch may be missing — otherwise an explicit-schema read of the
+        contract would silently drop them."""
+        from dl_datalake_spark.lake import schema as _sc
+
+        live = resolve_live_files(self.fs, path)
+        try:
+            if live is None:
+                if not self.fs.isdir(path) or not has_visible_children(self.fs, path):
+                    return None
+                df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            elif not live:
+                return None
+            else:
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", path)
+                    .parquet(*[f"{path}/{rel}" for rel in live])
+                )
+        except Exception:
+            return None  # unreadable/empty: the batch defines the contract
+        fp = _sc.fingerprint(df)
+        for c in PARTITION_COLS:
+            fp.pop(c, None)
+        return fp
+
+    def _schema_contract(
+        self, df: DataFrame, log: CommitLog, path: str, context: str
+    ) -> tuple[DataFrame, dict]:
+        """Enforce the write-time schema contract for one batch UNDER
+        the caller's held commit claim.  Returns (batch with lossless
+        up-casts applied, resolved schema to record in the commit)."""
+        from dl_datalake_spark.lake import schema as _sc
+
+        prev = log.schema_at(None)
+        if prev is None:
+            prev = self._bootstrap_schema(path)
+        fp = _sc.fingerprint(df)
+        for c in PARTITION_COLS:
+            fp.pop(c, None)
+        resolved, upcasts = _sc.resolve_append(prev, fp, self.merge_schema, context)
+        return _sc.apply_upcasts(df, upcasts), resolved
+
     def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
         t = F.timestamp_millis(F.col(ts_col).cast("long"))
         return (
@@ -2073,6 +2281,12 @@ class LakeWriter:
                     # and our claim: abort this transaction, dataset
                     # untouched
                     raise _ReplayedTxn()
+                # write-time schema contract (lake/schema.py): checked
+                # under the claim so concurrent evolutions serialize; a
+                # violation aborts here with the dataset untouched
+                df, meta["schema"] = self._schema_contract(
+                    df, log, self.dataset_path(key), f"write {key.symbol}"
+                )
                 res = self._write_locked(df, key, mode, cdf_version=meta["version"])
                 # touched partitions in the commit record = the CDC surface:
                 # an incremental consumer (reader.read_changes_since) re-reads

@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
 from dl_datalake_spark.sources.cdf_source import (
     _ARROW_TO_DDL,
     _committed_entries,
+    _CommitCache,
     _Paths,
 )
 
@@ -175,26 +176,85 @@ class AppendPartition(InputPartition):
 
 
 class LakeAppendsStreamReader(DataSourceStreamReader):
+    """ADMISSION CONTROL (`max_commits_per_batch` / `max_files_per_batch`
+    options — Delta's maxFilesPerTrigger): bound each micro-batch of a
+    long catch-up instead of planning 10,000 commits at once.  Same
+    cursor + loud-rewind restart contract as LakeCDFStreamReader
+    (cdf_source.py — capped streams restarted with a stale
+    after_version fail at the first trigger instead of re-serving
+    rows; availableNow drains one capped batch per run).  The
+    listing-chain replay is cached per reader (_CommitCache): each
+    poll re-reads only commits it hasn't seen."""
+
     def __init__(self, options: dict, data_schema: str):
         self.path = options["path"].rstrip("/")
         self.after = int(options.get("after_version", -1))
         self.skip_changes = str(options.get("skip_change_commits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignore_changes", "")).lower() == "true"
+        self.max_commits = int(options.get("max_commits_per_batch", 0) or 0)
+        self.max_files = int(options.get("max_files_per_batch", 0) or 0)
+        self._cursor: int = self.after
+        self._pending: int | None = None  # capped offset the engine saw last
+        self._cache = _CommitCache(self.path)
         self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
 
     def initialOffset(self) -> dict:
         return {"version": self.after}
 
+    def _advance(self, v: int) -> None:
+        self._cursor = max(self._cursor, v)
+
     def latestOffset(self) -> dict:
-        entries = _committed_entries(self.path)
+        if self._pending is not None:
+            # the engine saw this capped offset last poll and constructed
+            # NO batch (partitions/commit would have cleared it) -- that
+            # can only mean the offset equals its committed position, so
+            # it is consumed and the cursor may advance to it (heals a
+            # restart whose after_version lagged by exactly the cap)
+            self._advance(self._pending)
+            self._pending = None
+        entries = self._cache.entries()
         latest = entries[-1]["version"] if entries else -1
-        return {"version": max(latest, self.after)}
+        latest = max(latest, self.after)
+        if self.max_commits > 0 or self.max_files > 0:
+            above = [e["version"] for e in entries if e["version"] > self._cursor]
+            if self.max_commits > 0 and len(above) > self.max_commits:
+                latest = min(latest, above[self.max_commits - 1])
+            if self.max_files > 0 and above:
+                replay = _replay_listing(entries)
+                total, chosen = 0, None
+                for v in above:
+                    info = replay.get(v)
+                    n = len(info["added"]) if info and info["known"] else 0
+                    if chosen is not None and total + n > self.max_files:
+                        break
+                    total += n
+                    chosen = v  # always admit at least one commit
+                if chosen is not None:
+                    latest = min(latest, chosen)
+            latest = max(latest, self._cursor)
+            self._pending = latest
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        self._pending = None
+        self._advance(int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
-        if hi <= lo:
+        if hi < lo:
+            raise ValueError(
+                f"append stream of {self.path}: batch end {hi} is BEHIND the "
+                f"checkpointed position {lo} — a capped stream was restarted "
+                "with a stale after_version. Set after_version to the "
+                "checkpointed offset (or remove the cap) and restart; "
+                "refusing to plan a rewound batch protects exactly-once."
+            )
+        self._pending = None
+        self._advance(hi)
+        if hi == lo:
             return [AppendPartition(-1)]
-        history = _committed_entries(self.path)
+        history = self._cache.entries()
         if history and min(c["version"] for c in history) > lo + 1:
             raise ValueError(
                 f"append stream of {self.path} is truncated past offset {lo} — "
@@ -265,9 +325,6 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
 
         return gen()
 
-    def commit(self, end: dict) -> None:
-        pass  # data files are immutable; retention is vacuum's concern
-
 
 class LakeAppendsDataSource(DataSource):
     """``register_append_source(spark)`` then
@@ -308,10 +365,14 @@ def register_append_source(spark) -> None:
 def stream_appends(
     spark, dataset_path: str, after_version: int = -1, schema: str | None = None,
     skip_change_commits: bool = False, ignore_changes: bool = False,
+    max_commits_per_batch: int = 0, max_files_per_batch: int = 0,
 ):
     """Convenience: the dataset's committed appends as an unbounded
     streaming DataFrame (data columns + year/month + commit_version).
-    Pair with ``trigger(availableNow=True)`` for drain-and-stop."""
+    Pair with ``trigger(availableNow=True)`` for drain-and-stop.
+    `max_commits_per_batch` / `max_files_per_batch` bound each
+    micro-batch of a long catch-up (Delta's maxFilesPerTrigger; 0 =
+    unbounded)."""
     register_append_source(spark)
     r = (
         spark.readStream.format("lake_appends")
@@ -324,4 +385,8 @@ def stream_appends(
         r = r.option("skip_change_commits", "true")
     if ignore_changes:
         r = r.option("ignore_changes", "true")
+    if max_commits_per_batch:
+        r = r.option("max_commits_per_batch", str(int(max_commits_per_batch)))
+    if max_files_per_batch:
+        r = r.option("max_files_per_batch", str(int(max_files_per_batch)))
     return r.load()

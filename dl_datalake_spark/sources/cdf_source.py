@@ -164,6 +164,45 @@ def _committed_entries(dataset_path: str) -> list[dict]:
     return out
 
 
+class _CommitCache:
+    """Per-reader cache of parsed committed entries: every poll re-LISTS
+    the log directory (one listdir) but re-READS only entry files not
+    seen before — O(new commits) per trigger instead of the
+    O(retained commits) full-chain replay the round-9 sources paid
+    (a 100k-commit log on an object store is 100k GETs per poll
+    otherwise).  Committed entries are immutable after finalize, so
+    caching them is sound; in-progress entries are never cached (their
+    content flips at finalize); pruned versions drop out of the listing
+    and are evicted."""
+
+    def __init__(self, dataset_path: str):
+        self._px = _Paths(dataset_path)
+        self._cache: dict[int, dict] = {}
+
+    def entries(self) -> list[dict]:
+        import json
+
+        seen: set[int] = set()
+        for name in self._px.listdir(LOG_DIR):
+            stem, _dot, ext = name.partition(".")
+            if ext != "json" or not stem.isdigit():
+                continue
+            v = int(stem)
+            seen.add(v)
+            if v in self._cache:
+                continue
+            try:
+                e = json.loads(self._px.read_bytes(f"{LOG_DIR}/{name}"))
+            except (OSError, ValueError):
+                continue  # mid-replace: in-progress
+            if e.get("status") == "committed":
+                e["version"] = v
+                self._cache[v] = e
+        for v in [v for v in self._cache if v not in seen]:
+            del self._cache[v]
+        return [self._cache[v] for v in sorted(self._cache)]
+
+
 def _infer_data_schema(path: str) -> str:
     """DDL of the newest committed delta's data columns (folded
     `commit_range=` segments carry commit_version as a column — it is
@@ -237,25 +276,87 @@ class CommitPartition(InputPartition):
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
+    """ADMISSION CONTROL (`max_commits_per_batch` option — Delta's
+    maxFilesPerTrigger shape): a consumer catching up on 10,000 commits
+    drains in bounded micro-batches instead of planning them all at
+    once.  The Python DataSource API has no ReadLimit hook (and calls
+    latestOffset BEFORE initialOffset — measured), so the cap rides a
+    reader-tracked cursor seeded from `after_version` and advanced by
+    every partitions()/commit() endpoint; latestOffset never returns
+    below the cursor.
+
+    RESTART CONTRACT for capped streams: restarting from a checkpoint
+    re-seeds the cursor from `after_version`; a stale value (below the
+    checkpointed position) makes latestOffset hand back offsets the
+    engine has already consumed.  Measured engine behavior: such
+    non-advancing offsets are IGNORED (no batch constructed), and the
+    pending-ratchet uses exactly that signal — an offset the engine
+    ignored is proven consumed, so the cursor advances to it next poll
+    — to HEAL the cursor up to the checkpoint in a few idle triggers,
+    after which only genuinely new commits are served (no re-serve;
+    verified in tests/test_append_source.py).  `partitions` keeps a
+    defensive end<start refusal should an engine version ever construct
+    a rewound batch.  Under trigger(availableNow=True) the wrapper
+    captures ONE offset per run, so a capped run drains at most one
+    bounded batch and stops — use a processing-time trigger for
+    continuous bounded catch-up."""
+
     def __init__(self, options: dict, data_schema: str):
         self.path = options["path"].rstrip("/")
         self.after = int(options.get("after_version", -1))
+        self.max_commits = int(options.get("max_commits_per_batch", 0) or 0)
+        self._cursor: int = self.after
+        self._pending: int | None = None  # capped offset the engine saw last
+        self._cache = _CommitCache(self.path)
         # "col type, col type" -> ordered column names
         self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
 
     def initialOffset(self) -> dict:
         return {"version": self.after}
 
+    def _advance(self, v: int) -> None:
+        self._cursor = max(self._cursor, v)
+
     def latestOffset(self) -> dict:
-        entries = _committed_entries(self.path)
+        if self._pending is not None:
+            # the engine saw this capped offset last poll and constructed
+            # NO batch (partitions/commit would have cleared it) -- that
+            # can only mean the offset equals its committed position, so
+            # it is consumed and the cursor may advance to it (heals a
+            # restart whose after_version lagged by exactly the cap)
+            self._advance(self._pending)
+            self._pending = None
+        entries = self._cache.entries()
         latest = entries[-1]["version"] if entries else -1
-        return {"version": max(latest, self.after)}
+        latest = max(latest, self.after)
+        if self.max_commits > 0:
+            above = [e["version"] for e in entries if e["version"] > self._cursor]
+            if len(above) > self.max_commits:
+                latest = above[self.max_commits - 1]
+            latest = max(latest, self._cursor)
+            self._pending = latest
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        self._pending = None
+        self._advance(int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
-        if hi <= lo:
+        if hi < lo:
+            raise ValueError(
+                f"change feed of {self.path}: batch end {hi} is BEHIND the "
+                f"checkpointed position {lo} — a capped stream "
+                "(max_commits_per_batch) was restarted with a stale "
+                "after_version. Set after_version to the checkpointed "
+                "offset (or remove the cap) and restart; refusing to plan "
+                "a rewound batch protects exactly-once."
+            )
+        self._pending = None
+        self._advance(hi)
+        if hi == lo:
             return [CommitPartition(-1)]  # empty-batch placeholder
-        history = _committed_entries(self.path)
+        history = self._cache.entries()
         if history and min(c["version"] for c in history) > lo + 1:
             raise ValueError(
                 f"change feed of {self.path} is truncated past offset {lo} — "
@@ -350,10 +451,6 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         return gen()
 
-    def commit(self, end: dict) -> None:
-        pass  # deltas are immutable; retention is vacuum's concern
-
-
 class LakeCDFDataSource(DataSource):
     """``register_cdf_source(spark)`` then
     ``spark.readStream.format("lake_cdf").option("path", dataset_dir)``."""
@@ -388,10 +485,15 @@ def register_cdf_source(spark) -> None:
     spark.dataSource.register(LakeCDFDataSource)
 
 
-def stream_change_feed(spark, dataset_path: str, after_version: int = -1, schema: str | None = None):
+def stream_change_feed(
+    spark, dataset_path: str, after_version: int = -1, schema: str | None = None,
+    max_commits_per_batch: int = 0,
+):
     """Convenience: the dataset's CDF as an unbounded streaming
     DataFrame (data columns + commit_version). Pair with
-    ``trigger(availableNow=True)`` for drain-and-stop catch-ups."""
+    ``trigger(availableNow=True)`` for drain-and-stop catch-ups.
+    `max_commits_per_batch` bounds each micro-batch of a long catch-up
+    (Delta's maxFilesPerTrigger shape; 0 = unbounded)."""
     register_cdf_source(spark)
     r = (
         spark.readStream.format("lake_cdf")
@@ -400,4 +502,6 @@ def stream_change_feed(spark, dataset_path: str, after_version: int = -1, schema
     )
     if schema:
         r = r.option("schema", schema)
+    if max_commits_per_batch:
+        r = r.option("max_commits_per_batch", str(int(max_commits_per_batch)))
     return r.load()

@@ -120,3 +120,108 @@ def test_appends_resume_at_pruned_checkpoint_refuses(tmp_path, spark):
     # a consumer that already saw the checkpoint commit replays exactly
     parts = r.partitions({"version": 10}, {"version": 11})
     assert [p.version for p in parts] == [11] and len(parts[0].files) == 1
+
+def _drain_bounded(spark, ds, ckpt, expected_rows, timeout_s=120, **kw):
+    """processingTime-triggered run collected until `expected_rows`
+    arrive (availableNow captures ONE offset per run, so a capped
+    catch-up needs a continuous trigger — documented contract)."""
+    import time
+
+    rows, batches = [], []
+
+    def _c(batch_df, _bid):
+        got = batch_df.collect()
+        rows.extend(got)
+        vs = sorted({r["commit_version"] for r in got})
+        if vs:
+            batches.append(vs)
+
+    q = (
+        stream_appends(spark, ds, **kw)
+        .writeStream.foreachBatch(_c)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while len(rows) < expected_rows and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return rows, batches
+
+
+def test_appends_admission_control_bounds_catchup(tmp_path, spark):
+    """max_commits_per_batch: a 7-commit catch-up drains in ceil(7/3)=3
+    bounded micro-batches, per-commit attribution intact, no row lost
+    or duplicated; a restart with the cursor re-seeded continues with
+    exactly the new commit."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    for i in range(7):
+        w.write_ticks(_ticks(spark, 2, start=T0 + i * 60000), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    rows, batches = _drain_bounded(
+        spark, ds, str(tmp_path / "ck"), 14, max_commits_per_batch=3
+    )
+    assert sorted(r["commit_version"] for r in rows) == sorted(
+        v for v in range(7) for _ in range(2)
+    )
+    assert batches == [[0, 1, 2], [3, 4, 5], [6]]
+    # restart leg (documented contract: capped streams re-seed the
+    # cursor from after_version = the checkpointed position)
+    w.write_ticks(_ticks(spark, 1, start=T0 + 99 * 60000), KEY, mode="append")
+    rows2, batches2 = _drain_bounded(
+        spark, ds, str(tmp_path / "ck"), 1,
+        max_commits_per_batch=3, after_version=6,
+    )
+    assert len(rows2) == 1 and rows2[0]["commit_version"] == 7
+
+
+def test_appends_capped_restart_with_stale_cursor_heals(tmp_path, spark):
+    """A capped stream restarted with a STALE after_version must never
+    re-serve rows.  The engine ignores non-advancing offsets, and the
+    reader's pending-ratchet advances the cursor each idle poll (an
+    ignored offset is proven consumed), so the stream HEALS up to the
+    checkpoint and then serves exactly the new commits."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    for i in range(6):
+        w.write_ticks(_ticks(spark, 1, start=T0 + i * 60000), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    rows, _ = _drain_bounded(
+        spark, ds, str(tmp_path / "ck"), 6, max_commits_per_batch=2
+    )
+    assert len(rows) == 6  # checkpoint now at version 5
+    # two new commits; stale restart (after_version left at default -1)
+    w.write_ticks(_ticks(spark, 1, start=T0 + 99 * 60000), KEY, mode="append")
+    w.write_ticks(_ticks(spark, 1, start=T0 + 100 * 60000), KEY, mode="append")
+    rows2, batches2 = _drain_bounded(
+        spark, ds, str(tmp_path / "ck"), 2, timeout_s=120,
+        max_commits_per_batch=2,
+    )
+    assert sorted(r["commit_version"] for r in rows2) == [6, 7]  # no re-serve
+
+
+def test_appends_max_files_per_batch(tmp_path, spark):
+    """max_files_per_batch: commits admit until the cumulative
+    added-file budget is hit (at least one commit always admitted)."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    MONTH2 = T0 + 32 * 86400000
+    # commit 0: 1 file; commit 1: 2 files (two months); commit 2: 1 file
+    w.write_ticks(_ticks(spark, 1), KEY, mode="append")
+    w.write_ticks(
+        _ticks(spark, 1, start=T0 + 60000).unionByName(_ticks(spark, 1, start=MONTH2)),
+        KEY, mode="append",
+    )
+    w.write_ticks(_ticks(spark, 1, start=T0 + 120000), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    rows, batches = _drain_bounded(
+        spark, ds, str(tmp_path / "ck"), 4, max_files_per_batch=2
+    )
+    # commit 0 (1 file) + commit 1 (2 files) would exceed 2 -> commit 0
+    # alone; commit 1 fills the next batch; commit 2 the third
+    assert batches == [[0], [1], [2]]

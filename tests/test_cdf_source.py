@@ -427,3 +427,49 @@ def test_apply_cdf_to_ivf_same_commit_update_beats_delete(spark, tmp_path):
     got = dict(_index_content(spark, idx))
     assert 4 in got and got[4] == (9.0, 9.0, 9.0)
     assert len(got) == 9
+
+
+def test_cdf_admission_control_bounds_catchup(spark, tmp_path):
+    """max_commits_per_batch on the CDF source: a 6-commit catch-up
+    drains in 3 bounded micro-batches under a continuous trigger,
+    every row exactly once."""
+    import time
+
+    from dl_datalake_spark.sources.cdf_source import stream_change_feed
+
+    base = str(tmp_path / "lake")
+    key = DatasetKey("SIM", "SPOT", "ADM", "ticks", "1m")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    for i in range(6):
+        w.write_ticks(
+            spark.createDataFrame(
+                [(JAN + i * 60000, float(i))], "ts long, price double"
+            ),
+            key, mode="append",
+        )
+    ds = w.dataset_path(key)
+    rows, batches = [], []
+
+    def _collect(batch_df, bid):
+        got = batch_df.collect()
+        rows.extend(got)
+        vs = sorted({r["commit_version"] for r in got})
+        if vs:
+            batches.append(vs)
+
+    q = (
+        stream_change_feed(spark, ds, max_commits_per_batch=2)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while len(rows) < 6 and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert sorted(r["commit_version"] for r in rows) == list(range(6))
+    assert batches == [[0, 1], [2, 3], [4, 5]]

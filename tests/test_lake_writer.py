@@ -109,6 +109,9 @@ def test_schema_evolution_union_by_name(lake, spark):
         )
     )
     writer.write_ohlc(b1, KEY)
+    # adding a column is schema EVOLUTION: opt-in under the write-time
+    # contract (lake/schema.py), like Delta's mergeSchema write option
+    writer.merge_schema = True
     writer.write_ohlc(b2, KEY)
     got = reader.read_dataset(KEY)
     assert got.count() == 20

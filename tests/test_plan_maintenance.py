@@ -170,3 +170,63 @@ def test_compact_in_place_refused_on_non_atomic_rename(lake, spark, tmp_path):
     rep = run_maintenance(spark, base, fs=s3, apply=True, keep_last=1000)
     assert "compact" not in rep["executed"]
     assert "compact" in rep["skipped"]
+
+
+def test_planner_index_health_recommends_retrain(lake, spark, tmp_path):
+    """plan_maintenance(index_paths=[...]) folds ANN/LSH index health in
+    (VERDICT r9 #5): a drifted IVF index (every upsert crammed into one
+    frozen cell) and a hot-bucket LSH index (duplicate-heavy corpus)
+    both surface recommend-only actions with reasons; run_maintenance
+    reports them under recommend_only and never executes them."""
+    from dl_datalake_spark.lake.maintenance import (
+        plan_index_maintenance,
+        run_maintenance,
+    )
+    from dl_datalake_spark.operators.ivf_index import (
+        train_ivf,
+        upsert_ivf_index,
+        write_ivf_index,
+    )
+    from dl_datalake_spark.operators.lsh_index import write_lsh_index
+
+    w, base = lake
+    w.write_ticks(_rows(spark, n=10), KEY)
+
+    # IVF: train on a spread, then upsert 60 near-identical vectors ->
+    # one hot cell (max_over_mean blows past 3x)
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 8 == d) + 0.01 * i for d in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(vecs, train_ivf(vecs, num_cells=8, iters=3), ivf)
+    hot = spark.createDataFrame(
+        [(100 + i, [1.0] + [0.01 * d for d in range(7)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_index(spark, hot, ivf)
+
+    # LSH: a corpus where most docs share one text -> one hot bucket
+    docs = spark.createDataFrame(
+        [(i, "the same duplicated text body repeated across docs") for i in range(40)]
+        + [(100 + i, f"unique document number {i} with its own words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lsh = str(tmp_path / "lsh")
+    write_lsh_index(spark, docs, lsh, n_buckets=16)
+
+    rep = plan_index_maintenance(spark, [ivf, lsh])
+    assert rep[ivf]["kind"] == "ivf" and "retrain-ivf" in rep[ivf]["actions"]
+    assert rep[ivf]["max_over_mean"] > 3.0 and rep[ivf]["reasons"]
+    assert rep[lsh]["kind"] == "lsh" and "rebuild-lsh" in rep[lsh]["actions"]
+    assert rep[lsh]["hot_group_share"] > 0.5  # 40 of 45 docs share one sig
+
+    out = run_maintenance(
+        spark, base, fs=w.fs, apply=True, keep_last=1000,
+        min_file_bytes=1, index_paths=[ivf, lsh],
+    )
+    assert set(out["recommend_only"]) == {ivf, lsh}
+    assert "retrain-ivf" not in out["executed"]
+    assert "rebuild-lsh" not in out["executed"]
+    # nothing executed touched the indexes
+    assert rep[ivf]["vectors"] == 84
