@@ -310,16 +310,51 @@ class CommitLog:
             return dict(sch) if sch is not None else None
         return None
 
+    def column_map_at(self, upto: int | None = None) -> dict:
+        """{logical column: PHYSICAL parquet column} as of commit `upto`
+        (lake/schema.py column mapping — renames are metadata-only, the
+        files keep their original column names).  Empty for datasets
+        never renamed.  One-entry read, carried like the schema."""
+        for v in reversed(self._entries()):
+            if upto is not None and v > upto:
+                continue
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            return dict(e.get("column_map") or {})
+        return {}
+
+    def retired_physical_at(self, upto: int | None = None) -> list:
+        """Physical column names RETIRED by a drop/rename history — a
+        re-added logical column must get a FRESH physical name or the
+        old files' bytes would resurrect under it."""
+        for v in reversed(self._entries()):
+            if upto is not None and v > upto:
+                continue
+            e = self._read_entry(v)
+            if e.get("status") != "committed":
+                continue
+            return list(e.get("retired_cols") or [])
+        return []
+
     def _carry_schema(self, version: int, payload: dict) -> dict:
-        """Carry the schema contract forward into a commit that didn't
-        set one (deletes, DV commits, compaction) — writers that CHANGE
-        the schema (appends under the contract, restore) set
-        ``payload["schema"]`` explicitly and skip this."""
-        if "schema" in payload:
-            return payload
-        prior = self.schema_at(version - 1)
-        if prior:
-            payload["schema"] = prior
+        """Carry the schema contract (and its column mapping / retired
+        physical names) forward into a commit that didn't set them
+        (deletes, DV commits, compaction) — writers that CHANGE them
+        (appends under the contract, rename/drop, restore) set the keys
+        explicitly and skip this."""
+        if "schema" not in payload:
+            prior = self.schema_at(version - 1)
+            if prior:
+                payload["schema"] = prior
+        if "column_map" not in payload:
+            prior_map = self.column_map_at(version - 1)
+            if prior_map:
+                payload["column_map"] = prior_map
+        if "retired_cols" not in payload:
+            prior_ret = self.retired_physical_at(version - 1)
+            if prior_ret:
+                payload["retired_cols"] = prior_ret
         return payload
 
     def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:

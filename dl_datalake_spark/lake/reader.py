@@ -109,7 +109,9 @@ class LakeReader:
             self._bucket_memo[key] = None if row["b"] is None else int(row["b"])
         return self._bucket_memo[key]
 
-    def _contract_ddl(self, log, path: str, file_rel: str, version=None) -> str | None:
+    def _contract_ddl(
+        self, log, path: str, file_rel: str, version=None
+    ) -> tuple[str, dict] | None:
         """The explicit read schema for a dataset whose commit log
         records a write-time contract (lake/schema.py): the contract's
         data columns plus the hive partition columns actually present
@@ -121,20 +123,31 @@ class LakeReader:
         under double; footer-merge inference throws
         CANNOT_MERGE_SCHEMAS) and skips the O(files) footer inference
         entirely — at 1e5 files that is 1e5 saved metadata RPCs per
-        scan.  None for pre-contract history (mergeSchema fallback)."""
+        scan.  None for pre-contract history (mergeSchema fallback).
+
+        Returns (ddl, physical->logical renames): the DDL names the
+        PHYSICAL parquet columns (renamed columns keep their original
+        on-disk names — column mapping, `CommitLog.column_map_at`), the
+        renames restore the LOGICAL names the contract promises."""
         from dl_datalake_spark.lake.schema import to_ddl
 
         sch = log.schema_at(version)
         if not sch:
             return None
+        cmap = log.column_map_at(version)
+        phys = {cmap.get(c, c): t for c, t in sch.items()}
         base = self.base_path.rstrip("/")
         rel = path[len(base) + 1 :] if path.startswith(base + "/") else ""
-        full = dict(sch)
         for seg in f"{rel}/{file_rel}".split("/"):
             name, eq, _ = seg.partition("=")
-            if eq and name not in full:
-                full[name] = "int" if name in ("year", "month") else "string"
-        return to_ddl(full)
+            if eq and name not in phys:
+                phys[name] = "int" if name in ("year", "month") else "string"
+        back = {p: l for l, p in cmap.items() if p != l}
+        return to_ddl(phys), back
+
+    @staticmethod
+    def _apply_renames(df: DataFrame, back: dict) -> DataFrame:
+        return df.withColumnsRenamed(back) if back else df
 
     def _scan_paths(
         self,
@@ -241,15 +254,18 @@ class LakeReader:
             return None  # pinned-empty or every file skipped by stats
         if dv_keys:
             # split scan: only the DV-bearing files pay the anti-join
-            return dvmod.scan_with_dv(
+            out = dvmod.scan_with_dv(
                 self.spark, self.base_path, srcs, dv_keys, dv_dirs, fs=self.fs,
-                schema_ddl=contract,
+                schema_ddl=contract[0] if contract else None,
             )
+            return self._apply_renames(out, contract[1]) if contract else out
         if contract is not None:
-            return (
-                self.spark.read.schema(contract)
+            ddl, back = contract
+            return self._apply_renames(
+                self.spark.read.schema(ddl)
                 .option("basePath", self.base_path)
-                .parquet(*srcs)
+                .parquet(*srcs),
+                back,
             )
         return (
             self.spark.read.option("mergeSchema", "true")
@@ -412,23 +428,27 @@ class LakeReader:
                     f"older snapshots must stay readable"
                 )
             keys, dirs = dvmod.plan_dv(path, self.base_path, files, dv_map)
-            return dvmod.scan_with_dv(
+            contract = self._contract_ddl(log, path, files[0], version=version)
+            out = dvmod.scan_with_dv(
                 self.spark,
                 self.base_path,
                 [f"{path}/{rel}" for rel in files],
                 keys,
                 dirs,
                 fs=self.fs,
-                schema_ddl=self._contract_ddl(log, path, files[0], version=version),
+                schema_ddl=contract[0] if contract else None,
             )
-        # time travel serves the HISTORICAL schema: the contract as of
-        # `version`, not the head's post-evolution shape
+            return self._apply_renames(out, contract[1]) if contract else out
+        # time travel serves the HISTORICAL schema (and names): the
+        # contract as of `version`, not the head's post-evolution shape
         contract = self._contract_ddl(log, path, files[0], version=version)
         if contract is not None:
-            return (
-                self.spark.read.schema(contract)
+            ddl, back = contract
+            return self._apply_renames(
+                self.spark.read.schema(ddl)
                 .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in files])
+                .parquet(*[f"{path}/{rel}" for rel in files]),
+                back,
             )
         return (
             self.spark.read.option("mergeSchema", "true")
@@ -825,13 +845,15 @@ class LakeReader:
                     CommitLog(path, fs=self.fs), path, files[0], version=cut[rel]
                 )
                 r = (
-                    self.spark.read.schema(contract)
+                    self.spark.read.schema(contract[0])
                     if contract is not None
                     else self.spark.read.option("mergeSchema", "true")
                 )
                 df = r.option("basePath", self.base_path).parquet(
                     *[f"{path}/{rel_f}" for rel_f in files]
                 )
+                if contract is not None:
+                    df = self._apply_renames(df, contract[1])
             out[k.symbol] = (
                 df if df is not None else self.spark.createDataFrame([], "ts long")
             )

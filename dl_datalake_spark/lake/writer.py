@@ -394,6 +394,13 @@ class LakeWriter:
             prevs: dict = {}
             union_upcasts: dict[str, str] = {}
             for k in keys:
+                if self.commit_log(k).column_map_at(None):
+                    raise ValueError(
+                        f"write_ohlc_multi: dataset {k.symbol} carries a "
+                        "column mapping (renamed columns) — the shared "
+                        "write job cannot serve per-dataset physical "
+                        "names; write it through write_ohlc instead"
+                    )
                 prev = self.commit_log(k).schema_at(None)
                 if prev is None:
                     prev = self._bootstrap_schema(self.dataset_path(k))
@@ -750,7 +757,7 @@ class LakeWriter:
                         # per-dataset staging, same shared-_temporary
                         # rationale as _write_locked's data write
                         (
-                            kept.sortWithinPartitions("ts")
+                            self._to_physical(kept, log).sortWithinPartitions("ts")
                             .drop(
                                 "exchange", "market", "symbol",
                                 "data_type", "period",
@@ -1238,7 +1245,7 @@ class LakeWriter:
                     pre_live = resolve_live_files(self.fs, path)
                     on_disk = set(list_data_files(self.fs, path))
                     (
-                        out.sortWithinPartitions("ts")
+                        self._to_physical(out, log).sortWithinPartitions("ts")
                         .drop("exchange", "market", "symbol", "data_type", "period")
                         .write.partitionBy("year", "month")
                         .option("compression", "snappy")
@@ -1390,7 +1397,7 @@ class LakeWriter:
                 pre_live = resolve_live_files(self.fs, path)
                 on_disk = set(list_data_files(self.fs, path))
                 (
-                    updated.sortWithinPartitions("ts")
+                    self._to_physical(updated, log).sortWithinPartitions("ts")
                     .drop("exchange", "market", "symbol", "data_type", "period")
                     .write.partitionBy("year", "month")
                     .option("compression", "snappy")
@@ -1680,7 +1687,7 @@ class LakeWriter:
                     # append the post-images as fresh files
                     on_disk = set(list_data_files(self.fs, path))
                     (
-                        post.sortWithinPartitions("ts")
+                        self._to_physical(post, log).sortWithinPartitions("ts")
                         .drop("exchange", "market", "symbol", "data_type", "period")
                         .write.partitionBy("year", "month")
                         .option("compression", "snappy")
@@ -1735,7 +1742,10 @@ class LakeWriter:
             .option("basePath", self.base_path)
             .parquet(*[f"{path}/{rel}" for rel in live])
         )
+        # scan key first (the _metadata pseudo-column belongs to the
+        # scan relation), THEN resolve physical -> logical names
         df = dvmod.with_scan_key(df, self.base_path)
+        df = self._to_logical(df, CommitLog(path, fs=self.fs))
         keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
         if keys:
             df = dvmod.anti_join_dv(
@@ -1918,12 +1928,15 @@ class LakeWriter:
             files=sorted(target),
             dv=dv_target,
         )
-        # the restored snapshot's SCHEMA is part of its definition too:
-        # carrying the head's forward would present post-evolution
-        # columns/types the target never had (lake/schema.py)
+        # the restored snapshot's SCHEMA (and column mapping) is part of
+        # its definition too: carrying the head's forward would present
+        # post-evolution columns/types/names the target never had
+        # (lake/schema.py); retired physical names stay carried — the
+        # bytes they guard are still on disk regardless of the restore
         target_schema = log.schema_at(version)
         if target_schema is not None:
             meta["schema"] = target_schema
+            meta["column_map"] = log.column_map_at(version)
         return WriteResult(
             path=ds, time_from=t0, time_to=t1, rows=n,
             partitions=[list(p) for p in parts], files=sorted(target),
@@ -2214,11 +2227,23 @@ class LakeWriter:
         return fp
 
     def _schema_contract(
-        self, df: DataFrame, log: CommitLog, path: str, context: str
+        self,
+        df: DataFrame,
+        log: CommitLog,
+        path: str,
+        context: str,
+        meta: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Enforce the write-time schema contract for one batch UNDER
         the caller's held commit claim.  Returns (batch with lossless
-        up-casts applied, resolved schema to record in the commit)."""
+        up-casts applied, resolved schema to record in the commit).
+
+        Column mapping (rename/drop lifecycle): when `meta` is given,
+        a NEW column whose name collides with a RETIRED physical name
+        (a previously dropped column, or the pre-rename name of a live
+        one) gets a FRESH physical name recorded in the commit's
+        ``column_map`` — without it, the old files' bytes would
+        resurrect under the re-added logical column."""
         from dl_datalake_spark.lake import schema as _sc
 
         prev = log.schema_at(None)
@@ -2228,7 +2253,116 @@ class LakeWriter:
         for c in PARTITION_COLS:
             fp.pop(c, None)
         resolved, upcasts = _sc.resolve_append(prev, fp, self.merge_schema, context)
+        if meta is not None and prev is not None:
+            new_cols = [c for c in resolved if c not in prev]
+            if new_cols:
+                cmap = log.column_map_at(None)
+                taken = set(log.retired_physical_at(None)) | {
+                    cmap.get(c, c) for c in prev
+                }
+                changed = False
+                for c in new_cols:
+                    if c in taken:
+                        cmap[c] = f"{c}__r{meta['version']}"
+                        changed = True
+                if changed:
+                    meta["column_map"] = cmap
         return _sc.apply_upcasts(df, upcasts), resolved
+
+    @staticmethod
+    def _rename_frame(df: DataFrame, mapping: dict) -> DataFrame:
+        """Rename the frame's columns through `mapping` (absent columns
+        ignored); identity when the mapping is empty — every dataset
+        that never saw a rename takes this no-op path."""
+        todo = {c: mapping[c] for c in df.columns if c in mapping and mapping[c] != c}
+        if not todo:
+            return df
+        return df.withColumnsRenamed(todo)
+
+    def _to_physical(self, df: DataFrame, log: CommitLog) -> DataFrame:
+        """Logical -> physical column names just before a data-file
+        write (lake/schema.py column mapping)."""
+        return self._rename_frame(df, log.column_map_at(None))
+
+    def _to_logical(self, df: DataFrame, log: CommitLog) -> DataFrame:
+        """Physical -> logical column names right after a data-file
+        read, so every internal frame (and every predicate/assignment
+        the caller passed) speaks logical names."""
+        cmap = log.column_map_at(None)
+        return self._rename_frame(df, {p: l for l, p in cmap.items()})
+
+    def rename_column(self, key: DatasetKey, old: str, new: str) -> None:
+        """Metadata-only column RENAME (Delta's column-mapping verb):
+        one commit updates the schema contract and the logical->physical
+        map — zero data files rewritten, reads resolve through the map,
+        time travel presents each epoch's own names.  `ts` and the
+        partition-identity columns are refused (they derive paths)."""
+        from dl_datalake_spark.lake.schema import SchemaContractError
+
+        k = key.normalized()
+        log = self.commit_log(k)
+        forbidden = set(PARTITION_COLS) | {"ts"}
+        if old in forbidden or new in forbidden:
+            raise ValueError(f"cannot rename {old!r} -> {new!r}: ts/partition columns are identity")
+        with log.transaction(
+            timeout=self.commit_timeout_s,
+            payload={"mode": "rename-column", "partitions": [],
+                     "renamed": {"from": old, "to": new}},
+        ) as meta:
+            schema = log.schema_at(None)
+            if schema is None:
+                raise SchemaContractError(
+                    f"{self.dataset_path(k)} has no schema contract yet — "
+                    "write through LakeWriter once first"
+                )
+            if old not in schema:
+                raise SchemaContractError(f"no column {old!r} in {sorted(schema)}")
+            if new in schema:
+                raise SchemaContractError(f"column {new!r} already exists")
+            cmap = log.column_map_at(None)
+            phys = cmap.pop(old, old)
+            cmap[new] = phys
+            meta["schema"] = {
+                (new if c == old else c): t for c, t in schema.items()
+            }
+            meta["column_map"] = cmap
+            # the OLD logical name becomes re-addable; its physical is
+            # still live under `new`, so it must also be unavailable as
+            # a fresh physical name
+            meta["retired_cols"] = sorted(
+                set(log.retired_physical_at(None)) | {phys}
+            )
+
+    def drop_column(self, key: DatasetKey, name: str) -> None:
+        """Metadata-only column DROP: the contract and mapping forget
+        the column (explicit-schema reads stop projecting it — parquet
+        never reads unselected columns), the bytes stay until files
+        naturally rewrite, and the physical name is RETIRED so a
+        re-added column of the same name gets a fresh physical and can
+        never resurrect the old values."""
+        from dl_datalake_spark.lake.schema import SchemaContractError
+
+        k = key.normalized()
+        log = self.commit_log(k)
+        if name in set(PARTITION_COLS) | {"ts"}:
+            raise ValueError(f"cannot drop identity column {name!r}")
+        with log.transaction(
+            timeout=self.commit_timeout_s,
+            payload={"mode": "drop-column", "partitions": [], "dropped": name},
+        ) as meta:
+            schema = log.schema_at(None)
+            if schema is None or name not in schema:
+                raise SchemaContractError(
+                    f"no column {name!r} to drop in "
+                    f"{sorted(schema) if schema else 'an uncontracted dataset'}"
+                )
+            cmap = log.column_map_at(None)
+            phys = cmap.pop(name, name)
+            meta["schema"] = {c: t for c, t in schema.items() if c != name}
+            meta["column_map"] = cmap
+            meta["retired_cols"] = sorted(
+                set(log.retired_physical_at(None)) | {phys}
+            )
 
     def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
         t = F.timestamp_millis(F.col(ts_col).cast("long"))
@@ -2285,9 +2419,17 @@ class LakeWriter:
                 # under the claim so concurrent evolutions serialize; a
                 # violation aborts here with the dataset untouched
                 df, meta["schema"] = self._schema_contract(
-                    df, log, self.dataset_path(key), f"write {key.symbol}"
+                    df, log, self.dataset_path(key), f"write {key.symbol}",
+                    meta=meta,
                 )
-                res = self._write_locked(df, key, mode, cdf_version=meta["version"])
+                res = self._write_locked(
+                    df, key, mode, cdf_version=meta["version"],
+                    # effective map INCLUDING any fresh physical names the
+                    # contract assigned this very commit (re-added columns)
+                    column_map=meta.get("column_map")
+                    if meta.get("column_map") is not None
+                    else log.column_map_at(None),
+                )
                 # touched partitions in the commit record = the CDC surface:
                 # an incremental consumer (reader.read_changes_since) re-reads
                 # exactly these partitions, never the dataset
@@ -2316,7 +2458,8 @@ class LakeWriter:
         return res
 
     def _write_locked(
-        self, df: DataFrame, key: DatasetKey, mode: str, cdf_version: int | None = None
+        self, df: DataFrame, key: DatasetKey, mode: str, cdf_version: int | None = None,
+        column_map: dict | None = None,
     ) -> WriteResult:
         ts_col = _require_ts(df, "ts")
         batch = self._partitioned(df, key, ts_col)
@@ -2389,7 +2532,8 @@ class LakeWriter:
         # datasets collision-free; same-dataset writers already serialize
         # through the commit log.
         writer = (
-            out.drop("exchange", "market", "symbol", "data_type", "period")
+            self._rename_frame(out, column_map or {})  # logical -> physical
+            .drop("exchange", "market", "symbol", "data_type", "period")
             .write.partitionBy("year", "month")
             .option("compression", "snappy")
         )
@@ -2675,9 +2819,26 @@ class LakeWriter:
         dataset.  A bounded read drops non-overlapping files before the
         scan even starts (`LakeReader.read_range` / column bounds);
         files without stats (legacy/compacted) are simply scanned, so
-        skipping is always sound.  Returns (ts_stats, col_stats)."""
-        f, c = self._added_file_stats_multi({ds_path: added}, ts_col)
-        return f.get(ds_path, {}), c.get(ds_path, {})
+        skipping is always sound.  Returns (ts_stats, col_stats).
+
+        Column mapping: `stats_cols` are LOGICAL names; post-rename the
+        files carry PHYSICAL ones, so the stats scan translates through
+        the dataset's map and the recorded stats stay keyed logical
+        (what reader bounds look up)."""
+        cmap = CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        hit = {c: cmap[c] for c in self.stats_cols if c in cmap}
+        if not hit:
+            f, c = self._added_file_stats_multi({ds_path: added}, ts_col)
+            return f.get(ds_path, {}), c.get(ds_path, {})
+        phys_cols = tuple(cmap.get(c, c) for c in self.stats_cols)
+        f, c = added_file_stats(
+            self.spark, {ds_path: added}, ts_col, extra_cols=phys_cols
+        )
+        back = {p: l for l, p in cmap.items()}
+        cstats = {
+            back.get(col, col): v for col, v in (c.get(ds_path) or {}).items()
+        }
+        return f.get(ds_path, {}), cstats
 
     def _added_file_stats_multi(
         self, added_by_path: dict[str, list[str]], ts_col: str
@@ -2924,27 +3085,32 @@ class LakeWriter:
         if live is not None:
             if not live:
                 return None  # pinned-empty: every row deleted
+            log = CommitLog(path, fs=self.fs)
             # merge-on-read deletes (lake/dv.py): rows a DV commit
             # removed must be invisible to every rewrite that reads
             # existing data — an upsert/overwrite/CoW-delete that read
             # them raw would RESURRECT them in its output
-            dv_map = CommitLog(path, fs=self.fs).dv_at(None)
+            dv_map = log.dv_at(None)
             if dv_map:
                 from dl_datalake_spark.lake import dv as dvmod
 
                 keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                return dvmod.scan_with_dv(
-                    self.spark,
-                    self.base_path,
-                    [f"{path}/{rel}" for rel in live],
-                    keys,
-                    dirs,
-                    fs=self.fs,
+                return self._to_logical(
+                    dvmod.scan_with_dv(
+                        self.spark,
+                        self.base_path,
+                        [f"{path}/{rel}" for rel in live],
+                        keys,
+                        dirs,
+                        fs=self.fs,
+                    ),
+                    log,
                 )
-            return (
+            return self._to_logical(
                 self.spark.read.option("mergeSchema", "true")
                 .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in live])
+                .parquet(*[f"{path}/{rel}" for rel in live]),
+                log,
             )
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset
