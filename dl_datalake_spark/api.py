@@ -527,4 +527,64 @@ def create_app(client: DataLakeClient, download_manager=None, catalog=None):
             return jsonify({"error": str(exc)}), 422
         return jsonify(out)
 
+    @app.post("/datasets/columns/rename")
+    def rename_column():
+        """Metadata-only column rename via column mapping
+        (LakeWriter.rename_column): body names the dataset plus
+        `from`/`to`; zero files rewritten."""
+        body = request.get_json(force=True)
+        try:
+            out = client.rename_column(
+                body["exchange"], body["symbol"], body["from"], body["to"],
+                data_type=body.get("data_type", "raw"),
+                market=body.get("market", "SPOT"),
+                period=body.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 422
+        return jsonify(out)
+
+    @app.delete("/datasets/columns")
+    def drop_column():
+        """Metadata-only column drop (LakeWriter.drop_column): the
+        physical name is retired so a re-add can never resurrect the
+        dropped values."""
+        body = request.get_json(force=True)
+        try:
+            out = client.drop_column(
+                body["exchange"], body["symbol"], body["column"],
+                data_type=body.get("data_type", "raw"),
+                market=body.get("market", "SPOT"),
+                period=body.get("period", "1m"),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 422
+        return jsonify(out)
+
+    @app.get("/datasets/schema")
+    def dataset_schema():
+        """The commit-logged schema contract, optionally AS OF a
+        version (historical schemas through time travel)."""
+        try:
+            out = client.dataset_schema(
+                request.args["exchange"], request.args["symbol"],
+                data_type=request.args.get("data_type", "raw"),
+                market=request.args.get("market", "SPOT"),
+                period=request.args.get("period", "1m"),
+                version=(
+                    int(request.args["version"])
+                    if "version" in request.args
+                    else None
+                ),
+            )
+        except KeyError as exc:
+            return jsonify({"error": f"missing field {exc}"}), 422
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 422
+        return jsonify({"schema": out})
+
     return app

@@ -136,6 +136,40 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ur.add_argument("--strategy", default="rewrite", choices=["rewrite", "dv"])
 
+    rc = sub.add_parser(
+        "rename-column",
+        help="metadata-only column rename via column mapping (zero files rewritten)",
+    )
+    for a in (rc,):
+        a.add_argument("--exchange", required=True)
+        a.add_argument("--symbol", required=True)
+        a.add_argument("--data-type", default="raw")
+        a.add_argument("--market", default="SPOT")
+        a.add_argument("--period", default="1m")
+    rc.add_argument("--from", dest="old", required=True, metavar="OLD")
+    rc.add_argument("--to", dest="new", required=True, metavar="NEW")
+
+    dc = sub.add_parser(
+        "drop-column",
+        help="metadata-only column drop (physical name retired; no resurrection)",
+    )
+    dc.add_argument("--exchange", required=True)
+    dc.add_argument("--symbol", required=True)
+    dc.add_argument("--data-type", default="raw")
+    dc.add_argument("--market", default="SPOT")
+    dc.add_argument("--period", default="1m")
+    dc.add_argument("--column", required=True)
+
+    sc = sub.add_parser(
+        "schema", help="the dataset's commit-logged schema contract (optionally AS OF a version)"
+    )
+    sc.add_argument("--exchange", required=True)
+    sc.add_argument("--symbol", required=True)
+    sc.add_argument("--data-type", default="raw")
+    sc.add_argument("--market", default="SPOT")
+    sc.add_argument("--period", default="1m")
+    sc.add_argument("--version", type=int, default=None)
+
     pg = sub.add_parser(
         "purge-rows",
         help="ATOMIC cross-dataset delete (deletion vectors, one multilog "
@@ -411,6 +445,21 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif args.cmd == "rename-column":
+        print(json.dumps(client.rename_column(
+            args.exchange, args.symbol, args.old, args.new,
+            data_type=args.data_type, market=args.market, period=args.period,
+        )))
+    elif args.cmd == "drop-column":
+        print(json.dumps(client.drop_column(
+            args.exchange, args.symbol, args.column,
+            data_type=args.data_type, market=args.market, period=args.period,
+        )))
+    elif args.cmd == "schema":
+        print(json.dumps(client.dataset_schema(
+            args.exchange, args.symbol, data_type=args.data_type,
+            market=args.market, period=args.period, version=args.version,
+        )))
     elif args.cmd == "purge-rows":
         print(
             json.dumps(

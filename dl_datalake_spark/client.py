@@ -475,6 +475,61 @@ class DataLakeClient:
             )
         return {"deleted": res.rows, "partitions": res.partitions}
 
+    def rename_column(
+        self,
+        exchange: str,
+        symbol: str,
+        old: str,
+        new: str,
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+    ) -> dict:
+        """Metadata-only column RENAME via column mapping
+        (LakeWriter.rename_column): zero files rewritten, reads serve
+        the new name immediately, time travel keeps each epoch's own
+        names."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        self.writer.rename_column(key, old, new)
+        return {"renamed": {old: new}}
+
+    def drop_column(
+        self,
+        exchange: str,
+        symbol: str,
+        name: str,
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+    ) -> dict:
+        """Metadata-only column DROP (LakeWriter.drop_column): reads
+        stop projecting the column; the physical name is retired so a
+        future re-add can never resurrect the old values."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        self.writer.drop_column(key, name)
+        return {"dropped": name}
+
+    def dataset_schema(
+        self,
+        exchange: str,
+        symbol: str,
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+        version: int | None = None,
+    ) -> dict | None:
+        """The dataset's recorded write-time schema contract ({column:
+        Spark DDL type}, lake/schema.py) as of `version` (None = head);
+        None for pre-contract history."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        return self.writer.commit_log(key).schema_at(version)
+
     def update_rows(
         self,
         exchange: str,

@@ -292,14 +292,16 @@ class CommitLog:
             return dict(e.get("dv") or {})
         return {}
 
-    def schema_at(self, upto: int | None = None) -> dict | None:
-        """The dataset's resolved column schema ({name: Spark DDL type},
-        lake/schema.py) as of commit `upto` (None = head); None for
-        history predating the write-time contract.  One-entry read:
-        `_carry_schema` re-records the schema on every finalize, so the
-        newest committed entry at/below the cut either carries it or
-        proves the dataset pre-contract — no chain to fold, and prune
-        can never orphan the contract (the `dv_at` mechanic)."""
+    def contract_at(self, upto: int | None = None) -> tuple[dict | None, dict, list]:
+        """ONE read of the newest committed entry at/below `upto`
+        returning the whole schema-contract state:
+        (schema | None, {logical: physical} column map, retired physical
+        names).  `_carry_schema` re-records all three on every finalize,
+        so there is never a chain to fold and prune can never orphan the
+        contract (the `dv_at` mechanic).  `schema_at`/`column_map_at`/
+        `retired_physical_at` are thin views over this — call this one
+        when you need more than one piece (finalize and every contract
+        read do), or the log gets listed and parsed three times."""
         for v in reversed(self._entries()):
             if upto is not None and v > upto:
                 continue
@@ -307,35 +309,31 @@ class CommitLog:
             if e.get("status") != "committed":
                 continue
             sch = e.get("schema")
-            return dict(sch) if sch is not None else None
-        return None
+            return (
+                dict(sch) if sch is not None else None,
+                dict(e.get("column_map") or {}),
+                list(e.get("retired_cols") or []),
+            )
+        return None, {}, []
+
+    def schema_at(self, upto: int | None = None) -> dict | None:
+        """The dataset's resolved column schema ({name: Spark DDL type},
+        lake/schema.py) as of commit `upto` (None = head); None for
+        history predating the write-time contract."""
+        return self.contract_at(upto)[0]
 
     def column_map_at(self, upto: int | None = None) -> dict:
         """{logical column: PHYSICAL parquet column} as of commit `upto`
         (lake/schema.py column mapping — renames are metadata-only, the
         files keep their original column names).  Empty for datasets
-        never renamed.  One-entry read, carried like the schema."""
-        for v in reversed(self._entries()):
-            if upto is not None and v > upto:
-                continue
-            e = self._read_entry(v)
-            if e.get("status") != "committed":
-                continue
-            return dict(e.get("column_map") or {})
-        return {}
+        never renamed."""
+        return self.contract_at(upto)[1]
 
     def retired_physical_at(self, upto: int | None = None) -> list:
         """Physical column names RETIRED by a drop/rename history — a
         re-added logical column must get a FRESH physical name or the
         old files' bytes would resurrect under it."""
-        for v in reversed(self._entries()):
-            if upto is not None and v > upto:
-                continue
-            e = self._read_entry(v)
-            if e.get("status") != "committed":
-                continue
-            return list(e.get("retired_cols") or [])
-        return []
+        return self.contract_at(upto)[2]
 
     def _carry_schema(self, version: int, payload: dict) -> dict:
         """Carry the schema contract (and its column mapping / retired
@@ -343,18 +341,19 @@ class CommitLog:
         (deletes, DV commits, compaction) — writers that CHANGE them
         (appends under the contract, rename/drop, restore) set the keys
         explicitly and skip this."""
-        if "schema" not in payload:
-            prior = self.schema_at(version - 1)
-            if prior:
-                payload["schema"] = prior
-        if "column_map" not in payload:
-            prior_map = self.column_map_at(version - 1)
-            if prior_map:
-                payload["column_map"] = prior_map
-        if "retired_cols" not in payload:
-            prior_ret = self.retired_physical_at(version - 1)
-            if prior_ret:
-                payload["retired_cols"] = prior_ret
+        if (
+            "schema" in payload
+            and "column_map" in payload
+            and "retired_cols" in payload
+        ):
+            return payload
+        prior, prior_map, prior_ret = self.contract_at(version - 1)
+        if "schema" not in payload and prior:
+            payload["schema"] = prior
+        if "column_map" not in payload and prior_map:
+            payload["column_map"] = prior_map
+        if "retired_cols" not in payload and prior_ret:
+            payload["retired_cols"] = prior_ret
         return payload
 
     def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:

@@ -128,22 +128,12 @@ class LakeReader:
         Returns (ddl, physical->logical renames): the DDL names the
         PHYSICAL parquet columns (renamed columns keep their original
         on-disk names — column mapping, `CommitLog.column_map_at`), the
-        renames restore the LOGICAL names the contract promises."""
-        from dl_datalake_spark.lake.schema import to_ddl
+        renames restore the LOGICAL names the contract promises.
+        Delegates to `schema.contract_read` — the single shared builder
+        the writer's internal scans use too."""
+        from dl_datalake_spark.lake.schema import contract_read
 
-        sch = log.schema_at(version)
-        if not sch:
-            return None
-        cmap = log.column_map_at(version)
-        phys = {cmap.get(c, c): t for c, t in sch.items()}
-        base = self.base_path.rstrip("/")
-        rel = path[len(base) + 1 :] if path.startswith(base + "/") else ""
-        for seg in f"{rel}/{file_rel}".split("/"):
-            name, eq, _ = seg.partition("=")
-            if eq and name not in phys:
-                phys[name] = "int" if name in ("year", "month") else "string"
-        back = {p: l for l, p in cmap.items() if p != l}
-        return to_ddl(phys), back
+        return contract_read(log, self.base_path, path, file_rel, version)
 
     @staticmethod
     def _apply_renames(df: DataFrame, back: dict) -> DataFrame:
@@ -184,22 +174,19 @@ class LakeReader:
             return None
         lo, hi = ts_bounds if ts_bounds is not None else (None, None)
         cbounds = dict(col_bounds or {})
-        srcs: list[str] = []
-        dv_keys: list[str] = []
-        dv_dirs: list[str] = []
-        contract: str | None = None
+        # per-PATH scan groups: each dataset is read under its OWN
+        # contract (widened columns, logical names, retired columns
+        # excluded) and the groups union by name — one shared
+        # mergeSchema read would serve stale physical names for any
+        # renamed dataset and crash on widened-type mixes
+        groups: list[tuple[list[str], tuple | None, list[str], list[str]]] = []
         for p in paths:
             live = resolve_live_files(self.fs, p)
             if live is None:
-                srcs.append(p)
+                groups.append(([p], None, [], []))
                 continue
             log = CommitLog(p, fs=self.fs)
-            if len(paths) == 1 and live:
-                # single pinned dataset: serve the recorded write-time
-                # schema explicitly (widened columns + zero footer
-                # inference); multi-dataset unions keep mergeSchema
-                # (their contracts may genuinely differ)
-                contract = self._contract_ddl(log, p, live[0])
+            contract = self._contract_ddl(log, p, live[0]) if live else None
             dv_map = log.dv_at(None) if live else {}
             if live and (lo is not None or hi is not None or cbounds):
                 stats = log.file_stats() if (lo is not None or hi is not None) else {}
@@ -242,6 +229,8 @@ class LakeReader:
                     live = [
                         rel for rel in live if rel not in fmap or b in fmap[rel]
                     ]
+            dv_keys: list[str] = []
+            dv_dirs: list[str] = []
             if dv_map:
                 # merge-on-read deletes (lake/dv.py): remember which of
                 # the PLANNED files carry a deletion vector; their rows
@@ -249,29 +238,44 @@ class LakeReader:
                 ks, ds_ = dvmod.plan_dv(p, self.base_path, live, dv_map)
                 dv_keys.extend(ks)
                 dv_dirs.extend(ds_)
-            srcs.extend(f"{p}/{rel}" for rel in live)
-        if not srcs:
+            if live:
+                groups.append(
+                    ([f"{p}/{rel}" for rel in live], contract, dv_keys, dv_dirs)
+                )
+        frames = []
+        for srcs, contract, dv_keys, dv_dirs in groups:
+            if dv_keys:
+                # split scan: only the DV-bearing files pay the anti-join
+                out = dvmod.scan_with_dv(
+                    self.spark, self.base_path, srcs, dv_keys, dv_dirs,
+                    fs=self.fs,
+                    schema_ddl=contract[0] if contract else None,
+                )
+                frames.append(
+                    self._apply_renames(out, contract[1]) if contract else out
+                )
+            elif contract is not None:
+                ddl, back = contract
+                frames.append(
+                    self._apply_renames(
+                        self.spark.read.schema(ddl)
+                        .option("basePath", self.base_path)
+                        .parquet(*srcs),
+                        back,
+                    )
+                )
+            else:
+                frames.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", self.base_path)
+                    .parquet(*srcs)
+                )
+        if not frames:
             return None  # pinned-empty or every file skipped by stats
-        if dv_keys:
-            # split scan: only the DV-bearing files pay the anti-join
-            out = dvmod.scan_with_dv(
-                self.spark, self.base_path, srcs, dv_keys, dv_dirs, fs=self.fs,
-                schema_ddl=contract[0] if contract else None,
-            )
-            return self._apply_renames(out, contract[1]) if contract else out
-        if contract is not None:
-            ddl, back = contract
-            return self._apply_renames(
-                self.spark.read.schema(ddl)
-                .option("basePath", self.base_path)
-                .parquet(*srcs),
-                back,
-            )
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*srcs)
-        )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     # -- public API ---------------------------------------------------------
 

@@ -123,6 +123,33 @@ def to_ddl(schema: dict[str, str]) -> str:
     return ", ".join(f"`{name}` {typ}" for name, typ in schema.items())
 
 
+def contract_read(
+    log, base_path: str, path: str, file_rel: str, version=None
+) -> tuple[str, dict] | None:
+    """(physical read DDL, physical->logical renames) for a contracted
+    dataset — the ONE way any scan (reader or writer-internal) should
+    open contracted parquet: the explicit schema serves widened columns,
+    skips O(files) footer-merge inference, EXCLUDES retired physical
+    columns (dropped/renamed-away bytes must never enter a frame — a
+    mergeSchema read would surface them and, post re-add, collide with
+    the fresh physical name), and the renames restore the logical names
+    the contract promises.  Partition columns are parsed from the
+    dataset path + one file path, never guessed.  None for pre-contract
+    history (callers fall back to mergeSchema)."""
+    sch, cmap, _retired = log.contract_at(version)
+    if not sch:
+        return None
+    phys = {cmap.get(c, c): t for c, t in sch.items()}
+    base = base_path.rstrip("/")
+    rel = path[len(base) + 1 :] if path.startswith(base + "/") else ""
+    for seg in f"{rel}/{file_rel}".split("/"):
+        name, eq, _ = seg.partition("=")
+        if eq and name not in phys:
+            phys[name] = "int" if name in ("year", "month") else "string"
+    back = {p: l for l, p in cmap.items() if p != l}
+    return to_ddl(phys), back
+
+
 def resolve_append(
     prev: dict[str, str] | None,
     batch: dict[str, str],

@@ -394,14 +394,26 @@ class LakeWriter:
             prevs: dict = {}
             union_upcasts: dict[str, str] = {}
             for k in keys:
-                if self.commit_log(k).column_map_at(None):
+                prev, k_cmap, k_retired = self.commit_log(k).contract_at(None)
+                if k_cmap:
                     raise ValueError(
                         f"write_ohlc_multi: dataset {k.symbol} carries a "
                         "column mapping (renamed columns) — the shared "
                         "write job cannot serve per-dataset physical "
                         "names; write it through write_ohlc instead"
                     )
-                prev = self.commit_log(k).schema_at(None)
+                hit_retired = sorted(set(k_retired) & set(fp))
+                if hit_retired:
+                    # re-adding a dropped column needs a FRESH physical
+                    # name (only the single-dataset path assigns one) —
+                    # writing it here would reuse the retired physical
+                    # and resurrect the dropped bytes
+                    raise ValueError(
+                        f"write_ohlc_multi: batch column(s) {hit_retired} "
+                        f"were previously dropped from dataset {k.symbol} "
+                        "— re-add them through write_ohlc (it assigns a "
+                        "fresh physical name) before multi-writing"
+                    )
                 if prev is None:
                     prev = self._bootstrap_schema(self.dataset_path(k))
                 prevs[k.symbol] = prev
@@ -1736,16 +1748,24 @@ class LakeWriter:
         and `_update_where_dv` so the broadcast gating and key handling
         cannot drift between them."""
         from dl_datalake_spark.lake import dv as dvmod
+        from dl_datalake_spark.lake.schema import contract_read
 
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*[f"{path}/{rel}" for rel in live])
+        contract = contract_read(
+            CommitLog(path, fs=self.fs), self.base_path, path, live[0]
+        )
+        r = (
+            self.spark.read.schema(contract[0])
+            if contract is not None
+            else self.spark.read.option("mergeSchema", "true")
+        )
+        df = r.option("basePath", self.base_path).parquet(
+            *[f"{path}/{rel}" for rel in live]
         )
         # scan key first (the _metadata pseudo-column belongs to the
         # scan relation), THEN resolve physical -> logical names
         df = dvmod.with_scan_key(df, self.base_path)
-        df = self._to_logical(df, CommitLog(path, fs=self.fs))
+        if contract is not None:
+            df = self._rename_frame(df, contract[1])
         keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
         if keys:
             df = dvmod.anti_join_dv(
@@ -1916,7 +1936,8 @@ class LakeWriter:
                 k,
                 meta["version"],
                 self._restore_tag_changes(
-                    ds, head, target, parts, dv_head, dv_target
+                    ds, head, target, parts, dv_head, dv_target,
+                    log=log, version=version,
                 ),
             )
             meta["cdf"] = True
@@ -1981,6 +2002,8 @@ class LakeWriter:
         parts: list,
         dv_head: dict[str, str] | None = None,
         dv_target: dict[str, str] | None = None,
+        log: CommitLog | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Row-level diff of the head vs target snapshots over the
         restore's changed partitions, `_change_type`-tagged for the
@@ -1989,16 +2012,26 @@ class LakeWriter:
         Window key is `ts` alone — the other dataset coordinates are
         directory-constant within one dataset.  Each side reads through
         its OWN deletion vectors, so a restore across a DV delete diffs
-        the row sets the two snapshots actually served."""
+        the row sets the two snapshots actually served.  Each side also
+        resolves its OWN epoch's column mapping, so the feed rows carry
+        the logical names their epoch promised (a restore across a
+        rename would otherwise emit stale physical names)."""
         t_set = {tuple(p) for p in parts}
+        cmap_head = log.column_map_at(None) if log is not None else {}
+        cmap_tgt = (
+            log.column_map_at(version)
+            if log is not None and version is not None
+            else cmap_head
+        )
 
-        def _rd(files, dvm):
+        def _rd(files, dvm, cmap):
             sel = [rel for rel in files if partition_of(rel) in t_set]
             if not sel:
                 return None
-            return self._read_snapshot(ds, sel, dvm or {}, base_path=ds)
+            df = self._read_snapshot(ds, sel, dvm or {}, base_path=ds)
+            return self._rename_frame(df, {p: l for l, p in cmap.items()})
 
-        old, new = _rd(head, dv_head), _rd(target, dv_target)
+        old, new = _rd(head, dv_head, cmap_head), _rd(target, dv_target, cmap_tgt)
         if old is None and new is None:
             raise ValueError("restore diff requested with no changed files")
         if old is None:
@@ -2564,7 +2597,9 @@ class LakeWriter:
             t_set = {(y, m) for y, m in touched}
             kept = [f for f in base_live if partition_of(f) not in t_set]
             new_live = sorted(set(kept).union(added))
-        fstats, cstats = self._added_file_stats(ds_path, added, ts_col)
+        fstats, cstats = self._added_file_stats(
+            ds_path, added, ts_col, column_map=column_map
+        )
         fbuckets, bspec = self._added_file_buckets(ds_path, added)
         result = WriteResult(
             path=ds_path,
@@ -2779,16 +2814,23 @@ class LakeWriter:
         (see `bucket_by`): one bucket-columns-only scan of JUST the
         files this commit added, aggregating
         ``collect_set(pmod(xxhash64(col), n))`` per file.  Returns
-        ({col: {rel: [ids]}}, {col: [n_buckets, dtype]})."""
+        ({col: {rel: [ids]}}, {col: [n_buckets, dtype]}).
+
+        Column mapping: `bucket_by` keys are LOGICAL; the files carry
+        PHYSICAL names post-rename, so the scan renames back first and
+        the index stays keyed by the logical name the reader's
+        `point=` lookup uses (same contract as `_added_file_stats`)."""
         if not self.bucket_by or not added:
             return {}, {}
         df = self.spark.read.parquet(*[f"{ds_path}/{f}" for f in added])
-        cols = [c for c in self.bucket_by if c in df.columns]
+        cmap = CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        phys = {c: cmap.get(c, c) for c in self.bucket_by}
+        cols = [c for c in self.bucket_by if phys[c] in df.columns]
         if not cols:
             return {}, {}
         aggs = [
             F.collect_set(
-                F.pmod(F.xxhash64(F.col(c)), F.lit(self.bucket_by[c]))
+                F.pmod(F.xxhash64(F.col(phys[c])), F.lit(self.bucket_by[c]))
             ).alias(f"b{i}")
             for i, c in enumerate(cols)
         ]
@@ -2803,13 +2845,14 @@ class LakeWriter:
             for i, c in enumerate(cols):
                 out[c][rel] = sorted(int(x) for x in r[f"b{i}"] if x is not None)
         spec = {
-            c: [int(self.bucket_by[c]), df.schema[c].dataType.simpleString()]
+            c: [int(self.bucket_by[c]), df.schema[phys[c]].dataType.simpleString()]
             for c in cols
         }
         return out, spec
 
     def _added_file_stats(
-        self, ds_path: str, added: list[str], ts_col: str
+        self, ds_path: str, added: list[str], ts_col: str,
+        column_map: dict | None = None,
     ) -> tuple[dict[str, list[int]], dict[str, dict[str, list]]]:
         """Per-added-file [min_ts, max_ts] (plus, when `stats_cols` is
         configured, per-column [min, max]) for reader-side FILE SKIPPING
@@ -2824,8 +2867,15 @@ class LakeWriter:
         Column mapping: `stats_cols` are LOGICAL names; post-rename the
         files carry PHYSICAL ones, so the stats scan translates through
         the dataset's map and the recorded stats stay keyed logical
-        (what reader bounds look up)."""
-        cmap = CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        (what reader bounds look up).  `column_map` overrides the
+        committed map — the commit that ASSIGNS a fresh physical name
+        (re-added column) must stat the files it just wrote under that
+        name, which is not committed yet."""
+        cmap = (
+            column_map
+            if column_map is not None
+            else CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        )
         hit = {c: cmap[c] for c in self.stats_cols if c in cmap}
         if not hit:
             f, c = self._added_file_stats_multi({ds_path: added}, ts_col)
@@ -3080,12 +3130,20 @@ class LakeWriter:
         when one exists (lake/snapshot.py) — a directory scan would
         merge in superseded tombstone files and resurrect deleted or
         replaced rows."""
+        from dl_datalake_spark.lake.schema import contract_read
+
         path = self.dataset_path(key)
         live = resolve_live_files(self.fs, path)
         if live is not None:
             if not live:
                 return None  # pinned-empty: every row deleted
             log = CommitLog(path, fs=self.fs)
+            # the contract read (lake/schema.py): logical names, widened
+            # types, and — crucially for rewrites — retired physical
+            # columns EXCLUDED, so dropped bytes never leak into CDF
+            # pre-images or get copied forward into fresh files, and a
+            # re-added column's fresh physical can't collide with them
+            contract = contract_read(log, self.base_path, path, live[0])
             # merge-on-read deletes (lake/dv.py): rows a DV commit
             # removed must be invisible to every rewrite that reads
             # existing data — an upsert/overwrite/CoW-delete that read
@@ -3095,22 +3153,27 @@ class LakeWriter:
                 from dl_datalake_spark.lake import dv as dvmod
 
                 keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                return self._to_logical(
-                    dvmod.scan_with_dv(
-                        self.spark,
-                        self.base_path,
-                        [f"{path}/{rel}" for rel in live],
-                        keys,
-                        dirs,
-                        fs=self.fs,
-                    ),
-                    log,
+                out = dvmod.scan_with_dv(
+                    self.spark,
+                    self.base_path,
+                    [f"{path}/{rel}" for rel in live],
+                    keys,
+                    dirs,
+                    fs=self.fs,
+                    schema_ddl=contract[0] if contract else None,
                 )
-            return self._to_logical(
+                return self._rename_frame(out, contract[1]) if contract else out
+            if contract is not None:
+                return self._rename_frame(
+                    self.spark.read.schema(contract[0])
+                    .option("basePath", self.base_path)
+                    .parquet(*[f"{path}/{rel}" for rel in live]),
+                    contract[1],
+                )
+            return (
                 self.spark.read.option("mergeSchema", "true")
                 .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in live]),
-                log,
+                .parquet(*[f"{path}/{rel}" for rel in live])
             )
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset

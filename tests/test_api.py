@@ -505,3 +505,39 @@ def test_read_at_and_read_multi_routes(app_client, spark):
     assert rm.status_code == 200
     assert len(rm.get_json()["symbols"]["BTCUSDT"]) == 30
     assert http.get("/read-multi").status_code == 422
+
+
+def test_column_lifecycle_routes(app_client):
+    """rename-column / drop-column / schema over HTTP (column mapping,
+    lake/schema.py): metadata-only rename serves the new name, schema
+    endpoint presents head and historical contracts, drop retires."""
+    http, client, _ = app_client
+    r = http.post(
+        "/datasets/columns/rename",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT",
+              "from": "close", "to": "close_px"},
+    )
+    assert r.status_code == 200 and r.get_json()["renamed"] == {"close": "close_px"}
+    got = client.read_ohlc("BINANCE", "BTCUSDT")
+    assert "close_px" in got.columns and "close" not in got.columns
+
+    s = http.get("/datasets/schema", query_string={
+        "exchange": "BINANCE", "symbol": "BTCUSDT"})
+    assert s.status_code == 200 and "close_px" in s.get_json()["schema"]
+    s0 = http.get("/datasets/schema", query_string={
+        "exchange": "BINANCE", "symbol": "BTCUSDT", "version": 0})
+    assert "close" in s0.get_json()["schema"]
+
+    d = http.delete(
+        "/datasets/columns",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT", "column": "volume"},
+    )
+    assert d.status_code == 200 and d.get_json()["dropped"] == "volume"
+    assert "volume" not in client.read_ohlc("BINANCE", "BTCUSDT").columns
+    # contract violations map to 422
+    bad = http.post(
+        "/datasets/columns/rename",
+        json={"exchange": "BINANCE", "symbol": "BTCUSDT",
+              "from": "nope", "to": "x"},
+    )
+    assert bad.status_code == 422

@@ -157,3 +157,109 @@ def test_restore_rolls_back_names(lake, spark):
     assert log.column_map_at(None) == {}
     got = LakeReader(spark, base).read_dataset(KEY)
     assert "price" in got.columns and got.count() == 5
+
+
+def test_dml_after_drop_and_readd_no_crash_no_leak(lake, spark):
+    """Review finding: internal mergeSchema reads used to surface the
+    RETIRED physical column next to the fresh one after drop-then-re-add,
+    crashing every row-rewriting DML with a duplicate-column error and
+    leaking dropped values into CDF pre-images.  Internal scans now use
+    the contract read (retired columns excluded)."""
+    base_key = DatasetKey("SIM", "SPOT", "RDD", "ticks", "1m")
+    w, base = lake
+    w = LakeWriter(spark, base, emit_cdf=True)
+    rows = spark.createDataFrame(
+        [(T0 + i * 60000, float(i), 7.0 * i) for i in range(4)],
+        "ts long, price double, qty double",
+    )
+    w.write_ticks(rows, base_key)                                       # v0
+    w.drop_column(base_key, "qty")                                      # v1
+    # CDF pre-images after the drop must NOT carry the dropped column
+    res = w.delete_where(base_key, F.col("price") == 0.0, strategy="dv")  # v2
+    assert res.rows == 1
+    r = LakeReader(spark, base)
+    feed, _ = r.read_change_feed(base_key, 1)  # just the delete commit
+    assert feed is not None and "qty" not in feed.columns
+    # re-add qty (fresh physical), then every DML still works
+    w.merge_schema = True
+    w.write_ticks(
+        spark.createDataFrame(
+            [(T0 + 10 * 60000, 50.0, 1.0)], "ts long, price double, qty double"
+        ),
+        base_key, mode="append",
+    )                                                                   # v3
+    # upsert (merge with existing), update, dv-update, merge_into
+    w.write_ticks(
+        spark.createDataFrame([(T0 + 60000, 99.0, 2.0)],
+                              "ts long, price double, qty double"),
+        base_key, mode="upsert",
+    )
+    assert w.update_where(base_key, {"price": "price + 1"}, "qty = 2.0").rows == 1
+    assert w.update_where(
+        base_key, {"price": "price + 1"}, "qty = 1.0", strategy="dv"
+    ).rows == 1
+    src = spark.createDataFrame(
+        [(T0 + 2 * 60000, 7.0, 7.0)], "ts long, price double, qty double"
+    )
+    w.merge_into(base_key, src, when_matched_update="*")
+    got = r.read_dataset(base_key)
+    assert got.count() == 4  # 4 written - 1 deleted + 1 appended; upsert/updates replace
+    # old rows' dropped values never resurrect through any rewrite
+    assert got.where(F.col("ts") == T0 + 3 * 60000).first()["qty"] is None
+    assert got.where(F.col("ts") == T0 + 60000).first()["price"] == 100.0
+
+
+def test_multi_write_refuses_readding_retired_column(lake, spark):
+    w, base = lake
+    key = DatasetKey("SIM", "SPOT", "MUL", "raw", "1m")
+    ohlc = spark.createDataFrame(
+        [(T0, 1.0, 2.0, 0.5, 1.5, 10.0)],
+        "ts long, open double, high double, low double, close double, volume double",
+    )
+    w.write_ohlc(ohlc, key)
+    w.drop_column(key, "volume")
+    w.merge_schema = True
+    multi = ohlc.withColumn("symbol", F.lit("MUL"))
+    with pytest.raises(ValueError, match="previously dropped"):
+        w.write_ohlc_multi(multi, "SIM", "SPOT", data_type="raw", period="1m")
+
+
+def test_multipath_read_serves_logical_names(lake, spark):
+    """Review finding: multi-path reads (market/period unspecified)
+    used to skip the contract and serve stale PHYSICAL names."""
+    w, base = lake
+    k1 = DatasetKey("SIM", "SPOT", "MPR", "ticks", "1m")
+    k2 = DatasetKey("SIM", "FUTURES", "MPR", "ticks", "1m")
+    w.write_ticks(_rows(spark), k1)
+    w.write_ticks(_rows(spark, price0=100.0), k2)
+    w.rename_column(k1, "price", "px")
+    r = LakeReader(spark, base)
+    got = r.read_range("SIM", "MPR", data_type="ticks")  # market unspecified
+    # both logical names present, each dataset under its own contract
+    assert {"px", "price"} <= set(got.columns)
+    assert got.where(F.col("px").isNotNull()).count() == 5
+    assert got.where(F.col("price").isNotNull()).count() == 5
+
+
+def test_bucket_index_survives_rename(lake, spark):
+    """Review finding: the point-lookup bucket index silently stopped
+    recording after a rename (files carry physical names)."""
+    w, base = lake
+    key = DatasetKey("SIM", "SPOT", "BKR", "ticks", "1m")
+    wb = LakeWriter(spark, base, bucket_by={"px": 8})
+    first = spark.createDataFrame(
+        [(T0 + i * 60000, float(i)) for i in range(8)], "ts long, price double"
+    )
+    LakeWriter(spark, base).write_ticks(first, key)                     # v0
+    LakeWriter(spark, base).rename_column(key, "price", "px")           # v1
+    more = spark.createDataFrame(
+        [(T0 + (100 + i) * 60000, 50.0 + i) for i in range(8)],
+        "ts long, px double",
+    )
+    wb.write_ticks(more, key, mode="append")                            # v2
+    log = CommitLog(wb.dataset_path(key), fs=wb.fs)
+    bi = log.bucket_index()
+    assert "px" in bi and bi["px"]["files"], "bucket index must key the LOGICAL name"
+    # and the point lookup itself serves exact results
+    got = LakeReader(spark, base).read_dataset(key, point={"px": 53.0})
+    assert got.count() == 1 and got.first()["ts"] == T0 + 103 * 60000
