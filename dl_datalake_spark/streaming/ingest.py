@@ -112,6 +112,7 @@ def stream_cdf_into_ivf(
     vec_col: str = "embedding",
     schema: str | None = None,
     after_version: int = -1,
+    max_commits_per_batch: int = 0,
 ) -> StreamingQuery:
     """Keep a persisted IVF ANN index FOLLOWING a lake dataset's
     row-level change feed, exactly-once (VERDICT r8 #6): subscribe to
@@ -123,6 +124,11 @@ def stream_cdf_into_ivf(
     deletes purge every copy) tagged `txn=(app_id, batch_id)` — a
     replayed batch after a crash between the index commit and the
     checkpoint write is detected in the INDEX's commit log and skipped.
+    `max_commits_per_batch` bounds each micro-batch of a long catch-up
+    (sources/cdf_source.py admission control); note the default
+    availableNow trigger captures ONE offset per run, so a capped run
+    drains one bounded batch — run it repeatedly (or use a continuous
+    trigger) until caught up.
 
     Same exactly-once scope as stream_append_ingest: replays under one
     checkpoint lineage are exact; a WIPED checkpoint with unprocessed
@@ -133,7 +139,8 @@ def stream_cdf_into_ivf(
     from dl_datalake_spark.sources.cdf_source import stream_change_feed
 
     stream = stream_change_feed(
-        spark, dataset_path, after_version=after_version, schema=schema
+        spark, dataset_path, after_version=after_version, schema=schema,
+        max_commits_per_batch=max_commits_per_batch,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -164,6 +171,7 @@ def stream_cdf_into_lsh(
     text_col: str = "text",
     schema: str | None = None,
     after_version: int = -1,
+    max_commits_per_batch: int = 0,
 ) -> StreamingQuery:
     """Keep a persisted MinHash-LSH band index FOLLOWING a lake
     dataset's row-level change feed, exactly-once — the dedup twin of
@@ -175,12 +183,15 @@ def stream_cdf_into_lsh(
     `txn=(app_id, batch_id)` so a replayed batch is skipped.  Same
     exactly-once scope as stream_append_ingest: exact within one
     checkpoint lineage; a WIPED checkpoint with unprocessed lake
-    commits needs a new app_id or a `write_lsh_index` rebuild."""
+    commits needs a new app_id or a `write_lsh_index` rebuild.
+    `max_commits_per_batch`: same bounded-catch-up contract as
+    stream_cdf_into_ivf."""
     from dl_datalake_spark.operators.lsh_index import apply_cdf_to_lsh
     from dl_datalake_spark.sources.cdf_source import stream_change_feed
 
     stream = stream_change_feed(
-        spark, dataset_path, after_version=after_version, schema=schema
+        spark, dataset_path, after_version=after_version, schema=schema,
+        max_commits_per_batch=max_commits_per_batch,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
