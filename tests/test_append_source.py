@@ -199,7 +199,7 @@ def test_appends_capped_restart_with_stale_cursor_heals(tmp_path, spark):
     w.write_ticks(_ticks(spark, 1, start=T0 + 99 * 60000), KEY, mode="append")
     w.write_ticks(_ticks(spark, 1, start=T0 + 100 * 60000), KEY, mode="append")
     rows2, batches2 = _drain_bounded(
-        spark, ds, str(tmp_path / "ck"), 2, timeout_s=120,
+        spark, ds, str(tmp_path / "ck"), 2, timeout_s=300,
         max_commits_per_batch=2,
     )
     assert sorted(r["commit_version"] for r in rows2) == [6, 7]  # no re-serve
