@@ -603,15 +603,40 @@ class DataLakeClient:
                 continue
             if live:
                 try:
-                    # analysis only (limit(0), never executed): does the
-                    # predicate resolve against this dataset's schema?
-                    (
-                        self.spark.read.option("basePath", path)
-                        .parquet(f"{path}/{live[0]}")
-                        .limit(0)
-                        .where(where)
-                        .schema
+                    # analysis only (limit(0) / empty frame, never
+                    # executed): does the predicate resolve against this
+                    # dataset's schema?  Resolved against the COMMIT-LOGGED
+                    # CONTRACT when one exists — logical names (post
+                    # rename_column) and null-filled merge_schema columns,
+                    # exactly what delete_where_multi's contract_read scan
+                    # serves — so a purge is never silently skipped on a
+                    # dataset the delete would handle correctly.  The raw
+                    # first-file probe remains only for pre-contract
+                    # datasets.
+                    from dl_datalake_spark.lake.commitlog import CommitLog
+                    from dl_datalake_spark.lake.schema import contract_read
+
+                    contract = contract_read(
+                        CommitLog(path, fs=self.writer.fs),
+                        self.writer.base_path, path, live[0],
                     )
+                    if contract is not None:
+                        ddl, back = contract
+                        probe = self.spark.createDataFrame([], ddl)
+                        renames = {
+                            p: l for p, l in back.items() if p in probe.columns
+                        }
+                        if renames:
+                            probe = probe.withColumnsRenamed(renames)
+                        probe.where(where).schema
+                    else:
+                        (
+                            self.spark.read.option("basePath", path)
+                            .parquet(f"{path}/{live[0]}")
+                            .limit(0)
+                            .where(where)
+                            .schema
+                        )
                 except Exception as exc:
                     skipped[rel] = (
                         f"predicate does not resolve against schema: {exc}"

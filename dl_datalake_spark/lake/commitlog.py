@@ -68,6 +68,16 @@ class CommitConflict(Exception):
     """Another writer committed between our read and our claim."""
 
 
+class ConcurrentWriteConflict(Exception):
+    """An OPTIMISTIC commit's validation found a true conflict: a
+    commit that landed between the writer's snapshot read and its
+    claim touched the same partitions (or moved the schema contract /
+    rewrote the tree), so blindly finalizing would lose its effects.
+    Delta's ConcurrentAppendException / ConcurrentDeleteReadException
+    semantics — the caller retries from a fresh snapshot or surfaces
+    the conflict."""
+
+
 class CommitTimeout(TimeoutError):
     """Could not claim a commit slot within the deadline."""
 
@@ -292,16 +302,25 @@ class CommitLog:
             return dict(e.get("dv") or {})
         return {}
 
-    def contract_at(self, upto: int | None = None) -> tuple[dict | None, dict, list]:
+    def contract_at(
+        self, upto: int | None = None
+    ) -> tuple[dict | None, dict, list, dict]:
         """ONE read of the newest committed entry at/below `upto`
         returning the whole schema-contract state:
         (schema | None, {logical: physical} column map, retired physical
-        names).  `_carry_schema` re-records all three on every finalize,
-        so there is never a chain to fold and prune can never orphan the
-        contract (the `dv_at` mechanic).  `schema_at`/`column_map_at`/
-        `retired_physical_at` are thin views over this — call this one
-        when you need more than one piece (finalize and every contract
-        read do), or the log gets listed and parsed three times."""
+        names, {partition column: DDL type}).  `_carry_schema`
+        re-records all four on every finalize, so there is never a chain
+        to fold and prune can never orphan the contract (the `dv_at`
+        mechanic).  `schema_at`/`column_map_at`/`retired_physical_at`
+        are thin views over this — call this one when you need more
+        than one piece (finalize and every contract read do), or the
+        log gets listed and parsed several times.
+
+        Partition-column types are RECORDED FACTS from the written
+        frame (writer `_schema_contract`), not path heuristics — a
+        dataset partitioned on a non-year/month numeric key is served
+        with its true type.  Empty for history predating the recording
+        (contract_read falls back to the layout heuristic there)."""
         for v in reversed(self._entries()):
             if upto is not None and v > upto:
                 continue
@@ -313,8 +332,9 @@ class CommitLog:
                 dict(sch) if sch is not None else None,
                 dict(e.get("column_map") or {}),
                 list(e.get("retired_cols") or []),
+                dict(e.get("partition_types") or {}),
             )
-        return None, {}, []
+        return None, {}, [], {}
 
     def schema_at(self, upto: int | None = None) -> dict | None:
         """The dataset's resolved column schema ({name: Spark DDL type},
@@ -335,25 +355,34 @@ class CommitLog:
         old files' bytes would resurrect under it."""
         return self.contract_at(upto)[2]
 
+    def partition_types_at(self, upto: int | None = None) -> dict:
+        """Recorded {partition column: Spark DDL type} as of commit
+        `upto` — facts from the written frame, replacing contract_read's
+        layout heuristic.  Empty for pre-recording history."""
+        return self.contract_at(upto)[3]
+
     def _carry_schema(self, version: int, payload: dict) -> dict:
         """Carry the schema contract (and its column mapping / retired
-        physical names) forward into a commit that didn't set them
-        (deletes, DV commits, compaction) — writers that CHANGE them
-        (appends under the contract, rename/drop, restore) set the keys
-        explicitly and skip this."""
+        physical names / partition-column types) forward into a commit
+        that didn't set them (deletes, DV commits, compaction) —
+        writers that CHANGE them (appends under the contract,
+        rename/drop, restore) set the keys explicitly and skip this."""
         if (
             "schema" in payload
             and "column_map" in payload
             and "retired_cols" in payload
+            and "partition_types" in payload
         ):
             return payload
-        prior, prior_map, prior_ret = self.contract_at(version - 1)
+        prior, prior_map, prior_ret, prior_pt = self.contract_at(version - 1)
         if "schema" not in payload and prior:
             payload["schema"] = prior
         if "column_map" not in payload and prior_map:
             payload["column_map"] = prior_map
         if "retired_cols" not in payload and prior_ret:
             payload["retired_cols"] = prior_ret
+        if "partition_types" not in payload and prior_pt:
+            payload["partition_types"] = prior_pt
         return payload
 
     def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:
@@ -706,6 +735,23 @@ class CommitLog:
 
             if "files" in payload and version % self.CHECKPOINT_EVERY != 0:
                 payload = self._encode_files(version, payload, prev_files())
+            elif (
+                "files" not in payload
+                and version % self.CHECKPOINT_EVERY == 0
+                and ("files_add" in payload or "files_remove" in payload)
+            ):
+                # optimistic appends hand in DELTAS (files_add composes
+                # with any base, which is what makes them rebasable) —
+                # expand to a full checkpoint on schedule so delta
+                # chains stay bounded for every resolver
+                base = prev_files()
+                if base is not None:
+                    payload["files"] = sorted(
+                        (set(base) - set(payload.get("files_remove") or []))
+                        | set(payload.get("files_add") or [])
+                    )
+                    payload.pop("files_add", None)
+                    payload.pop("files_remove", None)
             payload = self._carry_dv(version, payload, prev_files)
             payload = self._carry_schema(version, payload)
         body = {"status": "committed", "committed_at": time.time(), **(payload or {})}

@@ -260,6 +260,7 @@ def compact(
     from contextlib import ExitStack
 
     from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
+    from dl_datalake_spark.lake.schema import contract_read
 
     fs = fs if fs is not None else get_fs(base_path, spark)
     if in_place and not getattr(fs, "ATOMIC_RENAME", True):
@@ -333,7 +334,27 @@ def compact(
             if live is not None and not live:
                 continue  # pinned-empty dataset: nothing to rewrite
             srcs = [ds] if live is None else [f"{ds}/{rel}" for rel in live]
-            df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(*srcs)
+            # contracted datasets scan through the recorded write-time
+            # schema (lake/schema.py): a merge_schema-widened dataset
+            # holds mixed INT32/INT64 files that mergeSchema footer
+            # inference CANNOT merge (CANNOT_MERGE_SCHEMAS — compact
+            # would fail on exactly the datasets the contract feature
+            # produces), and retired/dropped physical columns must not
+            # be copied forward into the fresh files.  Files keep their
+            # PHYSICAL column names (no logical rename), so the copied
+            # commit log's column_map stays valid for the rewritten
+            # tree.  mergeSchema remains only for pre-contract datasets.
+            contract = (
+                None
+                if live is None
+                else contract_read(CommitLog(ds, fs=fs), base, ds, live[0])
+            )
+            rd = (
+                spark.read.schema(contract[0])
+                if contract is not None
+                else spark.read.option("mergeSchema", "true")
+            )
+            df = rd.option("basePath", base).parquet(*srcs)
             if live is not None:
                 # merge-on-read deletes (lake/dv.py): apply them at the
                 # rewrite — the compacted tree materializes the deletes

@@ -85,12 +85,16 @@ UPCASTS: frozenset[tuple[str, str]] = WIDENINGS | frozenset(
 
 
 def can_upcast(t: str, pt: str) -> bool:
-    """True when a batch/assignment value of type `t` may be LOSSLESSLY
-    cast to the table's `pt` at write.  Covers the static UPCASTS table
-    plus decimal literals (SQL `-1.0` parses as decimal(2,1)): a
-    decimal fits a double exactly up to 15 significant digits, a float
-    up to 6, and a wider decimal whose integral and fractional ranges
-    both cover the source."""
+    """True when a batch/assignment value of type `t` may be cast to
+    the table's `pt` at write without losing information the reader
+    can observe.  Covers the static UPCASTS table (lossless) plus
+    decimal literals (SQL `-1.0` parses as decimal(2,1)): decimal ->
+    decimal is lossless when the target's integral and fractional
+    ranges cover the source; decimal -> double (p <= 15) / float
+    (p <= 6) is ROUND-TRIP-SAFE, not value-exact — a fractional
+    decimal like 0.1 has no exact binary representation, so the
+    stored double can differ from the decimal by ULPs even though it
+    prints back to the same literal."""
     if t == pt or (t, pt) in UPCASTS:
         return True
     import re
@@ -133,10 +137,13 @@ def contract_read(
     columns (dropped/renamed-away bytes must never enter a frame — a
     mergeSchema read would surface them and, post re-add, collide with
     the fresh physical name), and the renames restore the logical names
-    the contract promises.  Partition columns are parsed from the
-    dataset path + one file path, never guessed.  None for pre-contract
-    history (callers fall back to mergeSchema)."""
-    sch, cmap, _retired = log.contract_at(version)
+    the contract promises.  Partition-column NAMES are parsed from the
+    dataset path + one file path; their TYPES come from the commit's
+    recorded `partition_types` (facts from the written frame) with a
+    layout-convention fallback (`year`/`month` int, identity segments
+    string) only for history predating the recording.  None for
+    pre-contract history (callers fall back to mergeSchema)."""
+    sch, cmap, _retired, ptypes = log.contract_at(version)
     if not sch:
         return None
     phys = {cmap.get(c, c): t for c, t in sch.items()}
@@ -145,7 +152,9 @@ def contract_read(
     for seg in f"{rel}/{file_rel}".split("/"):
         name, eq, _ = seg.partition("=")
         if eq and name not in phys:
-            phys[name] = "int" if name in ("year", "month") else "string"
+            phys[name] = ptypes.get(
+                name, "int" if name in ("year", "month") else "string"
+            )
     back = {p: l for l, p in cmap.items() if p != l}
     return to_ddl(phys), back
 

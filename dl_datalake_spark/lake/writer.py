@@ -226,6 +226,7 @@ class LakeWriter:
         mode: str = "upsert",
         commit_meta: dict | None = None,
         txn: tuple[str, int] | None = None,
+        optimistic: bool = False,
     ) -> WriteResult:
         """`commit_meta` is merged into the commit-log payload — the
         atomic place to persist consumer cursors (e.g. the CDC
@@ -239,7 +240,22 @@ class LakeWriter:
         append sink needs when a crash lands between commit and
         checkpoint (streaming/ingest.stream_append_ingest). Checked
         again under the commit claim, so concurrent replays race
-        safely."""
+        safely.
+
+        `optimistic=True` (mode='append' only) runs the data job
+        OUTSIDE the commit claim and validates under a milliseconds
+        claim window (`_write_optimistic_append`) — concurrent
+        appenders to one dataset scale instead of serializing their
+        Spark jobs; a true conflict raises ConcurrentWriteConflict."""
+        if optimistic:
+            if mode != "append":
+                raise ValueError(
+                    "optimistic=True is append-only: upsert/overwrite are "
+                    "read-modify-write and must hold the claim across the job"
+                )
+            return self._write_optimistic_append(
+                df, key.normalized(), commit_meta=commit_meta, txn=txn
+            )
         return self._write(
             df, key.normalized(), mode=mode, commit_meta=commit_meta, txn=txn
         )
@@ -250,6 +266,7 @@ class LakeWriter:
         key: DatasetKey,
         mode: str = "upsert",
         txn: tuple[str, int] | None = None,
+        optimistic: bool = False,
     ) -> WriteResult:
         """Free-schema (ts + arbitrary columns) write. A key still
         carrying the default "raw" data_type is coerced to "ticks"
@@ -258,6 +275,10 @@ class LakeWriter:
         k = key.normalized()
         if k.data_type == "raw":
             k = DatasetKey(k.exchange, k.market, k.symbol, "ticks", k.period)
+        if optimistic:
+            if mode != "append":
+                raise ValueError("optimistic=True is append-only")
+            return self._write_optimistic_append(df, k, txn=txn)
         return self._write(df, k, mode=mode, txn=txn)
 
     def write_ohlc_multi(
@@ -389,12 +410,15 @@ class LakeWriter:
             from dl_datalake_spark.lake import schema as _sc
 
             fp = _sc.fingerprint(batch)
+            ptypes = {c: fp[c] for c in PARTITION_COLS if c in fp}
             for c in PARTITION_COLS:
                 fp.pop(c, None)
             prevs: dict = {}
+            prev_ptypes: dict = {}
             union_upcasts: dict[str, str] = {}
             for k in keys:
-                prev, k_cmap, k_retired = self.commit_log(k).contract_at(None)
+                prev, k_cmap, k_retired, k_pt = self.commit_log(k).contract_at(None)
+                prev_ptypes[k.symbol] = k_pt
                 if k_cmap:
                     raise ValueError(
                         f"write_ohlc_multi: dataset {k.symbol} carries a "
@@ -430,6 +454,10 @@ class LakeWriter:
                 meta["schema"], _ = _sc.resolve_append(
                     prevs[k.symbol], fp, self.merge_schema, f"write {k.symbol}"
                 )
+                if ptypes:
+                    meta["partition_types"] = {
+                        **prev_ptypes[k.symbol], **ptypes
+                    }
             emit_cdf = self.emit_cdf
             if mode == "upsert":
                 merged = self._merge_keep_last_multi(
@@ -1246,14 +1274,19 @@ class LakeWriter:
                                 cdf = cdf.unionByName(p, allowMissingColumns=True)
                         else:
                             cdf = None
-                    if cdf is not None:
-                        self._write_cdf(k, meta["version"], cdf)
-                        meta["cdf"] = True
-                    # DML gate: schema exactness over the written frame,
-                    # CHECK expectations over the updated/inserted rows
-                    out = self._enforce_dml_contract(
+                    # DML gate BEFORE the CDF write: a rejected merge
+                    # must not leave a change-feed dir claiming rows it
+                    # never wrote, and the gate's lossless upcasts must
+                    # reach the feed too (CDF consumers see the same
+                    # column types as the data files of this commit)
+                    out, _dml_ups = self._enforce_dml_contract(
                         out, log, f"merge_into {k.symbol}", post_only=changed
                     )
+                    if cdf is not None:
+                        self._write_cdf(
+                            k, meta["version"], self._align_cdf_types(cdf, log)
+                        )
+                        meta["cdf"] = True
                     pre_live = resolve_live_files(self.fs, path)
                     on_disk = set(list_data_files(self.fs, path))
                     (
@@ -1390,7 +1423,7 @@ class LakeWriter:
                 )
                 # DML gate: schema exactness over the written frame,
                 # CHECK expectations over just the transformed rows
-                updated = self._enforce_dml_contract(
+                updated, _dml_ups = self._enforce_dml_contract(
                     updated,
                     log,
                     f"update_where {k.symbol}",
@@ -1400,10 +1433,17 @@ class LakeWriter:
                     assigned_types=self._assignment_types(existing, sets),
                 )
                 if self.emit_cdf:
+                    # the feed carries the same types as this commit's
+                    # data files (the gate's lossless upcasts included)
                     self._write_cdf(
                         k,
                         meta["version"],
-                        self._update_cdf_rows(existing.where(month_pred), matched, sets),
+                        self._align_cdf_types(
+                            self._update_cdf_rows(
+                                existing.where(month_pred), matched, sets
+                            ),
+                            log,
+                        ),
                     )
                     meta["cdf"] = True
                 pre_live = resolve_live_files(self.fs, path)
@@ -1475,7 +1515,10 @@ class LakeWriter:
         gate at their own insert); `assigned_types` are the RAW
         assignment expression types (update_where probes them before
         when/otherwise coercion masks a type flip behind a runtime
-        cast).  Returns the (possibly upcast) written frame."""
+        cast).  Returns (the possibly-upcast written frame, the
+        upcasts applied) — callers that also emit a change feed apply
+        the same upcasts to the CDF frame so consumers see the types
+        the data files carry."""
         from dl_datalake_spark.lake import schema as _sc
 
         table = log.schema_at(None)
@@ -1495,7 +1538,7 @@ class LakeWriter:
                 self.expectations,
                 enforce="fail",
             )
-        return post
+        return post, ups
 
     @staticmethod
     def _assignment_types(frame: DataFrame, sets: dict) -> dict[str, str]:
@@ -1673,7 +1716,7 @@ class LakeWriter:
                         probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True)
                     )
                     # DML gate: the post-images ARE the written files
-                    post = self._enforce_dml_contract(
+                    post, _dml_ups = self._enforce_dml_contract(
                         post,
                         log,
                         f"update_where(dv) {k.symbol}",
@@ -1912,7 +1955,9 @@ class LakeWriter:
         }
         parts = sorted({partition_of(f) for f in changed} - {(None, None)})
         if target:
-            snap = self._read_snapshot(ds, target, dv_target)
+            snap = self._read_snapshot(
+                ds, target, dv_target, log=log, version=version
+            )
             s = snap.agg(
                 F.min("ts").alias("t0"),
                 F.max("ts").alias("t1"),
@@ -1964,12 +2009,31 @@ class LakeWriter:
         )
 
     def _read_snapshot(
-        self, ds: str, files: list[str], dv_map: dict[str, str], base_path: str | None = None
+        self,
+        ds: str,
+        files: list[str],
+        dv_map: dict[str, str],
+        base_path: str | None = None,
+        log: CommitLog | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Scan an explicit pinned file list through its deletion
         vectors — the snapshot AS DEFINED, shared by restore's row
-        counting and its CDF diff."""
+        counting and its CDF diff.  When `log` is given the scan goes
+        through THAT EPOCH's schema contract (lake/schema.py,
+        `version=None` = head): a merge_schema-widened dataset holds
+        mixed INT32/INT64 files that mergeSchema footer inference
+        cannot read (CANNOT_MERGE_SCHEMAS), and retired physical
+        columns must not leak into the restore diff.  Serves PHYSICAL
+        names either way (callers rename per their epoch's map)."""
+        from dl_datalake_spark.lake.schema import contract_read
+
         bp = base_path if base_path is not None else self.base_path
+        ddl = None
+        if log is not None and files:
+            contract = contract_read(log, bp, ds, files[0], version)
+            if contract is not None:
+                ddl = contract[0]
         dvm = {rel: d for rel, d in dv_map.items() if rel in set(files)}
         if dvm:
             from dl_datalake_spark.lake import dv as dvmod
@@ -1987,11 +2051,15 @@ class LakeWriter:
                 dirs,
                 fs=self.fs,
                 read_options={"basePath": bp},
+                schema_ddl=ddl,
             )
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", bp)
-            .parquet(*[f"{ds}/{rel}" for rel in files])
+        rd = (
+            self.spark.read.schema(ddl)
+            if ddl is not None
+            else self.spark.read.option("mergeSchema", "true")
+        )
+        return rd.option("basePath", bp).parquet(
+            *[f"{ds}/{rel}" for rel in files]
         )
 
     def _restore_tag_changes(
@@ -2024,14 +2092,19 @@ class LakeWriter:
             else cmap_head
         )
 
-        def _rd(files, dvm, cmap):
+        def _rd(files, dvm, cmap, epoch):
             sel = [rel for rel in files if partition_of(rel) in t_set]
             if not sel:
                 return None
-            df = self._read_snapshot(ds, sel, dvm or {}, base_path=ds)
+            # each side scans through ITS epoch's contract (widened
+            # types readable, retired columns excluded from the diff)
+            df = self._read_snapshot(
+                ds, sel, dvm or {}, base_path=ds, log=log, version=epoch
+            )
             return self._rename_frame(df, {p: l for l, p in cmap.items()})
 
-        old, new = _rd(head, dv_head, cmap_head), _rd(target, dv_target, cmap_tgt)
+        old = _rd(head, dv_head, cmap_head, None)
+        new = _rd(target, dv_target, cmap_tgt, version)
         if old is None and new is None:
             raise ValueError("restore diff requested with no changed files")
         if old is None:
@@ -2283,6 +2356,17 @@ class LakeWriter:
         if prev is None:
             prev = self._bootstrap_schema(path)
         fp = _sc.fingerprint(df)
+        # record the partition columns' TYPES as facts in the commit
+        # (contract_read consumes them instead of guessing from the
+        # path layout — a non-year/month numeric partition key would
+        # otherwise be served as string); frames that reach this gate
+        # pre-partitioning contribute nothing and _write records from
+        # its own layout probe instead
+        ptypes = {c: fp[c] for c in PARTITION_COLS if c in fp}
+        if meta is not None and ptypes:
+            meta["partition_types"] = {
+                **log.partition_types_at(None), **ptypes
+            }
         for c in PARTITION_COLS:
             fp.pop(c, None)
         resolved, upcasts = _sc.resolve_append(prev, fp, self.merge_schema, context)
@@ -2455,6 +2539,21 @@ class LakeWriter:
                     df, log, self.dataset_path(key), f"write {key.symbol}",
                     meta=meta,
                 )
+                if "partition_types" not in meta and "ts" in df.columns:
+                    # (ts-less batches fall through to _require_ts's
+                    # loud ValueError instead of failing the probe)
+                    # the batch reaches the gate pre-partitioning: probe
+                    # the layout's true partition types (analysis only,
+                    # limit(0) — no job) and record them as facts
+                    from dl_datalake_spark.lake import schema as _sc
+
+                    pfp = _sc.fingerprint(
+                        self._partitioned(df.limit(0), key, "ts")
+                    )
+                    meta["partition_types"] = {
+                        **log.partition_types_at(None),
+                        **{c: pfp[c] for c in PARTITION_COLS if c in pfp},
+                    }
                 res = self._write_locked(
                     df, key, mode, cdf_version=meta["version"],
                     # effective map INCLUDING any fresh physical names the
@@ -2489,6 +2588,251 @@ class LakeWriter:
                 rows=0, partitions=[],
             )
         return res
+
+    # -- partition-disjoint optimistic concurrency (Delta's commit model) ----
+    #
+    # `_write` holds the dataset's commit claim ACROSS the Spark job —
+    # required for read-modify-write (upsert/overwrite), but it caps one
+    # dataset at ~1/job-time commits/s no matter how many appenders pile
+    # on (round-9 contention bench: flat ~1.15 commits/s, PLANS.md).
+    # Blind APPENDS have no read dependency, so they can run the job
+    # FIRST and take the claim only to validate + finalize (Delta's
+    # OptimisticTransaction): the claim window shrinks from the job to
+    # milliseconds and disjoint appenders scale.
+    #
+    # Mechanics that make an append commutable:
+    # - data files are staged under `<dataset>/_staging_<token>/` (one
+    #   private dir per write: exact attribution, no shared Hadoop
+    #   `_temporary/0/` for concurrent same-dataset jobs to destroy) and
+    #   MOVED into the tree with token-unique names; uncommitted files
+    #   are invisible by construction (readers resolve the pinned
+    #   listing, never the directory);
+    # - the commit payload carries `files_add` ONLY — a delta composes
+    #   with whatever head it lands on, so there is nothing to rebase;
+    #   the finalize expands it to a full checkpoint on schedule;
+    # - validation under the claim replays every commit between the
+    #   snapshot read and the claimed slot: other APPENDS always pass
+    #   (blind inserts commute), partition-scoped rewrites pass iff
+    #   DISJOINT from ours, and anything that moved the schema contract
+    #   or rewrote the tree (compact, rename/drop) conflicts loudly
+    #   (ConcurrentWriteConflict) with our files removed — nothing half
+    #   lands.
+
+    _OPTIMISTIC_DISJOINT_OK = frozenset(
+        {"upsert", "overwrite", "delete", "delete-dv", "update",
+         "update-dv", "merge", "restore"}
+    )
+
+    def _validate_concurrent(
+        self, entry: dict, base_contract: tuple, touched: set, version: int,
+        ds_path: str,
+    ) -> None:
+        """Raise ConcurrentWriteConflict unless `entry` (a commit that
+        landed between our snapshot and our claim) provably commutes
+        with our blind append."""
+        from dl_datalake_spark.lake.commitlog import ConcurrentWriteConflict
+
+        prev_schema, prev_cmap, prev_ret, prev_pt = base_contract
+        sch = entry.get("schema")
+        if sch is not None and (
+            dict(sch) != (prev_schema or {})
+            or dict(entry.get("column_map") or {}) != prev_cmap
+            or list(entry.get("retired_cols") or []) != list(prev_ret)
+        ):
+            raise ConcurrentWriteConflict(
+                f"commit {version} of {ds_path} moved the schema contract "
+                "after this append's snapshot read — retry from a fresh "
+                "snapshot (the batch was resolved against the old contract)"
+            )
+        mode_e = entry.get("mode")
+        if mode_e == "append":
+            return  # blind inserts commute, same partition or not
+        parts = entry.get("partitions")
+        if (
+            parts
+            and mode_e in self._OPTIMISTIC_DISJOINT_OK
+            and not ({(int(y), int(m)) for y, m in parts} & touched)
+        ):
+            return  # partition-scoped rewrite, disjoint from our months
+        if parts == [] and mode_e in self._OPTIMISTIC_DISJOINT_OK:
+            return  # recorded no-op (e.g. delete matching nothing)
+        raise ConcurrentWriteConflict(
+            f"commit {version} (mode={mode_e}, partitions={parts}) of "
+            f"{ds_path} overlaps this append's months {sorted(touched)} or "
+            "rewrote the tree — the snapshot this append validated against "
+            "is stale; retry from a fresh snapshot"
+        )
+
+    def _write_optimistic_append(
+        self,
+        df: DataFrame,
+        key: DatasetKey,
+        commit_meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> WriteResult:
+        import uuid as _uuid
+
+        from dl_datalake_spark.lake import schema as _sc
+
+        key = key.normalized()
+        log = self.commit_log(key)
+        ds_path = self.dataset_path(key)
+        if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+            return WriteResult(
+                path=ds_path, time_from=None, time_to=None, rows=0, partitions=[]
+            )
+        # Preconditions for commuting: a recorded contract to validate
+        # against and a trusted pinned listing to compose deltas onto.
+        # First writes, schema evolutions, and legacy datasets take the
+        # claimed path — correctness first, the fast path is earned.
+        base_contract = log.contract_at(None)
+        prev_schema = base_contract[0]
+        if prev_schema is None or resolve_live_files(self.fs, ds_path) is None:
+            return self._write(df, key, "append", commit_meta, txn)
+        rv = log.latest_version()
+        fp = _sc.fingerprint(df)
+        for c in PARTITION_COLS:
+            fp.pop(c, None)
+        try:
+            _resolved, upcasts = _sc.resolve_append(
+                prev_schema, fp, False, f"write {key.symbol}"
+            )
+        except _sc.SchemaContractError:
+            if self.merge_schema:
+                # evolving append: the contract CHANGES — serialize it
+                return self._write(df, key, "append", commit_meta, txn)
+            raise
+        df = _sc.apply_upcasts(df, upcasts)
+        df, exp_meta = self._enforce_expectations(df, key)
+
+        # ---- the data job, OUTSIDE any claim --------------------------------
+        ts_col = _require_ts(df, "ts")
+        batch = self._partitioned(df, key, ts_col).persist()
+        token = _uuid.uuid4().hex
+        staging = f"{ds_path}/_staging_{token}"
+        cdf_staging = f"{ds_path}/{self.CDF_DIR}/_staging_{token}"
+        added: list[str] = []
+        try:
+            stats = batch.agg(
+                F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            touched = sorted(
+                (int(r["year"]), int(r["month"]))
+                for r in batch.select("year", "month").distinct().collect()
+                if r["year"] is not None
+            )
+            out = self._cluster_output(batch, ts_col, ["year", "month"], len(touched))
+            (
+                self._rename_frame(out, log.column_map_at(None))
+                .drop("exchange", "market", "symbol", "data_type", "period")
+                .write.partitionBy("year", "month")
+                .option("compression", "snappy")
+                .mode("append")
+                .parquet(staging)
+            )
+            if self.emit_cdf:
+                batch.withColumn("_change_type", F.lit("insert")).write.mode(
+                    "overwrite"
+                ).option("compression", "snappy").parquet(cdf_staging)
+        finally:
+            batch.unpersist()
+        try:
+            for rel in list_data_files(self.fs, staging):
+                d, _, name = rel.rpartition("/")
+                dst_rel = f"{d}/{token[:12]}-{name}" if d else f"{token[:12]}-{name}"
+                if d:
+                    self.fs.makedirs(f"{ds_path}/{d}")
+                self.fs.rename(f"{staging}/{rel}", f"{ds_path}/{dst_rel}")
+                added.append(dst_rel)
+            self.fs.rmtree(staging)
+            fstats, cstats = self._added_file_stats(
+                ds_path, added, ts_col, column_map=log.column_map_at(None)
+            )
+            fbuckets, bspec = self._added_file_buckets(ds_path, added)
+
+            # ---- claim, validate, finalize: milliseconds, no Spark job ------
+            payload = {"mode": "append", "optimistic": True, **exp_meta,
+                       **(commit_meta or {})}
+            if txn is not None:
+                payload["txn"] = {"app": txn[0], "version": int(txn[1])}
+            with log.transaction(
+                timeout=self.commit_timeout_s, payload=payload
+            ) as meta:
+                if txn is not None and log.last_txn_version(txn[0]) >= int(txn[1]):
+                    raise _ReplayedTxn()
+                v = meta["version"]
+                touched_set = set(touched)
+                for iv in range(rv + 1, v):
+                    e = log.committed_entry(iv)
+                    if e is None:
+                        continue  # rolled-aside claim: no effects to conflict
+                    self._validate_concurrent(
+                        e, base_contract, touched_set, iv, ds_path
+                    )
+                if self.emit_cdf:
+                    cdf_dst = f"{ds_path}/{self.CDF_DIR}/commit_version={v}"
+                    self.fs.rmtree(cdf_dst)  # orphan from an aborted claim
+                    self.fs.rename(cdf_staging, cdf_dst)
+                    meta["cdf"] = True
+                meta.update(
+                    rows=int(stats["n"]),
+                    time_from=stats["t0"],
+                    time_to=stats["t1"],
+                    partitions=[list(p) for p in touched],
+                    files_add=added,
+                    files_remove=[],
+                )
+                if fstats:
+                    meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
+                if fbuckets:
+                    meta["file_buckets"] = fbuckets
+                if bspec:
+                    meta["bucket_by"] = bspec
+        except _ReplayedTxn:
+            for rel in added:
+                try:
+                    self.fs.remove(f"{ds_path}/{rel}")
+                except OSError:
+                    pass
+            self.fs.rmtree(cdf_staging)
+            return WriteResult(
+                path=ds_path, time_from=None, time_to=None, rows=0, partitions=[]
+            )
+        except BaseException:
+            # conflict/timeout/crash before finalize: our files are
+            # uncommitted (invisible) — remove them so the tree carries
+            # no mystery bytes for legacy live-scan fallbacks or vacuum
+            for rel in added:
+                try:
+                    self.fs.remove(f"{ds_path}/{rel}")
+                except OSError:
+                    pass
+            self.fs.rmtree(staging)
+            self.fs.rmtree(cdf_staging)
+            raise
+        result = WriteResult(
+            path=ds_path,
+            time_from=stats["t0"],
+            time_to=stats["t1"],
+            rows=int(stats["n"]),
+            partitions=[list(p) for p in touched],
+            files=None,
+            file_stats=fstats,
+            col_stats=cstats or None,
+            file_buckets=fbuckets or None,
+            bucket_spec=bspec or None,
+        )
+        if self.manifest is not None:
+            self.manifest.add_entry(
+                exchange=key.exchange, market=key.market, symbol=key.symbol,
+                path=ds_path, data_type=key.data_type,
+                time_from=result.time_from, time_to=result.time_to,
+                metadata={"timeframe": key.period, "rows": result.rows},
+            )
+        return result
 
     def _write_locked(
         self, df: DataFrame, key: DatasetKey, mode: str, cdf_version: int | None = None,
@@ -3015,6 +3359,29 @@ class LakeWriter:
     def cdf_path(self, key: DatasetKey) -> str:
         return f"{self.dataset_path(key.normalized())}/{self.CDF_DIR}"
 
+    def _align_cdf_types(self, cdf: DataFrame, log: CommitLog) -> DataFrame:
+        """Losslessly cast a change-feed frame's columns up to the
+        table contract's types before writing it.  A DML's data-file
+        frame often reaches the table type by UNION COERCION with kept
+        rows (int assignment ∪ double column → double), but the feed
+        frame is built from the changed rows alone and would otherwise
+        serve narrower types than the data files of the same commit.
+        Columns outside the contract (_change_type, partition identity)
+        pass through; incompatible types were already rejected by
+        _enforce_dml_contract on the written frame."""
+        from dl_datalake_spark.lake import schema as _sc
+
+        table = log.schema_at(None)
+        if table is None:
+            return cdf
+        fp = _sc.fingerprint(cdf)
+        ups = {
+            c: table[c]
+            for c, t in fp.items()
+            if c in table and t != table[c] and _sc.can_upcast(t, table[c])
+        }
+        return _sc.apply_upcasts(cdf, ups)
+
     def _write_cdf(self, key: DatasetKey, version: int, rows: DataFrame) -> None:
         """One parquet dir per commit under the dataset's hidden `_cdf/`
         tree (underscore prefix: data scans never see it).  mode=
@@ -3047,16 +3414,30 @@ class LakeWriter:
         # per-dataset snapshot resolution: a pinned dataset contributes
         # exactly its live files (a raw subtree scan would merge in
         # tombstones and resurrect replaced/deleted rows); legacy
-        # datasets contribute their directory
-        srcs: list[str] = []
+        # datasets contribute their directory.  Contracted datasets
+        # scan through their recorded schema (lake/schema.py) — a
+        # merge_schema-widened dataset holds mixed INT32/INT64 files
+        # that a mergeSchema footer merge CANNOT read
+        # (CANNOT_MERGE_SCHEMAS); grouped by DDL so same-contract
+        # datasets still share one scan relation.  write_ohlc_multi
+        # refuses column-mapped datasets up front, so physical names
+        # ARE logical names here.
+        from dl_datalake_spark.lake.schema import contract_read
+
+        by_ddl: dict[str | None, list[str]] = {}
         for k in keys:
             p = self.dataset_path(k)
             live = resolve_live_files(self.fs, p)
             if live is None:
                 if has_visible_children(self.fs, p):
-                    srcs.append(p)
-            else:
-                srcs.extend(f"{p}/{rel}" for rel in live)
+                    by_ddl.setdefault(None, []).append(p)
+            elif live:
+                contract = contract_read(
+                    CommitLog(p, fs=self.fs), self.base_path, p, live[0]
+                )
+                ddl = contract[0] if contract is not None else None
+                by_ddl.setdefault(ddl, []).extend(f"{p}/{rel}" for rel in live)
+        srcs = [s for group in by_ddl.values() for s in group]
 
         def _all_inserts(b: DataFrame) -> DataFrame:
             # nothing to merge against: every batch row is an insert
@@ -3096,12 +3477,20 @@ class LakeWriter:
             pred = F.lit(False)
             for y, m in {(y, m) for _, y, m in triples}:
                 pred = pred | ((F.col("year") == y) & (F.col("month") == m))
-        existing = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*srcs)
-            .where(pred)
-        )
+        existing = None
+        for ddl, group in by_ddl.items():
+            rd = (
+                self.spark.read.schema(ddl)
+                if ddl is not None
+                else self.spark.read.option("mergeSchema", "true")
+            )
+            part = rd.option("basePath", self.base_path).parquet(*group)
+            existing = (
+                part
+                if existing is None
+                else existing.unionByName(part, allowMissingColumns=True)
+            )
+        existing = existing.where(pred)
         old = existing.withColumn("_src", F.lit(0))
         new = batch.withColumn("_src", F.lit(1))
         unioned = old.unionByName(new, allowMissingColumns=True)

@@ -47,6 +47,8 @@ from dl_datalake_spark.sources.cdf_source import (
     _ARROW_TO_DDL,
     _committed_entries,
     _CommitCache,
+    _contract_changed,
+    _head_contract,
     _Paths,
 )
 
@@ -167,12 +169,44 @@ def _infer_append_schema(path: str) -> str:
     )
 
 
+def _resolve_append_schema(
+    path: str, explicit: str | None
+) -> tuple[str, list[str], int | None]:
+    """(data DDL, physical source column names, pinned contract version)
+    for the stream — CONTRACT-AWARE (lake/schema.py): a contracted
+    dataset streams its LOGICAL column names and contract types (the
+    same surface every batch scan serves), with the physical names the
+    data files actually carry resolved through the commit-logged column
+    map.  Physical identity is stable across renames, old narrow files
+    read fine under a widened type, and a dropped column's retired
+    physical never enters the stream (it is simply absent from the
+    list).  `explicit` (the user's `schema` option) is the documented
+    RAW-MODE escape hatch: served verbatim, physical names, no contract
+    pin (pinned=None disables the mid-stream evolution check).  Falls
+    back to newest-file footer inference for pre-contract datasets."""
+    if explicit:
+        cols = [c.strip().split()[0] for c in explicit.split(",")]
+        return explicit, cols, None
+    schema, cmap, pinned = _head_contract(_committed_entries(path))
+    if schema is None:
+        ddl = _infer_append_schema(path)
+        cols = [c.strip().split()[0] for c in ddl.split(",")]
+        return ddl, cols, None
+    ddl = ", ".join(f"{name} {typ}" for name, typ in schema.items())
+    src = [cmap.get(name, name) for name in schema]
+    return ddl, src, pinned
+
+
 @dataclass
 class AppendPartition(InputPartition):
     version: int
     files: list[str] = field(default_factory=list)  # absolute URLs
     rels: list[str] = field(default_factory=list)  # dataset-relative (year=/month=)
-    columns: list[str] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)  # logical output names
+    # PHYSICAL parquet column names, parallel to `columns` (the contract's
+    # column map; files written before a re-add lack the fresh physical
+    # and null-fill — retired bytes never resurrect)
+    src_cols: list[str] = field(default_factory=list)
 
 
 class LakeAppendsStreamReader(DataSourceStreamReader):
@@ -197,6 +231,23 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
         self._pending: int | None = None  # capped offset the engine saw last
         self._cache = _CommitCache(self.path)
         self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+        # contract pin (lake/schema.py): physical source names for the
+        # logical output columns, and the version the contract was
+        # resolved at — an evolution/rename commit PAST the pin fails
+        # the stream loudly (restart re-resolves and serves it).  Raw
+        # mode (explicit schema option / pre-contract dataset): physical
+        # == logical, no pin, no evolution check.
+        if options.get("schema"):
+            self._pin = None
+            self.src_cols = list(self.columns)
+        else:
+            sch, cmap, pinned = _head_contract(self._cache.entries())
+            if sch is None:
+                self._pin = None
+                self.src_cols = list(self.columns)
+            else:
+                self._pin = (dict(sch), dict(cmap), pinned)
+                self.src_cols = [cmap.get(c, c) for c in self.columns]
 
     def initialOffset(self) -> dict:
         return {"version": self.after}
@@ -260,6 +311,20 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
                 f"append stream of {self.path} is truncated past offset {lo} — "
                 "commits were pruned; rebuild the consumer from a batch scan"
             )
+        if self._pin is not None:
+            sch0, cmap0, v0 = self._pin
+            for c in history:
+                if lo < c["version"] <= hi and c["version"] > v0 and _contract_changed(
+                    c, sch0, cmap0
+                ):
+                    raise ValueError(
+                        f"append stream of {self.path}: commit {c['version']} "
+                        "changed the dataset's schema contract or column "
+                        "mapping after this stream resolved its schema — "
+                        "restart the stream to pick up the new contract "
+                        "(a restart re-resolves and serves the evolved "
+                        "schema; continuing would serve stale names/types)"
+                    )
         replay = _replay_listing(history)
         px = _Paths(self.path)
         parts = []
@@ -297,6 +362,7 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
                     [px.url(rel) for rel in info["added"]],
                     list(info["added"]),
                     self.columns,
+                    self.src_cols,
                 )
             )
         return parts or [AppendPartition(-1)]
@@ -316,10 +382,13 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
             return v
 
         def gen():
+            src = partition.src_cols or partition.columns
             for url, rel in zip(partition.files, partition.rels):
                 y, m = _partition_cols(rel)
                 pdf = pq.read_table(url).to_pandas()
-                pdf = pdf.reindex(columns=partition.columns)
+                # PHYSICAL names in, logical order out; files predating
+                # a column (or a re-add's fresh physical) null-fill
+                pdf = pdf.reindex(columns=src)
                 for row in pdf.itertuples(index=False, name=None):
                     yield tuple(_clean(v) for v in row) + (y, m, partition.version)
 
@@ -335,14 +404,14 @@ class LakeAppendsDataSource(DataSource):
         return "lake_appends"
 
     def schema(self) -> str:
-        data = self.options.get("schema") or _infer_append_schema(
-            self.options["path"].rstrip("/")
+        data, _src, _pin = _resolve_append_schema(
+            self.options["path"].rstrip("/"), self.options.get("schema")
         )
         return f"{data}, year int, month int, commit_version long"
 
     def streamReader(self, schema) -> LakeAppendsStreamReader:
-        data_ddl = self.options.get("schema") or _infer_append_schema(
-            self.options["path"].rstrip("/")
+        data_ddl, _src, _pin = _resolve_append_schema(
+            self.options["path"].rstrip("/"), self.options.get("schema")
         )
         return LakeAppendsStreamReader(self.options, data_ddl)
 

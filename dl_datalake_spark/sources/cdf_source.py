@@ -203,6 +203,66 @@ class _CommitCache:
         return [self._cache[v] for v in sorted(self._cache)]
 
 
+def _head_contract(entries: list[dict]) -> tuple[dict | None, dict, int]:
+    """(schema, {logical: physical} column map, pinned version) of the
+    newest committed entry — the dataset's CURRENT write-time contract
+    (lake/schema.py; the commit log re-records it on every finalize,
+    so the newest entry either carries it or the dataset predates the
+    contract).  Stdlib-only re-read of what `CommitLog.contract_at`
+    serves, per the module's self-containment contract."""
+    if not entries:
+        return None, {}, -1
+    e = entries[-1]
+    sch = e.get("schema")
+    return (
+        dict(sch) if sch is not None else None,
+        dict(e.get("column_map") or {}),
+        e["version"],
+    )
+
+
+def _contract_changed(entry: dict, schema: dict | None, cmap: dict) -> bool:
+    """True when `entry` (a commit PAST the stream's pinned version)
+    records a different schema contract or column mapping than the one
+    the stream resolved at start — the mid-stream evolution signal."""
+    e_sch = entry.get("schema")
+    if e_sch is None:
+        return False  # pre-contract commit: nothing recorded to differ
+    return dict(e_sch) != (schema or {}) or dict(
+        entry.get("column_map") or {}
+    ) != cmap
+
+
+def _epoch_source_names(
+    out_cols: list[str],
+    head_schema: dict | None,
+    head_cmap: dict,
+    entry: dict | None,
+) -> list[str]:
+    """The column names a commit's CDF delta file actually carries,
+    parallel to the stream's logical output columns.
+
+    CDF deltas are written with the LOGICAL names of their own epoch
+    (writer._write_cdf receives logical frames), so after a
+    rename_column an old delta still says `price` where the head
+    contract says `px`.  Columns are matched by PHYSICAL IDENTITY —
+    stable across renames: head logical -> head physical via the head
+    column map, then head physical -> that epoch's logical via the
+    entry's own map.  Non-contract columns (_change_type, partition
+    identity) pass through unchanged — renames only ever touch
+    contract columns."""
+    e_cmap = dict((entry or {}).get("column_map") or {})
+    inv_e = {p: l for l, p in e_cmap.items()}
+    src = []
+    for c in out_cols:
+        if head_schema is not None and c in head_schema:
+            p = head_cmap.get(c, c)
+            src.append(inv_e.get(p, p))
+        else:
+            src.append(c)
+    return src
+
+
 def _infer_data_schema(path: str) -> str:
     """DDL of the newest committed delta's data columns (folded
     `commit_range=` segments carry commit_version as a column — it is
@@ -259,11 +319,109 @@ def _infer_data_schema(path: str) -> str:
     )
 
 
+def _newest_delta_columns(path: str) -> tuple[list[tuple[str, str]], dict | None]:
+    """([(column, DDL type)] of the newest committed CDF delta file in
+    FILE ORDER, the commit entry it belongs to) — the raw material the
+    contract-aware schema resolution maps to head logical names.  Entry
+    is None when only folded `commit_range=` segments remain (their
+    fold rewrote them with then-current names)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    px = _Paths(path)
+
+    def _cols_of(rel_dir: str) -> list[tuple[str, str]] | None:
+        for name in px.listdir(rel_dir):
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            schema = pq.read_schema(px.url(f"{rel_dir}/{name}"))
+
+            def _ddl_type(t) -> str | None:
+                got = _ARROW_TO_DDL.get(str(t))
+                if got is not None:
+                    return got
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    inner = _ddl_type(t.value_type)
+                    return f"array<{inner}>" if inner else None
+                return None
+
+            out = []
+            for f_ in schema:
+                if f_.name == "commit_version":
+                    continue
+                ddl = _ddl_type(f_.type)
+                if ddl is None:
+                    raise ValueError(
+                        f"cannot map arrow type {f_.type} of column "
+                        f"{f_.name!r} — pass an explicit schema option"
+                    )
+                out.append((f_.name, ddl))
+            return out
+        return None
+
+    entries = _committed_entries(path)
+    for entry in reversed(entries):
+        if not entry.get("cdf"):
+            continue
+        got = _cols_of(f"{CDF_DIR}/commit_version={entry['version']}")
+        if got:
+            return got, entry
+    for name in sorted(px.listdir(CDF_DIR), reverse=True):
+        if name.startswith("commit_range="):
+            got = _cols_of(f"{CDF_DIR}/{name}")
+            if got:
+                return got, None
+    raise ValueError(
+        f"no committed CDF delta found under {path}/{CDF_DIR} — "
+        "write with LakeWriter(emit_cdf=True) first or pass a schema option"
+    )
+
+
+def _resolve_cdf_schema(path: str) -> str:
+    """The stream's data DDL, CONTRACT-AWARE (lake/schema.py): contract
+    columns are served under their HEAD logical names and contract
+    types (widened types included) regardless of which epoch's names
+    the newest delta file happens to carry; non-contract columns
+    (_change_type, partition identity) keep their inferred shape in
+    file order; contract columns the newest delta predates are appended
+    (older commits null-fill); columns DROPPED from the head contract
+    are excluded.  Pre-contract datasets fall back to plain newest-file
+    inference."""
+    schema, cmap, _pin = _head_contract(_committed_entries(path))
+    if schema is None:
+        return _infer_data_schema(path)
+    file_cols, entry = _newest_delta_columns(path)
+    e_cmap = dict((entry or {}).get("column_map") or cmap)
+    e_schema = dict((entry or {}).get("schema") or schema)
+    inv_head = {p: l for l, p in cmap.items()}
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for n, t in file_cols:
+        p = e_cmap.get(n, n)
+        hl = inv_head.get(p, p)
+        if hl in schema:
+            out.append((hl, schema[hl]))
+            seen.add(hl)
+        elif n in e_schema:
+            continue  # contract column at its epoch, dropped at head
+        else:
+            out.append((n, t))  # extra: _change_type, partition identity
+            seen.add(n)
+    for c, t in schema.items():
+        if c not in seen:
+            out.append((c, t))
+    return ", ".join(f"{name} {typ}" for name, typ in out)
+
+
 @dataclass
 class CommitPartition(InputPartition):
     version: int
     files: list[str] = field(default_factory=list)
     columns: list[str] = field(default_factory=list)  # output order, sans commit_version
+    # the names THIS commit's delta file carries for `columns` (CDF
+    # deltas are written with their own epoch's logical names; matched
+    # to the head contract by physical identity — _epoch_source_names)
+    src_cols: list[str] = field(default_factory=list)
     # True when files come from a folded `commit_range=` segment
     # (maintenance.fold_change_feed): commit_version is a data column
     # there and the executor filters rows to `versions`. Folded
@@ -310,6 +468,15 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._cache = _CommitCache(self.path)
         # "col type, col type" -> ordered column names
         self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+        # contract pin (lake/schema.py): deltas are mapped per-commit to
+        # these head names by physical identity; an evolution/rename
+        # past the pin fails the stream loudly.  Raw mode (explicit
+        # schema / pre-contract): epoch names == head names, no pin.
+        if options.get("schema"):
+            self._pin = None
+        else:
+            sch, cmap, pinned = _head_contract(self._cache.entries())
+            self._pin = None if sch is None else (dict(sch), dict(cmap), pinned)
 
     def initialOffset(self) -> dict:
         return {"version": self.after}
@@ -362,6 +529,19 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 f"change feed of {self.path} is truncated past offset {lo} — "
                 "commits were pruned; rebuild the consumer from a batch scan"
             )
+        if self._pin is not None:
+            sch0, cmap0, v0 = self._pin
+            for c in history:
+                if lo < c["version"] <= hi and c["version"] > v0 and _contract_changed(
+                    c, sch0, cmap0
+                ):
+                    raise ValueError(
+                        f"change feed of {self.path}: commit {c['version']} "
+                        "changed the dataset's schema contract or column "
+                        "mapping after this stream resolved its schema — "
+                        "restart the stream to pick up the new contract "
+                        "(continuing would serve stale names/types)"
+                    )
         px = _Paths(self.path)
         # folded segments (maintenance.fold_change_feed): newest range
         # covering a version wins, same shadowing rule as the batch
@@ -403,16 +583,45 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             if seg is not None:
                 seg_versions.setdefault(seg, []).append(v)
             else:
+                if self._pin is not None:
+                    sch0, cmap0, _v0 = self._pin
+                    src = _epoch_source_names(self.columns, sch0, cmap0, c)
+                else:
+                    src = list(self.columns)
                 parts.append(
-                    CommitPartition(v, _files(f"{CDF_DIR}/commit_version={v}"), self.columns)
+                    CommitPartition(
+                        v, _files(f"{CDF_DIR}/commit_version={v}"),
+                        self.columns, src,
+                    )
                 )
         # folded segments: one partition PER SEGMENT FILE carrying the
         # whole planned version set — every file is read exactly once
-        # (parallelism by file), the executor filters rows to the set
+        # (parallelism by file), the executor filters rows to the set.
+        # A fold rewrites its rows with the names current AT FOLD TIME;
+        # with a column mapping in play the segment must already carry
+        # head logical names (one driver-side footer read) — a fold
+        # predating a rename is unservable under the head contract and
+        # fails loudly (re-fold the feed), never serves stale names.
         for seg, versions in seg_versions.items():
-            for f in _files(f"{CDF_DIR}/{seg}"):
+            seg_files = _files(f"{CDF_DIR}/{seg}")
+            if self._pin is not None and self._pin[1] and seg_files:
+                import pyarrow.parquet as pq
+
+                names = set(pq.read_schema(seg_files[0]).names)
+                stale = names - set(self.columns) - {"commit_version"}
+                if stale:
+                    raise ValueError(
+                        f"change feed of {self.path}: folded segment {seg} "
+                        f"carries pre-rename column names {sorted(stale)} — "
+                        "re-run maintenance.fold_change_feed so the feed "
+                        "serves the head contract's names"
+                    )
+            for f in seg_files:
                 parts.append(
-                    CommitPartition(max(versions), [f], self.columns, True, versions)
+                    CommitPartition(
+                        max(versions), [f], self.columns, list(self.columns),
+                        True, versions,
+                    )
                 )
         return parts or [CommitPartition(-1)]
 
@@ -437,6 +646,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return v
 
         def gen():
+            src = partition.src_cols or partition.columns
             for f in partition.files:
                 pdf = pq.read_table(f).to_pandas()
                 if partition.filter_version:
@@ -444,8 +654,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                     vers = [int(x) for x in pdf["commit_version"]]
                 else:
                     vers = [partition.version] * len(pdf)
-                # older commits may predate later columns: serve NULLs
-                pdf = pdf.reindex(columns=partition.columns)
+                # the delta's OWN epoch names in, head logical order
+                # out; commits predating later columns serve NULLs
+                pdf = pdf.reindex(columns=src)
                 for row, cv in zip(pdf.itertuples(index=False, name=None), vers):
                     yield tuple(_clean(v) for v in row) + (cv,)
 
@@ -460,13 +671,13 @@ class LakeCDFDataSource(DataSource):
         return "lake_cdf"
 
     def schema(self) -> str:
-        data = self.options.get("schema") or _infer_data_schema(
+        data = self.options.get("schema") or _resolve_cdf_schema(
             self.options["path"].rstrip("/")
         )
         return f"{data}, commit_version long"
 
     def streamReader(self, schema) -> LakeCDFStreamReader:
-        data_ddl = self.options.get("schema") or _infer_data_schema(
+        data_ddl = self.options.get("schema") or _resolve_cdf_schema(
             self.options["path"].rstrip("/")
         )
         return LakeCDFStreamReader(self.options, data_ddl)

@@ -180,6 +180,112 @@ def main() -> None:
             f"{c['fence_losses_or_errors']} |"
         )
 
+    # -- OPTIMISTIC contention axis (round 11, VERDICT r10 #2): same
+    # shape, but the appends run their Spark job OUTSIDE the claim
+    # (write_ohlc(optimistic=True)) and validate under a milliseconds
+    # claim window — the claimed table above is the baseline this must
+    # beat (>2x aggregate commits/s for partition-disjoint writers,
+    # zero lost updates, zero validation conflicts on disjoint months).
+    from dl_datalake_spark.lake.commitlog import ConcurrentWriteConflict
+
+    contention_opt = []
+    for n_writers in (1, 2, 4, 8):
+        base = tempfile.mkdtemp(prefix="commit_contend_opt_")
+        try:
+            boot = LakeWriter(spark, base, commit_timeout_s=600.0)
+            batch0 = spark.range(rows).select(
+                (F.lit(T0 - MONTH_MS) + F.col("id") * 60_000)
+                .cast("long").alias("ts"),
+                F.rand(6).alias("open"), F.rand(7).alias("high"),
+                F.rand(8).alias("low"), F.rand(9).alias("close"),
+                F.rand(10).alias("volume"),
+            )
+            boot.write_ohlc(batch0, key, mode="append")  # contract + pin
+            writers = [
+                LakeWriter(spark, base, commit_timeout_s=600.0)
+                for _ in range(n_writers)
+            ]
+            errors: list[str] = []
+            conflicts = [0]
+            barrier = threading.Barrier(n_writers)
+
+            def run_opt(idx: int) -> None:
+                try:
+                    barrier.wait()
+                    for i in range(appends_each):
+                        m = idx * appends_each + i
+                        batch = spark.range(rows).select(
+                            (F.lit(T0 + m * MONTH_MS) + F.col("id") * 60_000)
+                            .cast("long").alias("ts"),
+                            F.rand(6).alias("open"), F.rand(7).alias("high"),
+                            F.rand(8).alias("low"), F.rand(9).alias("close"),
+                            F.rand(10).alias("volume"),
+                        )
+                        writers[idx].write_ohlc(
+                            batch, key, mode="append", optimistic=True
+                        )
+                except ConcurrentWriteConflict as e:
+                    conflicts[0] += 1
+                    errors.append(f"conflict: {e}")
+                except (CommitConflict, CommitTimeout) as e:
+                    errors.append(f"{type(e).__name__}: {e}")
+                except BaseException as e:
+                    errors.append(repr(e))
+
+            threads = [
+                threading.Thread(target=run_opt, args=(i,))
+                for i in range(n_writers)
+            ]
+            t = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.time() - t
+            log2 = LakeWriter(spark, base).commit_log(key)
+            hist = log2.history()
+            commits = len([h for h in hist if h.get("optimistic")])
+            retries = sum(int(h.get("claim_conflicts", 0)) for h in hist)
+            live = log2.latest_files() or []
+            rows_total = None
+            try:
+                rows_total = (
+                    spark.read.parquet(
+                        *[f"{boot.dataset_path(key)}/{f}" for f in live]
+                    ).count()
+                )
+            except Exception:
+                pass
+            contention_opt.append({
+                "writers": n_writers,
+                "commits": commits,
+                "expected": n_writers * appends_each,
+                "wall_s": round(wall, 2),
+                "commits_per_s": round(commits / wall, 2),
+                "per_writer_commits_per_s": round(commits / wall / n_writers, 3),
+                "claim_retries": retries,
+                "validation_conflicts": conflicts[0],
+                "rows_landed": rows_total,
+                "rows_expected": rows * (n_writers * appends_each + 1),
+                "fence_losses_or_errors": len(errors),
+            })
+            if errors:
+                contention_opt[-1]["errors"] = errors[:3]
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"rows_per_batch": rows, "appends_each": appends_each,
+                      "contention_optimistic": contention_opt}))
+    print("| writers | commits | wall s | commits/s | per-writer commits/s | claim retries | validation conflicts | rows landed/expected | losses |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for c in contention_opt:
+        print(
+            f"| {c['writers']} | {c['commits']}/{c['expected']} | {c['wall_s']} | "
+            f"{c['commits_per_s']} | {c['per_writer_commits_per_s']} | "
+            f"{c['claim_retries']} | {c['validation_conflicts']} | "
+            f"{c['rows_landed']}/{c['rows_expected']} | "
+            f"{c['fence_losses_or_errors']} |"
+        )
+
 
 if __name__ == "__main__":
     main()
