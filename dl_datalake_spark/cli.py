@@ -187,10 +187,17 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--period", default="1m")
     exp.add_argument("--resample-to", default=None)
 
-    sql = sub.add_parser("sql")
+    sql = sub.add_parser(
+        "sql",
+        help="Spark SQL; lake.<exchange>_<symbol>_<data_type>_<period> "
+        "names resolve directly (VERSION AS OF n / TIMESTAMP AS OF 'ts' "
+        "time travel included)",
+    )
     sql.add_argument("--view", action="append", default=[],
                      help="NAME=EXCHANGE/SYMBOL[/DATA_TYPE] dataset view to register")
-    sql.add_argument("query")
+    sql.add_argument("--tables", action="store_true",
+                     help="list addressable lake.<name> tables and exit")
+    sql.add_argument("query", nargs="?", default=None)
 
     flow = sub.add_parser("pipeline")
     flow.add_argument("--source", required=True)
@@ -481,11 +488,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"out": args.out}))
     elif args.cmd == "sql":
-        for spec in args.view:
-            name, rest = spec.split("=", 1)
-            parts = rest.split("/")
-            client.register_view(name, parts[0], parts[1], *(parts[2:3] or ["raw"]))
-        client.sql(args.query).show(100, truncate=False)
+        if args.tables:
+            print(json.dumps(client.sql_tables()))
+        else:
+            if args.query is None:
+                raise SystemExit("sql: a query (or --tables) is required")
+            for spec in args.view:
+                name, rest = spec.split("=", 1)
+                parts = rest.split("/")
+                client.register_view(name, parts[0], parts[1], *(parts[2:3] or ["raw"]))
+            client.sql(args.query).show(100, truncate=False)
     elif args.cmd == "pipeline":
         from dl_datalake_spark.flows import ingest_pipeline_flow
 

@@ -671,9 +671,24 @@ class DataLakeClient:
         )
 
     def sql(self, query: str) -> DataFrame:
-        """Spark SQL over registered lake views — the engine analogue of
-        the reference's ad-hoc DuckDB SQL over parquet globs."""
-        return self.spark.sql(query)
+        """Spark SQL with NAMED LAKE TABLES (lake/sql_catalog.py):
+        `lake.<exchange>_<symbol>_<data_type>_<period>` references —
+        including Delta-style `VERSION AS OF n` / `TIMESTAMP AS OF
+        'ts'` time travel — resolve through the same pinned/contract
+        scan every DataFrame read uses; registered temp views and
+        plain SQL keep working untouched.  The engine analogue (and
+        superset) of the reference's ad-hoc DuckDB SQL over parquet
+        globs."""
+        return self._sql_catalog().sql(query)
+
+    def sql_tables(self) -> list[str]:
+        """Addressable `lake.<name>` tables (SHOW TABLES analogue)."""
+        return self._sql_catalog().tables()
+
+    def _sql_catalog(self):
+        from dl_datalake_spark.lake.sql_catalog import LakeSQLCatalog
+
+        return LakeSQLCatalog(self.spark, self.reader, self.writer.fs)
 
     # -- manifest-pruned cross-dataset read (plans/manifest_pruning.py) ------
     def read_window(self, time_from: int | None = None, time_to: int | None = None, **filters):

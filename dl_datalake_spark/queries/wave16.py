@@ -101,6 +101,71 @@ def events_stream_rename(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "events_sql_catalog",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT CAST({_JAN} + v.b * 60000 AS BIGINT) AS ts,
+       v.c + k.c AS joined_cents,
+       v.c AS v0_cents
+FROM v JOIN k ON v.b = k.b
+ORDER BY ts
+""",
+)
+def events_sql_catalog(spark: SparkSession, sf_dir: str):
+    """NAMED-TABLE SQL CATALOG (lake/sql_catalog.py, round 11): two
+    lake datasets joined PURELY IN SQL by name (`FROM lake.a JOIN
+    lake.b`), plus a `VERSION AS OF 0` time-travel read of a dataset
+    that was upsert-overwritten afterwards — the historical column
+    must serve v0's values (the bucket arithmetic), not the head's,
+    and hash-match what read_dataset_at serves.  The reference's SQL
+    surface is one DuckDB glob per query with no catalog and no
+    history (reader.py:57-62)."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.client import DataLakeClient
+    from dl_datalake_spark.lake.paths import DatasetKey
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _ticks(df):
+        return df.select(
+            (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+            F.col("c").cast("double").alias("price"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="dl_sqlcat_")
+    try:
+        client = DataLakeClient(spark, tmp)
+        ka = DatasetKey("SIM", "SPOT", "SQA", "ticks", "1m")
+        kb = DatasetKey("SIM", "SPOT", "SQB", "ticks", "1m")
+        client.writer.write_ticks(_ticks(_bucket_cents(ev, "view")), ka, mode="append")
+        client.writer.write_ticks(_ticks(_bucket_cents(ev, "click")), kb, mode="append")
+        # overwrite A's values so VERSION AS OF 0 is observably historical
+        client.writer.write_ticks(
+            _ticks(_bucket_cents(ev, "purchase")), ka, mode="upsert"
+        )
+        got = client.sql(
+            "SELECT a.ts AS ts, a.price + b.price AS joined, a0.price AS v0 "
+            "FROM lake.sim_sqa_ticks_1m VERSION AS OF 0 a "
+            "JOIN lake.sim_sqb_ticks_1m b ON a.ts = b.ts "
+            "JOIN lake.sim_sqa_ticks_1m VERSION AS OF 0 a0 ON a0.ts = a.ts "
+            "ORDER BY ts"
+        ).collect()
+        rows = [(int(r["ts"]), int(r["joined"]), int(r["v0"])) for r in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts long, joined_cents long, v0_cents long"
+    )
+
+
+@register(
     "events_optimistic_append",
     sql=f"""
 WITH v AS (
