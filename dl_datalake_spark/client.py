@@ -530,6 +530,26 @@ class DataLakeClient:
         key = DatasetKey(exchange, market, symbol, data_type, period)
         return self.writer.commit_log(key).schema_at(version)
 
+    def alter_column_type(
+        self,
+        exchange: str,
+        symbol: str,
+        column: str,
+        new_type: str,
+        data_type: str = "raw",
+        market: str = "SPOT",
+        period: str = "1m",
+    ) -> dict:
+        """Rewrite-backed NON-WIDENING type change (LakeWriter.
+        alter_column_type): full rewrite under one commit, losslessness
+        enforced by a round-trip probe, time travel serves each epoch's
+        own type."""
+        from dl_datalake_spark.lake.paths import DatasetKey
+
+        key = DatasetKey(exchange, market, symbol, data_type, period)
+        res = self.writer.alter_column_type(key, column, new_type)
+        return {"rows_rewritten": res.rows, "partitions": res.partitions}
+
     def update_rows(
         self,
         exchange: str,

@@ -60,6 +60,8 @@ class WriteResult:
     col_stats: dict | None = None  # {col: {added rel path: [min, max]}}
     file_buckets: dict | None = None  # {col: {added rel path: [bucket ids]}}
     bucket_spec: dict | None = None  # {col: [n_buckets, dtype]} (writer bucket_by)
+    file_bytes: dict | None = None  # {added rel path: bytes} (admission control)
+    cdf_bytes: int | None = None  # this commit's CDF delta size in bytes
     txid: str | None = None  # multi-commit id (write_ohlc_multi) — the
     # handle LakeReader.read_datasets_at replays the whole cut from
 
@@ -111,6 +113,8 @@ class LakeWriter:
         cluster_bits: int = 6,
         bucket_by: dict[str, int] | None = None,
         merge_schema: bool = False,
+        optimize_write: bool = False,
+        target_file_rows: int = 1_000_000,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -211,6 +215,17 @@ class LakeWriter:
         self.expectations = list(expectations or [])
         self.enforce = enforce
         self.merge_schema = bool(merge_schema)
+        # Delta's optimizeWrite for APPENDS: bin-pack the output so each
+        # touched partition gets ceil(rows / target_file_rows) files
+        # instead of one small file per upstream task — a 32-partition
+        # micro-batch otherwise lands 32 tiny files per month per
+        # trigger, and the dataset accretes small files until an
+        # operator runs `maintain`.  Append-only: the batch's own
+        # per-partition counts are exact there (upsert/overwrite
+        # rewrite merged months whose size the batch doesn't predict,
+        # so they keep the standard layout and post-hoc `compact`).
+        self.optimize_write = bool(optimize_write)
+        self.target_file_rows = int(target_file_rows)
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -773,7 +788,9 @@ class LakeWriter:
                     deleted = existing.where(month_pred).where(
                         F.coalesce(pred, F.lit(False))
                     ).withColumn("_change_type", F.lit("delete"))
-                    self._write_cdf(k, meta["version"], deleted)
+                    meta["cdf_bytes"] = self._write_cdf(
+                        k, meta["version"], deleted
+                    )
                     meta["cdf"] = True
                 # keep = NOT TRUE (NULL predicate rows survive, like SQL)
                 kept = existing.where(month_pred).where(
@@ -919,7 +936,7 @@ class LakeWriter:
             touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
             rows_deleted = int(sum(r["n_del"] for r in agg))
             if self.emit_cdf:
-                self._write_cdf(
+                meta["cdf_bytes"] = self._write_cdf(
                     k,
                     meta["version"],
                     probe.drop("_dv_file", "_dv_pos").withColumn(
@@ -1283,7 +1300,7 @@ class LakeWriter:
                         out, log, f"merge_into {k.symbol}", post_only=changed
                     )
                     if cdf is not None:
-                        self._write_cdf(
+                        meta["cdf_bytes"] = self._write_cdf(
                             k, meta["version"], self._align_cdf_types(cdf, log)
                         )
                         meta["cdf"] = True
@@ -1435,7 +1452,7 @@ class LakeWriter:
                 if self.emit_cdf:
                     # the feed carries the same types as this commit's
                     # data files (the gate's lossless upcasts included)
-                    self._write_cdf(
+                    meta["cdf_bytes"] = self._write_cdf(
                         k,
                         meta["version"],
                         self._align_cdf_types(
@@ -1733,7 +1750,9 @@ class LakeWriter:
                                 sets["ts"].cast("long") != F.col("ts").cast("long")
                             ).withColumn("_change_type", F.lit("delete"))
                             feed = feed.unionByName(moved, allowMissingColumns=True)
-                        self._write_cdf(k, meta["version"], feed)
+                        meta["cdf_bytes"] = self._write_cdf(
+                            k, meta["version"], feed
+                        )
                         meta["cdf"] = True
                     # deletion vector over the OLD copies
                     dv_rel, hit_rels = self._write_dv_sidecar(
@@ -1977,7 +1996,7 @@ class LakeWriter:
             # reproduces the restored partition state exactly). Feed
             # subscribers survive a restore without a batch rebuild;
             # cost is O(changed partitions), metadata-only otherwise.
-            self._write_cdf(
+            meta["cdf_bytes"] = self._write_cdf(
                 k,
                 meta["version"],
                 self._restore_tag_changes(
@@ -2481,6 +2500,107 @@ class LakeWriter:
                 set(log.retired_physical_at(None)) | {phys}
             )
 
+    def alter_column_type(
+        self, key: DatasetKey, name: str, new_type: str
+    ) -> WriteResult:
+        """NON-WIDENING column type change (int -> string, double ->
+        decimal, bigint -> int, ...) — the remaining schema-lifecycle
+        verb after widening (merge_schema) and rename/drop (column
+        mapping).  Unlike widening, the parquet reader cannot serve old
+        files under the new type, so this is a FULL REWRITE under one
+        commit claim: every live row is cast and rewritten, the commit
+        pins the fresh files and records the updated contract, and time
+        travel keeps serving each epoch's own type over each epoch's
+        own files (old files leave the live set but stay until vacuum).
+
+        LOSSLESSNESS IS ENFORCED, not assumed: any non-null value that
+        does not ROUND-TRIP through the new type (string 'abc' as int,
+        1.5 as int, 2^40 as int) aborts the whole commit with the count
+        of unrepresentable rows — a type change never silently nulls or
+        truncates data.  O(dataset) write cost by design; deletion
+        vectors are materialized by the rewrite and the DV map cleared.
+
+        The reference has no type-change verb at all (a type flip there
+        is whatever parquet happens to land, writer.py:162-164)."""
+        from dl_datalake_spark.lake.schema import SchemaContractError
+
+        k = key.normalized()
+        if name in set(PARTITION_COLS) | {"ts"}:
+            raise ValueError(f"cannot alter identity column {name!r}")
+        log = self.commit_log(k)
+        path = self.dataset_path(k)
+        payload = {"mode": "alter-type", "altered": {"column": name, "to": new_type}}
+        with log.transaction(
+            timeout=self.commit_timeout_s, payload=payload
+        ) as meta:
+            schema = log.schema_at(None)
+            if schema is None or name not in schema:
+                raise SchemaContractError(
+                    f"no column {name!r} to alter in "
+                    f"{sorted(schema) if schema else 'an uncontracted dataset'}"
+                )
+            old_t = schema[name]
+            if old_t == new_type:
+                raise ValueError(f"column {name!r} is already {new_type}")
+            meta["schema"] = {
+                c: (new_type if c == name else t) for c, t in schema.items()
+            }
+            existing = self._read_existing(k)
+            if existing is None:
+                meta["partitions"] = []  # metadata-only: nothing to rewrite
+                return WriteResult(
+                    path=path, time_from=None, time_to=None, rows=0, partitions=[]
+                )
+            existing = existing.persist()
+            fstats: dict = {}
+            try:
+                cast_col = F.col(name).cast(new_type)
+                # round-trip probe: a value whose cast cannot be cast
+                # BACK to the old value lost information
+                back = cast_col.cast(old_t)
+                lossy = existing.where(
+                    F.col(name).isNotNull()
+                    & (back.isNull() | (back != F.col(name)))
+                ).count()
+                if lossy:
+                    raise SchemaContractError(
+                        f"alter_column_type {k.symbol}.{name}: {lossy} row(s) "
+                        f"do not round-trip {old_t} -> {new_type} — a type "
+                        "change never silently nulls or truncates data"
+                    )
+                rewritten = existing.withColumn(name, cast_col)
+                on_disk = set(list_data_files(self.fs, path))
+                (
+                    self._to_physical(rewritten, log).sortWithinPartitions("ts")
+                    .drop("exchange", "market", "symbol", "data_type", "period")
+                    .write.partitionBy("year", "month")
+                    .option("compression", "snappy")
+                    .mode("append")
+                    .parquet(path)
+                )
+                added = [
+                    f for f in list_data_files(self.fs, path) if f not in on_disk
+                ]
+                parts = sorted({partition_of(f) for f in added} - {(None, None)})
+                n = rewritten.count()
+                meta.update(
+                    rows=n,
+                    partitions=[list(p) for p in parts],
+                    files=sorted(added),  # full rewrite: fresh pin only
+                    dv={},  # deletes materialized by the rewrite
+                )
+                fstats, cstats = self._added_file_stats(path, added, "ts")
+                if fstats:
+                    meta["file_stats"] = fstats
+                if cstats:
+                    meta["col_stats"] = cstats
+            finally:
+                existing.unpersist()
+        return self._refresh_manifest_result(
+            k, path, n, parts, delta_rows=0,
+            batch_bounds=self._stats_bounds(fstats),
+        )
+
     def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
         t = F.timestamp_millis(F.col(ts_col).cast("long"))
         return (
@@ -2580,8 +2700,12 @@ class LakeWriter:
                     meta["file_buckets"] = res.file_buckets
                 if res.bucket_spec:
                     meta["bucket_by"] = res.bucket_spec
+                if res.file_bytes:
+                    meta["file_bytes"] = res.file_bytes
                 if self.emit_cdf:
                     meta["cdf"] = True  # read_change_feed's no-gap marker
+                    if res.cdf_bytes is not None:
+                        meta["cdf_bytes"] = res.cdf_bytes
         except _ReplayedTxn:
             return WriteResult(
                 path=self.dataset_path(key), time_from=None, time_to=None,
@@ -2717,12 +2841,15 @@ class LakeWriter:
                 F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"),
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
-            touched = sorted(
-                (int(r["year"]), int(r["month"]))
-                for r in batch.select("year", "month").distinct().collect()
+            pcounts = {
+                (int(r["year"]), int(r["month"])): int(r["n"])
+                for r in batch.groupBy("year", "month")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
                 if r["year"] is not None
-            )
-            out = self._cluster_output(batch, ts_col, ["year", "month"], len(touched))
+            }
+            touched = sorted(pcounts)
+            out = self._layout_append(batch, ts_col, pcounts)
             (
                 self._rename_frame(out, log.column_map_at(None))
                 .drop("exchange", "market", "symbol", "data_type", "period")
@@ -2775,6 +2902,7 @@ class LakeWriter:
                     self.fs.rmtree(cdf_dst)  # orphan from an aborted claim
                     self.fs.rename(cdf_staging, cdf_dst)
                     meta["cdf"] = True
+                    meta["cdf_bytes"] = self._dir_bytes(cdf_dst)
                 meta.update(
                     rows=int(stats["n"]),
                     time_from=stats["t0"],
@@ -2782,6 +2910,9 @@ class LakeWriter:
                     partitions=[list(p) for p in touched],
                     files_add=added,
                     files_remove=[],
+                    file_bytes={
+                        rel: self.fs.getsize(f"{ds_path}/{rel}") for rel in added
+                    },
                 )
                 if fstats:
                     meta["file_stats"] = fstats
@@ -2841,6 +2972,7 @@ class LakeWriter:
         ts_col = _require_ts(df, "ts")
         batch = self._partitioned(df, key, ts_col)
         emit_cdf = self.emit_cdf and cdf_version is not None
+        cdf_bytes = None
 
         if mode == "upsert":
             merged = self._merge_keep_last(batch, key, ts_col, tag_changes=emit_cdf)
@@ -2881,11 +3013,14 @@ class LakeWriter:
         # the batch's (year, month) set = the partitions this commit
         # replaces (dynamic overwrite touches nothing else); bounded
         # driver state, same cardinality the overwrite commit enumerates
-        touched = sorted(
-            (int(r["year"]), int(r["month"]))
-            for r in batch.select("year", "month").distinct().collect()
+        pcounts = {
+            (int(r["year"]), int(r["month"])): int(r["n"])
+            for r in batch.groupBy("year", "month")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
             if r["year"] is not None
-        )
+        }
+        touched = sorted(pcounts)
 
         if emit_cdf:
             # the changed subset rides the same persisted merge; written
@@ -2893,9 +3028,13 @@ class LakeWriter:
             # pre-state files (and a failed data write just leaves an
             # uncommitted-version _cdf dir the feed reader never serves)
             changed = merged.where(F.col("_change_type").isNotNull())
-            self._write_cdf(key, cdf_version, changed)
+            cdf_bytes = self._write_cdf(key, cdf_version, changed)
 
-        out = self._cluster_output(data_rows, ts_col, ["year", "month"], len(touched))
+        out = (
+            self._layout_append(data_rows, ts_col, pcounts)
+            if mode == "append"
+            else self._cluster_output(data_rows, ts_col, ["year", "month"], len(touched))
+        )
         if emit_cdf:
             out = out.drop("_change_type")
         # Write INTO the dataset directory (year/month partitioning only;
@@ -2956,6 +3095,11 @@ class LakeWriter:
             col_stats=cstats or None,
             file_buckets=fbuckets or None,
             bucket_spec=bspec or None,
+            # per-added-file byte sizes: the streaming sources' BYTE-based
+            # admission control budgets a catch-up from the commit log
+            # alone — no per-poll file listing
+            file_bytes={rel: self.fs.getsize(f"{ds_path}/{rel}") for rel in added},
+            cdf_bytes=cdf_bytes,
         )
         if self.manifest is not None:
             self.manifest.add_entry(
@@ -2969,6 +3113,23 @@ class LakeWriter:
                 metadata={"timeframe": key.period, "rows": result.rows},
             )
         return result
+
+    def _layout_append(
+        self, rows: DataFrame, ts_col: str, pcounts: dict
+    ) -> DataFrame:
+        """Append layout: with `optimize_write` (and no explicit
+        cluster/bucket layout), range-partition on (year, month, ts)
+        into sum(ceil(rows_p / target_file_rows)) tasks — one file per
+        touched partition for small batches, ts-split files for big
+        ones, never one-file-per-upstream-task small-file spray."""
+        if self.optimize_write and not self.bucket_by and not self.cluster_by:
+            n = sum(
+                max(1, -(-c // self.target_file_rows)) for c in pcounts.values()
+            )
+            return rows.repartitionByRange(
+                max(1, min(n, 4096)), "year", "month", ts_col
+            ).sortWithinPartitions(ts_col)
+        return self._cluster_output(rows, ts_col, ["year", "month"], len(pcounts))
 
     def _cluster_output(
         self, rows: DataFrame, ts_col: str, prefix_cols: list[str], n_groups: int
@@ -3382,15 +3543,23 @@ class LakeWriter:
         }
         return _sc.apply_upcasts(cdf, ups)
 
-    def _write_cdf(self, key: DatasetKey, version: int, rows: DataFrame) -> None:
+    def _write_cdf(self, key: DatasetKey, version: int, rows: DataFrame) -> int:
         """One parquet dir per commit under the dataset's hidden `_cdf/`
         tree (underscore prefix: data scans never see it).  mode=
         overwrite so a version number re-claimed after an aborted
-        transaction replaces the orphan's rows instead of appending."""
-        (
-            rows.write.mode("overwrite")
-            .option("compression", "snappy")
-            .parquet(f"{self.cdf_path(key)}/commit_version={int(version)}")
+        transaction replaces the orphan's rows instead of appending.
+        Returns the delta's BYTE SIZE — commits record it (`cdf_bytes`)
+        so the lake_cdf stream's byte-based admission control can
+        budget a catch-up without listing the feed tree per poll."""
+        d = f"{self.cdf_path(key)}/commit_version={int(version)}"
+        rows.write.mode("overwrite").option("compression", "snappy").parquet(d)
+        return self._dir_bytes(d)
+
+    def _dir_bytes(self, d: str) -> int:
+        return sum(
+            self.fs.getsize(f"{d}/{n}")
+            for n in self.fs.listdir(d)
+            if n.endswith(".parquet")
         )
 
     def _merge_keep_last_multi(

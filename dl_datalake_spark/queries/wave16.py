@@ -166,6 +166,60 @@ def events_sql_catalog(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "events_alter_type",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts,
+       CAST(c AS VARCHAR) AS qty_str,
+       c AS v0_cents
+FROM v ORDER BY ts
+""",
+)
+def events_alter_type(spark: SparkSession, sf_dir: str):
+    """REWRITE-BACKED TYPE CHANGE (writer.alter_column_type, round 11):
+    a bigint column is altered to string — full rewrite under one
+    commit, losslessness enforced by a round-trip probe — and the head
+    serves strings while `VERSION AS OF 0` still serves the original
+    bigint values over the original files.  Both epochs hash-match the
+    bucket arithmetic in SQL."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    ticks = _bucket_cents(ev, "view").select(
+        (F.lit(_JAN) + F.col("b") * 60000).cast("long").alias("ts"),
+        F.col("c").cast("bigint").alias("qty"),
+    )
+    key = DatasetKey("SIM", "SPOT", "ALTQ", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_alt_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(ticks, key, mode="append")            # v0: bigint
+        w.alter_column_type(key, "qty", "string")            # v1: rewrite
+        r = LakeReader(spark, tmp)
+        head = r.read_dataset(key).select("ts", "qty")
+        old = r.read_dataset_at(key, 0).select(
+            "ts", F.col("qty").alias("qty0")
+        )
+        got = (
+            head.join(old, "ts")
+            .select("ts", "qty", "qty0")
+            .orderBy("ts")
+            .collect()
+        )
+        rows = [(int(x["ts"]), str(x["qty"]), int(x["qty0"])) for x in got]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, qty_str string, v0_cents long")
+
+
+@register(
     "events_optimistic_append",
     sql=f"""
 WITH v AS (

@@ -227,6 +227,7 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(options.get("ignore_changes", "")).lower() == "true"
         self.max_commits = int(options.get("max_commits_per_batch", 0) or 0)
         self.max_files = int(options.get("max_files_per_batch", 0) or 0)
+        self.max_bytes = int(options.get("max_bytes_per_batch", 0) or 0)
         self._cursor: int = self.after
         self._pending: int | None = None  # capped offset the engine saw last
         self._cache = _CommitCache(self.path)
@@ -267,19 +268,30 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
         entries = self._cache.entries()
         latest = entries[-1]["version"] if entries else -1
         latest = max(latest, self.after)
-        if self.max_commits > 0 or self.max_files > 0:
+        if self.max_commits > 0 or self.max_files > 0 or self.max_bytes > 0:
             above = [e["version"] for e in entries if e["version"] > self._cursor]
             if self.max_commits > 0 and len(above) > self.max_commits:
                 latest = min(latest, above[self.max_commits - 1])
-            if self.max_files > 0 and above:
+            if (self.max_files > 0 or self.max_bytes > 0) and above:
                 replay = _replay_listing(entries)
-                total, chosen = 0, None
+                by_v = {e["version"]: e for e in entries}
+                total_f, total_b, chosen = 0, 0, None
                 for v in above:
                     info = replay.get(v)
-                    n = len(info["added"]) if info and info["known"] else 0
-                    if chosen is not None and total + n > self.max_files:
+                    added = info["added"] if info and info["known"] else []
+                    n = len(added)
+                    # byte budget from the commit-logged per-file sizes
+                    # (Delta's maxBytesPerTrigger); commits written
+                    # before size recording contribute 0 bytes — the
+                    # count caps still bound them (documented fallback)
+                    fb = by_v[v].get("file_bytes") or {}
+                    b = sum(int(fb.get(rel, 0)) for rel in added)
+                    over_f = self.max_files > 0 and total_f + n > self.max_files
+                    over_b = self.max_bytes > 0 and total_b + b > self.max_bytes
+                    if chosen is not None and (over_f or over_b):
                         break
-                    total += n
+                    total_f += n
+                    total_b += b
                     chosen = v  # always admit at least one commit
                 if chosen is not None:
                     latest = min(latest, chosen)
@@ -435,13 +447,16 @@ def stream_appends(
     spark, dataset_path: str, after_version: int = -1, schema: str | None = None,
     skip_change_commits: bool = False, ignore_changes: bool = False,
     max_commits_per_batch: int = 0, max_files_per_batch: int = 0,
+    max_bytes_per_batch: int = 0,
 ):
     """Convenience: the dataset's committed appends as an unbounded
     streaming DataFrame (data columns + year/month + commit_version).
     Pair with ``trigger(availableNow=True)`` for drain-and-stop.
-    `max_commits_per_batch` / `max_files_per_batch` bound each
-    micro-batch of a long catch-up (Delta's maxFilesPerTrigger; 0 =
-    unbounded)."""
+    `max_commits_per_batch` / `max_files_per_batch` /
+    `max_bytes_per_batch` bound each micro-batch of a long catch-up
+    (Delta's maxFilesPerTrigger / maxBytesPerTrigger; 0 = unbounded;
+    bytes come from the commit-logged per-file sizes, with pre-recording
+    commits bounded by the count caps)."""
     register_append_source(spark)
     r = (
         spark.readStream.format("lake_appends")
@@ -458,4 +473,6 @@ def stream_appends(
         r = r.option("max_commits_per_batch", str(int(max_commits_per_batch)))
     if max_files_per_batch:
         r = r.option("max_files_per_batch", str(int(max_files_per_batch)))
+    if max_bytes_per_batch:
+        r = r.option("max_bytes_per_batch", str(int(max_bytes_per_batch)))
     return r.load()

@@ -463,6 +463,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self.path = options["path"].rstrip("/")
         self.after = int(options.get("after_version", -1))
         self.max_commits = int(options.get("max_commits_per_batch", 0) or 0)
+        self.max_bytes = int(options.get("max_bytes_per_batch", 0) or 0)
         self._cursor: int = self.after
         self._pending: int | None = None  # capped offset the engine saw last
         self._cache = _CommitCache(self.path)
@@ -496,10 +497,24 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         entries = self._cache.entries()
         latest = entries[-1]["version"] if entries else -1
         latest = max(latest, self.after)
-        if self.max_commits > 0:
-            above = [e["version"] for e in entries if e["version"] > self._cursor]
-            if len(above) > self.max_commits:
-                latest = above[self.max_commits - 1]
+        if self.max_commits > 0 or self.max_bytes > 0:
+            above = [e for e in entries if e["version"] > self._cursor]
+            if self.max_commits > 0 and len(above) > self.max_commits:
+                latest = min(latest, above[self.max_commits - 1]["version"])
+            if self.max_bytes > 0 and above:
+                # byte budget from the commit-logged delta sizes
+                # (`cdf_bytes`, Delta's maxBytesPerTrigger); commits
+                # written before size recording contribute 0 — the
+                # commit cap still bounds them (documented fallback)
+                total, chosen = 0, None
+                for e in above:
+                    b = int(e.get("cdf_bytes") or 0)
+                    if chosen is not None and total + b > self.max_bytes:
+                        break
+                    total += b
+                    chosen = e["version"]  # always admit one commit
+                if chosen is not None:
+                    latest = min(latest, chosen)
             latest = max(latest, self._cursor)
             self._pending = latest
         return {"version": latest}
@@ -698,13 +713,16 @@ def register_cdf_source(spark) -> None:
 
 def stream_change_feed(
     spark, dataset_path: str, after_version: int = -1, schema: str | None = None,
-    max_commits_per_batch: int = 0,
+    max_commits_per_batch: int = 0, max_bytes_per_batch: int = 0,
 ):
     """Convenience: the dataset's CDF as an unbounded streaming
     DataFrame (data columns + commit_version). Pair with
     ``trigger(availableNow=True)`` for drain-and-stop catch-ups.
-    `max_commits_per_batch` bounds each micro-batch of a long catch-up
-    (Delta's maxFilesPerTrigger shape; 0 = unbounded)."""
+    `max_commits_per_batch` / `max_bytes_per_batch` bound each
+    micro-batch of a long catch-up (Delta's maxFilesPerTrigger /
+    maxBytesPerTrigger; 0 = unbounded; bytes come from the
+    commit-logged `cdf_bytes`, with pre-recording commits bounded by
+    the commit cap)."""
     register_cdf_source(spark)
     r = (
         spark.readStream.format("lake_cdf")
@@ -715,4 +733,6 @@ def stream_change_feed(
         r = r.option("schema", schema)
     if max_commits_per_batch:
         r = r.option("max_commits_per_batch", str(int(max_commits_per_batch)))
+    if max_bytes_per_batch:
+        r = r.option("max_bytes_per_batch", str(int(max_bytes_per_batch)))
     return r.load()

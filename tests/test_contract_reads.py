@@ -274,3 +274,57 @@ def test_merge_into_cdf_carries_gate_upcasts(tmp_path, spark):
     post = {r["ts"]: r["price"] for r in feed.where(
         F.col("_change_type") == "update_postimage").collect()}
     assert post == {T0: 7.0, T0 + 60000: 8.0}
+
+
+# -- rewrite-backed type change (round-11 stretch) ------------------------------
+
+
+def test_alter_column_type_roundtrip_and_time_travel(tmp_path, spark):
+    """int -> string full rewrite: head serves strings, VERSION AS OF
+    serves the old epoch's ints over the old files, contract history
+    keeps both types."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    key = DatasetKey("SIM", "SPOT", "ALT", "ticks", "1m")
+    w.write_ticks(
+        _rows(spark, schema="ts long, price double, qty int",
+              mk=lambda i: (T0 + i * 60000, float(i), 10 + i)),
+        key, mode="append",
+    )
+    log = w.commit_log(key)
+    v0 = log.latest_version()
+    res = w.alter_column_type(key, "qty", "string")
+    assert res.rows == 5
+    r = LakeReader(spark, base)
+    head = r.read_dataset(key)
+    assert dict(head.dtypes)["qty"] == "string"
+    assert {x["qty"] for x in head.collect()} == {str(10 + i) for i in range(5)}
+    old = r.read_dataset_at(key, v0)
+    assert dict(old.dtypes)["qty"] == "int"
+    assert old.agg(F.sum("qty")).first()[0] == sum(10 + i for i in range(5))
+    assert log.schema_at(v0)["qty"] == "int"
+    assert log.schema_at(None)["qty"] == "string"
+
+
+def test_alter_column_type_refuses_lossy(tmp_path, spark):
+    """A cast that does not round-trip (1.5 as int, 'abc' as int)
+    aborts the whole commit — never silently nulls or truncates."""
+    from dl_datalake_spark.lake.schema import SchemaContractError
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    key = DatasetKey("SIM", "SPOT", "ALX", "ticks", "1m")
+    w.write_ticks(_rows(spark, mk=lambda i: (T0 + i * 60000, i + 0.5)), key,
+                  mode="append")
+    log = w.commit_log(key)
+    v = log.latest_version()
+    with pytest.raises(SchemaContractError, match="round-trip"):
+        w.alter_column_type(key, "price", "int")
+    assert log.latest_version() == v  # aborted: no commit landed
+    assert log.schema_at(None)["price"] == "double"
+    # a lossless narrowing passes: whole-valued doubles -> bigint... but
+    # 0.5 offsets make them fractional; string always round-trips
+    w.alter_column_type(key, "price", "string")
+    got = LakeReader(spark, base).read_dataset(key)
+    assert dict(got.dtypes)["price"] == "string"
+    assert got.count() == 5
