@@ -126,14 +126,25 @@ class LakeSQLCatalog:
         every lake reference replaced by a registered temp-view name."""
         if "lake." not in query.lower():
             return query
-        # mask string literals so a quoted 'lake.foo' is never rewritten
+        # mask string literals (single- AND double-quoted — Spark treats
+        # double quotes as strings by default) and SQL comments, so a
+        # quoted 'lake.foo' or a comment mentioning lake.x is data, not
+        # a reference
         literals: list[str] = []
 
         def _mask(m: re.Match) -> str:
             literals.append(m.group(0))
             return f"\x00{len(literals) - 1}\x00"
 
-        masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, query)
+        masked = re.sub(
+            r"'(?:[^'\\]|\\.)*'"
+            r"|\"(?:[^\"\\]|\\.)*\""
+            r"|--[^\n]*"
+            r"|/\*.*?\*/",
+            _mask,
+            query,
+            flags=re.DOTALL,
+        )
         registry = self._discover()
 
         def _sub(m: re.Match) -> str:
@@ -151,13 +162,21 @@ class LakeSQLCatalog:
                 from dl_datalake_spark.lake.commitlog import CommitLog
                 from dl_datalake_spark.lake.paths import dataset_rel_path
 
-                ts = literals[int(ts.strip("\x00"))].strip("'")
+                ts = literals[int(ts.strip("\x00"))].strip("'\"")
                 log = CommitLog(
                     f"{self.reader.base_path}/{dataset_rel_path(key.normalized())}",
                     fs=self.fs,
                 )
                 version = str(log.version_at_time(_to_epoch_s(ts)))
-            view = f"lake_{name}" + (f"__v{version}" if version is not None else "")
+            # the substituted view name must be a plain identifier even
+            # when the dataset identity carries non-word characters
+            # (sanitize_symbol keeps dashes/dots — 'BTC-USDT' would
+            # otherwise parse as a subtraction after substitution)
+            view = re.sub(
+                r"\W",
+                "_",
+                f"lake_{name}" + (f"__v{version}" if version is not None else ""),
+            )
             df = (
                 self.reader.read_dataset_at(key, int(version))
                 if version is not None

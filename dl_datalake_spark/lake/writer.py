@@ -1296,7 +1296,7 @@ class LakeWriter:
                     # never wrote, and the gate's lossless upcasts must
                     # reach the feed too (CDF consumers see the same
                     # column types as the data files of this commit)
-                    out, _dml_ups = self._enforce_dml_contract(
+                    out = self._enforce_dml_contract(
                         out, log, f"merge_into {k.symbol}", post_only=changed
                     )
                     if cdf is not None:
@@ -1440,7 +1440,7 @@ class LakeWriter:
                 )
                 # DML gate: schema exactness over the written frame,
                 # CHECK expectations over just the transformed rows
-                updated, _dml_ups = self._enforce_dml_contract(
+                updated = self._enforce_dml_contract(
                     updated,
                     log,
                     f"update_where {k.symbol}",
@@ -1532,10 +1532,10 @@ class LakeWriter:
         gate at their own insert); `assigned_types` are the RAW
         assignment expression types (update_where probes them before
         when/otherwise coercion masks a type flip behind a runtime
-        cast).  Returns (the possibly-upcast written frame, the
-        upcasts applied) — callers that also emit a change feed apply
-        the same upcasts to the CDF frame so consumers see the types
-        the data files carry."""
+        cast).  Returns the (possibly upcast) written frame; change
+        feeds are aligned to the contract separately by
+        `_align_cdf_types`, which derives the same casts from the
+        recorded schema."""
         from dl_datalake_spark.lake import schema as _sc
 
         table = log.schema_at(None)
@@ -1555,7 +1555,7 @@ class LakeWriter:
                 self.expectations,
                 enforce="fail",
             )
-        return post, ups
+        return post
 
     @staticmethod
     def _assignment_types(frame: DataFrame, sets: dict) -> dict[str, str]:
@@ -1733,7 +1733,7 @@ class LakeWriter:
                         probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True)
                     )
                     # DML gate: the post-images ARE the written files
-                    post, _dml_ups = self._enforce_dml_contract(
+                    post = self._enforce_dml_contract(
                         post,
                         log,
                         f"update_where(dv) {k.symbol}",
@@ -2569,6 +2569,20 @@ class LakeWriter:
                         "change never silently nulls or truncates data"
                     )
                 rewritten = existing.withColumn(name, cast_col)
+                if self.emit_cdf:
+                    # the feed survives the type change: every row
+                    # re-emitted as update_postimage under the new type
+                    # (ts unchanged, so keep-last folding reproduces the
+                    # rewritten state) — without this, a CDF consumer
+                    # would hit the loud-gap error on this commit forever
+                    meta["cdf_bytes"] = self._write_cdf(
+                        k,
+                        meta["version"],
+                        rewritten.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                    )
+                    meta["cdf"] = True
                 on_disk = set(list_data_files(self.fs, path))
                 (
                     self._to_physical(rewritten, log).sortWithinPartitions("ts")
@@ -2809,11 +2823,16 @@ class LakeWriter:
         # against and a trusted pinned listing to compose deltas onto.
         # First writes, schema evolutions, and legacy datasets take the
         # claimed path — correctness first, the fast path is earned.
-        base_contract = log.contract_at(None)
-        prev_schema = base_contract[0]
+        # The snapshot version is captured FIRST and the contract read
+        # AT that version: reading them the other way around leaves a
+        # window where a commit lands between the two reads, sits
+        # inside rv, and never reaches _validate_concurrent — yet the
+        # batch was resolved against a contract that postdates it.
+        rv = log.latest_version()
+        base_contract = log.contract_at(rv)
+        prev_schema, base_cmap = base_contract[0], base_contract[1]
         if prev_schema is None or resolve_live_files(self.fs, ds_path) is None:
             return self._write(df, key, "append", commit_meta, txn)
-        rv = log.latest_version()
         fp = _sc.fingerprint(df)
         for c in PARTITION_COLS:
             fp.pop(c, None)
@@ -2836,6 +2855,7 @@ class LakeWriter:
         staging = f"{ds_path}/_staging_{token}"
         cdf_staging = f"{ds_path}/{self.CDF_DIR}/_staging_{token}"
         added: list[str] = []
+        moved: list[str] = []
         try:
             stats = batch.agg(
                 F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"),
@@ -2851,7 +2871,7 @@ class LakeWriter:
             touched = sorted(pcounts)
             out = self._layout_append(batch, ts_col, pcounts)
             (
-                self._rename_frame(out, log.column_map_at(None))
+                self._rename_frame(out, base_cmap)
                 .drop("exchange", "market", "symbol", "data_type", "period")
                 .write.partitionBy("year", "month")
                 .option("compression", "snappy")
@@ -2862,23 +2882,39 @@ class LakeWriter:
                 batch.withColumn("_change_type", F.lit("insert")).write.mode(
                     "overwrite"
                 ).option("compression", "snappy").parquet(cdf_staging)
-        finally:
+        except BaseException:
             batch.unpersist()
+            self.fs.rmtree(staging)
+            self.fs.rmtree(cdf_staging)
+            raise
+        batch.unpersist()
         try:
+            # Rename IN PLACE to the final token-unique names and compute
+            # every stat from the STAGING tree — the Spark stats jobs run
+            # pre-claim, and the rel paths already equal what the commit
+            # will pin.
             for rel in list_data_files(self.fs, staging):
                 d, _, name = rel.rpartition("/")
                 dst_rel = f"{d}/{token[:12]}-{name}" if d else f"{token[:12]}-{name}"
-                if d:
-                    self.fs.makedirs(f"{ds_path}/{d}")
-                self.fs.rename(f"{staging}/{rel}", f"{ds_path}/{dst_rel}")
+                self.fs.rename(f"{staging}/{rel}", f"{staging}/{dst_rel}")
                 added.append(dst_rel)
-            self.fs.rmtree(staging)
             fstats, cstats = self._added_file_stats(
-                ds_path, added, ts_col, column_map=log.column_map_at(None)
+                staging, added, ts_col, column_map=base_cmap
             )
-            fbuckets, bspec = self._added_file_buckets(ds_path, added)
+            fbuckets, bspec = self._added_file_buckets(
+                staging, added, column_map=base_cmap
+            )
+            fbytes = {rel: self.fs.getsize(f"{staging}/{rel}") for rel in added}
 
-            # ---- claim, validate, finalize: milliseconds, no Spark job ------
+            # ---- claim; validate + MOVE + finalize inside it ----------------
+            # The tree mutations happen UNDER the claim: a claim-holding
+            # writer attributes its own added files by directory diff, so
+            # an optimistic mover interleaving mid-job would get its
+            # uncommitted files pinned by the OTHER writer's commit (and a
+            # later conflict cleanup would then delete pinned files).
+            # Holding the claim for the N renames (not the Spark job)
+            # keeps the window at milliseconds while making tree mutation
+            # mutually exclusive with every claimed write.
             payload = {"mode": "append", "optimistic": True, **exp_meta,
                        **(commit_meta or {})}
             if txn is not None:
@@ -2897,6 +2933,13 @@ class LakeWriter:
                     self._validate_concurrent(
                         e, base_contract, touched_set, iv, ds_path
                     )
+                for rel in added:
+                    d = rel.rpartition("/")[0]
+                    if d:
+                        self.fs.makedirs(f"{ds_path}/{d}")
+                    self.fs.rename(f"{staging}/{rel}", f"{ds_path}/{rel}")
+                    moved.append(rel)
+                self.fs.rmtree(staging)
                 if self.emit_cdf:
                     cdf_dst = f"{ds_path}/{self.CDF_DIR}/commit_version={v}"
                     self.fs.rmtree(cdf_dst)  # orphan from an aborted claim
@@ -2910,9 +2953,7 @@ class LakeWriter:
                     partitions=[list(p) for p in touched],
                     files_add=added,
                     files_remove=[],
-                    file_bytes={
-                        rel: self.fs.getsize(f"{ds_path}/{rel}") for rel in added
-                    },
+                    file_bytes=fbytes,
                 )
                 if fstats:
                     meta["file_stats"] = fstats
@@ -2923,20 +2964,22 @@ class LakeWriter:
                 if bspec:
                     meta["bucket_by"] = bspec
         except _ReplayedTxn:
-            for rel in added:
+            for rel in moved:
                 try:
                     self.fs.remove(f"{ds_path}/{rel}")
                 except OSError:
                     pass
+            self.fs.rmtree(staging)
             self.fs.rmtree(cdf_staging)
             return WriteResult(
                 path=ds_path, time_from=None, time_to=None, rows=0, partitions=[]
             )
         except BaseException:
-            # conflict/timeout/crash before finalize: our files are
-            # uncommitted (invisible) — remove them so the tree carries
-            # no mystery bytes for legacy live-scan fallbacks or vacuum
-            for rel in added:
+            # conflict/timeout/crash: whatever reached the tree is
+            # uncommitted (invisible) — remove it; the staging leftovers
+            # go with it.  A crash before the claim leaves only the
+            # hidden _staging_* dir (swept by vacuum retention).
+            for rel in moved:
                 try:
                     self.fs.remove(f"{ds_path}/{rel}")
                 except OSError:
@@ -3313,7 +3356,7 @@ class LakeWriter:
         )
 
     def _added_file_buckets(
-        self, ds_path: str, added: list[str]
+        self, ds_path: str, added: list[str], column_map: dict | None = None
     ) -> tuple[dict, dict]:
         """Per-added-file bucket-id sets for the point-lookup skip index
         (see `bucket_by`): one bucket-columns-only scan of JUST the
@@ -3328,7 +3371,11 @@ class LakeWriter:
         if not self.bucket_by or not added:
             return {}, {}
         df = self.spark.read.parquet(*[f"{ds_path}/{f}" for f in added])
-        cmap = CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        cmap = (
+            column_map
+            if column_map is not None
+            else CommitLog(ds_path, fs=self.fs).column_map_at(None)
+        )
         phys = {c: cmap.get(c, c) for c in self.bucket_by}
         cols = [c for c in self.bucket_by if phys[c] in df.columns]
         if not cols:

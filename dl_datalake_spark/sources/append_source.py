@@ -48,7 +48,10 @@ from dl_datalake_spark.sources.cdf_source import (
     _committed_entries,
     _CommitCache,
     _contract_changed,
+    _ddl_fields,
+    _ddl_names,
     _head_contract,
+    _value_converters,
     _Paths,
 )
 
@@ -185,13 +188,11 @@ def _resolve_append_schema(
     pin (pinned=None disables the mid-stream evolution check).  Falls
     back to newest-file footer inference for pre-contract datasets."""
     if explicit:
-        cols = [c.strip().split()[0] for c in explicit.split(",")]
-        return explicit, cols, None
+        return explicit, _ddl_names(explicit), None
     schema, cmap, pinned = _head_contract(_committed_entries(path))
     if schema is None:
         ddl = _infer_append_schema(path)
-        cols = [c.strip().split()[0] for c in ddl.split(",")]
-        return ddl, cols, None
+        return ddl, _ddl_names(ddl), None
     ddl = ", ".join(f"{name} {typ}" for name, typ in schema.items())
     src = [cmap.get(name, name) for name in schema]
     return ddl, src, pinned
@@ -207,6 +208,9 @@ class AppendPartition(InputPartition):
     # column map; files written before a re-add lack the fresh physical
     # and null-fill — retired bytes never resurrect)
     src_cols: list[str] = field(default_factory=list)
+    # declared DDL types, parallel to `columns` (strict-converter
+    # coercions: decimal contracts over pre-rewrite integer files)
+    col_types: list[str] = field(default_factory=list)
 
 
 class LakeAppendsStreamReader(DataSourceStreamReader):
@@ -231,7 +235,9 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
         self._cursor: int = self.after
         self._pending: int | None = None  # capped offset the engine saw last
         self._cache = _CommitCache(self.path)
-        self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+        fields = _ddl_fields(data_schema)
+        self.columns = [n for n, _t in fields]
+        self.col_types = [t for _n, t in fields]
         # contract pin (lake/schema.py): physical source names for the
         # logical output columns, and the version the contract was
         # resolved at — an evolution/rename commit PAST the pin fails
@@ -375,6 +381,7 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
                     list(info["added"]),
                     self.columns,
                     self.src_cols,
+                    self.col_types,
                 )
             )
         return parts or [AppendPartition(-1)]
@@ -395,6 +402,16 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
 
         def gen():
             src = partition.src_cols or partition.columns
+            convs = (
+                _value_converters(partition.col_types)
+                if partition.col_types
+                else [None] * len(partition.columns)
+            )
+
+            def _conv(v, f):
+                v = _clean(v)
+                return v if v is None or f is None else f(v)
+
             for url, rel in zip(partition.files, partition.rels):
                 y, m = _partition_cols(rel)
                 pdf = pq.read_table(url).to_pandas()
@@ -402,7 +419,9 @@ class LakeAppendsStreamReader(DataSourceStreamReader):
                 # a column (or a re-add's fresh physical) null-fill
                 pdf = pdf.reindex(columns=src)
                 for row in pdf.itertuples(index=False, name=None):
-                    yield tuple(_clean(v) for v in row) + (y, m, partition.version)
+                    yield tuple(
+                        _conv(v, f) for v, f in zip(row, convs)
+                    ) + (y, m, partition.version)
 
         return gen()
 

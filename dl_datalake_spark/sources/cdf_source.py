@@ -203,6 +203,62 @@ class _CommitCache:
         return [self._cache[v] for v in sorted(self._cache)]
 
 
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """(name, type) pairs of a data DDL string, respecting nested type
+    parameters and backquoted names — 'a decimal(38,9), b
+    array<struct<x:int,y:int>>, `c d` string' -> [('a','decimal(38,9)'),
+    ('b','array<...>'), ('c d','string')].  A naive split(',') would
+    shear parameterized types into phantom columns (reachable since the
+    contract-aware schema can carry decimals the old arrow inference
+    never emitted)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out: list[tuple[str, str]] = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        if p.startswith("`"):
+            name, _, typ = p[1:].partition("`")
+            out.append((name, typ.strip()))
+        else:
+            name, _, typ = p.partition(" ")
+            out.append((name, typ.strip()))
+    return out
+
+
+def _ddl_names(ddl: str) -> list[str]:
+    return [n for n, _t in _ddl_fields(ddl)]
+
+
+def _value_converters(types: list[str]):
+    """Per-column coercions for values the engine's row converter is
+    strict about.  A stream serves HEAD contract types over files of
+    every epoch, so after `alter_column_type(qty -> decimal)` the
+    pre-rewrite files still yield ints — Spark's decimal converter
+    requires exact `decimal.Decimal`."""
+    import decimal
+
+    def _dec(v):
+        return v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+
+    return [
+        (_dec if t.startswith("decimal") else None) for t in types
+    ]
+
+
 def _head_contract(entries: list[dict]) -> tuple[dict | None, dict, int]:
     """(schema, {logical: physical} column map, pinned version) of the
     newest committed entry — the dataset's CURRENT write-time contract
@@ -422,6 +478,8 @@ class CommitPartition(InputPartition):
     # deltas are written with their own epoch's logical names; matched
     # to the head contract by physical identity — _epoch_source_names)
     src_cols: list[str] = field(default_factory=list)
+    # declared DDL types, parallel to `columns`
+    col_types: list[str] = field(default_factory=list)
     # True when files come from a folded `commit_range=` segment
     # (maintenance.fold_change_feed): commit_version is a data column
     # there and the executor filters rows to `versions`. Folded
@@ -467,8 +525,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._cursor: int = self.after
         self._pending: int | None = None  # capped offset the engine saw last
         self._cache = _CommitCache(self.path)
-        # "col type, col type" -> ordered column names
-        self.columns = [c.strip().split()[0] for c in data_schema.split(",")]
+        # data DDL -> ordered column names/types (nested-type-safe)
+        fields = _ddl_fields(data_schema)
+        self.columns = [n for n, _t in fields]
+        self.col_types = [t for _n, t in fields]
         # contract pin (lake/schema.py): deltas are mapped per-commit to
         # these head names by physical identity; an evolution/rename
         # past the pin fails the stream loudly.  Raw mode (explicit
@@ -606,7 +666,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 parts.append(
                     CommitPartition(
                         v, _files(f"{CDF_DIR}/commit_version={v}"),
-                        self.columns, src,
+                        self.columns, src, self.col_types,
                     )
                 )
         # folded segments: one partition PER SEGMENT FILE carrying the
@@ -635,7 +695,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 parts.append(
                     CommitPartition(
                         max(versions), [f], self.columns, list(self.columns),
-                        True, versions,
+                        self.col_types, True, versions,
                     )
                 )
         return parts or [CommitPartition(-1)]
@@ -662,6 +722,16 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         def gen():
             src = partition.src_cols or partition.columns
+            convs = (
+                _value_converters(partition.col_types)
+                if partition.col_types
+                else [None] * len(partition.columns)
+            )
+
+            def _conv(v, f):
+                v = _clean(v)
+                return v if v is None or f is None else f(v)
+
             for f in partition.files:
                 pdf = pq.read_table(f).to_pandas()
                 if partition.filter_version:
@@ -673,7 +743,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                 # out; commits predating later columns serve NULLs
                 pdf = pdf.reindex(columns=src)
                 for row, cv in zip(pdf.itertuples(index=False, name=None), vers):
-                    yield tuple(_clean(v) for v in row) + (cv,)
+                    yield tuple(_conv(v, f_) for v, f_ in zip(row, convs)) + (cv,)
 
         return gen()
 

@@ -328,3 +328,24 @@ def test_alter_column_type_refuses_lossy(tmp_path, spark):
     got = LakeReader(spark, base).read_dataset(key)
     assert dict(got.dtypes)["price"] == "string"
     assert got.count() == 5
+
+
+def test_alter_column_type_keeps_change_feed_alive(tmp_path, spark):
+    """alter_column_type on an emit_cdf dataset emits update_postimage
+    rows under the new type — the feed survives instead of hitting the
+    loud-gap error forever (review finding, round 11)."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    key = DatasetKey("SIM", "SPOT", "ACF", "ticks", "1m")
+    w.write_ticks(
+        _rows(spark, n=3, schema="ts long, price double, qty int",
+              mk=lambda i: (T0 + i * 60000, float(i), 10 + i)),
+        key,
+    )
+    w.alter_column_type(key, "qty", "string")
+    feed, cursor = LakeReader(spark, base).read_change_feed(key, after_version=0)
+    assert cursor == 1
+    rows = {(r["ts"], r["qty"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {
+        (T0 + i * 60000, str(10 + i), "update_postimage") for i in range(3)
+    }

@@ -97,3 +97,30 @@ def test_sql_serves_contract_surface(client, spark):
         "SELECT SUM(px) AS s FROM lake.sim_rrr_ticks_1m"
     ).first()["s"]
     assert got == 6.0
+
+
+def test_sql_masks_double_quotes_and_comments(client, spark):
+    _write(client, "AAA", [(JAN, 1.0)])
+    got = client.sql('SELECT "lake.not_a_table" AS s').first()["s"]
+    assert got == "lake.not_a_table"
+    # a comment mentioning an unknown lake table must not resolve/raise
+    n = client.sql(
+        "SELECT COUNT(*) AS n FROM lake.sim_aaa_ticks_1m "
+        "-- TODO compare against lake.nope later"
+    ).first()["n"]
+    assert n == 1
+    n2 = client.sql(
+        "SELECT COUNT(*) AS n /* lake.nope */ FROM lake.sim_aaa_ticks_1m"
+    ).first()["n"]
+    assert n2 == 1
+
+
+def test_sql_non_identifier_symbol_resolves(client, spark):
+    """sanitize_symbol keeps dashes ('BTC-USDT'); the backquoted lake
+    reference must resolve and the substituted view name must stay a
+    plain identifier (not parse as a subtraction)."""
+    key = DatasetKey("SIM", "SPOT", "BTC-USDT", "ticks", "1m")
+    client.writer.write_ticks(_mk(client.spark, [(JAN, 1.0)]), key, mode="append")
+    name = [t for t in client.sql_tables() if "btc-usdt" in t][0]
+    got = client.sql(f"SELECT COUNT(*) AS n FROM lake.`{name}`").first()["n"]
+    assert got == 1

@@ -166,3 +166,35 @@ def test_explicit_schema_option_is_raw_mode(spark, tmp_path):
     got = spark.read.parquet(out)
     assert "price" in got.columns
     assert got.first()["price"] == 1.0
+
+
+def test_ddl_names_nested_types():
+    from dl_datalake_spark.sources.cdf_source import _ddl_names
+
+    assert _ddl_names(
+        "a decimal(38,9), b array<struct<x:int,y:int>>, `c d` string"
+    ) == ["a", "b", "c d"]
+
+
+def test_append_stream_decimal_contract(spark, tmp_path):
+    """A decimal-contracted dataset (reachable via alter_column_type)
+    streams correctly — naive comma-split DDL parsing would shear
+    decimal(38,9) into a phantom column (review finding, round 11)."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    w.write_ticks(
+        spark.createDataFrame(
+            [(JAN + i * 60000, 1.0, 10 + i) for i in range(3)],
+            "ts long, price double, qty bigint",
+        ),
+        KEY, mode="append",
+    )
+    w.alter_column_type(KEY, "qty", "decimal(38,9)")
+    out, ckpt = str(tmp_path / "od"), str(tmp_path / "cd")
+    _drain(
+        stream_appends(spark, w.dataset_path(KEY), ignore_changes=True),
+        out, ckpt,
+    )
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["qty"] == "decimal(38,9)"
+    assert {int(r["qty"]) for r in got.collect()} == {10, 11, 12}
