@@ -600,11 +600,20 @@ def recluster(
             meta.update(partitions=[], files=[])
             return {"files_before": 0, "files_after": 0}
         on_disk = set(list_data_files(fs, ds))
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", ds)
-            .parquet(*[f"{ds}/{rel}" for rel in live])
+        # contracted datasets scan through the recorded write-time
+        # schema (lake/schema.py): a merge_schema-widened dataset holds
+        # mixed INT32/INT64 files mergeSchema cannot read
+        # (CANNOT_MERGE_SCHEMAS); physical names in, physical names out
+        # so the column map stays valid for the rewritten files
+        from dl_datalake_spark.lake.schema import contract_read
+
+        rcontract = contract_read(log, ds, ds, live[0])
+        rd = (
+            spark.read.schema(rcontract[0])
+            if rcontract is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        df = rd.option("basePath", ds).parquet(*[f"{ds}/{rel}" for rel in live])
         # merge-on-read deletes (lake/dv.py): the recluster rewrite
         # materializes them; the fresh pin retires the refs (carry-
         # forward filters the map to the new files -> empty).  DV keys
@@ -941,21 +950,84 @@ def fold_change_feed(
             "files_before": files_before, "files_after": files_before,
         }
 
+    # CONTRACT NORMALIZATION (lake/schema.py): CDF deltas carry their
+    # own epoch's logical names and possibly narrower types — a plain
+    # mergeSchema union crashes on widened (mixed INT32/INT64) feeds
+    # and, across a rename, unions old+new names into half-null
+    # columns.  With a recorded contract, each per-commit dir is read
+    # alone (single-epoch, uniform footer), renamed to HEAD logical
+    # names by physical identity through its own entry's column map,
+    # and cast to the contract types — so the folded segment serves
+    # exactly the head surface (and un-trips the lake_cdf stream's
+    # pre-rename-segment guard).  Pre-contract datasets keep the old
+    # mergeSchema behavior.
+    sch, cmap, _ret, _pt = log.contract_at(None)
+    inv_head = {ph: lg for lg, ph in cmap.items()}
+    entries_by_v = {c["version"]: c for c in log.history()}
+
+    def _norm(df_, entry):
+        if sch is None:
+            return df_
+        e_cmap = dict((entry or {}).get("column_map") or {})
+        renames = {}
+        for n in df_.columns:
+            ph = e_cmap.get(n, n)
+            hl = inv_head.get(ph, ph)
+            if hl != n:
+                renames[n] = hl
+        if renames:
+            df_ = df_.withColumnsRenamed(renames)
+        dt = dict(df_.dtypes)
+        casts = {
+            c: F.col(c).cast(t)
+            for c, t in sch.items()
+            if c in dt and dt[c] != t
+        }
+        if casts:
+            df_ = df_.withColumns(casts)
+        return df_
+
     parts = []
     if cand:
-        # basePath trick: commit_version arrives as a column from the
-        # per-commit dir names, exactly how the batch reader serves it
-        parts.append(
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", root)
-            .parquet(*[f"{root}/{unranged[v]}" for v in cand])
-        )
+        if sch is None:
+            # basePath trick: commit_version arrives as a column from the
+            # per-commit dir names, exactly how the batch reader serves it
+            parts.append(
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", root)
+                .parquet(*[f"{root}/{unranged[v]}" for v in cand])
+            )
+        else:
+            for v in cand:
+                entry = entries_by_v.get(v)
+                if entry is None and cmap:
+                    raise ValueError(
+                        f"fold_change_feed: commit {v}'s log entry was "
+                        "pruned and the dataset carries a column mapping — "
+                        "its delta's epoch names cannot be resolved; fold "
+                        "before pruning or drop the delta explicitly"
+                    )
+                parts.append(
+                    _norm(
+                        spark.read.option("basePath", root).parquet(
+                            f"{root}/{unranged[v]}"
+                        ),
+                        entry,
+                    )
+                )
     bounds = list(cand)
     for name in old_ranges:
         lo_hi = name.split("=", 1)[1].split("-")
         bounds.extend([int(lo_hi[0]), int(lo_hi[1])])
+        # a ranged segment was written by ONE previous fold (uniform
+        # schema); it predates any rename only if its columns say so —
+        # _norm with no epoch map handles type casts, and stale names
+        # (cmap non-empty, pruned epochs) were refused at its own fold
         parts.append(
-            spark.read.option("mergeSchema", "true").parquet(f"{root}/{name}")
+            _norm(
+                spark.read.option("mergeSchema", "true").parquet(f"{root}/{name}"),
+                None,
+            )
         )
     df = parts[0]
     for p in parts[1:]:

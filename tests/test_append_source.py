@@ -124,17 +124,24 @@ def test_appends_resume_at_pruned_checkpoint_refuses(tmp_path, spark):
 def _drain_bounded(spark, ds, ckpt, expected_rows, timeout_s=120, **kw):
     """processingTime-triggered run collected until `expected_rows`
     arrive (availableNow captures ONE offset per run, so a capped
-    catch-up needs a continuous trigger — documented contract)."""
+    catch-up needs a continuous trigger — documented contract).
+    Before stopping, waits for the LAST delivering batch's checkpoint
+    commit to land: foreachBatch is at-least-once, so stopping between
+    the sink call and the commit makes the next run legitimately
+    re-serve that batch — a harness race, not a source bug (flaked
+    under full-suite CPU contention, rounds 10-11)."""
+    import os
     import time
 
-    rows, batches = [], []
+    rows, batches, bids = [], [], []
 
-    def _c(batch_df, _bid):
+    def _c(batch_df, bid):
         got = batch_df.collect()
         rows.extend(got)
         vs = sorted({r["commit_version"] for r in got})
         if vs:
             batches.append(vs)
+            bids.append(bid)
 
     q = (
         stream_appends(spark, ds, **kw)
@@ -147,6 +154,12 @@ def _drain_bounded(spark, ds, ckpt, expected_rows, timeout_s=120, **kw):
         deadline = time.time() + timeout_s
         while len(rows) < expected_rows and time.time() < deadline:
             time.sleep(0.3)
+        while (
+            bids
+            and not os.path.exists(f"{ckpt}/commits/{max(bids)}")
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
     finally:
         q.stop()
         q.awaitTermination(60)

@@ -102,14 +102,17 @@ def test_commit_records_file_and_cdf_bytes(spark, tmp_path):
 
 
 def _drain_bounded(spark, stream_df, ckpt, expected_rows, timeout_s=180):
-    rows, batches = [], []
+    import os
 
-    def _c(batch_df, _bid):
+    rows, batches, bids = [], [], []
+
+    def _c(batch_df, bid):
         got = batch_df.collect()
         rows.extend(got)
         vs = sorted({r["commit_version"] for r in got})
         if vs:
             batches.append(vs)
+            bids.append(bid)
 
     q = (
         stream_df.writeStream.foreachBatch(_c)
@@ -121,6 +124,14 @@ def _drain_bounded(spark, stream_df, ckpt, expected_rows, timeout_s=180):
         deadline = time.time() + timeout_s
         while len(rows) < expected_rows and time.time() < deadline:
             time.sleep(0.3)
+        # wait for the last delivering batch's checkpoint commit
+        # (foreachBatch is at-least-once; see test_append_source)
+        while (
+            bids
+            and not os.path.exists(f"{ckpt}/commits/{max(bids)}")
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
     finally:
         q.stop()
         q.awaitTermination(60)

@@ -198,3 +198,57 @@ def test_append_stream_decimal_contract(spark, tmp_path):
     got = spark.read.parquet(out)
     assert dict(got.dtypes)["qty"] == "decimal(38,9)"
     assert {int(r["qty"]) for r in got.collect()} == {10, 11, 12}
+
+
+def test_recluster_widened_dataset(spark, tmp_path):
+    """recluster scans through the contract: a merge_schema-widened
+    dataset (mixed INT32/INT64 files) reclusters instead of dying on
+    CANNOT_MERGE_SCHEMAS (round-11 review follow-up)."""
+    from dl_datalake_spark.lake.maintenance import recluster
+    from dl_datalake_spark.lake.reader import LakeReader
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, merge_schema=True)
+    w.write_ticks(
+        _mk(spark, [(JAN + i * 60000, 1.0, i) for i in range(4)],
+            "ts long, price double, qty int"),
+        KEY, mode="append",
+    )
+    w.write_ticks(
+        _mk(spark, [(JAN + (10 + i) * 60000, 2.0, 2**40 + i) for i in range(4)],
+            "ts long, price double, qty bigint"),
+        KEY, mode="append",
+    )
+    out = recluster(spark, w.dataset_path(KEY), ["qty"], base_path=base)
+    assert out["files_after"] >= 1
+    got = LakeReader(spark, base).read_dataset(KEY)
+    assert got.count() == 8 and dict(got.dtypes)["qty"] == "bigint"
+
+
+def test_fold_change_feed_normalizes_rename_and_widening(spark, tmp_path):
+    """fold_change_feed rewrites deltas to HEAD logical names and
+    contract types — the folded segment then passes the lake_cdf
+    stream's pre-rename guard (the 're-fold the feed' loop closes)."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True, merge_schema=True)
+    w.write_ticks(_mk(spark, [(JAN, 1.0)]), KEY)                       # v0: price
+    w.rename_column(KEY, "price", "px")                                 # v1
+    w.write_ticks(_mk(spark, [(JAN + 60000, 2.0)], "ts long, px double"), KEY)  # v2
+    ds = w.dataset_path(KEY)
+    out = fold_change_feed(spark, ds)
+    assert out["folded"] >= 2
+    # the folded segment carries head names only
+    import pyarrow.parquet as pq
+
+    seg = [n for n in w.fs.listdir(f"{ds}/_cdf") if n.startswith("commit_range=")]
+    assert seg
+    f = [n for n in w.fs.listdir(f"{ds}/_cdf/{seg[0]}") if n.endswith(".parquet")]
+    names = set(pq.read_schema(f"{ds}/_cdf/{seg[0]}/{f[0]}").names)
+    assert "px" in names and "price" not in names
+    # and the stream serves it under the head contract
+    o, c = str(tmp_path / "of"), str(tmp_path / "cf")
+    _drain(stream_change_feed(spark, ds), o, c)
+    rows = {(r["commit_version"], r["px"]) for r in spark.read.parquet(o).collect()}
+    assert rows == {(0, 1.0), (2, 2.0)}
