@@ -61,6 +61,7 @@ def stream_append_ingest(
     checkpoint_dir: str,
     app_id: str,
     max_files_per_trigger: int = 10,
+    optimistic: bool = False,
 ) -> StreamingQuery:
     """EXACTLY-ONCE append sink: each micro-batch commits with
     `txn=(app_id, batch_id)` (Delta's txnAppId/txnVersion,
@@ -92,7 +93,15 @@ def stream_append_ingest(
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        writer.write_ohlc(batch_df, key, mode="append", txn=(app_id, batch_id))
+        # optimistic: the micro-batch's Spark job runs outside the
+        # commit claim (writer._write_optimistic_append), so several
+        # ingest streams appending to ONE dataset scale instead of
+        # serializing their jobs; txn idempotency is preserved on both
+        # paths (checked again under the claim)
+        writer.write_ohlc(
+            batch_df, key, mode="append", txn=(app_id, batch_id),
+            optimistic=optimistic,
+        )
 
     return (
         stream.writeStream.foreachBatch(append_batch)

@@ -39,7 +39,9 @@ SKIP = {"events_stream_tumbling", "events_stream_session", "events_stream_interv
         # the LSH dedup index
         "docs_stream_cdf_lsh",
         # lake_appends source: checkpointed stream per call
-        "events_stream_appends"}
+        "events_stream_appends",
+        # round 11: checkpointed lake_appends stream per call
+        "events_stream_rename"}
 
 
 def main() -> None:

@@ -220,3 +220,54 @@ def test_optimistic_append_emit_cdf(spark, tmp_path):
     assert cursor == 1
     rows = {(r["ts"], r["_change_type"]) for r in feed.collect()}
     assert rows == {(FEB + i * 60000, "insert") for i in range(5)}
+
+
+def test_stream_append_ingest_optimistic_exactly_once(spark, tmp_path):
+    """The foreachBatch ingest sink on the OPTIMISTIC path: same
+    exactly-once txn semantics (checkpoint wipe + same app_id replays
+    are skipped), commits carry the optimistic files_add shape."""
+    from dl_datalake_spark.streaming.ingest import stream_append_ingest
+
+    landing = tmp_path / "landing_opt"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{JAN + i*60000},1,2,0.5,1.5,10" for i in range(10))
+    )
+    writer = LakeWriter(spark, str(tmp_path / "baseo"))
+    key = DatasetKey("binance", "spot", "OPTIN", "raw", "1m")
+    # bootstrap so the optimistic path has a contract (first batch falls
+    # back to the claimed path internally — also covered)
+    q = stream_append_ingest(
+        spark, str(landing), writer, key,
+        checkpoint_dir=str(tmp_path / "cko"), app_id="ingestO",
+        optimistic=True,
+    )
+    q.awaitTermination(120)
+    reader = LakeReader(spark, str(tmp_path / "baseo"))
+    assert reader.read_dataset(key).count() == 10
+
+    import shutil
+
+    shutil.rmtree(tmp_path / "cko")  # lose the checkpoint entirely
+    q2 = stream_append_ingest(
+        spark, str(landing), writer, key,
+        checkpoint_dir=str(tmp_path / "cko"), app_id="ingestO",
+        optimistic=True,
+    )
+    q2.awaitTermination(120)
+    assert reader.read_dataset(key).count() == 10  # replay skipped
+    # a second landing file commits optimistically on the replay-safe path
+    (landing / "b2.csv").write_text(
+        "ts,open,high,low,close,volume\n"
+        + "\n".join(f"{FEB + i*60000},1,2,0.5,1.5,10" for i in range(5))
+    )
+    q3 = stream_append_ingest(
+        spark, str(landing), writer, key,
+        checkpoint_dir=str(tmp_path / "cko"), app_id="ingestO",
+        optimistic=True,
+    )
+    q3.awaitTermination(120)
+    assert reader.read_dataset(key).count() == 15
+    log = writer.commit_log(key)
+    assert log.committed_entry(log.latest_version()).get("optimistic") is True
