@@ -817,6 +817,30 @@ def vacuum_tombstones(
                 if not dry_run:
                     fs.rmtree(dvdir)
                 removed.append(dvdir)
+        # crashed OPTIMISTIC-append staging (`_staging_<token>` under
+        # the dataset and `_cdf/_staging_<token>`): a writer that died
+        # before its claim leaves only these hidden dirs — invisible to
+        # every scan, but disk they hold forever without a sweep; mtime
+        # age is truthful here (nothing references them)
+        for sroot in (ds, f"{ds}/_cdf"):
+            try:
+                names = fs.listdir(sroot)
+            except OSError:
+                continue
+            for name in names:
+                if not name.startswith("_staging_"):
+                    continue
+                sdir = f"{sroot}/{name}"
+                try:
+                    age = now - fs.getmtime(sdir)
+                except OSError:
+                    continue
+                if age < retention_s:
+                    retained.append(sdir)
+                    continue
+                if not dry_run:
+                    fs.rmtree(sdir)
+                removed.append(sdir)
         # quarantine retention rides the same horizon: violator splits
         # (writer expectations, `_quarantine/<uuid>` dirs) are kept for
         # inspection for `retention_s`, then reclaimed — without this

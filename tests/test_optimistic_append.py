@@ -271,3 +271,86 @@ def test_stream_append_ingest_optimistic_exactly_once(spark, tmp_path):
     assert reader.read_dataset(key).count() == 15
     log = writer.commit_log(key)
     assert log.committed_entry(log.latest_version()).get("optimistic") is True
+
+
+def test_mixed_claimed_and_optimistic_writers(spark, tmp_path):
+    """The review-finding race class: claimed upserts attribute their
+    added files by DIRECTORY DIFF, so optimistic tree moves must be
+    mutually exclusive with them (moves happen under the claim).  Mix
+    both writer kinds on ONE dataset concurrently: every commit's
+    pinned files exist on disk, read-back is exact, nothing lost,
+    nothing double-pinned."""
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, commit_timeout_s=180.0)
+    w.write_ticks(_month_rows(spark, JAN), KEY, mode="append")  # bootstrap
+
+    errs: list[BaseException] = []
+
+    def opt_job(start):
+        try:
+            LakeWriter(spark, base, commit_timeout_s=180.0).write_ticks(
+                _month_rows(spark, start), KEY, mode="append", optimistic=True
+            )
+        except BaseException as exc:
+            errs.append(exc)
+
+    def upsert_job(i):
+        try:
+            # upserts into the bootstrap month (replace rows 0..4)
+            LakeWriter(spark, base, commit_timeout_s=180.0).write_ticks(
+                _month_rows(spark, JAN, p0=100.0 * (i + 1)), KEY, mode="upsert"
+            )
+        except BaseException as exc:
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=opt_job, args=(FEB + i * 32 * 86400_000,))
+        for i in range(4)
+    ] + [threading.Thread(target=upsert_job, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=400)
+    assert errs == []
+    log = w.commit_log(KEY)
+    # every pinned file of every retained commit version exists on disk
+    ds = w.dataset_path(KEY)
+    for e in log.history():
+        files = log.files_at(e["version"])
+        assert files is not None
+        for rel in files:
+            assert w.fs.exists(f"{ds}/{rel}"), (e["version"], rel)
+    got = LakeReader(spark, base).read_dataset(KEY)
+    # 5 Jan rows (upserted, last writer wins per ts) + 4 months x 5
+    assert got.count() == 25
+    assert got.select("ts").distinct().count() == 25
+    jan_prices = {r["price"] for r in got.where(F.col("ts") < FEB).collect()}
+    assert jan_prices <= {100.0 + i for i in range(5)} | {200.0 + i for i in range(5)}
+
+
+def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path):
+    """A writer that dies before its claim leaves only hidden
+    _staging_* dirs; vacuum_tombstones reclaims them past retention."""
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base)
+    w.write_ticks(_month_rows(spark, JAN), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    w.fs.makedirs(f"{ds}/_staging_deadbeef/year=2023/month=1")
+    w.fs.write_bytes_atomic(
+        f"{ds}/_staging_deadbeef/year=2023/month=1/part-0.parquet", b"junk"
+    )
+    w.fs.makedirs(f"{ds}/_cdf/_staging_deadbeef")
+    w.fs.write_bytes_atomic(f"{ds}/_cdf/_staging_deadbeef/part-0.parquet", b"junk")
+    # inside retention: retained, not removed
+    rep = vacuum_tombstones(spark, base, retention_s=3600.0, dry_run=False)
+    assert any("_staging_deadbeef" in p for p in rep["retained"])
+    assert w.fs.isdir(f"{ds}/_staging_deadbeef")
+    # past retention: swept
+    rep2 = vacuum_tombstones(spark, base, retention_s=0.0, dry_run=False)
+    assert any(p.endswith("_staging_deadbeef") for p in rep2["removed"])
+    assert not w.fs.isdir(f"{ds}/_staging_deadbeef")
+    assert not w.fs.isdir(f"{ds}/_cdf/_staging_deadbeef")
+    # the dataset itself is untouched
+    assert LakeReader(spark, base).read_dataset(KEY).count() == 5
