@@ -614,6 +614,13 @@ def recluster(
             else spark.read.option("mergeSchema", "true")
         )
         df = rd.option("basePath", ds).parquet(*[f"{ds}/{rel}" for rel in live])
+        # serve LOGICAL names to the caller's cluster columns and the
+        # recorded col_stats (reader bounds look up logical keys), then
+        # rename back to physical just before the file write
+        to_logical = dict(rcontract[1]) if rcontract is not None else {}
+        to_physical = {lg: ph for ph, lg in to_logical.items()}
+        if to_logical:
+            df = df.withColumnsRenamed(to_logical)
         # merge-on-read deletes (lake/dv.py): the recluster rewrite
         # materializes them; the fresh pin retires the refs (carry-
         # forward filters the map to the new files -> empty).  DV keys
@@ -642,26 +649,37 @@ def recluster(
             df = dvmod.apply_dv(spark, df, lake_base, keys, dv_dirs, fs=fs)
         months = df.select("year", "month").distinct().count()
         keyed = zorder_key(df, cols, bits)
-        (
+        out_df = (
             keyed.repartitionByRange(
                 max(1, files_per_month * months), "year", "month", "zval"
             )
             .sortWithinPartitions("year", "month", "zval")
             .drop("zval")
-            .write.partitionBy("year", "month")
+        )
+        if to_physical:
+            out_df = out_df.withColumnsRenamed(to_physical)
+        (
+            out_df.write.partitionBy("year", "month")
             .mode("append")
             .option("compression", "snappy")
             .parquet(ds)
         )
         added = sorted(f for f in list_data_files(fs, ds) if f not in on_disk)
+        # stat the files under their PHYSICAL names, record the index
+        # under the LOGICAL keys reader bounds look up (the same
+        # translation LakeWriter._added_file_stats applies)
+        phys_cols = tuple(to_physical.get(c, c) for c in cols)
         fstats, cstats = added_file_stats(
-            spark, {ds: added}, "ts", extra_cols=tuple(cols)
+            spark, {ds: added}, "ts", extra_cols=phys_cols
         )
         meta.update(partitions=[], files=added)
         if fstats.get(ds):
             meta["file_stats"] = fstats[ds]
         if cstats.get(ds):
-            meta["col_stats"] = cstats[ds]
+            meta["col_stats"] = {
+                to_logical.get(col, col): v
+                for col, v in cstats[ds].items()
+            }
     return {"files_before": len(live), "files_after": len(added)}
 
 
@@ -671,6 +689,7 @@ def vacuum_tombstones(
     retention_s: float = 7 * 86400.0,
     dry_run: bool = True,
     fs: Filesystem | None = None,
+    staging_ttl_s: float = 6 * 3600.0,
 ) -> dict[str, list[str]]:
     """Reclaim superseded data files left by the MVCC write protocol
     (lake/snapshot.py) — the Delta-VACUUM analogue.
@@ -820,8 +839,14 @@ def vacuum_tombstones(
         # crashed OPTIMISTIC-append staging (`_staging_<token>` under
         # the dataset and `_cdf/_staging_<token>`): a writer that died
         # before its claim leaves only these hidden dirs — invisible to
-        # every scan, but disk they hold forever without a sweep; mtime
-        # age is truthful here (nothing references them)
+        # every scan, but disk they hold forever without a sweep.
+        # Unlike data tombstones there is no commit-derived clock here,
+        # and a LIVE writer may be waiting on a contended claim with
+        # its finished staging dir sitting idle — so the sweep age is
+        # floored at `staging_ttl_s` (default 6 h, far above any
+        # commit_timeout_s) independent of an aggressive `retention_s`;
+        # lower it explicitly only when no writers can be in flight.
+        s_ttl = max(retention_s, staging_ttl_s)
         for sroot in (ds, f"{ds}/_cdf"):
             try:
                 names = fs.listdir(sroot)
@@ -835,7 +860,7 @@ def vacuum_tombstones(
                     age = now - fs.getmtime(sdir)
                 except OSError:
                     continue
-                if age < retention_s:
+                if age < s_ttl:
                     retained.append(sdir)
                     continue
                 if not dry_run:
@@ -934,6 +959,7 @@ def fold_change_feed(
     Returns {"folded": n_versions, "segment": name | None,
     "files_before": int, "files_after": int}.
     """
+    import json as _json
     import uuid as _uuid
 
     from dl_datalake_spark.lake.commitlog import CommitLog
@@ -947,7 +973,8 @@ def fold_change_feed(
     if not fs.exists(root):
         return {"folded": 0, "segment": None, "files_before": 0, "files_after": 0}
     log = CommitLog(dataset_path, fs=fs)
-    committed = {c["version"] for c in log.history()}
+    hist = log.history()  # one log walk serves every lookup below
+    committed = {c["version"] for c in hist}
     oldest = min(committed, default=None)
     files_before = _count_files()
 
@@ -978,27 +1005,71 @@ def fold_change_feed(
     # own epoch's logical names and possibly narrower types — a plain
     # mergeSchema union crashes on widened (mixed INT32/INT64) feeds
     # and, across a rename, unions old+new names into half-null
-    # columns.  With a recorded contract, each per-commit dir is read
-    # alone (single-epoch, uniform footer), renamed to HEAD logical
-    # names by physical identity through its own entry's column map,
-    # and cast to the contract types — so the folded segment serves
-    # exactly the head surface (and un-trips the lake_cdf stream's
-    # pre-rename-segment guard).  Pre-contract datasets keep the old
-    # mergeSchema behavior.
+    # columns.  With a recorded contract, deltas are grouped BY EPOCH
+    # (identical recorded schema + column map — one multi-path read per
+    # group, so an unevolved feed still plans one relation, not
+    # thousands), each group's columns are resolved to HEAD logical
+    # names by PHYSICAL identity through its own epoch's column map,
+    # columns whose logical no longer exists at head are DROPPED (a
+    # re-added name has a fresh physical — merging the retired bytes
+    # under it would corrupt the feed), and everything is cast to the
+    # contract types — the folded segment serves exactly the head
+    # surface (un-tripping the lake_cdf stream's stale-name guard).
+    # Pre-contract datasets keep the old mergeSchema behavior.
     sch, cmap, _ret, _pt = log.contract_at(None)
     inv_head = {ph: lg for lg, ph in cmap.items()}
-    entries_by_v = {c["version"]: c for c in log.history()}
+    head_phys = {lg: cmap.get(lg, lg) for lg in (sch or {})}
+    entries_by_v = {c["version"]: c for c in hist}
+    # logical name -> every physical it was EVER bound to across the
+    # retained log (resolves ranged segments, whose epoch is fold time
+    # and unknowable; an ambiguous binding refuses loudly)
+    name_phys_hist: dict[str, set] = {}
+    for _e in hist:
+        _ec = _e.get("column_map") or {}
+        for _lg in _e.get("schema") or {}:
+            name_phys_hist.setdefault(_lg, set()).add(_ec.get(_lg, _lg))
 
-    def _norm(df_, entry):
+    def _head_name(n, e_cmap, e_schema, known_epoch, ctx):
+        """Head logical name for delta column `n`, or None to DROP it
+        (its logical no longer exists at head).  Physical identity is
+        the join key: a head logical claims `n` only when its head
+        physical IS `n`'s physical — a re-added column's fresh physical
+        never matches the retired one, so dropped bytes cannot merge
+        into the re-added column."""
+        if known_epoch:
+            if n not in e_schema:
+                return n  # extra: _change_type / partition identity
+            ph = e_cmap.get(n, n)
+        else:
+            phs = name_phys_hist.get(n)
+            if phs is None:
+                return n  # never a contract column: extra
+            if len(phs) > 1:
+                raise ValueError(
+                    f"fold_change_feed: column {n!r} in {ctx} was bound "
+                    f"to multiple physical columns across retained "
+                    f"history ({sorted(phs)}) — its epoch cannot be "
+                    "resolved; prune after folding, not before"
+                )
+            ph = next(iter(phs))
+        if ph in inv_head:
+            return inv_head[ph]
+        if ph in (sch or {}) and head_phys.get(ph) == ph:
+            return ph
+        return None  # contract column at its epoch, dead at head
+
+    def _norm(df_, e_cmap, e_schema, known_epoch, ctx):
         if sch is None:
             return df_
-        e_cmap = dict((entry or {}).get("column_map") or {})
-        renames = {}
+        renames, drops = {}, []
         for n in df_.columns:
-            ph = e_cmap.get(n, n)
-            hl = inv_head.get(ph, ph)
-            if hl != n:
+            hl = _head_name(n, e_cmap, e_schema, known_epoch, ctx)
+            if hl is None:
+                drops.append(n)
+            elif hl != n:
                 renames[n] = hl
+        if drops:
+            df_ = df_.drop(*drops)
         if renames:
             df_ = df_.withColumnsRenamed(renames)
         dt = dict(df_.dtypes)
@@ -1022,6 +1093,7 @@ def fold_change_feed(
                 .parquet(*[f"{root}/{unranged[v]}" for v in cand])
             )
         else:
+            groups: dict[str, list[int]] = {}
             for v in cand:
                 entry = entries_by_v.get(v)
                 if entry is None and cmap:
@@ -1031,26 +1103,41 @@ def fold_change_feed(
                         "its delta's epoch names cannot be resolved; fold "
                         "before pruning or drop the delta explicitly"
                     )
+                key = _json.dumps(
+                    [
+                        (entry or {}).get("schema"),
+                        (entry or {}).get("column_map"),
+                    ],
+                    sort_keys=True,
+                )
+                groups.setdefault(key, []).append(v)
+            for key, vs in groups.items():
+                entry = entries_by_v.get(vs[0])
                 parts.append(
                     _norm(
-                        spark.read.option("basePath", root).parquet(
-                            f"{root}/{unranged[v]}"
-                        ),
-                        entry,
+                        spark.read.option("mergeSchema", "true")
+                        .option("basePath", root)
+                        .parquet(*[f"{root}/{unranged[v]}" for v in vs]),
+                        dict((entry or {}).get("column_map") or {}),
+                        dict((entry or {}).get("schema") or {}),
+                        entry is not None,
+                        f"commits {vs[0]}..{vs[-1]}",
                     )
                 )
     bounds = list(cand)
     for name in old_ranges:
         lo_hi = name.split("=", 1)[1].split("-")
         bounds.extend([int(lo_hi[0]), int(lo_hi[1])])
-        # a ranged segment was written by ONE previous fold (uniform
-        # schema); it predates any rename only if its columns say so —
-        # _norm with no epoch map handles type casts, and stale names
-        # (cmap non-empty, pruned epochs) were refused at its own fold
+        # a ranged segment was written by ONE previous fold with the
+        # names current AT FOLD TIME (epoch unknowable): resolve each
+        # column through the retained logical->physical history
         parts.append(
             _norm(
                 spark.read.option("mergeSchema", "true").parquet(f"{root}/{name}"),
-                None,
+                {},
+                {},
+                False,
+                f"segment {name}",
             )
         )
     df = parts[0]

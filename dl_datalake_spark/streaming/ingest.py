@@ -97,11 +97,25 @@ def stream_append_ingest(
         # commit claim (writer._write_optimistic_append), so several
         # ingest streams appending to ONE dataset scale instead of
         # serializing their jobs; txn idempotency is preserved on both
-        # paths (checked again under the claim)
-        writer.write_ohlc(
-            batch_df, key, mode="append", txn=(app_id, batch_id),
-            optimistic=optimistic,
-        )
+        # paths (checked again under the claim).  A ConcurrentWrite-
+        # Conflict (maintenance/DML landing between the snapshot read
+        # and the claim) is RETRIED from a fresh snapshot — the claimed
+        # path would simply have serialized behind the same commit, so
+        # killing the whole stream for it would make the scale-out mode
+        # strictly more fragile; the txn tag makes retries exactly-once.
+        from dl_datalake_spark.lake.commitlog import ConcurrentWriteConflict
+
+        attempts = 4 if optimistic else 1
+        for i in range(attempts):
+            try:
+                writer.write_ohlc(
+                    batch_df, key, mode="append", txn=(app_id, batch_id),
+                    optimistic=optimistic,
+                )
+                return
+            except ConcurrentWriteConflict:
+                if i == attempts - 1:
+                    raise
 
     return (
         stream.writeStream.foreachBatch(append_batch)

@@ -343,12 +343,16 @@ def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path):
     )
     w.fs.makedirs(f"{ds}/_cdf/_staging_deadbeef")
     w.fs.write_bytes_atomic(f"{ds}/_cdf/_staging_deadbeef/part-0.parquet", b"junk")
-    # inside retention: retained, not removed
-    rep = vacuum_tombstones(spark, base, retention_s=3600.0, dry_run=False)
+    # inside the liveness floor: retained even with retention_s=0 (a
+    # LIVE writer may be waiting on a contended claim — staging sweeps
+    # are floored at staging_ttl_s)
+    rep = vacuum_tombstones(spark, base, retention_s=0.0, dry_run=False)
     assert any("_staging_deadbeef" in p for p in rep["retained"])
     assert w.fs.isdir(f"{ds}/_staging_deadbeef")
-    # past retention: swept
-    rep2 = vacuum_tombstones(spark, base, retention_s=0.0, dry_run=False)
+    # past the floor (no writers can be in flight here): swept
+    rep2 = vacuum_tombstones(
+        spark, base, retention_s=0.0, dry_run=False, staging_ttl_s=0.0
+    )
     assert any(p.endswith("_staging_deadbeef") for p in rep2["removed"])
     assert not w.fs.isdir(f"{ds}/_staging_deadbeef")
     assert not w.fs.isdir(f"{ds}/_cdf/_staging_deadbeef")

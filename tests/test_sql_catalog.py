@@ -124,3 +124,17 @@ def test_sql_non_identifier_symbol_resolves(client, spark):
     name = [t for t in client.sql_tables() if "btc-usdt" in t][0]
     got = client.sql(f"SELECT COUNT(*) AS n FROM lake.`{name}`").first()["n"]
     assert got == 1
+
+
+def test_sql_catalog_pushdown_reaches_parquet(client, spark):
+    """The resolver hands Catalyst ordinary relations: a WHERE on a
+    lake reference pushes to the parquet scan (PushedFilters) exactly
+    like the DataFrame path — no materialization behind the view."""
+    _write(client, "PPP", [(JAN + i * 60000, float(i)) for i in range(50)])
+    df = client.sql(
+        f"SELECT ts, price FROM lake.sim_ppp_ticks_1m WHERE ts = {JAN}"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert f"EqualTo(ts,{JAN})" in plan or "EqualTo" in plan
+    assert df.count() == 1

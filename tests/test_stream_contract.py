@@ -252,3 +252,57 @@ def test_fold_change_feed_normalizes_rename_and_widening(spark, tmp_path):
     _drain(stream_change_feed(spark, ds), o, c)
     rows = {(r["commit_version"], r["px"]) for r in spark.read.parquet(o).collect()}
     assert rows == {(0, 1.0), (2, 2.0)}
+
+
+def test_fold_drops_dead_columns_never_merges_readds(spark, tmp_path):
+    """Drop qty then re-add it (fresh physical): folding old deltas
+    must DROP the dead column, not merge its retired bytes into the
+    re-added one (review finding, round 11)."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True, merge_schema=True)
+    w.write_ticks(
+        _mk(spark, [(JAN, 1.0, "old")], "ts long, price double, qty string"), KEY
+    )                                                   # v0: qty (old epoch)
+    w.drop_column(KEY, "qty")                           # v1
+    w.write_ticks(
+        _mk(spark, [(JAN + 60000, 2.0, "new")],
+            "ts long, price double, qty string"),
+        KEY,
+    )                                                   # v2: fresh physical
+    ds = w.dataset_path(KEY)
+    out = fold_change_feed(spark, ds)
+    assert out["folded"] >= 2
+    o, c = str(tmp_path / "og"), str(tmp_path / "cg")
+    _drain(stream_change_feed(spark, ds), o, c)
+    got = {r["commit_version"]: r["qty"] for r in spark.read.parquet(o).collect()}
+    # v0's retired 'old' value must NOT appear under the re-added column
+    assert got == {0: None, 2: "new"}
+
+
+def test_fold_resolves_rename_after_previous_fold(spark, tmp_path):
+    """rename -> fold -> rename again -> fold: the second fold resolves
+    the first segment's (then-head, now stale) names through the
+    retained logical->physical history — no half-null columns, no
+    wedged stream (review finding, round 11)."""
+    from dl_datalake_spark.lake.maintenance import fold_change_feed
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, emit_cdf=True)
+    w.write_ticks(_mk(spark, [(JAN, 1.0)]), KEY)                      # v0: price
+    w.rename_column(KEY, "price", "px")                                # v1
+    w.write_ticks(_mk(spark, [(JAN + 60000, 2.0)], "ts long, px double"), KEY)  # v2
+    ds = w.dataset_path(KEY)
+    fold_change_feed(spark, ds)                                        # segment: px
+    w.rename_column(KEY, "px", "p2")                                   # v3
+    w.write_ticks(_mk(spark, [(JAN + 120000, 3.0)], "ts long, p2 double"), KEY)  # v4
+    out = fold_change_feed(spark, ds)                                  # re-fold
+    assert out["segment"] is not None
+    o, c = str(tmp_path / "or2"), str(tmp_path / "cr2")
+    _drain(stream_change_feed(spark, ds), o, c)
+    got = spark.read.parquet(o)
+    assert "p2" in got.columns
+    assert "px" not in got.columns and "price" not in got.columns
+    rows = {(r["commit_version"], r["p2"]) for r in got.collect()}
+    assert rows == {(0, 1.0), (2, 2.0), (4, 3.0)}
