@@ -646,3 +646,124 @@ def test_delta_listing_fold_matches_reference_model(tmp_path_factory, ops, prune
         # NEVER a wrong list — unknowable (None) is allowed only for
         # cuts at/below the pruned horizon
         assert got == files or (got is None and v <= horizon), (v, got, files)
+
+
+# -- round-11 pure-function properties ----------------------------------------
+
+_TYPE_NAMES = st.sampled_from(
+    ["tinyint", "smallint", "int", "bigint", "float", "double", "string",
+     "boolean", "binary", "decimal(38,9)", "decimal(10,2)",
+     "array<double>", "array<struct<x:int,y:int>>", "map<string,int>"]
+)
+_COL_NAMES = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=12
+).filter(lambda s: not s[0].isdigit())
+
+
+@given(st.dictionaries(_COL_NAMES, _TYPE_NAMES, min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_ddl_fields_roundtrip(schema):
+    """_ddl_fields inverts DDL construction for every name/type combo —
+    including parameterized and nested types a naive split(',') shears
+    (the round-11 streaming-source parser)."""
+    from dl_datalake_spark.sources.cdf_source import _ddl_fields
+
+    ddl = ", ".join(f"{n} {t}" for n, t in schema.items())
+    assert _ddl_fields(ddl) == list(schema.items())
+    # backquoted form round-trips too
+    ddl_q = ", ".join(f"`{n}` {t}" for n, t in schema.items())
+    assert _ddl_fields(ddl_q) == list(schema.items())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(2015, 2030), st.integers(1, 12)),
+        min_size=0, max_size=6, unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(2015, 2030), st.integers(1, 12)),
+        min_size=1, max_size=6, unique=True,
+    ),
+    st.sampled_from(
+        ["append", "upsert", "overwrite", "delete", "delete-dv", "update",
+         "update-dv", "merge", "restore", "compact", "rename-column",
+         "alter-type"]
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_optimistic_validation_commute_rules(theirs, ours, mode):
+    """_validate_concurrent's algebra: appends always commute;
+    partition-scoped rewrites commute iff disjoint; tree-rewriting /
+    contract-moving modes never commute; a contract change always
+    conflicts regardless of partitions."""
+    from dl_datalake_spark.lake.commitlog import ConcurrentWriteConflict
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    entry = {"mode": mode, "partitions": [list(p) for p in theirs]}
+    base = ({"ts": "bigint"}, {}, [], {})
+    ours_set = set(ours)
+    disjoint = not (set(theirs) & ours_set)
+    want_ok = (
+        mode == "append"
+        or (
+            mode in LakeWriter._OPTIMISTIC_DISJOINT_OK
+            and (disjoint if theirs else True)
+        )
+    )
+    try:
+        LakeWriter._validate_concurrent(
+            object.__new__(LakeWriter), entry, base, ours_set, 7, "/ds"
+        )
+        ok = True
+    except ConcurrentWriteConflict:
+        ok = False
+    assert ok == want_ok
+    # a contract move conflicts no matter the partitions or mode
+    moved = {**entry, "schema": {"ts": "bigint", "extra": "int"}}
+    try:
+        LakeWriter._validate_concurrent(
+            object.__new__(LakeWriter), moved, base, ours_set, 7, "/ds"
+        )
+        moved_ok = True
+    except ConcurrentWriteConflict:
+        moved_ok = False
+    assert not moved_ok
+
+
+@given(
+    st.dictionaries(
+        _COL_NAMES, st.sampled_from(["int", "bigint", "float", "double"]),
+        min_size=1, max_size=6,
+    ),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_epoch_source_names_physical_identity(head_schema, data):
+    """_epoch_source_names (CDF stream rename mapping) is a permutation
+    of per-epoch names driven purely by PHYSICAL identity: with no
+    column map it is the identity; with a rename chain it maps each
+    head logical to the name its epoch's delta file carries; extras
+    pass through untouched."""
+    from dl_datalake_spark.sources.cdf_source import _epoch_source_names
+
+    cols = list(head_schema) + ["_change_type"]
+    # identity when no mapping anywhere
+    assert _epoch_source_names(cols, head_schema, {}, {}) == cols
+    # build a consistent rename epoch: pick a subset of columns that
+    # were called something else at the old epoch, same physical
+    renamed = data.draw(
+        st.dictionaries(
+            st.sampled_from(sorted(head_schema)),
+            st.text(alphabet="qrstuv", min_size=3, max_size=6),
+            max_size=len(head_schema),
+        )
+    )
+    # head cmap: logical -> physical (physical = the OLD name)
+    head_cmap = {lg: old for lg, old in renamed.items()}
+    entry = {"column_map": {}}  # old epoch: logical == physical
+    src = _epoch_source_names(cols, head_schema, head_cmap, entry)
+    for c, s_ in zip(cols, src):
+        if c in renamed:
+            assert s_ == renamed[c]  # epoch file says the old name
+        else:
+            assert s_ == c
