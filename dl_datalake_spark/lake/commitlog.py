@@ -120,8 +120,43 @@ class CommitLog:
             # mid-replace or just rolled aside: treat as in-progress
             return {"status": "in-progress"}
 
+    HEAD_HINT = "_head"
+
+    def _hint_version(self) -> int:
+        """Best-effort head pointer (Delta's `_last_checkpoint` mechanic
+        applied to the log TAIL): the version recorded by the newest
+        finalize.  Always a LOWER BOUND on the true head — finalizes are
+        version-ordered, but a slow writer's pointer write may land
+        after its successor's, so readers probe FORWARD from it.  -1
+        when absent (fresh dataset / pre-pointer log)."""
+        try:
+            return int(
+                json.loads(
+                    self.fs.read_bytes(f"{self.log_dir}/{self.HEAD_HINT}")
+                ).get("version", -1)
+            )
+        except (OSError, ValueError, TypeError):
+            return -1
+
     def latest_version(self) -> int:
-        """Highest FINALIZED version; -1 for a fresh dataset."""
+        """Highest FINALIZED version; -1 for a fresh dataset.
+
+        Fast path: the `_head` pointer plus direct forward probes —
+        zero directory listings.  Sound because committed versions are
+        DENSE: a claim only ever targets committed+1 and waits behind
+        any pending slot (transaction loop), and prune removes only the
+        OLDEST entries, so the first non-committed probe above a
+        committed pointer is the true head boundary.  On an object
+        store this turns the hottest log operation (every snapshot
+        resolve and claim poll starts here) from an O(log-size) LIST
+        into O(1 + commits-since-pointer) GETs."""
+        h = self._hint_version()
+        if h >= 0 and self._read_entry(h).get("status") == "committed":
+            v = h
+            while self._read_entry(v + 1).get("status") == "committed":
+                v += 1
+            return v
+        # pointer missing, mid-write, or pruned away: full listing scan
         for v in reversed(self._entries()):
             if self._read_entry(v).get("status") == "committed":
                 return v
@@ -759,6 +794,16 @@ class CommitLog:
             f"{self.log_dir}/{_fmt(version)}", json.dumps(body).encode()
         )
         try:
+            # best-effort head pointer (see latest_version): a lost or
+            # out-of-order write only costs readers extra forward
+            # probes, never correctness
+            self.fs.write_bytes_atomic(
+                f"{self.log_dir}/{self.HEAD_HINT}",
+                json.dumps({"version": version}).encode(),
+            )
+        except OSError:
+            pass
+        try:
             self.fs.remove(finalizing)
         except OSError:
             pass
@@ -817,25 +862,23 @@ class CommitLog:
         conflicts = 0
         token = uuid.uuid4().hex
         while True:
-            entries = self._entries()
-            committed = -1
-            pending = None
-            for v in entries:
-                if self._read_entry(v).get("status") == "committed":
-                    committed = max(committed, v)
-                else:
-                    pending = v if pending is None else min(pending, v)
-            if pending is not None and pending > committed:
+            # head via the `_head` pointer (latest_version fast path);
+            # the only possible in-flight claim is the slot right above
+            # it (committed versions are dense), so one exists() probe
+            # replaces the full per-poll directory scan — the claim
+            # loop stops being O(log size) per poll on object stores
+            committed = self.latest_version()
+            nxt = committed + 1
+            if self.fs.exists(f"{self.log_dir}/{_fmt(nxt)}"):
                 # someone's write is in flight ahead of us
-                self._try_rollback_stale(pending)
+                self._try_rollback_stale(nxt)
                 if time.monotonic() > deadline:
                     raise CommitTimeout(
-                        f"commit slot {pending} of {self.dataset_path} held "
+                        f"commit slot {nxt} of {self.dataset_path} held "
                         f"in-progress past deadline"
                     )
                 time.sleep(CLAIM_POLL_S)
                 continue
-            nxt = committed + 1
             if self._claim(nxt, token):
                 break
             # claim lost: a concurrent writer took nxt — our snapshot is

@@ -118,8 +118,32 @@ class LakeSQLCatalog:
         """Run a Spark SQL statement in which `lake.<table>` references
         (optionally `VERSION AS OF n` / `TIMESTAMP AS OF 'ts'`) resolve
         to the corresponding dataset snapshots.  Non-lake SQL passes
-        through untouched."""
-        return self.spark.sql(self.resolve(query))
+        through untouched.
+
+        `lake.<name>` for a name that is NOT a cataloged dataset passes
+        through to Spark's own resolution (it may be a table aliased
+        `lake`, or a 3-part name in a real `lake` catalog); only if
+        Spark's analysis also fails is the error upgraded to name both
+        failure modes with the known lake tables."""
+        resolved = self.resolve(query)
+        try:
+            return self.spark.sql(resolved)
+        except Exception as exc:
+            from pyspark.errors import AnalysisException
+
+            if isinstance(exc, AnalysisException) and re.search(
+                r"\blake\.", query, re.IGNORECASE
+            ):
+                known = sorted(self._discover())
+                raise ValueError(
+                    "a `lake.<name>` reference resolved neither as a "
+                    "cataloged lake dataset nor through Spark's own "
+                    "analysis (table alias / catalog). Known lake tables: "
+                    + ", ".join(known[:20])
+                    + ("…" if len(known) > 20 else "")
+                    + f". Spark's error: {exc}"
+                ) from exc
+            raise
 
     def resolve(self, query: str) -> str:
         """The rewritten statement (exposed for EXPLAIN/debugging):
@@ -151,11 +175,23 @@ class LakeSQLCatalog:
             name = (m.group("q") or m.group("n")).lower()
             key = registry.get(name)
             if key is None:
-                raise ValueError(
-                    f"unknown lake table {name!r} — known tables: "
-                    + ", ".join(sorted(registry)[:20])
-                    + ("…" if len(registry) > 20 else "")
-                )
+                # Not a cataloged dataset.  The identifier `lake` is not
+                # reserved: this may be a table ALIASED `lake`
+                # (`JOIN orders lake ON lake.o_orderkey = …`) or a 3-part
+                # name in a genuine `lake` catalog — pass the reference
+                # through UNCHANGED and let Spark's own analysis decide
+                # (sql() upgrades an analysis failure with the
+                # known-tables hint).  A time-travel clause can only
+                # mean a lake reference, so that stays a loud error.
+                if m.group("v") is not None or m.group("t") is not None:
+                    raise ValueError(
+                        f"unknown lake table {name!r} (VERSION/TIMESTAMP "
+                        "AS OF applies only to cataloged lake datasets) — "
+                        "known tables: "
+                        + ", ".join(sorted(registry)[:20])
+                        + ("…" if len(registry) > 20 else "")
+                    )
+                return m.group(0)
             version = m.group("v")
             ts = m.group("t")
             if ts is not None:

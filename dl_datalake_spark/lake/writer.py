@@ -115,6 +115,7 @@ class LakeWriter:
         merge_schema: bool = False,
         optimize_write: bool = False,
         target_file_rows: int = 1_000_000,
+        staging_heartbeat_s: float = 60.0,
     ):
         """`emit_cdf=True` turns on the row-level change feed: every
         single-dataset upsert/append/delete additionally writes its
@@ -226,6 +227,13 @@ class LakeWriter:
         # so they keep the standard layout and post-hoc `compact`).
         self.optimize_write = bool(optimize_write)
         self.target_file_rows = int(target_file_rows)
+        # optimistic writers touch their `_staging_<token>` dirs on this
+        # cadence while the pre-claim Spark job runs, so a concurrent
+        # `vacuum_tombstones` (which sweeps staging dirs by mtime age,
+        # maintenance.py) sees a LIVE job's staging as fresh no matter
+        # how long the job takes — the same liveness signal the commit
+        # claim's heartbeat provides (commitlog._start_heartbeat)
+        self.staging_heartbeat_s = float(staging_heartbeat_s)
 
     def commit_log(self, key: DatasetKey) -> CommitLog:
         """The dataset's optimistic commit log (audit surface: use
@@ -2801,6 +2809,38 @@ class LakeWriter:
             "is stale; retry from a fresh snapshot"
         )
 
+    def _staging_heartbeat(self, *paths: str):
+        """Daemon thread refreshing the mtime of this writer's private
+        staging dirs while its pre-claim Spark job runs.  A staging dir
+        is invisible to every reader, so the ONLY liveness signal
+        `vacuum_tombstones` has for it is mtime age — without a
+        heartbeat, an optimistic write whose job legitimately outlives
+        `staging_ttl_s` (plausible at 100 TB) gets its staging swept
+        mid-job by a concurrent vacuum.  Paths that don't exist yet are
+        skipped (the data job creates them); a vanished path is left to
+        the job's own failure surface.  Returns a stop callable."""
+        import threading
+
+        interval = max(min(self.staging_heartbeat_s, 60.0), 0.02)
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(interval):
+                for p in paths:
+                    try:
+                        self.fs.touch(p)
+                    except OSError:
+                        pass  # not created yet / already moved: next tick
+
+        t = threading.Thread(target=beat, name="staging-heartbeat", daemon=True)
+        t.start()
+
+        def stopper():
+            stop.set()
+            t.join(timeout=5.0)
+
+        return stopper
+
     def _write_optimistic_append(
         self,
         df: DataFrame,
@@ -2856,6 +2896,9 @@ class LakeWriter:
         cdf_staging = f"{ds_path}/{self.CDF_DIR}/_staging_{token}"
         added: list[str] = []
         moved: list[str] = []
+        # liveness for the whole pre-claim window (data job + stats
+        # jobs): a concurrent vacuum must never age this staging out
+        stop_beat = self._staging_heartbeat(staging, cdf_staging)
         try:
             stats = batch.agg(
                 F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"),
@@ -2883,6 +2926,7 @@ class LakeWriter:
                     "overwrite"
                 ).option("compression", "snappy").parquet(cdf_staging)
         except BaseException:
+            stop_beat()
             batch.unpersist()
             self.fs.rmtree(staging)
             self.fs.rmtree(cdf_staging)
@@ -2964,6 +3008,7 @@ class LakeWriter:
                 if bspec:
                     meta["bucket_by"] = bspec
         except _ReplayedTxn:
+            stop_beat()
             for rel in moved:
                 try:
                     self.fs.remove(f"{ds_path}/{rel}")
@@ -2979,6 +3024,7 @@ class LakeWriter:
             # uncommitted (invisible) — remove it; the staging leftovers
             # go with it.  A crash before the claim leaves only the
             # hidden _staging_* dir (swept by vacuum retention).
+            stop_beat()
             for rel in moved:
                 try:
                     self.fs.remove(f"{ds_path}/{rel}")
@@ -2987,6 +3033,7 @@ class LakeWriter:
             self.fs.rmtree(staging)
             self.fs.rmtree(cdf_staging)
             raise
+        stop_beat()
         result = WriteResult(
             path=ds_path,
             time_from=stats["t0"],

@@ -1181,3 +1181,65 @@ def test_prune_keeps_delta_chain_anchor(tmp_path):
     assert log.latest_files() == sorted(f"p{i}.parquet" for i in range(14))
     assert log.files_at(12) == sorted(f"p{i}.parquet" for i in range(13))
     assert log.files_at(9) is None  # pruned history: unknowable, not faked
+
+
+def test_head_pointer_accelerates_latest_version(tmp_path):
+    """VERDICT r11 #8: `_head` pointer gives O(1) head discovery — no
+    directory listing on the fast path, forward probes cover a stale
+    pointer, and a missing/corrupt pointer falls back to the listing."""
+    import json
+
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    for i in range(3):
+        with log.transaction(payload={"mode": "append", "partitions": []}):
+            pass
+    hint = f"{log.log_dir}/_head"
+    assert json.loads(log.fs.read_bytes(hint))["version"] == 2
+    assert log.latest_version() == 2
+
+    # fast path does not list the directory
+    calls = []
+    orig = log.fs.listdir
+
+    def counting(path):
+        calls.append(path)
+        return orig(path)
+
+    log.fs.listdir = counting
+    try:
+        assert log.latest_version() == 2
+        assert calls == []
+    finally:
+        del log.fs.listdir
+
+    # stale pointer (lost write): forward probes find the true head
+    log.fs.write_bytes_atomic(hint, json.dumps({"version": 0}).encode())
+    assert log.latest_version() == 2
+    # corrupt pointer: listing fallback still answers
+    log.fs.write_bytes_atomic(hint, b"not json")
+    assert log.latest_version() == 2
+    # pointer absent (legacy log): fallback, and next commit restores it
+    log.fs.remove(hint)
+    assert log.latest_version() == 2
+    with log.transaction(payload={"mode": "append", "partitions": []}):
+        pass
+    assert json.loads(log.fs.read_bytes(hint))["version"] == 3
+
+
+def test_head_pointer_ignored_by_entry_scans_and_prune(tmp_path):
+    """The `_head` file is not a commit entry: history/prune/fold all
+    skip it, and prune never deletes it."""
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    for i in range(5):
+        with log.transaction(payload={"mode": "append", "partitions": []}):
+            pass
+    assert [e["version"] for e in log.history()] == [0, 1, 2, 3, 4]
+    log.prune(keep_last=2)
+    assert log.fs.exists(f"{log.log_dir}/_head")
+    assert log.latest_version() == 4

@@ -358,3 +358,61 @@ def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path):
     assert not w.fs.isdir(f"{ds}/_cdf/_staging_deadbeef")
     # the dataset itself is untouched
     assert LakeReader(spark, base).read_dataset(KEY).count() == 5
+
+
+def test_staging_heartbeat_keeps_live_job_staging_fresh(spark, tmp_path):
+    """VERDICT r11 #5: an optimistic write whose Spark job outlives
+    staging_ttl_s must not lose its staging to a concurrent vacuum —
+    the writer's heartbeat touches the staging dirs so their mtime
+    stays fresh for the whole pre-claim window."""
+    import os
+    import time
+
+    from dl_datalake_spark.lake.maintenance import vacuum_tombstones
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, staging_heartbeat_s=0.05)
+    w.write_ticks(_month_rows(spark, JAN), KEY, mode="append")
+    ds = w.dataset_path(KEY)
+    live = f"{ds}/_staging_livejob"
+    crashed = f"{ds}/_staging_crashed"
+    for d in (live, crashed):
+        w.fs.makedirs(d)
+        w.fs.write_bytes_atomic(f"{d}/part-0.parquet", b"junk")
+    # simulate age: both dirs look hours old to the sweeper
+    old = time.time() - 10_000.0
+    for d in (live, crashed):
+        os.utime(d, (old, old))
+    stop = w._staging_heartbeat(live)
+    try:
+        time.sleep(0.3)  # several beats refresh the live dir's mtime
+        rep = vacuum_tombstones(
+            spark, base, retention_s=0.0, dry_run=False, staging_ttl_s=60.0
+        )
+        # the heartbeat-touched dir survives an aggressive sweep …
+        assert w.fs.isdir(live)
+        assert any(p.endswith("_staging_livejob") for p in rep["retained"])
+        # … while the crashed writer's stale staging is reclaimed
+        assert not w.fs.isdir(crashed)
+        assert any(p.endswith("_staging_crashed") for p in rep["removed"])
+    finally:
+        stop()
+    # after stop() the beats end: mtime stops refreshing
+    os.utime(live, (old, old))
+    time.sleep(0.2)
+    assert abs(w.fs.getmtime(live) - old) < 1.0
+
+
+def test_optimistic_append_leaves_no_stray_heartbeat(spark, tmp_path):
+    """The write path starts/stops its own staging heartbeat; after a
+    successful optimistic append no heartbeat thread survives."""
+    import threading as _t
+
+    base = str(tmp_path / "lake")
+    w = LakeWriter(spark, base, staging_heartbeat_s=0.05)
+    w.write_ticks(_month_rows(spark, JAN), KEY, mode="append")
+    w.write_ticks(_month_rows(spark, FEB), KEY, mode="append", optimistic=True)
+    assert not [
+        t for t in _t.enumerate() if t.name == "staging-heartbeat" and t.is_alive()
+    ]
+    assert LakeReader(spark, base).read_dataset(KEY).count() == 10

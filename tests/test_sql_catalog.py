@@ -84,8 +84,42 @@ def test_sql_literals_and_unknown_tables(client, spark):
     # a quoted 'lake.foo' literal is data, not a reference
     got = client.sql("SELECT 'lake.not_a_table' AS s").first()["s"]
     assert got == "lake.not_a_table"
-    with pytest.raises(ValueError, match="unknown lake table"):
+    # an unknown lake.<name> passes through to Spark's own resolution
+    # first; when that ALSO fails the error names both failure modes
+    # (cataloged lake tables + Spark's alias/catalog analysis)
+    with pytest.raises(ValueError, match="cataloged lake dataset"):
         client.sql("SELECT * FROM lake.nope")
+    with pytest.raises(ValueError, match="sim_aaa_ticks_1m"):
+        client.sql("SELECT * FROM lake.nope")
+    # time travel can only mean a lake reference: still a loud,
+    # immediate error with the known-tables list
+    with pytest.raises(ValueError, match="unknown lake table"):
+        client.sql("SELECT * FROM lake.nope VERSION AS OF 0")
+
+
+def test_sql_lake_as_table_alias_is_not_hijacked(client, spark):
+    """VERDICT r11 'what's wrong' #2: the identifier `lake` is not
+    reserved — a statement aliasing any relation as `lake` must run,
+    including next to a REAL lake reference in the same query."""
+    _write(client, "AAA", [(JAN + i * 60000, float(i)) for i in range(3)])
+    # pure alias: lake.<col> where <col> is no cataloged table name
+    got = client.sql(
+        "SELECT lake.o AS o FROM (SELECT 1 AS o) lake"
+    ).first()["o"]
+    assert got == 1
+    # alias + real lake reference in one statement: the reference
+    # rewrites to a view, the alias keeps resolving the view's columns
+    rows = client.sql(
+        "SELECT lake.price AS p FROM lake.sim_aaa_ticks_1m lake "
+        "ORDER BY lake.ts"
+    ).collect()
+    assert [r["p"] for r in rows] == [0.0, 1.0, 2.0]
+    # join where the OTHER side is aliased lake
+    n = client.sql(
+        "SELECT COUNT(*) AS n FROM lake.sim_aaa_ticks_1m t "
+        "JOIN (SELECT 1 AS one) lake ON lake.one = 1"
+    ).first()["n"]
+    assert n == 3
 
 
 def test_sql_serves_contract_surface(client, spark):
