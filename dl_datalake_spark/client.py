@@ -708,7 +708,9 @@ class DataLakeClient:
     def _sql_catalog(self):
         from dl_datalake_spark.lake.sql_catalog import LakeSQLCatalog
 
-        return LakeSQLCatalog(self.spark, self.reader, self.writer.fs)
+        return LakeSQLCatalog(
+            self.spark, self.reader, self.writer.fs, writer=self.writer
+        )
 
     # -- manifest-pruned cross-dataset read (plans/manifest_pruning.py) ------
     def read_window(self, time_from: int | None = None, time_to: int | None = None, **filters):

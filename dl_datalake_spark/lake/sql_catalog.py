@@ -58,12 +58,22 @@ class LakeSQLCatalog:
     Built lazily over the dataset layout itself (one directory walk,
     no manifest dependency — datasets created by any writer resolve),
     refreshed per `sql()` call so newly created datasets are
-    addressable immediately."""
+    addressable immediately.
 
-    def __init__(self, spark: SparkSession, reader, fs) -> None:
+    With a `writer`, the catalog also routes SQL WRITES (round 12 —
+    the north star's "Spark SQL half" covers writes too):
+    ``INSERT INTO/OVERWRITE lake.<t> … SELECT``, ``CREATE TABLE
+    lake.<t> AS SELECT`` (CTAS), ``DELETE FROM lake.<t> WHERE``, and
+    ``UPDATE lake.<t> SET … WHERE`` all go through the SAME LakeWriter
+    verbs as DataFrame writes, so the schema contract, CHECK
+    expectations, CDF emission, optimizeWrite layout, and commit-log
+    serialization gate SQL and DataFrame writers identically."""
+
+    def __init__(self, spark: SparkSession, reader, fs, writer=None) -> None:
         self.spark = spark
         self.reader = reader
         self.fs = fs
+        self.writer = writer
 
     # -- name registry -------------------------------------------------------
 
@@ -124,7 +134,15 @@ class LakeSQLCatalog:
         through to Spark's own resolution (it may be a table aliased
         `lake`, or a 3-part name in a real `lake` catalog); only if
         Spark's analysis also fails is the error upgraded to name both
-        failure modes with the known lake tables."""
+        failure modes with the known lake tables.
+
+        Write statements targeting `lake.<t>` (INSERT INTO/OVERWRITE,
+        CTAS, DELETE FROM, UPDATE … SET) route through the LakeWriter
+        verbs (see class docstring) and return a one-row
+        `rows_affected` frame."""
+        routed = self._route_write(query)
+        if routed is not None:
+            return routed
         resolved = self.resolve(query)
         try:
             return self.spark.sql(resolved)
@@ -145,30 +163,128 @@ class LakeSQLCatalog:
                 ) from exc
             raise
 
+    # -- SQL write surface (VERDICT r11 #2) -----------------------------------
+
+    _INSERT = re.compile(
+        r"^\s*INSERT\s+(?P<ow>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"\s*(?:\((?P<cols>[^)]*)\))?\s*(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CTAS = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"\s+AS\s+(?P<body>.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE = re.compile(
+        r"^\s*DELETE\s+FROM\s+lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"(?:\s+WHERE\s+(?P<pred>.*))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE = re.compile(
+        r"^\s*UPDATE\s+lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<pred>.*))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _route_write(self, query: str) -> DataFrame | None:
+        """Detect a write statement targeting `lake.<t>` and run it
+        through the LakeWriter verbs; None = not a lake write (the
+        caller proceeds with the read path).  Matching happens on the
+        literal-masked text, so quoted strings can't fake a target."""
+        if "lake." not in query.lower():
+            return None
+        masked, lits = _mask_sql(query)
+        m = self._INSERT.match(masked)
+        if m:
+            key = self._require_table(m, for_write="INSERT")
+            df = self.spark.sql(
+                self.resolve(_unmask_sql(m.group("body"), lits))
+            )
+            cols = m.group("cols")
+            if cols:
+                names = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+                if len(names) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT column list has {len(names)} names but the "
+                        f"query produces {len(df.columns)} columns"
+                    )
+                df = df.toDF(*names)
+            mode = "overwrite" if m.group("ow").upper() == "OVERWRITE" else "append"
+            res = self._writer().write_ohlc(df, key, mode=mode)
+            return self._affected(res.rows)
+        m = self._CTAS.match(masked)
+        if m:
+            name = (m.group("q") or m.group("n")).lower()
+            if name in self._discover():
+                raise ValueError(
+                    f"CREATE TABLE lake.{name}: table already exists — use "
+                    "INSERT INTO / INSERT OVERWRITE"
+                )
+            key = _key_from_name(m.group("q") or m.group("n"))
+            df = self.spark.sql(
+                self.resolve(_unmask_sql(m.group("body"), lits))
+            )
+            res = self._writer().write_ohlc(df, key, mode="append")
+            return self._affected(res.rows)
+        m = self._DELETE.match(masked)
+        if m:
+            key = self._require_table(m, for_write="DELETE")
+            pred = m.group("pred")
+            pred_sql = _unmask_sql(pred, lits) if pred else "TRUE"
+            res = self._writer().delete_where(key, pred_sql)
+            return self._affected(res.rows)
+        m = self._UPDATE.match(masked)
+        if m:
+            key = self._require_table(m, for_write="UPDATE")
+            sets: dict[str, str] = {}
+            for part in _split_top_level(m.group("sets")):
+                col, eq, expr = part.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise ValueError(
+                        f"UPDATE SET expects `col = expr` pairs, got {part!r}"
+                    )
+                sets[col.strip().strip("`")] = _unmask_sql(expr.strip(), lits)
+            pred = m.group("pred")
+            pred_sql = _unmask_sql(pred, lits) if pred else "TRUE"
+            res = self._writer().update_where(key, sets, pred_sql)
+            return self._affected(res.rows)
+        return None
+
+    def _writer(self):
+        if self.writer is None:
+            raise ValueError(
+                "this LakeSQLCatalog was built without a writer — SQL "
+                "writes need LakeSQLCatalog(spark, reader, fs, writer=...) "
+                "(DataLakeClient.sql wires it automatically)"
+            )
+        return self.writer
+
+    def _require_table(self, m: re.Match, for_write: str) -> DatasetKey:
+        name = (m.group("q") or m.group("n")).lower()
+        registry = self._discover()
+        key = registry.get(name)
+        if key is None:
+            raise ValueError(
+                f"{for_write} targets unknown lake table {name!r} — known: "
+                + ", ".join(sorted(registry)[:20])
+                + ("…" if len(registry) > 20 else "")
+                + ". CREATE TABLE lake.<name> AS SELECT … creates one."
+            )
+        return key
+
+    def _affected(self, rows: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(int(rows),)], "rows_affected long"
+        )
+
     def resolve(self, query: str) -> str:
         """The rewritten statement (exposed for EXPLAIN/debugging):
         every lake reference replaced by a registered temp-view name."""
         if "lake." not in query.lower():
             return query
-        # mask string literals (single- AND double-quoted — Spark treats
-        # double quotes as strings by default) and SQL comments, so a
-        # quoted 'lake.foo' or a comment mentioning lake.x is data, not
-        # a reference
-        literals: list[str] = []
-
-        def _mask(m: re.Match) -> str:
-            literals.append(m.group(0))
-            return f"\x00{len(literals) - 1}\x00"
-
-        masked = re.sub(
-            r"'(?:[^'\\]|\\.)*'"
-            r"|\"(?:[^\"\\]|\\.)*\""
-            r"|--[^\n]*"
-            r"|/\*.*?\*/",
-            _mask,
-            query,
-            flags=re.DOTALL,
-        )
+        masked, literals = _mask_sql(query)
         registry = self._discover()
 
         def _sub(m: re.Match) -> str:
@@ -223,6 +339,83 @@ class LakeSQLCatalog:
 
         masked = _REF.sub(_sub, masked)
         return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], masked)
+
+
+def _key_from_name(raw: str) -> DatasetKey:
+    """DatasetKey for a CTAS target.  The unambiguous form is the
+    backquoted slash path ``lake.`EX/MARKET/SYMBOL/TYPE/PERIOD```;
+    the underscore form ``<exchange>_<market>_<symbol…>_<data_type>_
+    <period>`` parses positionally — exchange/market/data_type/period
+    must be single underscore-free tokens, the symbol keeps any inner
+    underscores (``binance_spot_btc_usdt_ticks_1m`` → symbol
+    BTC_USDT).  Discovery (`_discover`) regenerates exactly these
+    names, so a CTAS'd table round-trips."""
+    if "/" in raw:
+        parts = [p for p in raw.split("/") if p]
+        if len(parts) != 5:
+            raise ValueError(
+                f"CTAS slash-form name needs 5 segments "
+                f"EX/MARKET/SYMBOL/TYPE/PERIOD, got {raw!r}"
+            )
+        ex, mk, sym, dt, per = parts
+    else:
+        parts = raw.split("_")
+        if len(parts) < 5:
+            raise ValueError(
+                f"CTAS table name {raw!r} needs the full 5-part form "
+                "<exchange>_<market>_<symbol>_<data_type>_<period> (or the "
+                "backquoted slash form lake.`EX/MARKET/SYMBOL/TYPE/PERIOD`)"
+            )
+        ex, mk, per, dt = parts[0], parts[1], parts[-1], parts[-2]
+        sym = "_".join(parts[2:-2])
+    return DatasetKey(
+        ex.upper(), mk.upper(), sym.upper(), dt.lower(), per.lower()
+    )
+
+
+def _mask_sql(query: str) -> tuple[str, list[str]]:
+    """Mask string literals (single- AND double-quoted — Spark treats
+    double quotes as strings by default) and SQL comments to
+    ``\\x00<i>\\x00`` placeholders, so a quoted 'lake.foo' or a comment
+    mentioning lake.x is data, not a reference."""
+    literals: list[str] = []
+
+    def _m(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = re.sub(
+        r"'(?:[^'\\]|\\.)*'"
+        r"|\"(?:[^\"\\]|\\.)*\""
+        r"|--[^\n]*"
+        r"|/\*.*?\*/",
+        _m,
+        query,
+        flags=re.DOTALL,
+    )
+    return masked, literals
+
+
+def _unmask_sql(text: str, literals: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], text)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0, respecting the \\x00 masks —
+    a naive split(',') shears CAST(x AS decimal(38,9)) and friends."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
 
 
 def _to_epoch_s(ts: str) -> float:

@@ -36,3 +36,4 @@ from dl_datalake_spark.queries import wave13  # noqa: F401, E402
 from dl_datalake_spark.queries import wave14  # noqa: F401, E402
 from dl_datalake_spark.queries import wave15  # noqa: F401, E402
 from dl_datalake_spark.queries import wave16  # noqa: F401, E402
+from dl_datalake_spark.queries import wave17  # noqa: F401, E402

@@ -287,5 +287,160 @@ def main() -> None:
         )
 
 
+    # -- MIXED workload axis (round 12, VERDICT r11 #1): N optimistic
+    # appenders + ONE optimistic partition-scoped deleter on the same
+    # dataset, all months disjoint.  Before round 12 the deleter held
+    # the claim ACROSS its probe+rewrite Spark job, re-serializing
+    # every appender behind it; with delete_where(optimistic=True) the
+    # deleter's claim window is milliseconds too.  Done-criterion:
+    # appender throughput within 2x of the append-only optimistic axis
+    # at the same writer count, zero lost updates, all deletes land.
+    # Also counts _commits/ directory LISTINGS per commit (VERDICT r11
+    # #8: the _head pointer should keep the claim loop listing-free).
+    from dl_datalake_spark.lake.fs import LocalFS
+
+    del_months = 6
+    mixed = []
+    listdir_counts = {"n": 0}
+    orig_listdir = LocalFS.listdir
+
+    def counting_listdir(self_, path):
+        if path.rstrip("/").endswith("_commits"):
+            listdir_counts["n"] += 1
+        return orig_listdir(self_, path)
+
+    for n_writers in (1, 2, 4, 8):
+        base = tempfile.mkdtemp(prefix="commit_mixed_")
+        try:
+            boot = LakeWriter(spark, base, commit_timeout_s=600.0)
+            # pre-seed the deleter's target months (disjoint from the
+            # appenders' T0+ months) and establish contract + pin
+            seed = spark.range(rows * del_months).select(
+                (F.lit(T0 - (1 + del_months) * MONTH_MS)
+                 + F.col("id") * ((del_months * MONTH_MS) // (rows * del_months)))
+                .cast("long").alias("ts"),
+                F.rand(6).alias("open"), F.rand(7).alias("high"),
+                F.rand(8).alias("low"), F.rand(9).alias("close"),
+                F.rand(10).alias("volume"),
+            )
+            boot.write_ohlc(seed, key, mode="append")
+            writers = [
+                LakeWriter(spark, base, commit_timeout_s=600.0)
+                for _ in range(n_writers)
+            ]
+            deleter = LakeWriter(spark, base, commit_timeout_s=600.0)
+            errors: list[str] = []
+            conflicts = [0]
+            app_walls: list[float] = []
+            del_done = [0]
+            barrier = threading.Barrier(n_writers + 1)
+
+            def run_app(idx: int) -> None:
+                try:
+                    barrier.wait()
+                    t0 = time.time()
+                    for i in range(appends_each):
+                        m = idx * appends_each + i
+                        batch = spark.range(rows).select(
+                            (F.lit(T0 + m * MONTH_MS) + F.col("id") * 60_000)
+                            .cast("long").alias("ts"),
+                            F.rand(6).alias("open"), F.rand(7).alias("high"),
+                            F.rand(8).alias("low"), F.rand(9).alias("close"),
+                            F.rand(10).alias("volume"),
+                        )
+                        writers[idx].write_ohlc(
+                            batch, key, mode="append", optimistic=True
+                        )
+                    app_walls.append(time.time() - t0)
+                except ConcurrentWriteConflict as e:
+                    conflicts[0] += 1
+                    errors.append(f"conflict: {e}")
+                except BaseException as e:
+                    errors.append(repr(e))
+
+            def run_del() -> None:
+                try:
+                    barrier.wait()
+                    t_seed = T0 - (1 + del_months) * MONTH_MS
+                    for i in range(del_months):
+                        deleter.delete_where(
+                            key,
+                            f"ts >= {t_seed + i * MONTH_MS} AND "
+                            f"ts < {t_seed + (i + 1) * MONTH_MS}",
+                            optimistic=True,
+                        )
+                        del_done[0] += 1
+                except ConcurrentWriteConflict as e:
+                    conflicts[0] += 1
+                    errors.append(f"deleter conflict: {e}")
+                except BaseException as e:
+                    errors.append(f"deleter: {e!r}")
+
+            threads = [
+                threading.Thread(target=run_app, args=(i,))
+                for i in range(n_writers)
+            ] + [threading.Thread(target=run_del)]
+            listdir_counts["n"] = 0
+            LocalFS.listdir = counting_listdir
+            t = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.time() - t
+            LocalFS.listdir = orig_listdir
+            log3 = LakeWriter(spark, base).commit_log(key)
+            hist = log3.history()
+            app_commits = len(
+                [h for h in hist if h.get("optimistic") and h.get("mode") == "append"]
+            )
+            del_commits = len([h for h in hist if h.get("mode") == "delete"])
+            live = log3.latest_files() or []
+            rows_total = spark.read.parquet(
+                *[f"{boot.dataset_path(key)}/{f}" for f in live]
+            ).count()
+            app_rate = (
+                round(
+                    sum(appends_each / wl for wl in app_walls), 2
+                )
+                if app_walls
+                else 0.0
+            )
+            mixed.append({
+                "writers": n_writers,
+                "append_commits": app_commits,
+                "append_expected": n_writers * appends_each,
+                "delete_commits": del_commits,
+                "delete_expected": del_months,
+                "wall_s": round(wall, 2),
+                "append_commits_per_s": app_rate,
+                "validation_conflicts": conflicts[0],
+                "rows_landed": rows_total,
+                "rows_expected": rows * n_writers * appends_each,
+                "log_listings": listdir_counts["n"],
+                "listings_per_commit": round(
+                    listdir_counts["n"] / max(1, len(hist)), 1
+                ),
+                "errors": len(errors),
+            })
+            if errors:
+                mixed[-1]["error_samples"] = errors[:3]
+        finally:
+            LocalFS.listdir = orig_listdir
+            shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"rows_per_batch": rows, "appends_each": appends_each,
+                      "mixed_append_plus_delete": mixed}))
+    print("| writers | append commits | delete commits | wall s | append commits/s | validation conflicts | rows landed/expected | log listings/commit | errors |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for c in mixed:
+        print(
+            f"| {c['writers']}+1 del | {c['append_commits']}/{c['append_expected']} | "
+            f"{c['delete_commits']}/{c['delete_expected']} | {c['wall_s']} | "
+            f"{c['append_commits_per_s']} | {c['validation_conflicts']} | "
+            f"{c['rows_landed']}/{c['rows_expected']} | "
+            f"{c['listings_per_commit']} | {c['errors']} |"
+        )
+
+
 if __name__ == "__main__":
     main()

@@ -172,3 +172,96 @@ def test_sql_catalog_pushdown_reaches_parquet(client, spark):
     assert "PushedFilters" in plan
     assert f"EqualTo(ts,{JAN})" in plan or "EqualTo" in plan
     assert df.count() == 1
+
+
+def test_sql_write_surface_insert_ctas_update_delete(client, spark):
+    """VERDICT r11 #2: SQL writes route through the LakeWriter verbs —
+    contract, expectations, commit log, and CDF gate SQL writes exactly
+    like DataFrame writes."""
+    n = client.sql(
+        f"CREATE TABLE lake.`SIM/SPOT/SQLW/ticks/1m` AS "
+        f"SELECT CAST({JAN} AS LONG) + id * 60000 AS ts, "
+        f"CAST(id AS DOUBLE) AS price FROM RANGE(5)"
+    ).first()["rows_affected"]
+    assert n == 5
+    assert "sim_sqlw_ticks_1m" in client.sql_tables()
+    # INSERT INTO with a column list, reading another lake table
+    n = client.sql(
+        f"INSERT INTO lake.sim_sqlw_ticks_1m (ts, price) "
+        f"SELECT CAST({JAN + 100 * 60000} AS LONG), CAST(9 AS DOUBLE)"
+    ).first()["rows_affected"]
+    assert n == 1
+    n = client.sql(
+        "UPDATE lake.sim_sqlw_ticks_1m SET price = price * 2 WHERE price >= 4"
+    ).first()["rows_affected"]
+    assert n == 2
+    n = client.sql(
+        "DELETE FROM lake.sim_sqlw_ticks_1m WHERE price < 2"
+    ).first()["rows_affected"]
+    assert n == 2
+    # SQL-written state hash-matches the DataFrame read path
+    key = DatasetKey("SIM", "SPOT", "SQLW", "ticks", "1m")
+    got = sorted(
+        (r["ts"], r["price"])
+        for r in client.reader.read_dataset(key).select("ts", "price").collect()
+    )
+    assert got == [
+        (JAN + 2 * 60000, 2.0), (JAN + 3 * 60000, 3.0),
+        (JAN + 4 * 60000, 8.0), (JAN + 100 * 60000, 18.0),
+    ]
+    # writer-verb commits, not side-channel writes
+    modes = [h.get("mode") for h in client.writer.commit_log(key).history()]
+    assert modes == ["append", "append", "update", "delete"]
+
+
+def test_sql_write_contract_rejection_through_sql(client, spark):
+    """A SQL INSERT whose schema violates the write-time contract fails
+    loudly with the dataset untouched — the same gate the DataFrame
+    path enforces (decimal literals are the classic footgun)."""
+    from dl_datalake_spark.lake.schema import SchemaContractError
+
+    _write(client, "GATE", [(JAN, 1.0)])
+    with pytest.raises(SchemaContractError, match="contract"):
+        client.sql(
+            f"INSERT INTO lake.sim_gate_ticks_1m "
+            f"SELECT CAST({JAN + 60000} AS LONG) AS ts, "
+            f"CAST(1.5 AS STRING) AS price"
+        )  # string into a double column: contract refuses
+    key = DatasetKey("SIM", "SPOT", "GATE", "ticks", "1m")
+    assert client.reader.read_dataset(key).count() == 1
+
+
+def test_sql_write_guardrails(client, spark):
+    _write(client, "GRD", [(JAN, 1.0)])
+    with pytest.raises(ValueError, match="already exists"):
+        client.sql("CREATE TABLE lake.sim_grd_ticks_1m AS SELECT 1")
+    with pytest.raises(ValueError, match="unknown lake table"):
+        client.sql("INSERT INTO lake.nope_t SELECT 1")
+    with pytest.raises(ValueError, match="5-part|5 segments"):
+        client.sql("CREATE TABLE lake.short_name AS SELECT 1")
+    # a write statement inside a string literal is data, not a write
+    got = client.sql("SELECT 'DELETE FROM lake.sim_grd_ticks_1m' AS s").first()["s"]
+    assert got.startswith("DELETE")
+    key = DatasetKey("SIM", "SPOT", "GRD", "ticks", "1m")
+    assert client.reader.read_dataset(key).count() == 1
+    # depth-aware SET split: commas inside CAST(... decimal(38,9)) survive
+    n = client.sql(
+        "UPDATE lake.sim_grd_ticks_1m SET "
+        "price = CAST(CAST(price AS decimal(38,9)) + 1 AS DOUBLE) "
+        "WHERE price = 1"
+    ).first()["rows_affected"]
+    assert n == 1
+    assert client.reader.read_dataset(key).first()["price"] == 2.0
+
+
+def test_sql_ctas_underscore_form_roundtrips(client, spark):
+    client.sql(
+        f"CREATE TABLE lake.binance_spot_btc_usdt_ticks_1m AS "
+        f"SELECT CAST({JAN} AS LONG) AS ts, CAST(1 AS DOUBLE) AS price"
+    )
+    # symbol keeps its inner underscore; the short discovered name elides
+    # the market segment
+    assert "binance_btc_usdt_ticks_1m" in client.sql_tables()
+    assert client.sql(
+        "SELECT COUNT(*) AS n FROM lake.binance_btc_usdt_ticks_1m"
+    ).first()["n"] == 1
