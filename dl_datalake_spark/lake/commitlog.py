@@ -339,23 +339,33 @@ class CommitLog:
 
     def contract_at(
         self, upto: int | None = None
-    ) -> tuple[dict | None, dict, list, dict]:
+    ) -> tuple[dict | None, dict, list, dict, tuple]:
         """ONE read of the newest committed entry at/below `upto`
         returning the whole schema-contract state:
         (schema | None, {logical: physical} column map, retired physical
-        names, {partition column: DDL type}).  `_carry_schema`
-        re-records all four on every finalize, so there is never a chain
-        to fold and prune can never orphan the contract (the `dv_at`
-        mechanic).  `schema_at`/`column_map_at`/`retired_physical_at`
-        are thin views over this — call this one when you need more
-        than one piece (finalize and every contract read do), or the
-        log gets listed and parsed several times.
+        names, {partition column: DDL type}, partition spec tuple).
+        `_carry_schema` re-records all five on every finalize, so there
+        is never a chain to fold and prune can never orphan the
+        contract (the `dv_at` mechanic).
+        `schema_at`/`column_map_at`/`retired_physical_at` are thin
+        views over this — call this one when you need more than one
+        piece (finalize and every contract read do), or the log gets
+        listed and parsed several times.
 
         Partition-column types are RECORDED FACTS from the written
         frame (writer `_schema_contract`), not path heuristics — a
         dataset partitioned on a non-year/month numeric key is served
         with its true type.  Empty for history predating the recording
-        (contract_read falls back to the layout heuristic there)."""
+        (contract_read falls back to the layout heuristic there).
+
+        The partition spec (lake/spec.py) is the HEAD time-granularity
+        layout writes must target; the pre-recording default is
+        monthly.  Including it in this tuple makes a spec change a
+        contract MOVE to optimistic validation — an in-flight writer
+        that staged files under the old spec conflicts loudly instead
+        of committing stale-layout files."""
+        from dl_datalake_spark.lake.spec import spec_of
+
         for v in reversed(self._entries()):
             if upto is not None and v > upto:
                 continue
@@ -368,8 +378,9 @@ class CommitLog:
                 dict(e.get("column_map") or {}),
                 list(e.get("retired_cols") or []),
                 dict(e.get("partition_types") or {}),
+                spec_of(e.get("partition_spec")),
             )
-        return None, {}, [], {}
+        return None, {}, [], {}, spec_of(None)
 
     def schema_at(self, upto: int | None = None) -> dict | None:
         """The dataset's resolved column schema ({name: Spark DDL type},
@@ -396,6 +407,13 @@ class CommitLog:
         layout heuristic.  Empty for pre-recording history."""
         return self.contract_at(upto)[3]
 
+    def partition_spec_at(self, upto: int | None = None) -> tuple:
+        """The HEAD partition spec (lake/spec.py) as of commit `upto` —
+        the time-granularity directory levels every write/rewrite must
+        target.  ("year", "month") for history predating spec
+        recording."""
+        return self.contract_at(upto)[4]
+
     def _carry_schema(self, version: int, payload: dict) -> dict:
         """Carry the schema contract (and its column mapping / retired
         physical names / partition-column types) forward into a commit
@@ -407,9 +425,12 @@ class CommitLog:
             and "column_map" in payload
             and "retired_cols" in payload
             and "partition_types" in payload
+            and "partition_spec" in payload
         ):
             return payload
-        prior, prior_map, prior_ret, prior_pt = self.contract_at(version - 1)
+        prior, prior_map, prior_ret, prior_pt, prior_spec = self.contract_at(
+            version - 1
+        )
         if "schema" not in payload and prior:
             payload["schema"] = prior
         if "column_map" not in payload and prior_map:
@@ -418,6 +439,10 @@ class CommitLog:
             payload["retired_cols"] = prior_ret
         if "partition_types" not in payload and prior_pt:
             payload["partition_types"] = prior_pt
+        if "partition_spec" not in payload and prior_spec != ("year", "month"):
+            # only non-default specs need carrying (every legacy entry
+            # stays byte-identical; spec_of(None) == monthly)
+            payload["partition_spec"] = list(prior_spec)
         return payload
 
     def _carry_dv(self, version: int, payload: dict, prev_files) -> dict:

@@ -260,7 +260,11 @@ def compact(
     from contextlib import ExitStack
 
     from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
-    from dl_datalake_spark.lake.schema import contract_read
+    from dl_datalake_spark.lake.spec import (
+        DERIVED_SPEC_COLS,
+        derive_spec_cols,
+        grouped_scan,
+    )
 
     fs = fs if fs is not None else get_fs(base_path, spark)
     if in_place and not getattr(fs, "ATOMIC_RENAME", True):
@@ -333,39 +337,49 @@ def compact(
             live = resolve_live_files(fs, ds)
             if live is not None and not live:
                 continue  # pinned-empty dataset: nothing to rewrite
-            srcs = [ds] if live is None else [f"{ds}/{rel}" for rel in live]
-            # contracted datasets scan through the recorded write-time
-            # schema (lake/schema.py): a merge_schema-widened dataset
-            # holds mixed INT32/INT64 files that mergeSchema footer
-            # inference CANNOT merge (CANNOT_MERGE_SCHEMAS — compact
-            # would fail on exactly the datasets the contract feature
-            # produces), and retired/dropped physical columns must not
-            # be copied forward into the fresh files.  Files keep their
-            # PHYSICAL column names (no logical rename), so the copied
-            # commit log's column_map stays valid for the rewritten
-            # tree.  mergeSchema remains only for pre-contract datasets.
-            contract = (
-                None
-                if live is None
-                else contract_read(CommitLog(ds, fs=fs), base, ds, live[0])
-            )
-            rd = (
-                spark.read.schema(contract[0])
-                if contract is not None
-                else spark.read.option("mergeSchema", "true")
-            )
-            df = rd.option("basePath", base).parquet(*srcs)
-            if live is not None:
-                # merge-on-read deletes (lake/dv.py): apply them at the
-                # rewrite — the compacted tree materializes the deletes
-                # and its fresh pin retires the refs via carry-forward
-                dv_map = CommitLog(ds, fs=fs).dv_at(None)
-                if dv_map:
-                    from dl_datalake_spark.lake import dv as dvmod
-
-                    keys, dv_dirs = dvmod.plan_dv(ds, base, live, dv_map)
-                    df = dvmod.apply_dv(spark, df, base, keys, dv_dirs, fs=fs)
-            part_cols = [c for c in PARTITION_COLS if c in df.columns]
+            spec = ("year", "month")
+            if live is None:
+                # legacy dataset: directory scan (mixed layouts cannot
+                # exist without a commit log to evolve the spec)
+                df = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(ds)
+                )
+            else:
+                # grouped_scan (lake/spec.py): per-spec-epoch groups
+                # under the contract read (widened types served,
+                # retired physical columns excluded) with deletion
+                # vectors materialized — physical column names in,
+                # physical names out (logical=False), so the copied
+                # commit log's column_map stays valid for the
+                # rewritten tree
+                log_ds = CommitLog(ds, fs=fs)
+                df = grouped_scan(
+                    spark, base, ds, live, log_ds, fs, logical=False
+                )
+                # the rewrite targets the HEAD spec: compaction is the
+                # incremental migration tool after set_partition_spec
+                spec = log_ds.partition_spec_at(None)
+                df = derive_spec_cols(df, spec)
+            part_cols = [
+                c
+                for c in (
+                    *PARTITION_COLS,
+                    *(c for c in spec if c not in PARTITION_COLS),
+                )
+                if c in df.columns
+            ]
+            # a derived finer level the head spec does NOT want (a
+            # daily->monthly downgrade) must not leak into the data
+            # files as a ghost column
+            ghost = [
+                c
+                for c in DERIVED_SPEC_COLS
+                if c in df.columns and c not in part_cols
+            ]
+            if ghost:
+                df = df.drop(*ghost)
             (
                 df.repartition(target_files_per_partition, *part_cols)
                 .sortWithinPartitions("ts")
@@ -606,14 +620,25 @@ def recluster(
         # (CANNOT_MERGE_SCHEMAS); physical names in, physical names out
         # so the column map stays valid for the rewritten files
         from dl_datalake_spark.lake.schema import contract_read
+        from dl_datalake_spark.lake.spec import derive_spec_cols, spec_groups
 
+        # per-spec-epoch scan groups (lake/spec.py): an evolved dataset
+        # holds mixed directory depths one partition-discovering read
+        # refuses; each group reads under its own layout and the union
+        # derives the finer level on coarser-epoch rows
         rcontract = contract_read(log, ds, ds, live[0])
-        rd = (
-            spark.read.schema(rcontract[0])
-            if rcontract is not None
-            else spark.read.option("mergeSchema", "true")
-        )
-        df = rd.option("basePath", ds).parquet(*[f"{ds}/{rel}" for rel in live])
+        df = None
+        for rels in spec_groups(live):
+            gcontract = contract_read(log, ds, ds, rels[0])
+            rd = (
+                spark.read.schema(gcontract[0])
+                if gcontract is not None
+                else spark.read.option("mergeSchema", "true")
+            )
+            f = rd.option("basePath", ds).parquet(*[f"{ds}/{rel}" for rel in rels])
+            spec_now = log.partition_spec_at(None)
+            f = derive_spec_cols(f, spec_now)
+            df = f if df is None else df.unionByName(f, allowMissingColumns=True)
         # serve LOGICAL names to the caller's cluster columns and the
         # recorded col_stats (reader bounds look up logical keys), then
         # rename back to physical just before the file write
@@ -647,19 +672,20 @@ def recluster(
                 )
             keys, dv_dirs = dvmod.plan_dv(ds, lake_base, live, dv_map)
             df = dvmod.apply_dv(spark, df, lake_base, keys, dv_dirs, fs=fs)
-        months = df.select("year", "month").distinct().count()
+        spec = log.partition_spec_at(None)
+        months = df.select(*spec).distinct().count()
         keyed = zorder_key(df, cols, bits)
         out_df = (
             keyed.repartitionByRange(
-                max(1, files_per_month * months), "year", "month", "zval"
+                max(1, files_per_month * months), *spec, "zval"
             )
-            .sortWithinPartitions("year", "month", "zval")
+            .sortWithinPartitions(*spec, "zval")
             .drop("zval")
         )
         if to_physical:
             out_df = out_df.withColumnsRenamed(to_physical)
         (
-            out_df.write.partitionBy("year", "month")
+            out_df.write.partitionBy(*spec)
             .mode("append")
             .option("compression", "snappy")
             .parquet(ds)
@@ -1016,7 +1042,7 @@ def fold_change_feed(
     # contract types — the folded segment serves exactly the head
     # surface (un-tripping the lake_cdf stream's stale-name guard).
     # Pre-contract datasets keep the old mergeSchema behavior.
-    sch, cmap, _ret, _pt = log.contract_at(None)
+    sch, cmap, _ret, _pt, _spec = log.contract_at(None)
     inv_head = {ph: lg for lg, ph in cmap.items()}
     head_phys = {lg: cmap.get(lg, lg) for lg in (sch or {})}
     entries_by_v = {c["version"]: c for c in hist}

@@ -167,6 +167,12 @@ class LakeReader:
         Files without stats are kept, so skipping is always sound."""
         from dl_datalake_spark.lake.commitlog import CommitLog
         from dl_datalake_spark.lake.snapshot import resolve_live_files
+        from dl_datalake_spark.lake.spec import (
+            DERIVED_SPEC_COLS,
+            derive_spec_cols,
+            sig_of,
+            spec_groups,
+        )
 
         from dl_datalake_spark.lake import dv as dvmod
 
@@ -174,19 +180,23 @@ class LakeReader:
             return None
         lo, hi = ts_bounds if ts_bounds is not None else (None, None)
         cbounds = dict(col_bounds or {})
-        # per-PATH scan groups: each dataset is read under its OWN
-        # contract (widened columns, logical names, retired columns
-        # excluded) and the groups union by name — one shared
-        # mergeSchema read would serve stale physical names for any
-        # renamed dataset and crash on widened-type mixes
-        groups: list[tuple[list[str], tuple | None, list[str], list[str]]] = []
+        # per-PATH, per-SPEC-EPOCH scan groups: each dataset is read
+        # under its OWN contract (widened columns, logical names,
+        # retired columns excluded) and, within a dataset, each
+        # partition-spec epoch under its OWN directory layout
+        # (lake/spec.py — Spark's partition discovery refuses mixed
+        # depths under one basePath); the groups union by name — one
+        # shared mergeSchema read would serve stale physical names for
+        # any renamed dataset and crash on widened-type mixes
+        groups: list[
+            tuple[list[str], tuple | None, list[str], list[str], tuple | None]
+        ] = []
         for p in paths:
             live = resolve_live_files(self.fs, p)
             if live is None:
-                groups.append(([p], None, [], []))
+                groups.append(([p], None, [], [], None))
                 continue
             log = CommitLog(p, fs=self.fs)
-            contract = self._contract_ddl(log, p, live[0]) if live else None
             dv_map = log.dv_at(None) if live else {}
             if live and (lo is not None or hi is not None or cbounds):
                 stats = log.file_stats() if (lo is not None or hi is not None) else {}
@@ -229,21 +239,36 @@ class LakeReader:
                     live = [
                         rel for rel in live if rel not in fmap or b in fmap[rel]
                     ]
-            dv_keys: list[str] = []
-            dv_dirs: list[str] = []
-            if dv_map:
-                # merge-on-read deletes (lake/dv.py): remember which of
-                # the PLANNED files carry a deletion vector; their rows
-                # get anti-joined out after the scan is built
-                ks, ds_ = dvmod.plan_dv(p, self.base_path, live, dv_map)
-                dv_keys.extend(ks)
-                dv_dirs.extend(ds_)
-            if live:
+            for rels in spec_groups(live):
+                # contract per spec group: the partition-column NAMES
+                # in the read DDL come from a representative file path,
+                # which differs across epochs of an evolved dataset
+                contract = self._contract_ddl(log, p, rels[0])
+                dv_keys: list[str] = []
+                dv_dirs: list[str] = []
+                if dv_map:
+                    # merge-on-read deletes (lake/dv.py): remember which
+                    # of the PLANNED files carry a deletion vector; their
+                    # rows get anti-joined out after the scan is built
+                    ks, ds_ = dvmod.plan_dv(p, self.base_path, rels, dv_map)
+                    dv_keys.extend(ks)
+                    dv_dirs.extend(ds_)
                 groups.append(
-                    ([f"{p}/{rel}" for rel in live], contract, dv_keys, dv_dirs)
+                    (
+                        [f"{p}/{rel}" for rel in rels],
+                        contract, dv_keys, dv_dirs, sig_of(rels[0]),
+                    )
                 )
+        # spec columns a coarser epoch's layout lacks are DERIVED from
+        # ts (the writer's own derivation), so e.g. a `day` filter is
+        # exact on pre-evolution monthly files too
+        derivable = [
+            c
+            for c in DERIVED_SPEC_COLS
+            if any(sig is not None and c in sig for *_x, sig in groups)
+        ]
         frames = []
-        for srcs, contract, dv_keys, dv_dirs in groups:
+        for srcs, contract, dv_keys, dv_dirs, _sig in groups:
             if dv_keys:
                 # split scan: only the DV-bearing files pay the anti-join
                 out = dvmod.scan_with_dv(
@@ -272,6 +297,7 @@ class LakeReader:
                 )
         if not frames:
             return None  # pinned-empty or every file skipped by stats
+        frames = [derive_spec_cols(f, derivable) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -419,8 +445,6 @@ class LakeReader:
         dv_map = log.dv_at(version)
         dv_map = {rel: d for rel, d in dv_map.items() if rel in set(files)}
         if dv_map:
-            from dl_datalake_spark.lake import dv as dvmod
-
             dv_gone = sorted(
                 {d for d in dv_map.values() if not self.fs.exists(f"{path}/{d}")}
             )
@@ -431,33 +455,16 @@ class LakeReader:
                     f"vacuum_tombstones — raise the vacuum retention horizon if "
                     f"older snapshots must stay readable"
                 )
-            keys, dirs = dvmod.plan_dv(path, self.base_path, files, dv_map)
-            contract = self._contract_ddl(log, path, files[0], version=version)
-            out = dvmod.scan_with_dv(
-                self.spark,
-                self.base_path,
-                [f"{path}/{rel}" for rel in files],
-                keys,
-                dirs,
-                fs=self.fs,
-                schema_ddl=contract[0] if contract else None,
-            )
-            return self._apply_renames(out, contract[1]) if contract else out
         # time travel serves the HISTORICAL schema (and names): the
-        # contract as of `version`, not the head's post-evolution shape
-        contract = self._contract_ddl(log, path, files[0], version=version)
-        if contract is not None:
-            ddl, back = contract
-            return self._apply_renames(
-                self.spark.read.schema(ddl)
-                .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in files]),
-                back,
-            )
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*[f"{path}/{rel}" for rel in files])
+        # contract as of `version`, not the head's post-evolution shape.
+        # grouped_scan (lake/spec.py) splits a mixed-layout listing into
+        # per-spec-epoch scan groups, so a snapshot straddling a
+        # partition-spec evolution reads exactly as it was pinned.
+        from dl_datalake_spark.lake.spec import grouped_scan
+
+        return grouped_scan(
+            self.spark, self.base_path, path, files, log, self.fs,
+            version=version,
         )
 
     def dataset_history(self, key: DatasetKey) -> list[dict]:

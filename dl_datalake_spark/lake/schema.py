@@ -143,7 +143,7 @@ def contract_read(
     layout-convention fallback (`year`/`month` int, identity segments
     string) only for history predating the recording.  None for
     pre-contract history (callers fall back to mergeSchema)."""
-    sch, cmap, _retired, ptypes = log.contract_at(version)
+    sch, cmap, _retired, ptypes, _spec = log.contract_at(version)
     if not sch:
         return None
     phys = {cmap.get(c, c): t for c, t in sch.items()}

@@ -440,8 +440,15 @@ class LakeWriter:
             prev_ptypes: dict = {}
             union_upcasts: dict[str, str] = {}
             for k in keys:
-                prev, k_cmap, k_retired, k_pt = self.commit_log(k).contract_at(None)
+                prev, k_cmap, k_retired, k_pt, k_spec = self.commit_log(k).contract_at(None)
                 prev_ptypes[k.symbol] = k_pt
+                if tuple(k_spec) != ("year", "month"):
+                    raise ValueError(
+                        f"write_ohlc_multi: dataset {k.symbol} evolved its "
+                        f"partition spec to {tuple(k_spec)} — the shared "
+                        "write job has one directory layout; write it "
+                        "through write_ohlc instead"
+                    )
                 if k_cmap:
                     raise ValueError(
                         f"write_ohlc_multi: dataset {k.symbol} carries a "
@@ -834,13 +841,16 @@ class LakeWriter:
                     if kept_any:
                         # per-dataset staging, same shared-_temporary
                         # rationale as _write_locked's data write
+                        spec = log.partition_spec_at(None)
                         (
-                            self._to_physical(kept, log).sortWithinPartitions("ts")
+                            self._with_spec_cols(
+                                self._to_physical(kept, log), spec
+                            ).sortWithinPartitions("ts")
                             .drop(
                                 "exchange", "market", "symbol",
                                 "data_type", "period",
                             )
-                            .write.partitionBy("year", "month")
+                            .write.partitionBy(*spec)
                             .option("compression", "snappy")
                             .mode("append")
                             .parquet(path)
@@ -1394,10 +1404,12 @@ class LakeWriter:
                         meta["cdf"] = True
                     pre_live = resolve_live_files(self.fs, path)
                     on_disk = set(list_data_files(self.fs, path))
+                    spec = log.partition_spec_at(None)
                     (
-                        self._to_physical(out, log).sortWithinPartitions("ts")
+                        self._with_spec_cols(self._to_physical(out, log), spec)
+                        .sortWithinPartitions("ts")
                         .drop("exchange", "market", "symbol", "data_type", "period")
-                        .write.partitionBy("year", "month")
+                        .write.partitionBy(*spec)
                         .option("compression", "snappy")
                         .mode("append")
                         .parquet(path)
@@ -1619,7 +1631,7 @@ class LakeWriter:
             batch_bounds=bounds,
         )
 
-    _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
+    _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month", "day")
 
     @staticmethod
     def _month_pred(months) -> Column:
@@ -1753,10 +1765,12 @@ class LakeWriter:
                     meta["cdf"] = True
                 pre_live = resolve_live_files(self.fs, path)
                 on_disk = set(list_data_files(self.fs, path))
+                spec = log.partition_spec_at(None)
                 (
-                    self._to_physical(updated, log).sortWithinPartitions("ts")
+                    self._with_spec_cols(self._to_physical(updated, log), spec)
+                    .sortWithinPartitions("ts")
                     .drop("exchange", "market", "symbol", "data_type", "period")
-                    .write.partitionBy("year", "month")
+                    .write.partitionBy(*spec)
                     .option("compression", "snappy")
                     .mode("append")
                     .parquet(path)
@@ -1898,7 +1912,7 @@ class LakeWriter:
         if assigned_types:
             _sc.enforce_exact(table, dict(assigned_types), context)
         fp = _sc.fingerprint(post)
-        for c in (*PARTITION_COLS, "_change_type", "_dv_file", "_dv_pos"):
+        for c in (*PARTITION_COLS, "day", "_change_type", "_dv_file", "_dv_pos"):
             fp.pop(c, None)
         ups = _sc.enforce_exact(table, fp, context)
         if ups:
@@ -1933,6 +1947,8 @@ class LakeWriter:
         if "ts" in sets:
             t = F.timestamp_millis(F.col("ts").cast("long"))
             out = out.withColumn("year", F.year(t)).withColumn("month", F.month(t))
+            if "day" in out.columns:
+                out = out.withColumn("day", F.dayofmonth(t))
         return out
 
     def _update_cdf_rows(self, pre: DataFrame, matched, sets: dict) -> DataFrame:
@@ -2116,10 +2132,12 @@ class LakeWriter:
                     )
                     # append the post-images as fresh files
                     on_disk = set(list_data_files(self.fs, path))
+                    spec = log.partition_spec_at(None)
                     (
-                        self._to_physical(post, log).sortWithinPartitions("ts")
+                        self._with_spec_cols(self._to_physical(post, log), spec)
+                        .sortWithinPartitions("ts")
                         .drop("exchange", "market", "symbol", "data_type", "period")
-                        .write.partitionBy("year", "month")
+                        .write.partitionBy(*spec)
                         .option("compression", "snappy")
                         .mode("append")
                         .parquet(path)
@@ -2737,12 +2755,16 @@ class LakeWriter:
         # otherwise be served as string); frames that reach this gate
         # pre-partitioning contribute nothing and _write records from
         # its own layout probe instead
-        ptypes = {c: fp[c] for c in PARTITION_COLS if c in fp}
+        pcols = (
+            *PARTITION_COLS,
+            *(c for c in log.partition_spec_at(None) if c not in PARTITION_COLS),
+        )
+        ptypes = {c: fp[c] for c in pcols if c in fp}
         if meta is not None and ptypes:
             meta["partition_types"] = {
                 **log.partition_types_at(None), **ptypes
             }
-        for c in PARTITION_COLS:
+        for c in pcols:
             fp.pop(c, None)
         resolved, upcasts = _sc.resolve_append(prev, fp, self.merge_schema, context)
         if meta is not None and prev is not None:
@@ -2856,6 +2878,85 @@ class LakeWriter:
                 set(log.retired_physical_at(None)) | {phys}
             )
 
+    def set_partition_spec(self, key: DatasetKey, spec) -> None:
+        """Partition-spec EVOLUTION (Iceberg's spec-epoch verb, see
+        lake/spec.py): change the dataset's time-granularity directory
+        layout — ``"monthly"`` (year/month, the default) or ``"daily"``
+        (year/month/day) — in ONE metadata commit, zero bytes
+        rewritten.  Files written under the old spec stay live in their
+        old directories; every scan groups the pinned listing by layout
+        signature and serves both epochs (`spec.grouped_scan`), with
+        ``day`` derived from ts on pre-evolution files.  Writes and
+        rewrites after this commit target the new spec, so compaction
+        doubles as the incremental migration tool.  The commit is a
+        contract move: concurrent optimistic writers that staged files
+        under the old layout abort with ConcurrentWriteConflict.
+
+        The reference hard-codes one layout forever
+        (`dl-datalake/src/dl_datalake/storage/writer.py:21-46`); at
+        100 TB a dataset that outgrew monthly partitions (skewed
+        months, coarse pruning) needs exactly this verb."""
+        from dl_datalake_spark.lake.schema import SchemaContractError
+        from dl_datalake_spark.lake.spec import SPECS
+
+        k = key.normalized()
+        if isinstance(spec, str):
+            if spec not in SPECS:
+                raise ValueError(
+                    f"unknown partition spec {spec!r} (one of {sorted(SPECS)})"
+                )
+            cols = SPECS[spec]
+        else:
+            cols = tuple(spec)
+            if cols not in set(SPECS.values()):
+                raise ValueError(
+                    f"unsupported partition spec {cols!r} "
+                    f"(one of {sorted(SPECS.values())})"
+                )
+        log = self.commit_log(k)
+        path = self.dataset_path(k)
+        if resolve_live_files(self.fs, path) is None:
+            raise ValueError(
+                f"partition-spec evolution needs a commit-pinned dataset; "
+                f"{path} has no trustworthy pinned file list (legacy "
+                "dataset) — write through LakeWriter first (legacy "
+                "directory scans cannot serve mixed layouts)"
+            )
+
+        class _NoOp(Exception):
+            pass
+
+        try:
+            with log.transaction(
+                timeout=self.commit_timeout_s,
+                payload={"mode": "set-partition-spec", "partitions": []},
+            ) as meta:
+                schema = log.schema_at(None)
+                if schema is None:
+                    raise SchemaContractError(
+                        f"{path} has no schema contract yet — write through "
+                        "LakeWriter once first"
+                    )
+                clash = sorted(set(cols) & set(schema))
+                if clash:
+                    raise ValueError(
+                        f"cannot set partition spec {cols}: data column(s) "
+                        f"{clash} already exist in the contract — the spec "
+                        "would shadow them in every scan"
+                    )
+                if tuple(log.partition_spec_at(None)) == cols:
+                    raise _NoOp
+                meta["partition_spec"] = list(cols)
+                meta["rows"] = 0
+                # record the new level's type as a fact (contract_read
+                # would otherwise serve the layout heuristic)
+                pt = log.partition_types_at(None)
+                extra = {c: "int" for c in cols if c not in pt}
+                if extra:
+                    meta["partition_types"] = {**pt, **extra}
+        except _NoOp:
+            return
+
     def alter_column_type(
         self, key: DatasetKey, name: str, new_type: str
     ) -> WriteResult:
@@ -2940,10 +3041,12 @@ class LakeWriter:
                     )
                     meta["cdf"] = True
                 on_disk = set(list_data_files(self.fs, path))
+                spec = log.partition_spec_at(None)
                 (
-                    self._to_physical(rewritten, log).sortWithinPartitions("ts")
+                    self._with_spec_cols(self._to_physical(rewritten, log), spec)
+                    .sortWithinPartitions("ts")
                     .drop("exchange", "market", "symbol", "data_type", "period")
-                    .write.partitionBy("year", "month")
+                    .write.partitionBy(*spec)
                     .option("compression", "snappy")
                     .mode("append")
                     .parquet(path)
@@ -2971,9 +3074,15 @@ class LakeWriter:
             batch_bounds=self._stats_bounds(fstats),
         )
 
-    def _partitioned(self, df: DataFrame, key: DatasetKey, ts_col: str) -> DataFrame:
+    def _partitioned(
+        self,
+        df: DataFrame,
+        key: DatasetKey,
+        ts_col: str,
+        spec: tuple = ("year", "month"),
+    ) -> DataFrame:
         t = F.timestamp_millis(F.col(ts_col).cast("long"))
-        return (
+        out = (
             df.withColumn("exchange", F.lit(key.exchange))
             .withColumn("market", F.lit(key.market))
             .withColumn("symbol", F.lit(key.symbol))
@@ -2982,6 +3091,23 @@ class LakeWriter:
             .withColumn("year", F.year(t))
             .withColumn("month", F.month(t))
         )
+        if "day" in spec:
+            out = out.withColumn("day", F.dayofmonth(t))
+        return out
+
+    @staticmethod
+    def _with_spec_cols(df: DataFrame, spec: tuple, ts_col: str = "ts") -> DataFrame:
+        """Recompute the head spec's time-granularity columns from ts
+        just before a rewrite lands files — unconditional, because a
+        rewrite's input can mix epochs (a monthly-epoch row carries no
+        ``day``; unionByName would null-fill it and partitionBy would
+        land it under day=__HIVE_DEFAULT_PARTITION__) or carry a stale
+        derivation (update_where assigning ts).  On already-stamped
+        rows this is an identity — same derivation as
+        `_partitioned`."""
+        fns = {"year": F.year, "month": F.month, "day": F.dayofmonth}
+        t = F.timestamp_millis(F.col(ts_col).cast("long"))
+        return df.withColumns({c: fns[c](t) for c in spec if c in fns})
 
     def _write(
         self,
@@ -3029,6 +3155,9 @@ class LakeWriter:
                     df, log, self.dataset_path(key), f"write {key.symbol}",
                     meta=meta,
                 )
+                # head partition spec under the claim (lake/spec.py):
+                # the layout this write and its commit facts target
+                spec = log.partition_spec_at(None)
                 if "partition_types" not in meta and "ts" in df.columns:
                     # (ts-less batches fall through to _require_ts's
                     # loud ValueError instead of failing the probe)
@@ -3038,11 +3167,15 @@ class LakeWriter:
                     from dl_datalake_spark.lake import schema as _sc
 
                     pfp = _sc.fingerprint(
-                        self._partitioned(df.limit(0), key, "ts")
+                        self._partitioned(df.limit(0), key, "ts", spec)
                     )
                     meta["partition_types"] = {
                         **log.partition_types_at(None),
-                        **{c: pfp[c] for c in PARTITION_COLS if c in pfp},
+                        **{
+                            c: pfp[c]
+                            for c in (*PARTITION_COLS, *spec)
+                            if c in pfp
+                        },
                     }
                 res = self._write_locked(
                     df, key, mode, cdf_version=meta["version"],
@@ -3051,6 +3184,7 @@ class LakeWriter:
                     column_map=meta.get("column_map")
                     if meta.get("column_map") is not None
                     else log.column_map_at(None),
+                    spec=spec,
                 )
                 # touched partitions in the commit record = the CDC surface:
                 # an incremental consumer (reader.read_changes_since) re-reads
@@ -3145,12 +3279,17 @@ class LakeWriter:
         read set."""
         from dl_datalake_spark.lake.commitlog import ConcurrentWriteConflict
 
-        prev_schema, prev_cmap, prev_ret, prev_pt = base_contract
+        from dl_datalake_spark.lake.spec import spec_of
+
+        prev_schema, prev_cmap, prev_ret, _prev_pt, prev_spec = base_contract
         sch = entry.get("schema")
         if sch is not None and (
             dict(sch) != (prev_schema or {})
             or dict(entry.get("column_map") or {}) != prev_cmap
             or list(entry.get("retired_cols") or []) != list(prev_ret)
+            # a partition-spec move conflicts too: this write's files
+            # were STAGED under the snapshot's directory layout
+            or spec_of(entry.get("partition_spec")) != tuple(prev_spec)
         ):
             raise ConcurrentWriteConflict(
                 f"commit {version} of {ds_path} moved the schema contract "
@@ -3254,8 +3393,9 @@ class LakeWriter:
         prev_schema, base_cmap = base_contract[0], base_contract[1]
         if prev_schema is None or resolve_live_files(self.fs, ds_path) is None:
             return self._write(df, key, "append", commit_meta, txn)
+        base_spec = tuple(base_contract[4])
         fp = _sc.fingerprint(df)
-        for c in PARTITION_COLS:
+        for c in (*PARTITION_COLS, *base_spec):
             fp.pop(c, None)
         try:
             _resolved, upcasts = _sc.resolve_append(
@@ -3271,7 +3411,7 @@ class LakeWriter:
 
         # ---- the data job, OUTSIDE any claim --------------------------------
         ts_col = _require_ts(df, "ts")
-        batch = self._partitioned(df, key, ts_col).persist()
+        batch = self._partitioned(df, key, ts_col, base_spec).persist()
         token = _uuid.uuid4().hex
         staging = f"{ds_path}/_staging_{token}"
         cdf_staging = f"{ds_path}/{self.CDF_DIR}/_staging_{token}"
@@ -3297,7 +3437,7 @@ class LakeWriter:
             (
                 self._rename_frame(out, base_cmap)
                 .drop("exchange", "market", "symbol", "data_type", "period")
-                .write.partitionBy("year", "month")
+                .write.partitionBy(*base_spec)
                 .option("compression", "snappy")
                 .mode("append")
                 .parquet(staging)
@@ -3456,40 +3596,13 @@ class LakeWriter:
         serves PHYSICAL column names) — compaction's shape: rewritten
         files must keep their physical columns so the column_map stays
         valid for them."""
-        from dl_datalake_spark.lake.schema import contract_read
+        from dl_datalake_spark.lake.spec import grouped_scan
 
         if not live:
             return None  # pinned-empty snapshot
-        path = self.dataset_path(key)
-        contract = contract_read(log, self.base_path, path, live[0], version=rv)
-        dv_map = log.dv_at(rv)
-        if dv_map:
-            from dl_datalake_spark.lake import dv as dvmod
-
-            keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-            out = dvmod.scan_with_dv(
-                self.spark,
-                self.base_path,
-                [f"{path}/{rel}" for rel in live],
-                keys,
-                dirs,
-                fs=self.fs,
-                schema_ddl=contract[0] if contract else None,
-            )
-            if contract and logical:
-                return self._rename_frame(out, contract[1])
-            return out
-        if contract is not None:
-            out = (
-                self.spark.read.schema(contract[0])
-                .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in live])
-            )
-            return self._rename_frame(out, contract[1]) if logical else out
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.base_path)
-            .parquet(*[f"{path}/{rel}" for rel in live])
+        return grouped_scan(
+            self.spark, self.base_path, self.dataset_path(key), live,
+            log, self.fs, version=rv, logical=logical,
         )
 
     def _optimistic_dml(
@@ -3576,10 +3689,12 @@ class LakeWriter:
             out = plan.get("out")
             if out is not None:
                 frame = out if physical else self._rename_frame(out, base_cmap)
+                base_spec = tuple(base_contract[4])
                 (
-                    frame.sortWithinPartitions("ts")
+                    self._with_spec_cols(frame, base_spec)
+                    .sortWithinPartitions("ts")
                     .drop("exchange", "market", "symbol", "data_type", "period")
-                    .write.partitionBy("year", "month")
+                    .write.partitionBy(*base_spec)
                     .option("compression", "snappy")
                     .mode("append")
                     .parquet(staging)
@@ -3775,10 +3890,12 @@ class LakeWriter:
 
     def _write_locked(
         self, df: DataFrame, key: DatasetKey, mode: str, cdf_version: int | None = None,
-        column_map: dict | None = None,
+        column_map: dict | None = None, spec: tuple | None = None,
     ) -> WriteResult:
         ts_col = _require_ts(df, "ts")
-        batch = self._partitioned(df, key, ts_col)
+        if spec is None:
+            spec = self.commit_log(key).partition_spec_at(None)
+        batch = self._partitioned(df, key, ts_col, spec)
         emit_cdf = self.emit_cdf and cdf_version is not None
         cdf_bytes = None
 
@@ -3856,9 +3973,12 @@ class LakeWriter:
         # datasets collision-free; same-dataset writers already serialize
         # through the commit log.
         writer = (
-            self._rename_frame(out, column_map or {})  # logical -> physical
+            self._with_spec_cols(
+                self._rename_frame(out, column_map or {}),  # logical -> physical
+                spec, ts_col,
+            )
             .drop("exchange", "market", "symbol", "data_type", "period")
-            .write.partitionBy("year", "month")
+            .write.partitionBy(*spec)
             .option("compression", "snappy")
         )
         # MVCC write protocol (lake/snapshot.py): ALWAYS append — data
@@ -4500,50 +4620,21 @@ class LakeWriter:
         when one exists (lake/snapshot.py) — a directory scan would
         merge in superseded tombstone files and resurrect deleted or
         replaced rows."""
-        from dl_datalake_spark.lake.schema import contract_read
+        from dl_datalake_spark.lake.spec import grouped_scan
 
         path = self.dataset_path(key)
         live = resolve_live_files(self.fs, path)
         if live is not None:
-            if not live:
-                return None  # pinned-empty: every row deleted
-            log = CommitLog(path, fs=self.fs)
-            # the contract read (lake/schema.py): logical names, widened
-            # types, and — crucially for rewrites — retired physical
-            # columns EXCLUDED, so dropped bytes never leak into CDF
-            # pre-images or get copied forward into fresh files, and a
-            # re-added column's fresh physical can't collide with them
-            contract = contract_read(log, self.base_path, path, live[0])
-            # merge-on-read deletes (lake/dv.py): rows a DV commit
-            # removed must be invisible to every rewrite that reads
-            # existing data — an upsert/overwrite/CoW-delete that read
-            # them raw would RESURRECT them in its output
-            dv_map = log.dv_at(None)
-            if dv_map:
-                from dl_datalake_spark.lake import dv as dvmod
-
-                keys, dirs = dvmod.plan_dv(path, self.base_path, live, dv_map)
-                out = dvmod.scan_with_dv(
-                    self.spark,
-                    self.base_path,
-                    [f"{path}/{rel}" for rel in live],
-                    keys,
-                    dirs,
-                    fs=self.fs,
-                    schema_ddl=contract[0] if contract else None,
-                )
-                return self._rename_frame(out, contract[1]) if contract else out
-            if contract is not None:
-                return self._rename_frame(
-                    self.spark.read.schema(contract[0])
-                    .option("basePath", self.base_path)
-                    .parquet(*[f"{path}/{rel}" for rel in live]),
-                    contract[1],
-                )
-            return (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", self.base_path)
-                .parquet(*[f"{path}/{rel}" for rel in live])
+            # grouped_scan (lake/spec.py): per-spec-epoch scan groups
+            # under the contract read (logical names, widened types,
+            # retired physical columns EXCLUDED so dropped bytes never
+            # leak into CDF pre-images or fresh files) with deletion
+            # vectors anti-joined per group — DV-removed rows must be
+            # invisible to every rewrite that reads existing data, or
+            # an upsert/overwrite/CoW-delete would RESURRECT them
+            return grouped_scan(
+                self.spark, self.base_path, path, live,
+                CommitLog(path, fs=self.fs), self.fs,
             )
         if not has_visible_children(self.fs, path):
             return None  # first write for this dataset

@@ -250,3 +250,91 @@ def events_sql_write(spark: SparkSession, sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "ts long, price_cents long")
+
+
+@register(
+    "events_partition_evolution",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT CAST({_JAN} + b * 60000 AS BIGINT) AS ts,
+       c AS price_cents, 1 AS day, c AS v0_cents
+FROM v
+UNION ALL
+SELECT CAST({_JAN} + 86400000 + b * 60000 AS BIGINT) AS ts,
+       c AS price_cents, 2 AS day, CAST(NULL AS BIGINT) AS v0_cents
+FROM k
+ORDER BY ts
+""",
+)
+def events_partition_evolution(spark: SparkSession, sf_dir: str):
+    """PARTITION-SPEC EVOLUTION (writer.set_partition_spec +
+    lake/spec.py, round 12 — Iceberg's spec-epoch mechanic; the
+    reference hard-codes one <symbol>/<year>/<month> layout forever,
+    dl-datalake storage/writer.py:21-46): a monthly dataset evolves to
+    daily in ONE metadata commit (zero bytes rewritten), a
+    post-evolution append lands under year=/month=/day=, the MIXED tree
+    scans as one frame with `day` DERIVED from ts on pre-evolution
+    files (so the day column is exact on both epochs), compaction
+    migrates the old files to the head spec, and `VERSION AS OF 0`
+    still serves the pure-monthly snapshot.  The head read's values,
+    the derived/laid-out `day`, and the v0 join must all hash-match the
+    bucket arithmetic in SQL."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.lake.paths import DatasetKey
+    from dl_datalake_spark.lake.reader import LakeReader
+    from dl_datalake_spark.lake.snapshot import resolve_live_files
+    from dl_datalake_spark.lake.spec import sig_of
+    from dl_datalake_spark.lake.writer import LakeWriter
+
+    ev = load_table(spark, sf_dir, "events")
+    key = DatasetKey("SIM", "SPOT", "PEVO", "ticks", "1m")
+    tmp = tempfile.mkdtemp(prefix="dl_pevo_lake_")
+    try:
+        w = LakeWriter(spark, tmp)
+        w.write_ticks(_ticks(_bucket_cents(ev, "view"), 0), key, mode="append")
+        w.set_partition_spec(key, "daily")                    # v1: metadata only
+        w.write_ticks(                                        # v2: daily layout
+            _ticks(_bucket_cents(ev, "click"), 1440), key, mode="append"
+        )
+        r = LakeReader(spark, tmp)
+        # the MIXED tree serves `day` on every row before migration
+        mixed = {
+            (int(x["ts"]), int(x["day"]))
+            for x in r.read_dataset(key).select("ts", "day").collect()
+        }
+        w.compact_partitions(key, min_files=1)                # v3: migrate
+        live = resolve_live_files(w.fs, w.dataset_path(key))
+        if {sig_of(rel) for rel in live} != {("year", "month", "day")}:
+            raise AssertionError("compaction did not migrate the spec")
+        head = r.read_dataset(key).select("ts", "price", "day")
+        if {(int(x["ts"]), int(x["day"])) for x in head.select("ts", "day").collect()} != mixed:
+            raise AssertionError("mixed-epoch derived day != migrated day")
+        v0 = r.read_dataset_at(key, 0).select(
+            "ts", F.col("price").alias("p0")
+        )
+        got = (
+            head.join(v0, "ts", "left")
+            .orderBy("ts")
+            .collect()
+        )
+        rows = [
+            (
+                int(x["ts"]),
+                int(x["price"]),
+                int(x["day"]),
+                None if x["p0"] is None else int(x["p0"]),
+            )
+            for x in got
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts long, price_cents long, day int, v0_cents long"
+    )
