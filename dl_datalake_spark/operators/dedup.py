@@ -320,12 +320,25 @@ def simhash(
     # chars of md5(tok) as a single integer. Putting md5 inside each of
     # the `bits` aggregate expressions would hash every token `bits`
     # times — the projection makes the aggs pure bit-shifts on a long.
-    hv = tok.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10)
-        .cast("long")
-        .alias("hv"),
-    )
+    # Past 56 bits conv()'s decimal string overflows a signed long
+    # cast, so wide fingerprints assemble from two conv halves — the
+    # shiftleft wrap reproduces the same bit pattern, and the
+    # arithmetic-shift + AND-1 bit extraction below is wrap-safe.
+    ndig = bits // 4
+    if ndig <= 14:
+        hv_expr = F.conv(
+            F.substring(F.md5(F.col("tok")), 1, ndig), 16, 10
+        ).cast("long")
+    else:
+        hv_expr = F.shiftleft(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, ndig - 8), 16, 10)
+            .cast("long"),
+            32,
+        ).bitwiseOR(
+            F.conv(F.substring(F.md5(F.col("tok")), ndig - 7, 8), 16, 10)
+            .cast("long")
+        )
+    hv = tok.select(F.col(id_col), hv_expr.alias("hv"))
     vote_aggs = []
     for i in range(bits):
         j = i // 4 + 1  # hex digit index, 1-based (leftmost = high bits)
@@ -337,8 +350,12 @@ def simhash(
     votes = hv.groupBy(id_col).agg(*vote_aggs)
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
+        # bitwiseOR, not +: ANSI mode (the driver session default)
+        # throws on the signed wrap a 64th-bit power literal needs
+        term = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -346,7 +363,7 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | None = 32,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -356,7 +373,32 @@ def simhash_pairs(
     distance < bands shares ≥1 exact band (pigeonhole) — so the
     bucket join finds all pairs with distance ≤ bands-1 without a
     cross join.
+
+    THE SCALE KNOB IS THE BAND WIDTH: the bucket key space is
+    bands·2^(bits/bands), a CONSTANT — once the corpus outgrows it,
+    expected bucket occupancy n/2^width grows linearly and the bucket
+    self-join's candidate count grows QUADRATICALLY (measured: the
+    sf1→sf10 decade at fixed bits=32/width=8 runs at exponent 1.22,
+    the width-16 rerun at 0.89 — artifacts/DEDUP_sf10_round12.json).
+    `bits=None` (adaptive) counts the corpus and picks the narrowest
+    width keeping expected occupancy ≤ ~4 docs (clamped to [8, 16]
+    bits, i.e. 64-bit fingerprints at ≥ 2^18 docs), so the default
+    stays pigeonhole-sound for `max_hamming < bands` while candidate
+    growth stays linear until ~10^7 docs per 2^16-bucket band; at
+    100 TB scale pass bands=6..8 with width 16 to push the linear
+    range further (recall guarantee then covers hamming ≤ bands-1).
+    Explicit `bits` pins the fingerprint exactly (the oracled queries
+    do, for cross-engine reproducibility).
     """
+    if bits is None:
+        import math
+
+        n = df.count()
+        width = min(16, max(8, math.ceil(math.log2(max(n, 16) / 4))))
+        width += width % 2  # even width keeps bands*width % 4 == 0
+        # md5-long fingerprints top out at 64 bits
+        width = min(width, (64 // bands) & ~1)
+        bits = bands * width
     assert bits % bands == 0
     width = bits // bands
     fp = _pin(simhash(df, id_col, text_col, bits))

@@ -338,3 +338,75 @@ def events_partition_evolution(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         rows, "ts long, price_cents long, day int, v0_cents long"
     )
+
+
+@register(
+    "events_sql_merge",
+    sql=f"""
+WITH v AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+k AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT user_id % 16 AS b, {_CENTS_SQL} AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT CAST({_JAN} + v.b * 60000 AS BIGINT) AS ts,
+       v.c + k.c AS price_cents
+FROM v JOIN k ON v.b = k.b WHERE ABS(k.c) % 2 = 1
+UNION ALL
+SELECT CAST({_JAN} + v.b * 60000 AS BIGINT), v.c
+FROM v LEFT JOIN k ON v.b = k.b WHERE k.b IS NULL
+UNION ALL
+SELECT CAST({_JAN} + (100 + p.b) * 60000 AS BIGINT), p.c
+FROM p WHERE ABS(p.c) % 3 <> 0
+""",
+)
+def events_sql_merge(spark: SparkSession, sf_dir: str):
+    """SQL MERGE INTO (lake/sql_catalog.py `_route_merge`, round 12):
+    one statement deletes matched rows with even click-cents, updates
+    the rest to view+click cents, and conditionally inserts the
+    purchase rows — routed through `LakeWriter.merge_into`, so the SQL
+    path gets the identical contract gate, CDF rows, and month-pruned
+    rewrite as the DataFrame verb, and the read-back must equal the
+    three-way bucket arithmetic."""
+    import shutil
+    import tempfile
+
+    from dl_datalake_spark.client import DataLakeClient
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dl_sqlm_lake_")
+    try:
+        c = DataLakeClient(spark, f"{tmp}/lake")
+        _ticks(_bucket_cents(ev, "view"), 0).createOrReplaceTempView(
+            "__sqlm_views"
+        )
+        _ticks(_bucket_cents(ev, "click"), 0).unionByName(
+            _ticks(_bucket_cents(ev, "purchase"), 100)
+        ).createOrReplaceTempView("__sqlm_src")
+        c.sql(
+            "CREATE TABLE lake.`SIM/SPOT/SQLM/ticks/1m` AS "
+            "SELECT ts, price FROM __sqlm_views"
+        )
+        c.sql(
+            "MERGE INTO lake.sim_sqlm_ticks_1m tgt "
+            "USING (SELECT ts, price FROM __sqlm_src) AS src "
+            "ON tgt.ts = src.ts "
+            "WHEN MATCHED AND CAST(ABS(src.price) AS BIGINT) % 2 = 0 "
+            "THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET price = tgt.price + src.price "
+            f"WHEN NOT MATCHED AND src.ts >= {_JAN + 100 * 60000} "
+            "AND CAST(ABS(src.price) AS BIGINT) % 3 <> 0 THEN INSERT *"
+        )
+        rows = [
+            (int(r["ts"]), int(r["price_cents"]))
+            for r in c.sql(
+                "SELECT ts, CAST(price AS BIGINT) AS price_cents "
+                "FROM lake.sim_sqlm_ticks_1m"
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "ts long, price_cents long")

@@ -40,6 +40,22 @@ QUERIES = [
 ]
 
 
+def _simhash_adaptive(spark, d):
+    """The operator's SCALE path: bits=None lets simhash_pairs pick the
+    band width from the corpus count (fixed-width buckets are the
+    measured quadratic term; see the round-12 note in
+    operators/dedup.py).  The registered dedup_simhash query pins
+    bits=32 for oracle reproducibility — this measures the default a
+    100 TB run would use."""
+    from dl_datalake_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return simhash_pairs(docs, bits=None, bands=4, max_hamming=2)
+
+
+EXTRA = {"dedup_simhash_adaptive": _simhash_adaptive}
+
+
 def _amplify_docs(spark, out: str, copies: int) -> None:
     """documents x`copies` with the pair-density-preserving transform;
     every other table is copied verbatim (the dedup queries only read
@@ -106,10 +122,11 @@ def main() -> None:
                   f"in {time.time() - t0:.1f}s")
         dirs[label] = d
 
-    results: dict[str, dict] = {q: {} for q in QUERIES}
+    all_q = list(QUERIES) + list(EXTRA)
+    results: dict[str, dict] = {q: {} for q in all_q}
     for label, d in dirs.items():
-        for q in QUERIES:
-            fn = REG[q]
+        for q in all_q:
+            fn = REG.get(q) or EXTRA[q]
             walls = []
             for _ in range(2):  # min of 2: first run pays planning/JIT
                 t0 = time.time()
@@ -119,7 +136,7 @@ def main() -> None:
             print(f"# {label} {q}: {results[q][label]}s")
 
     rows = {}
-    for q in QUERIES:
+    for q in all_q:
         t01, t1, t10 = (results[q][k] for k in ("sf0.1", "sf1", "sf10"))
         rows[q] = {
             "sf0.1_s": t01, "sf1_s": t1, "sf10_s": t10,

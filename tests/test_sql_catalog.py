@@ -265,3 +265,79 @@ def test_sql_ctas_underscore_form_roundtrips(client, spark):
     assert client.sql(
         "SELECT COUNT(*) AS n FROM lake.binance_btc_usdt_ticks_1m"
     ).first()["n"] == 1
+
+
+def test_sql_merge_into(client, spark):
+    """MERGE INTO lake.<t> (round 12): update/delete/conditional-insert
+    in one statement, routed through LakeWriter.merge_into — same
+    contract gate, CDF, and month-pruned rewrite as the DataFrame
+    verb."""
+    key = _write(client, "MRG", [(JAN + i * 60000, float(i)) for i in range(6)])
+    src = (
+        "SELECT * FROM VALUES "
+        f"({JAN + 2 * 60000}, 20.0), ({JAN + 3 * 60000}, 30.0), "
+        f"({JAN + 4 * 60000}, -1.0), ({JAN + 100 * 60000}, 100.0), "
+        f"({JAN + 101 * 60000}, 101.0) AS v(ts, price)"
+    )
+    n = client.sql(
+        f"MERGE INTO lake.sim_mrg_ticks_1m tgt USING ({src}) AS src "
+        "ON tgt.ts = src.ts "
+        "WHEN MATCHED AND src.price < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET price = src.price * 2 "
+        "WHEN NOT MATCHED AND src.price <= 100.0 THEN INSERT *"
+    ).first()["rows_affected"]
+    assert n == 4  # 2 updates + 1 delete + 1 conditional insert
+    got = {
+        ((r["ts"] - JAN) // 60000, r["price"])
+        for r in client.reader.read_dataset(key).select("ts", "price").collect()
+    }
+    assert got == {(0, 0.0), (1, 1.0), (2, 40.0), (3, 60.0), (5, 5.0), (100, 100.0)}
+    # the commit records merge action counts
+    log = client.writer.commit_log(key)
+    e = log.committed_entry(log.latest_version())
+    assert e["mode"] == "merge"
+    # merge against a lake table source also resolves (USING table ref)
+    _write(client, "MRGS", [(JAN, 7.0)])
+    n2 = client.sql(
+        "MERGE INTO lake.sim_mrg_ticks_1m USING lake.sim_mrgs_ticks_1m s "
+        "ON t.ts = s.ts WHEN MATCHED THEN UPDATE SET price = s.price"
+    ).first()["rows_affected"]
+    assert n2 == 1
+    assert (0, 7.0) in {
+        ((r["ts"] - JAN) // 60000, r["price"])
+        for r in client.reader.read_dataset(key).select("ts", "price").collect()
+    }
+
+
+def test_sql_merge_guardrails(client, spark):
+    _write(client, "MGD", [(JAN, 1.0)])
+    t = "lake.sim_mgd_ticks_1m"
+    src = f"(SELECT CAST({JAN} AS LONG) AS ts, 2.0 AS price) s"
+    with pytest.raises(ValueError, match="equi-conditions"):
+        client.sql(
+            f"MERGE INTO {t} t USING {src} ON t.ts >= s.ts "
+            "WHEN MATCHED THEN UPDATE SET price = s.price"
+        )
+    with pytest.raises(ValueError, match="equi-conditions"):
+        client.sql(
+            f"MERGE INTO {t} t USING {src} ON t.ts = s.price "
+            "WHEN MATCHED THEN UPDATE SET price = s.price"
+        )
+    with pytest.raises(ValueError, match="not\\s+supported"):
+        client.sql(
+            f"MERGE INTO {t} t USING {src} ON t.ts = s.ts "
+            "WHEN MATCHED AND s.price > 0 THEN UPDATE SET price = s.price"
+        )
+    with pytest.raises(ValueError, match="WHEN"):
+        client.sql(f"MERGE INTO {t} t USING {src} ON t.ts = s.ts")
+    with pytest.raises(ValueError, match="unknown lake table"):
+        client.sql(
+            f"MERGE INTO lake.nope_t t USING {src} ON t.ts = s.ts "
+            "WHEN MATCHED THEN DELETE"
+        )
+    # nothing landed through any failed parse
+    key = DatasetKey("SIM", "SPOT", "MGD", "ticks", "1m")
+    assert [
+        (r["ts"], r["price"])
+        for r in client.reader.read_dataset(key).collect()
+    ] == [(JAN, 1.0)]
