@@ -135,7 +135,10 @@ class CommitLog:
                     self.fs.read_bytes(f"{self.log_dir}/{self.HEAD_HINT}")
                 ).get("version", -1)
             )
-        except (OSError, ValueError, TypeError):
+        except (OSError, ValueError, TypeError, AttributeError):
+            # AttributeError: valid JSON that is not an object ('[1]',
+            # '"5"') — fall back to the full scan, never crash the
+            # hottest read-path helper on a malformed pointer file
             return -1
 
     def latest_version(self) -> int:

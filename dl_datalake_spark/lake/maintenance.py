@@ -370,13 +370,22 @@ def compact(
                 )
                 if c in df.columns
             ]
-            # a derived finer level the head spec does NOT want (a
+            # a finer DIRECTORY level the head spec does NOT want (a
             # daily->monthly downgrade) must not leak into the data
-            # files as a ghost column
+            # files as a ghost column.  Judged by the groups' Hive
+            # SIGNATURES, never column presence — a contract DATA
+            # column that happens to be named `day` has no day= path
+            # segment and must survive the rewrite (recluster shares
+            # this rule).
+            from dl_datalake_spark.lake.spec import sig_of
+
+            sigs = (
+                {sig_of(rel) for rel in live} if live is not None else set()
+            )
             ghost = [
                 c
                 for c in DERIVED_SPEC_COLS
-                if c in df.columns and c not in part_cols
+                if c not in part_cols and any(c in sig for sig in sigs)
             ]
             if ghost:
                 df = df.drop(*ghost)
@@ -627,6 +636,7 @@ def recluster(
         # refuses; each group reads under its own layout and the union
         # derives the finer level on coarser-epoch rows
         rcontract = contract_read(log, ds, ds, live[0])
+        spec_now = log.partition_spec_at(None)
         df = None
         for rels in spec_groups(live):
             gcontract = contract_read(log, ds, ds, rels[0])
@@ -636,9 +646,25 @@ def recluster(
                 else spark.read.option("mergeSchema", "true")
             )
             f = rd.option("basePath", ds).parquet(*[f"{ds}/{rel}" for rel in rels])
-            spec_now = log.partition_spec_at(None)
             f = derive_spec_cols(f, spec_now)
             df = f if df is None else df.unionByName(f, allowMissingColumns=True)
+        # a finer DIRECTORY level the HEAD spec does not want (daily->
+        # monthly downgrade) must not ride the union into the rewritten
+        # files as a null-padded ghost data column.  Ghosts are judged
+        # by the groups' Hive SIGNATURES — a dataset whose contract has
+        # an ordinary data column named `day` never has day= in a
+        # signature, so user data is never dropped (compact shares this
+        # rule).
+        from dl_datalake_spark.lake.spec import DERIVED_SPEC_COLS, sig_of
+
+        sigs = {sig_of(rels[0]) for rels in spec_groups(live)}
+        ghost = [
+            c
+            for c in DERIVED_SPEC_COLS
+            if c not in spec_now and any(c in sig for sig in sigs)
+        ]
+        if ghost and df is not None:
+            df = df.drop(*ghost)
         # serve LOGICAL names to the caller's cluster columns and the
         # recorded col_stats (reader bounds look up logical keys), then
         # rename back to physical just before the file write

@@ -355,7 +355,19 @@ class LakeSQLCatalog:
         insert_cond = None
         tail = rest[mo.end() :]
         matched_spans = 0
+        consumed_to = 0
         for wm in self._MERGE_WHEN.finditer(tail):
+            # every WHEN clause must parse — a clause the grammar does
+            # not cover (INSERT with a column list, INSERT ... VALUES)
+            # must fail loudly, never silently drop out of the merge
+            if tail[consumed_to : wm.start()].strip():
+                raise ValueError(
+                    "MERGE could not parse clause "
+                    f"{tail[consumed_to : wm.start()].strip()!r} — supported "
+                    "actions are THEN UPDATE SET …, THEN DELETE, and "
+                    "THEN INSERT *"
+                )
+            consumed_to = wm.end()
             matched_spans += 1
             act = wm.group("act")
             cond = wm.group("cond")
@@ -397,6 +409,12 @@ class LakeSQLCatalog:
                         tgt = col.strip().strip("`")
                         tgt = re.sub(r"^t\s*\.\s*", "", tgt)
                         upd[tgt] = _unmask_sql(_norm(expr.strip()), lits)
+        if tail[consumed_to:].strip():
+            raise ValueError(
+                "MERGE could not parse trailing clause "
+                f"{tail[consumed_to:].strip()!r} — supported actions are "
+                "THEN UPDATE SET …, THEN DELETE, and THEN INSERT *"
+            )
         if matched_spans == 0:
             raise ValueError(
                 "MERGE needs at least one WHEN [NOT] MATCHED clause"

@@ -1199,7 +1199,7 @@ class LakeWriter:
         upd = when_matched_update
         if isinstance(upd, dict):
             upd = {c: (F.expr(e) if isinstance(e, str) else e) for c, e in upd.items()}
-            bad = sorted(set(upd) & (set(self._UPDATE_FORBIDDEN) | set(on_cols) | {"ts"}))
+            bad = sorted(set(upd) & (set(self._forbidden_assign(k)) | set(on_cols) | {"ts"}))
             if bad:
                 raise ValueError(
                     f"merge cannot assign key/partition columns {bad}; "
@@ -1208,6 +1208,13 @@ class LakeWriter:
         del_cond = (
             F.expr(when_matched_delete)
             if isinstance(when_matched_delete, str)
+            # the documented bool forms: True = delete every matched
+            # row (as a Column — F.coalesce rejects a raw bool),
+            # False/None = no delete clause
+            else F.lit(True)
+            if when_matched_delete is True
+            else None
+            if when_matched_delete is False
             else when_matched_delete
         )
         ins_cond = (
@@ -1463,6 +1470,7 @@ class LakeWriter:
         loudly."""
         log = self.commit_log(k)
         counts: dict[str, int] = {}
+        pinned: list[DataFrame] = []
 
         def compute(existing, snap):
             months = [
@@ -1513,6 +1521,11 @@ class LakeWriter:
                         "merge_deleted": 0,
                     },
                 }
+            # persist: the counts agg, kept_t/merged/ins staging union,
+            # and each CDF part all consume this join — the claimed
+            # path pins the identical join (writer.py:1303) for the
+            # same reason; without it the target scan + full-outer
+            # join recomputes ~5x
             joined = (
                 t_df.withColumn("_t1", F.lit(1))
                 .alias("t")
@@ -1524,7 +1537,9 @@ class LakeWriter:
                     ],
                     "full_outer",
                 )
+                .persist()
             )
+            pinned.append(joined)
             is_m = F.col("t._t1").isNotNull() & F.col("s._s1").isNotNull()
             is_t = F.col("t._t1").isNotNull() & F.col("s._s1").isNull()
             is_s = F.col("t._t1").isNull() & F.col("s._s1").isNotNull()
@@ -1614,9 +1629,13 @@ class LakeWriter:
                 },
             }
 
-        res = self._optimistic_dml(
-            k, "merge", compute, commit_meta, read_set="rows"
-        )
+        try:
+            res = self._optimistic_dml(
+                k, "merge", compute, commit_meta, read_set="rows"
+            )
+        finally:
+            for df_ in pinned:
+                df_.unpersist()
         path = self.dataset_path(k)
         if res is None:
             return WriteResult(
@@ -1631,7 +1650,19 @@ class LakeWriter:
             batch_bounds=bounds,
         )
 
-    _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month", "day")
+    _UPDATE_FORBIDDEN = ("exchange", "market", "symbol", "data_type", "period", "year", "month")
+
+    def _forbidden_assign(self, key: DatasetKey) -> tuple:
+        """Columns DML may not assign on this dataset: the identity and
+        derived-partition columns, plus any EXTRA level of an evolved
+        partition spec (``day`` under the daily spec is derived from
+        ts; on a never-evolved dataset a data column named day is
+        ordinary user data and stays assignable)."""
+        spec = self.commit_log(key).partition_spec_at(None)
+        return (
+            *self._UPDATE_FORBIDDEN,
+            *(c for c in spec if c not in self._UPDATE_FORBIDDEN),
+        )
 
     @staticmethod
     def _month_pred(months) -> Column:
@@ -1681,7 +1712,7 @@ class LakeWriter:
         }
         if not sets:
             raise ValueError("update_where needs at least one assignment")
-        bad = sorted(set(sets) & set(self._UPDATE_FORBIDDEN))
+        bad = sorted(set(sets) & set(self._forbidden_assign(k)))
         if bad:
             raise ValueError(
                 f"cannot assign partition-identity/derived columns {bad}; "
@@ -1735,8 +1766,9 @@ class LakeWriter:
                     month_pred = month_pred | (
                         (F.col("year") == y) & (F.col("month") == m)
                     )
+                spec = log.partition_spec_at(None)
                 updated = self._apply_assignments(
-                    existing.where(month_pred), sets, matched
+                    existing.where(month_pred), sets, matched, spec
                 )
                 # DML gate: schema exactness over the written frame,
                 # CHECK expectations over just the transformed rows
@@ -1745,7 +1777,8 @@ class LakeWriter:
                     log,
                     f"update_where {k.symbol}",
                     post_only=self._apply_assignments(
-                        existing.where(month_pred).where(matched), sets, F.lit(True)
+                        existing.where(month_pred).where(matched), sets,
+                        F.lit(True), spec,
                     ),
                     assigned_types=self._assignment_types(existing, sets),
                 )
@@ -1757,7 +1790,7 @@ class LakeWriter:
                         meta["version"],
                         self._align_cdf_types(
                             self._update_cdf_rows(
-                                existing.where(month_pred), matched, sets
+                                existing.where(month_pred), matched, sets, spec
                             ),
                             log,
                         ),
@@ -1765,7 +1798,6 @@ class LakeWriter:
                     meta["cdf"] = True
                 pre_live = resolve_live_files(self.fs, path)
                 on_disk = set(list_data_files(self.fs, path))
-                spec = log.partition_spec_at(None)
                 (
                     self._with_spec_cols(self._to_physical(updated, log), spec)
                     .sortWithinPartitions("ts")
@@ -1834,19 +1866,23 @@ class LakeWriter:
             touched = sorted((int(r["year"]), int(r["month"])) for r in probe)
             rows_updated = int(sum(r["n_upd"] for r in probe))
             mp = self._month_pred(touched)
-            updated = self._apply_assignments(scan.where(mp), sets, matched)
+            # the SNAPSHOT's spec: the staged files are written under
+            # it, and a concurrent spec move conflicts at validation
+            spec = log.partition_spec_at(snap["rv"])
+            updated = self._apply_assignments(scan.where(mp), sets, matched, spec)
             updated = self._enforce_dml_contract(
                 updated,
                 log,
                 f"update_where {k.symbol}",
                 post_only=self._apply_assignments(
-                    scan.where(mp).where(matched), sets, F.lit(True)
+                    scan.where(mp).where(matched), sets, F.lit(True), spec
                 ),
                 assigned_types=self._assignment_types(existing, sets),
             )
             cdf = (
                 self._align_cdf_types(
-                    self._update_cdf_rows(scan.where(mp), matched, sets), log
+                    self._update_cdf_rows(scan.where(mp), matched, sets, spec),
+                    log,
                 )
                 if self.emit_cdf
                 else None
@@ -1912,7 +1948,12 @@ class LakeWriter:
         if assigned_types:
             _sc.enforce_exact(table, dict(assigned_types), context)
         fp = _sc.fingerprint(post)
-        for c in (*PARTITION_COLS, "day", "_change_type", "_dv_file", "_dv_pos"):
+        spec_extra = tuple(
+            c
+            for c in log.partition_spec_at(None)
+            if c not in PARTITION_COLS
+        )
+        for c in (*PARTITION_COLS, *spec_extra, "_change_type", "_dv_file", "_dv_pos"):
             fp.pop(c, None)
         ups = _sc.enforce_exact(table, fp, context)
         if ups:
@@ -1938,20 +1979,28 @@ class LakeWriter:
         )
         return {f.name: f.dataType.simpleString() for f in probe.schema.fields}
 
-    def _apply_assignments(self, df: DataFrame, sets: dict, matched) -> DataFrame:
+    def _apply_assignments(
+        self, df: DataFrame, sets: dict, matched, spec: tuple = ("year", "month")
+    ) -> DataFrame:
         """SET semantics: assignment expressions all evaluate against the
-        PRE-update row (standard SQL UPDATE), then year/month re-derive
-        from the possibly-moved ts."""
+        PRE-update row (standard SQL UPDATE), then the SPEC's derived
+        time columns re-derive from the possibly-moved ts.  Only the
+        dataset's recorded partition spec drives the re-derivation — a
+        DATA column that happens to be named ``day`` on a never-evolved
+        dataset is user data and must not be clobbered."""
         pre = [F.when(matched, e).otherwise(F.col(c)).alias(c) for c, e in sets.items()]
         out = df.withColumns({c: col for c, col in zip(sets, pre)})
         if "ts" in sets:
             t = F.timestamp_millis(F.col("ts").cast("long"))
             out = out.withColumn("year", F.year(t)).withColumn("month", F.month(t))
-            if "day" in out.columns:
+            if "day" in spec and "day" in out.columns:
                 out = out.withColumn("day", F.dayofmonth(t))
         return out
 
-    def _update_cdf_rows(self, pre: DataFrame, matched, sets: dict) -> DataFrame:
+    def _update_cdf_rows(
+        self, pre: DataFrame, matched, sets: dict,
+        spec: tuple = ("year", "month"),
+    ) -> DataFrame:
         """update_postimage for every matched row; plus a delete
         pre-image at the OLD ts when the update moved it.  Matching is
         evaluated against the PRE-update rows and the post-images are
@@ -1960,7 +2009,7 @@ class LakeWriter:
         update whose assignment falsifies its own predicate (e.g.
         SET price = 0 WHERE price > 100)."""
         out = self._apply_assignments(
-            pre.where(matched), sets, F.lit(True)
+            pre.where(matched), sets, F.lit(True), spec
         ).withColumn("_change_type", F.lit("update_postimage"))
         if "ts" in sets:
             ts_expr = sets["ts"]
@@ -2099,10 +2148,11 @@ class LakeWriter:
                         raise _NoMatch
                     touched = sorted((int(r["year"]), int(r["month"])) for r in agg)
                     rows_updated = int(sum(r["n_upd"] for r in agg))
+                    spec = log.partition_spec_at(None)
                     # post-images: every probe row IS matched, so the
                     # transform applies unconditionally
                     post = self._apply_assignments(
-                        probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True)
+                        probe.drop("_dv_file", "_dv_pos"), sets, F.lit(True), spec
                     )
                     # DML gate: the post-images ARE the written files
                     post = self._enforce_dml_contract(
@@ -2132,7 +2182,6 @@ class LakeWriter:
                     )
                     # append the post-images as fresh files
                     on_disk = set(list_data_files(self.fs, path))
-                    spec = log.partition_spec_at(None)
                     (
                         self._with_spec_cols(self._to_physical(post, log), spec)
                         .sortWithinPartitions("ts")
@@ -2732,10 +2781,13 @@ class LakeWriter:
         path: str,
         context: str,
         meta: dict | None = None,
-    ) -> tuple[DataFrame, dict]:
+    ) -> tuple[DataFrame, dict, tuple]:
         """Enforce the write-time schema contract for one batch UNDER
         the caller's held commit claim.  Returns (batch with lossless
-        up-casts applied, resolved schema to record in the commit).
+        up-casts applied, resolved schema to record in the commit,
+        the head `contract_at` 5-tuple) — callers reuse the tuple's
+        column map / partition types / spec instead of re-listing the
+        log per piece.
 
         Column mapping (rename/drop lifecycle): when `meta` is given,
         a NEW column whose name collides with a RETIRED physical name
@@ -2745,7 +2797,12 @@ class LakeWriter:
         resurrect under the re-added logical column."""
         from dl_datalake_spark.lake import schema as _sc
 
-        prev = log.schema_at(None)
+        # ONE contract_at for the whole gate (its docstring's own
+        # advice): schema + column map + retired names + partition
+        # types + spec all come from the same log listing instead of
+        # five — on an object store each is a LIST round-trip per write
+        head = log.contract_at(None)
+        prev, head_cmap, head_retired, head_pt, head_spec = head
         if prev is None:
             prev = self._bootstrap_schema(path)
         fp = _sc.fingerprint(df)
@@ -2757,21 +2814,19 @@ class LakeWriter:
         # its own layout probe instead
         pcols = (
             *PARTITION_COLS,
-            *(c for c in log.partition_spec_at(None) if c not in PARTITION_COLS),
+            *(c for c in head_spec if c not in PARTITION_COLS),
         )
         ptypes = {c: fp[c] for c in pcols if c in fp}
         if meta is not None and ptypes:
-            meta["partition_types"] = {
-                **log.partition_types_at(None), **ptypes
-            }
+            meta["partition_types"] = {**head_pt, **ptypes}
         for c in pcols:
             fp.pop(c, None)
         resolved, upcasts = _sc.resolve_append(prev, fp, self.merge_schema, context)
         if meta is not None and prev is not None:
             new_cols = [c for c in resolved if c not in prev]
             if new_cols:
-                cmap = log.column_map_at(None)
-                taken = set(log.retired_physical_at(None)) | {
+                cmap = dict(head_cmap)
+                taken = set(head_retired) | {
                     cmap.get(c, c) for c in prev
                 }
                 changed = False
@@ -2781,7 +2836,7 @@ class LakeWriter:
                         changed = True
                 if changed:
                     meta["column_map"] = cmap
-        return _sc.apply_upcasts(df, upcasts), resolved
+        return _sc.apply_upcasts(df, upcasts), resolved, head
 
     @staticmethod
     def _rename_frame(df: DataFrame, mapping: dict) -> DataFrame:
@@ -3151,13 +3206,14 @@ class LakeWriter:
                 # write-time schema contract (lake/schema.py): checked
                 # under the claim so concurrent evolutions serialize; a
                 # violation aborts here with the dataset untouched
-                df, meta["schema"] = self._schema_contract(
+                df, meta["schema"], head = self._schema_contract(
                     df, log, self.dataset_path(key), f"write {key.symbol}",
                     meta=meta,
                 )
                 # head partition spec under the claim (lake/spec.py):
-                # the layout this write and its commit facts target
-                spec = log.partition_spec_at(None)
+                # the layout this write and its commit facts target —
+                # from the gate's own contract read, no extra listing
+                spec = head[4]
                 if "partition_types" not in meta and "ts" in df.columns:
                     # (ts-less batches fall through to _require_ts's
                     # loud ValueError instead of failing the probe)
@@ -3170,7 +3226,7 @@ class LakeWriter:
                         self._partitioned(df.limit(0), key, "ts", spec)
                     )
                     meta["partition_types"] = {
-                        **log.partition_types_at(None),
+                        **head[3],
                         **{
                             c: pfp[c]
                             for c in (*PARTITION_COLS, *spec)
@@ -3183,7 +3239,7 @@ class LakeWriter:
                     # contract assigned this very commit (re-added columns)
                     column_map=meta.get("column_map")
                     if meta.get("column_map") is not None
-                    else log.column_map_at(None),
+                    else head[1],
                     spec=spec,
                 )
                 # touched partitions in the commit record = the CDC surface:

@@ -395,9 +395,21 @@ def simhash_pairs(
 
         n = df.count()
         width = min(16, max(8, math.ceil(math.log2(max(n, 16) / 4))))
-        width += width % 2  # even width keeps bands*width % 4 == 0
-        # md5-long fingerprints top out at 64 bits
-        width = min(width, (64 // bands) & ~1)
+        # bits = bands*width must divide by 4 (md5 hex digits) and fit
+        # in 64; bump width to the next size whose product divides by
+        # 4, then clamp to the largest such width fitting 64 bits
+        while (bands * width) % 4:
+            width += 1
+        cap = 64 // bands
+        while cap > 0 and (bands * cap) % 4:
+            cap -= 1
+        if cap <= 0:
+            raise ValueError(
+                f"adaptive simhash cannot fit {bands} bands in a 64-bit "
+                "fingerprint with 4-bit-aligned total width — pass an "
+                "explicit `bits`"
+            )
+        width = min(width, cap)
         bits = bands * width
     assert bits % bands == 0
     width = bits // bands

@@ -1243,3 +1243,20 @@ def test_head_pointer_ignored_by_entry_scans_and_prune(tmp_path):
     log.prune(keep_last=2)
     assert log.fs.exists(f"{log.log_dir}/_head")
     assert log.latest_version() == 4
+
+
+def test_head_pointer_valid_json_wrong_shape(tmp_path):
+    """A pointer holding valid JSON that is NOT an object ('[1]',
+    '"5"') must fall back to the listing scan, not crash
+    latest_version with AttributeError."""
+    from dl_datalake_spark.lake.commitlog import CommitLog
+
+    ds = str(tmp_path / "ds")
+    log = CommitLog(ds)
+    for _ in range(3):
+        with log.transaction(payload={"mode": "append", "partitions": []}):
+            pass
+    hint = f"{log.log_dir}/_head"
+    for bad in (b"[1]", b'"5"', b"3.5", b"null"):
+        log.fs.write_bytes_atomic(hint, bad)
+        assert log.latest_version() == 2

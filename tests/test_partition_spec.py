@@ -342,3 +342,53 @@ def test_streaming_appends_serve_daily_files(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["ts"], r["price"]) for r in out)
     assert (JAN2, 200.0) in got and len(got) == 21
+
+
+def test_data_column_named_day_survives_on_monthly_dataset(spark, tmp_path):
+    """A never-evolved dataset with an ordinary DATA column named `day`
+    keeps it intact through ts-moving updates, assignment, compaction,
+    and recluster — `day` is only derived/forbidden under a spec that
+    contains it."""
+    from dl_datalake_spark.lake.maintenance import compact
+
+    w = LakeWriter(spark, str(tmp_path))
+    w.write_ticks(
+        spark.createDataFrame(
+            [(JAN1 + i * 60000, float(i), 90 + i) for i in range(4)],
+            "ts long, price double, day int",
+        ),
+        KEY,
+        mode="append",
+    )
+    # assignment of the data column is allowed (not spec-derived here)
+    w.update_where(KEY, {"day": "day + 100"}, "price = 0")
+    # a ts-moving update must NOT clobber the day data column
+    w.update_where(KEY, {"ts": "ts + 60000", "price": "99.0"}, "price = 3")
+    r = LakeReader(spark, str(tmp_path))
+    got = {
+        (x["price"], x["day"])
+        for x in r.read_dataset(KEY).select("price", "day").collect()
+    }
+    assert got == {(0.0, 190), (1.0, 91), (2.0, 92), (99.0, 93)}
+    # compaction keeps the data column (ghosts are judged by directory
+    # signatures, never column presence)
+    compact(spark, str(tmp_path), in_place=True)
+    got2 = {
+        (x["price"], x["day"])
+        for x in r.read_dataset(KEY).select("price", "day").collect()
+    }
+    assert got2 == got
+
+
+def test_recluster_drops_ghost_day_after_downgrade(spark, tmp_path):
+    from dl_datalake_spark.lake.maintenance import recluster
+
+    w = _seed(spark, str(tmp_path))
+    w.set_partition_spec(KEY, "daily")
+    w.write_ticks(_mk(spark, [(JAN2, 200.0)]), KEY, mode="append")
+    w.set_partition_spec(KEY, "monthly")
+    before = _rows(spark, str(tmp_path))
+    recluster(spark, w.dataset_path(KEY), ["price"], base_path=str(tmp_path))
+    df = LakeReader(spark, str(tmp_path)).read_dataset(KEY)
+    assert "day" not in df.columns
+    assert _rows(spark, str(tmp_path)) == before

@@ -341,3 +341,33 @@ def test_sql_merge_guardrails(client, spark):
         (r["ts"], r["price"])
         for r in client.reader.read_dataset(key).collect()
     ] == [(JAN, 1.0)]
+
+
+def test_sql_merge_unparseable_clause_fails_loudly(client, spark):
+    """A WHEN clause the grammar does not cover (INSERT with a column
+    list) must raise, never silently drop out of the merge."""
+    _write(client, "MGE", [(JAN, 1.0)])
+    t = "lake.sim_mge_ticks_1m"
+    src = f"(SELECT CAST({JAN + 60000} AS LONG) AS ts, 2.0 AS price) s"
+    with pytest.raises(ValueError, match="could not parse"):
+        client.sql(
+            f"MERGE INTO {t} t USING {src} ON t.ts = s.ts "
+            "WHEN MATCHED THEN UPDATE SET price = s.price "
+            "WHEN NOT MATCHED THEN INSERT (ts, price) VALUES (s.ts, s.price)"
+        )
+    key = DatasetKey("SIM", "SPOT", "MGE", "ticks", "1m")
+    assert client.reader.read_dataset(key).count() == 1  # nothing landed
+
+
+def test_sql_merge_bare_delete(client, spark):
+    """WHEN MATCHED THEN DELETE with no AND condition (bool True down
+    to the writer) deletes every matched row."""
+    key = _write(client, "MGB", [(JAN + i * 60000, float(i)) for i in range(4)])
+    n = client.sql(
+        "MERGE INTO lake.sim_mgb_ticks_1m t USING "
+        f"(SELECT CAST({JAN} AS LONG) AS ts UNION ALL "
+        f" SELECT CAST({JAN + 60000} AS LONG)) s "
+        "ON t.ts = s.ts WHEN MATCHED THEN DELETE"
+    ).first()["rows_affected"]
+    assert n == 2
+    assert client.reader.read_dataset(key).count() == 2
