@@ -261,8 +261,8 @@ def compact(
 
     from dl_datalake_spark.lake.commitlog import LOG_DIR, CommitLog
     from dl_datalake_spark.lake.spec import (
-        DERIVED_SPEC_COLS,
         derive_spec_cols,
+        ghost_cols,
         grouped_scan,
     )
 
@@ -372,21 +372,10 @@ def compact(
             ]
             # a finer DIRECTORY level the head spec does NOT want (a
             # daily->monthly downgrade) must not leak into the data
-            # files as a ghost column.  Judged by the groups' Hive
-            # SIGNATURES, never column presence — a contract DATA
-            # column that happens to be named `day` has no day= path
-            # segment and must survive the rewrite (recluster shares
-            # this rule).
-            from dl_datalake_spark.lake.spec import sig_of
-
-            sigs = (
-                {sig_of(rel) for rel in live} if live is not None else set()
-            )
-            ghost = [
-                c
-                for c in DERIVED_SPEC_COLS
-                if c not in part_cols and any(c in sig for sig in sigs)
-            ]
+            # files as a ghost column (spec.ghost_cols: judged by Hive
+            # signatures, so a contract DATA column named `day`
+            # survives)
+            ghost = ghost_cols(live, part_cols) if live is not None else []
             if ghost:
                 df = df.drop(*ghost)
             (
@@ -650,19 +639,12 @@ def recluster(
             df = f if df is None else df.unionByName(f, allowMissingColumns=True)
         # a finer DIRECTORY level the HEAD spec does not want (daily->
         # monthly downgrade) must not ride the union into the rewritten
-        # files as a null-padded ghost data column.  Ghosts are judged
-        # by the groups' Hive SIGNATURES — a dataset whose contract has
-        # an ordinary data column named `day` never has day= in a
-        # signature, so user data is never dropped (compact shares this
-        # rule).
-        from dl_datalake_spark.lake.spec import DERIVED_SPEC_COLS, sig_of
+        # files as a null-padded ghost data column (spec.ghost_cols:
+        # judged by Hive signatures, so a contract DATA column named
+        # `day` survives)
+        from dl_datalake_spark.lake.spec import ghost_cols
 
-        sigs = {sig_of(rels[0]) for rels in spec_groups(live)}
-        ghost = [
-            c
-            for c in DERIVED_SPEC_COLS
-            if c not in spec_now and any(c in sig for sig in sigs)
-        ]
+        ghost = ghost_cols(live, spec_now)
         if ghost and df is not None:
             df = df.drop(*ghost)
         # serve LOGICAL names to the caller's cluster columns and the

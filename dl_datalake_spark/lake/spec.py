@@ -82,6 +82,21 @@ def spec_groups(live: list[str]) -> list[list[str]]:
     return [groups[k] for k in sorted(groups)]
 
 
+def ghost_cols(live: list[str], spec) -> list[str]:
+    """Derived spec columns a rewrite must DROP: present in some
+    epoch's DIRECTORY signature (day= after a daily->monthly
+    downgrade) but absent from the head `spec`.  Judged by signatures,
+    never by frame columns — a contract DATA column that happens to be
+    named ``day`` has no day= path segment and must survive every
+    rewrite (compact and recluster share this rule)."""
+    sigs = {sig_of(rel) for rel in live}
+    return [
+        c
+        for c in DERIVED_SPEC_COLS
+        if c not in spec and any(c in s for s in sigs)
+    ]
+
+
 def derive_spec_cols(
     df: DataFrame, cols: list[str] | tuple[str, ...], ts_col: str = "ts"
 ) -> DataFrame:

@@ -1473,6 +1473,11 @@ class LakeWriter:
         pinned: list[DataFrame] = []
 
         def compute(existing, snap):
+            # a conflicted retry re-enters here: the previous attempt's
+            # pinned join is dead weight in executor storage — release
+            # it before building this attempt's
+            while pinned:
+                pinned.pop().unpersist()
             months = [
                 (int(r["year"]), int(r["month"]))
                 for r in src.select("year", "month").distinct().collect()
@@ -1867,8 +1872,9 @@ class LakeWriter:
             rows_updated = int(sum(r["n_upd"] for r in probe))
             mp = self._month_pred(touched)
             # the SNAPSHOT's spec: the staged files are written under
-            # it, and a concurrent spec move conflicts at validation
-            spec = log.partition_spec_at(snap["rv"])
+            # it, and a concurrent spec move conflicts at validation —
+            # already in hand from the captured contract, no listing
+            spec = tuple(snap["contract"][4])
             updated = self._apply_assignments(scan.where(mp), sets, matched, spec)
             updated = self._enforce_dml_contract(
                 updated,
@@ -1944,14 +1950,22 @@ class LakeWriter:
         recorded schema."""
         from dl_datalake_spark.lake import schema as _sc
 
+        from dl_datalake_spark.lake.spec import DERIVED_SPEC_COLS
+
         table = log.schema_at(None)
         if assigned_types:
             _sc.enforce_exact(table, dict(assigned_types), context)
         fp = _sc.fingerprint(post)
+        # derived spec columns NOT in the recorded contract can only
+        # come from the spec machinery (a daily scan's day= level, or
+        # grouped_scan's derivation on a downgraded dataset's old daily
+        # files) — pop them before enforcement; a contract DATA column
+        # that happens to share a spec name stays and is enforced.
+        # Membership in `table` decides, so no extra log listing.
         spec_extra = tuple(
             c
-            for c in log.partition_spec_at(None)
-            if c not in PARTITION_COLS
+            for c in DERIVED_SPEC_COLS
+            if c not in PARTITION_COLS and c not in (table or {})
         )
         for c in (*PARTITION_COLS, *spec_extra, "_change_type", "_dv_file", "_dv_pos"):
             fp.pop(c, None)

@@ -392,3 +392,26 @@ def test_recluster_drops_ghost_day_after_downgrade(spark, tmp_path):
     df = LakeReader(spark, str(tmp_path)).read_dataset(KEY)
     assert "day" not in df.columns
     assert _rows(spark, str(tmp_path)) == before
+
+
+def test_dml_on_downgraded_mixed_tree(spark, tmp_path):
+    """Row-level DML must work BETWEEN a daily->monthly downgrade and
+    the compaction that migrates the old daily files: the scan serves a
+    derived `day` the contract never recorded, and the gate must treat
+    it as spec machinery, not an unknown column."""
+    w = _seed(spark, str(tmp_path))
+    w.set_partition_spec(KEY, "daily")
+    w.write_ticks(_mk(spark, [(JAN2, 200.0)]), KEY, mode="append")
+    w.set_partition_spec(KEY, "monthly")
+    # update, merge, delete across the mixed daily/monthly tree
+    w.update_where(KEY, {"price": "price + 0.5"}, "price = 200")
+    w.merge_into(
+        KEY,
+        _mk(spark, [(JAN2, 300.0)]),
+        on="ts",
+        when_matched_update={"price": "s.price"},
+    )
+    w.delete_where(KEY, "price = 0")
+    rows = _rows(spark, str(tmp_path))
+    assert (JAN2, 300.0) in rows and (JAN1, 0.0) not in rows
+    assert len(rows) == 20
