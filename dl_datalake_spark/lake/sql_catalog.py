@@ -188,6 +188,11 @@ class LakeSQLCatalog:
         r"\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<pred>.*))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _ALTER_SPEC = re.compile(
+        r"^\s*ALTER\s+TABLE\s+lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
+        r"\s+SET\s+PARTITION\s+SPEC\s+(?P<spec>[A-Za-z_]+)\s*$",
+        re.IGNORECASE,
+    )
     _MERGE_HEAD = re.compile(
         r"^\s*MERGE\s+INTO\s+lake\.(?:`(?P<q>[^`]+)`|(?P<n>[A-Za-z0-9_]+))"
         r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?"
@@ -267,6 +272,13 @@ class LakeSQLCatalog:
         m = self._MERGE_HEAD.match(masked)
         if m:
             return self._route_merge(masked, lits, m)
+        m = self._ALTER_SPEC.match(masked)
+        if m:
+            # partition-spec evolution (writer.set_partition_spec,
+            # lake/spec.py): one metadata commit, zero bytes rewritten
+            key = self._require_table(m, for_write="ALTER")
+            self._writer().set_partition_spec(key, m.group("spec").lower())
+            return self._affected(0)
         return None
 
     def _route_merge(self, masked: str, lits: list[str], m: re.Match) -> DataFrame:

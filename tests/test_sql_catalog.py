@@ -371,3 +371,28 @@ def test_sql_merge_bare_delete(client, spark):
     ).first()["rows_affected"]
     assert n == 2
     assert client.reader.read_dataset(key).count() == 2
+
+
+def test_sql_alter_partition_spec(client, spark):
+    """ALTER TABLE lake.<t> SET PARTITION SPEC daily routes to
+    writer.set_partition_spec: one metadata commit, post-evolution
+    writes land under day=, and the unknown-spec error is loud."""
+    key = _write(client, "ALT", [(JAN, 1.0)])
+    n = client.sql(
+        "ALTER TABLE lake.sim_alt_ticks_1m SET PARTITION SPEC daily"
+    ).first()["rows_affected"]
+    assert n == 0
+    assert client.writer.commit_log(key).partition_spec_at(None) == (
+        "year", "month", "day",
+    )
+    client.sql(
+        f"INSERT INTO lake.sim_alt_ticks_1m "
+        f"SELECT CAST({JAN + 86400000} AS LONG) AS ts, 2.0 AS price"
+    )
+    from dl_datalake_spark.lake.snapshot import resolve_live_files
+    from dl_datalake_spark.lake.spec import sig_of
+
+    live = resolve_live_files(client.writer.fs, client.writer.dataset_path(key))
+    assert any(sig_of(rel) == ("year", "month", "day") for rel in live)
+    with pytest.raises(ValueError, match="unknown partition spec"):
+        client.sql("ALTER TABLE lake.sim_alt_ticks_1m SET PARTITION SPEC hourly")
