@@ -700,7 +700,7 @@ def test_optimistic_validation_commute_rules(theirs, ours, mode):
     from dl_datalake_spark.lake.writer import LakeWriter
 
     entry = {"mode": mode, "partitions": [list(p) for p in theirs]}
-    base = ({"ts": "bigint"}, {}, [], {})
+    base = ({"ts": "bigint"}, {}, [], {}, ("year", "month"))
     ours_set = set(ours)
     disjoint = not (set(theirs) & ours_set)
     want_ok = (
