@@ -107,7 +107,10 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    as_long: bool = True,
 ) -> DataFrame:
     """num_hashes min-hashes per doc, one hash-agg pass.
 
@@ -116,6 +119,19 @@ def minhash_signatures(
     less hashing than one md5 per band. The min of each chunk is a
     valid uniform order statistic; 32-bit chunks keep min-collisions
     negligible even for billion-shingle corpora (min ≈ U(0, 2^32/n)).
+
+    as_long=True (default) aggregates each chunk as its numeric value
+    — MIN over fixed-width lowercase hex strings is the same ordering
+    as MIN over conv(chunk, 16, 10) longs, but min(string) buffers a
+    variable-length UTF8String, which disqualifies HashAggregate and
+    forces a SortAggregate fallback: the whole shingle table gets
+    SORTED by doc_id (twice, once per side of the band self-join)
+    before aggregating. Long buffers keep the agg a HashAggregate and
+    shrink every downstream band-join key from 8 chars to one word.
+    Pass as_long=False where the hex form is a persisted/oracle
+    contract (the LSH index stores hex sigs on disk); equality joins
+    and bucket counts are identical either way because the conversion
+    is a bijection on 8-hex-char chunks.
     """
     salts = (num_hashes + 3) // 4
     hashed = shingles.select(
@@ -125,10 +141,12 @@ def minhash_signatures(
             for s in range(salts)
         ],
     )
-    aggs = [
-        F.min(F.substring(F.col(f"h{b // 4}"), (b % 4) * 8 + 1, 8)).alias(f"mh{b}")
-        for b in range(num_hashes)
-    ]
+
+    def chunk(b: int):
+        c = F.substring(F.col(f"h{b // 4}"), (b % 4) * 8 + 1, 8)
+        return F.conv(c, 16, 10).cast("long") if as_long else c
+
+    aggs = [F.min(chunk(b)).alias(f"mh{b}") for b in range(num_hashes)]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -274,6 +292,12 @@ def ngram_jaccard_pairs(
     The inverted index carries xxhash64(shingle) longs, not strings —
     intersection counts are identical, the shuffle is ~4× narrower.
     """
+    # NOTE (r12): tried pinning the distinct shingle table BEFORE the
+    # stop filter so the DF agg reads the cache — interleaved A/B at
+    # sf0.1 measured it consistently SLOWER (min 2.8→4.4 s): the pin
+    # then caches the unfiltered table and every consumer re-pays the
+    # anti-join, while the saved explode+distinct is cheap. Keep the
+    # original order: filter first, pin the (smaller) filtered table.
     sh = word_shingles(df, id_col, text_col, shingle_n, hashed=True)
     if max_df_frac is not None:
         sh = drop_stop_shingles(sh, df, id_col, max_df_frac)

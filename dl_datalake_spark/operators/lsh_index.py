@@ -76,7 +76,9 @@ def band_rows(
     (an incremental index must not depend on whole-corpus document
     frequencies, or every batch would invalidate old signatures)."""
     sh = word_shingles(docs, id_col, text_col, shingle_n, distinct=False)
-    sig = minhash_signatures(sh, id_col, num_bands)
+    # hex sigs: the on-disk index format (and its stream-replay oracle)
+    # stores the 8-hex-char chunk strings
+    sig = minhash_signatures(sh, id_col, num_bands, as_long=False)
     melted = sig.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

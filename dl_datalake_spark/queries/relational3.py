@@ -239,7 +239,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str):
     ).select("l_orderkey", "l_suppkey", late.alias("is_late"))
     # two distinct-free hash aggs instead of countDistinct pairs: the
     # multi-countDistinct form plans an Expand (3× row multiplication
-    # before the shuffle) — measured ~35% slower at sf0.1
+    # before the shuffle) — measured ~35% slower at sf0.1.
+    # ONE exchange for both agg levels: hash-partitioning by l_orderkey
+    # satisfies the clustering requirement of the (l_orderkey,
+    # l_suppkey) agg AND of the per-order agg, so the explicit
+    # repartition replaces the two ENSURE_REQUIREMENTS exchanges the
+    # planner would otherwise insert (pair-level partial aggregation
+    # barely reduces lineitem — ~4 lines/order, suppliers mostly
+    # distinct within an order — so shuffling raw flagged rows moves
+    # almost the same bytes once instead of twice).
+    flagged = flagged.repartition("l_orderkey")
     per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("is_late").cast("int")).alias("any_late"),
         F.sum(F.col("is_late").cast("int")).alias("late_lines"),
