@@ -48,6 +48,37 @@ def tokens(col: str = "text"):
     return F.split(F.trim(F.col(col)), TOKEN_SPLIT)
 
 
+def shingle_array(w, n: int):
+    """Array of word n-gram shingles from an already-split token-array
+    Column — the row-local core of `word_shingles`, exposed so callers
+    that only need per-document set statistics (distinct-shingle
+    counts, repetition ratios) can compute them as pure projections
+    with array_distinct/size instead of explode → shuffle → agg →
+    join-back (guide §2: remove the shuffle outright)."""
+    head = F.slice(w, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.transform(
+        head,
+        lambda _, i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+
+
+def _ordered_pairs(ids):
+    """All i<j combinations of a SORTED id array as array<struct<id_a,id_b>>.
+
+    The pair-emission half of bucket enumeration: equivalent to the
+    classic banded self-equi-join with `a.id < b.id`, but evaluated on
+    the grouped bucket array so the upstream lineage runs once."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def word_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,14 +110,9 @@ def word_shingles(
     oracle parity).
     """
     base = df.select(F.col(id_col), tokens(text_col).alias("w"))
-    head = F.slice(F.col("w"), 1, F.greatest(F.size("w") - (n - 1), F.lit(0)))
-    shingle = F.transform(
-        head,
-        lambda _, i: F.concat_ws(
-            " ", *[F.element_at(F.col("w"), i + j + 1) for j in range(n)]
-        ),
+    out = base.select(
+        F.col(id_col), F.explode(shingle_array(F.col("w"), n)).alias("shingle")
     )
-    out = base.select(F.col(id_col), F.explode(shingle).alias("shingle"))
     if hashed:
         out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     if distinct:
@@ -247,27 +273,28 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Bucket ENUMERATION instead of a banded self-equi-join (r12): the
+    # a⋈b form physically computed the whole scan→shingle→stop-filter→
+    # signature lineage TWICE — the planner broadcast one side (small
+    # estimated size at bench SF), so there was no shuffled Exchange
+    # for the other side to reuse, and each side owned a full copy of
+    # the pipeline (plans/r12/dedup_minhash_lsh_before.txt: 14
+    # Exchanges, 6 parquet scans, 0 ReusedExchange). Grouping each
+    # (band, sig) bucket once and emitting its ordered pairs from the
+    # collected id array evaluates the lineage exactly once, costs ONE
+    # exchange where the join needed two-plus-broadcast, and makes the
+    # hot-bucket cap a free size(ids) predicate instead of a separate
+    # count agg + anti-join. Pair semantics are identical: sorted
+    # bucket members, i<j combinations, global distinct.
+    buckets = melted.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
     if max_bucket_docs is not None:
-        hot = (
-            melted.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .where(F.col("_m") > max_bucket_docs)
-            .select("band", "sig")
-        )
-        # hot buckets are few by construction — broadcast anti-join
-        melted = melted.join(F.broadcast(hot), ["band", "sig"], "left_anti")
-    a, b = melted.alias("a"), melted.alias("b")
+        buckets = buckets.where(F.size("_ids") <= max_bucket_docs)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -292,25 +319,45 @@ def ngram_jaccard_pairs(
     The inverted index carries xxhash64(shingle) longs, not strings —
     intersection counts are identical, the shuffle is ~4× narrower.
     """
-    # NOTE (r12): tried pinning the distinct shingle table BEFORE the
-    # stop filter so the DF agg reads the cache — interleaved A/B at
-    # sf0.1 measured it consistently SLOWER (min 2.8→4.4 s): the pin
-    # then caches the unfiltered table and every consumer re-pays the
-    # anti-join, while the saved explode+distinct is cheap. Keep the
-    # original order: filter first, pin the (smaller) filtered table.
-    sh = word_shingles(df, id_col, text_col, shingle_n, hashed=True)
+    # Bucket-enumeration inverted index (r12, guide §2/§3). Three
+    # shuffles the old shape paid are gone:
+    # - the per-doc DISTINCT exchange: the shingle set is built
+    #   row-locally (array_distinct over the hashed shingle array);
+    # - the self-join's two exchanges of the shingle table by shingle:
+    #   ONE groupBy(shingle) collects each posting list, and the i<j
+    #   pair emission happens on the collected array;
+    # - the separate stop-shingle DF agg + broadcast anti-join: the
+    #   document frequency IS size(_ids) of the posting list, so the
+    #   stop cap becomes a free predicate on the same agg.
+    # Posting lists are bounded by that cap (≤ max(5, n·max_df_frac)
+    # docs): any corpus where pair generation is feasible at all keeps
+    # buckets << √(pair budget), so the collect_list buffer is small by
+    # construction. Pair semantics identical: sorted members, i<j.
+    base = df.select(F.col(id_col), tokens(text_col).alias("w"))
+    hashed = F.array_distinct(
+        F.transform(shingle_array(F.col("w"), shingle_n), lambda s: F.xxhash64(s))
+    )
+    sh = base.select(F.col(id_col), F.explode(hashed).alias("shingle"))
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
     if max_df_frac is not None:
-        sh = drop_stop_shingles(sh, df, id_col, max_df_frac)
-    sh = _pin(sh)  # feeds sizes agg + both sides of the inverted-index join
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        total = df.agg(F.count(F.lit(1)).alias("_n"))
+        buckets = (
+            buckets.crossJoin(F.broadcast(total))
+            .where(F.size("_ids") <= F.greatest(F.lit(5.0), F.col("_n") * max_df_frac))
+            .select("_ids")
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    buckets = _pin(buckets)  # feeds the sizes agg AND the pair emission
+    sizes = (
+        buckets.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    inter = (
+        buckets.where(F.size("_ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

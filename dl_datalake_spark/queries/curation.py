@@ -254,40 +254,66 @@ GROUP BY d.lang ORDER BY d.lang
 
 @register("docs_curation_pipeline", sql=_pipeline_sql())
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
     from dl_datalake_spark.operators.curation import hash_key
-    from dl_datalake_spark.operators.dedup import exact_dedup, word_shingles
+    from dl_datalake_spark.operators.dedup import shingle_array, tokens
     from dl_datalake_spark.operators.text import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    q = with_quality_score(docs).select("doc_id", "n_tokens", "quality")
-    sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
-    rep = sh.groupBy("doc_id").agg(
-        (
-            F.lit(1_000_000)
-            - ratio_units(F.countDistinct("shingle"), F.count(F.lit(1)))
-        ).alias("rep_micros")
-    )
-    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    kept = (
-        docs.select("doc_id", "lang")
-        .join(q, "doc_id")
-        .join(rep, "doc_id", "left")
-        .join(keepers, "doc_id", "leftsemi")
-        .where(
-            (F.col("quality") >= 0.5)
-            & (F.coalesce(F.col("rep_micros"), F.lit(0)) <= 200_000)
-            & (hash_key("doc_id") < F.lit("cc"))
+    # Single-pass shape (r12, guide §2): the old composition scanned
+    # documents 5× and joined 4× (quality join, repetition join,
+    # exact-dedup semi-join, final left join back to docs — 12
+    # Exchanges). Every stage is expressible on the row itself:
+    # - quality is a pure projection (with_quality_score);
+    # - the repetition score needs only THIS doc's shingles, so
+    #   countDistinct-over-exploded-shingles collapses to
+    #   size(array_distinct(shingle_array)) — no explode, no shuffle,
+    #   no join-back;
+    # - the exact-dedup keeper (min doc_id per md5(text)) becomes a
+    #   window min over md5(text) — one narrow shuffle; at scale this
+    #   moves the same bytes the old agg did (text hashes are mostly
+    #   unique, so partial aggregation reduced nothing);
+    # - "kept" becomes a boolean, so the final docs⋈kept left join is
+    #   conditional aggregation on the same rows.
+    # One parquet scan, three Exchanges (window, group-by-lang, sort);
+    # results bit-identical (same expressions, same oracle).
+    sh = shingle_array(F.col("w"), 3)
+    rep_micros = F.when(
+        F.size(sh) > 0,
+        F.lit(1_000_000)
+        - ratio_units(
+            F.size(F.array_distinct(sh)).cast("long"), F.size(sh).cast("long")
+        ),
+    ).otherwise(F.lit(0))
+    enriched = (
+        with_quality_score(docs)
+        .withColumn("w", tokens("text"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality",
+            rep_micros.alias("rep_micros"),
+            F.md5(F.col("text")).alias("_tkey"),
+            (hash_key("doc_id") < F.lit("cc")).alias("_in_split"),
         )
-        .select("doc_id", F.col("n_tokens").alias("kept_tokens"))
+    )
+    kept = (
+        (F.col("quality") >= 0.5)
+        & (F.col("rep_micros") <= 200_000)
+        & (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_tkey")))
+        & F.col("_in_split")
     )
     return (
-        docs.select("doc_id", "lang")
-        .join(kept, "doc_id", "left")
+        enriched.withColumn("_kept", kept)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_in"),
-            F.count("kept_tokens").alias("n_kept"),
-            F.coalesce(F.sum("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            F.count(F.when(F.col("_kept"), F.lit(1))).alias("n_kept"),
+            F.coalesce(F.sum(F.when(F.col("_kept"), F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
         )
         .orderBy("lang")
     )
