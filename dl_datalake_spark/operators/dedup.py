@@ -484,6 +484,16 @@ def simhash_pairs(
         bits = bands * width
     assert bits % bands == 0
     width = bits // bands
+    # NOTE (r12): bucket enumeration (collect_list per (band, bval) +
+    # i<j emission, as in minhash_lsh_pairs) was tried here and
+    # REVERTED — interleaved A/B at sf0.1 measured it consistently
+    # slower (min 2.9 → 5.2 s): the fingerprint table is tiny (one
+    # long per doc) and PINNED, so both join sides read the cache and
+    # the banded join is nearly free, while the struct collect_list +
+    # pair explode pays ObjectHashAggregate cost for no saved lineage.
+    # Unlike minhash, there is no scale hazard to remove: at corpus
+    # scale the cached fingerprint join becomes a sort-merge join on
+    # the band key, never a rebuild of the token-vote lineage.
     fp = _pin(simhash(df, id_col, text_col, bits))
     band_arr = F.array(
         *[

@@ -174,17 +174,21 @@ def extract_features(
                 fns = [pick(registered, None) or fake_decode] * len(pdf)
             else:
                 fns = [fake_decode] * len(pdf)
+            # ONE sha256 per payload (r12, guide §4): the digest column
+            # and the stub decoder both need it — hash once, reuse the
+            # digest bytes for the stub's features instead of hashing
+            # every payload a second time inside fake_decode.
+            raw = [bytes(p) if p is not None else b"" for p in payloads]
+            digests = [hashlib.sha256(p).digest() for p in raw]
             feats = [
-                fn(bytes(p) if p is not None else b"")
-                for fn, p in zip(fns, payloads)
+                [d[i] / 255.0 for i in range(dim)] if fn is fake_decode else fn(p)
+                for fn, p, d in zip(fns, raw, digests)
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0),
-                    "digest": payloads.map(
-                        lambda p: hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
-                    ),
+                    "byte_len": [len(p) for p in raw],
+                    "digest": [d.hex() for d in digests],
                     "feat_dim": dim,
                     "features": feats,
                 }

@@ -123,12 +123,23 @@ SELECT lang, COUNT(*) AS n_contaminated FROM flagged GROUP BY lang ORDER BY lang
 """,
 )
 def docs_decontaminate(spark: SparkSession, sf_dir: str):
-    from dl_datalake_spark.operators.dedup import word_shingles
+    from dl_datalake_spark.operators.dedup import shingle_array, tokens
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = word_shingles(docs.select("doc_id", "text"), n=5, distinct=False)
-    meta = docs.select("doc_id", "source", "lang")
-    sh = sh.join(meta, "doc_id")
+    # Carry source/lang THROUGH the explode (r12, guide §2): the old
+    # shape joined the exploded shingle table back to docs by doc_id —
+    # a shuffle of the biggest table in the plan just to pick up two
+    # small columns that were sitting on the row before the explode.
+    # Duplicating them per shingle is free (no exchange); the join,
+    # its two exchanges, and one parquet scan disappear.
+    sh = docs.select(
+        "doc_id", "source", "lang", tokens("text").alias("w")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(shingle_array(F.col("w"), 5)).alias("shingle"),
+    )
     bench = sh.where(F.col("source") == "src0").select("shingle").distinct()
     return (
         sh.where(F.col("source") != "src0")
@@ -169,11 +180,22 @@ GROUP BY d.lang ORDER BY d.lang
 """,
 )
 def docs_repetition_ratio(spark: SparkSession, sf_dir: str):
-    from dl_datalake_spark.operators.dedup import word_shingles
+    from dl_datalake_spark.operators.dedup import shingle_array, tokens
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = word_shingles(docs.select("doc_id", "text"), n=3, distinct=False)
-    per_doc = sh.groupBy("doc_id").agg(
+    # r12 (guide §2): lang rides THROUGH the explode, so the join of
+    # the per-doc agg back to docs disappears (its only purpose was
+    # re-attaching lang). The explode + two-level hash agg itself
+    # stays: a row-local size/array_distinct variant was tried and
+    # REVERTED — array_distinct on array<string> takes Spark's
+    # quadratic non-primitive path (measured 1.4 → 9.4 s at sf0.1),
+    # while countDistinct over exploded rows is a codegen'd hash agg.
+    sh = docs.select("doc_id", "lang", tokens("text").alias("w")).select(
+        "doc_id",
+        "lang",
+        F.explode(shingle_array(F.col("w"), 3)).alias("shingle"),
+    )
+    per_doc = sh.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("shingle").alias("n_distinct"),
     )
@@ -184,8 +206,7 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str):
         F.col("n_distinct"), F.col("total")
     )
     return (
-        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
+        per_doc.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((rep_micros > 200_000).cast("long")).alias("n_repetitive"),

@@ -107,12 +107,22 @@ GROUP BY d.source
 """,
 )
 def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
-    from dl_datalake_spark.operators.dedup import _pin
+    from dl_datalake_spark.operators.dedup import _pin, shingle_array, tokens
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # the shingle table feeds BOTH the top-k df agg and the flagged
-    # semi-join: persist it once instead of exploding the corpus twice
-    sh = _pin(word_shingles(docs, n=3, distinct=True))
+    # r12 (guide §2): the per-doc distinct is row-local
+    # (array_distinct before the explode — the old global distinct on
+    # (doc_id, shingle) shuffled the whole shingle table), source rides
+    # through the explode instead of being joined back at doc level,
+    # and the final coverage join happens on the two per-source AGG
+    # results (a handful of rows) instead of on every document row.
+    sh = _pin(
+        docs.select("doc_id", "source", tokens("text").alias("w")).select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingle_array(F.col("w"), 3))).alias("shingle"),
+        )
+    )
     top = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -120,15 +130,23 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
         .limit(TOP_NGRAMS)
         .select("shingle")
     )
-    flagged = sh.join(F.broadcast(top), "shingle").select("doc_id").distinct()
-    return (
-        docs.select("doc_id", "source")
-        .join(flagged.withColumn("hit", F.lit(1)), "doc_id", "left")
+    flagged = (
+        sh.join(F.broadcast(top), "shingle")
+        .select("doc_id", "source")
+        .distinct()
         .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count("hit").alias("n_flagged"),
-            ratio_round(F.count("hit"), F.count(F.lit(1))).alias("boilerplate_share"),
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    n_flagged = F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            n_flagged.alias("n_flagged"),
+            ratio_round(n_flagged, F.col("n_docs")).alias("boilerplate_share"),
         )
     )
 
