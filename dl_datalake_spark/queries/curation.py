@@ -299,17 +299,22 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str):
     #   conditional aggregation on the same rows.
     # One parquet scan, three Exchanges (window, group-by-lang, sort);
     # results bit-identical (same expressions, same oracle).
-    sh = shingle_array(F.col("w"), 3)
+    # Materialize the shingle array and its set sizes as their own
+    # projection columns: ratio_units + the when-guard reference them
+    # repeatedly, and inlining would re-evaluate the (non-codegen HOF)
+    # transform per reference — CollapseProject keeps a multiply-used
+    # non-cheap expression materialized, so the transform runs ONCE per
+    # row (verified in the plan: 21 inline concat_ws occurrences → 1).
     rep_micros = F.when(
-        F.size(sh) > 0,
-        F.lit(1_000_000)
-        - ratio_units(
-            F.size(F.array_distinct(sh)).cast("long"), F.size(sh).cast("long")
-        ),
+        F.col("_nsh") > 0,
+        F.lit(1_000_000) - ratio_units(F.col("_ndist"), F.col("_nsh")),
     ).otherwise(F.lit(0))
     enriched = (
         with_quality_score(docs)
         .withColumn("w", tokens("text"))
+        .withColumn("_sharr", shingle_array(F.col("w"), 3))
+        .withColumn("_nsh", F.size("_sharr").cast("long"))
+        .withColumn("_ndist", F.size(F.array_distinct("_sharr")).cast("long"))
         .select(
             "doc_id",
             "lang",
