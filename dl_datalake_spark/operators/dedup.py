@@ -254,6 +254,17 @@ def minhash_lsh_pairs(
     """
     # multiset shingles: min-hash is duplicate-insensitive, so the
     # distinct shuffle is pure cost here (jaccard still needs it)
+    #
+    # NOTE (r12, negative result): computing the stop-shingle DF from a
+    # row-local `explode(array_distinct(transform(arr, xxhash64)))` —
+    # the ngram_jaccard_pairs trick — to remove drop_stop_shingles'
+    # (doc_id, hash) distinct exchange measured 2.4 -> 9.2 s min in a
+    # 6-rep interleaved A/B at sf0.1: the HOF transform + array_distinct
+    # subtree leaves whole-stage codegen, and unlike ngram (where the
+    # SAME hashed array also feeds the posting-list agg, so the HOF cost
+    # buys out three shuffles) the signature path here still needs the
+    # raw string explode, so the HOF pass was pure added CPU. Kept the
+    # exchange.
     sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     if max_df_frac is not None:
         sh = drop_stop_shingles(sh, df, id_col, max_df_frac, distinct_input=False)

@@ -154,6 +154,18 @@ def label_centroids(
     relational (no UDF, no driver collect). Returns (label, cv) where
     cv is array<double>. These double as IVF coarse-quantizer cells:
     the centroid table is tiny (one row per label) and broadcastable.
+
+    NOTE (r12, negative result): the explode-free alternative — ONE
+    HashAggregate of 64 column-wise avg(vec[i]) buffers per label —
+    measured consistently SLOWER in a 6-rep interleaved A/B through the
+    emb_ivf_topk shape at sf0.1 (min 1.02 -> 1.23 s, med 1.17 -> 1.31,
+    identical results), even with the dim probe hoisted out: 128
+    aggregate sub-expressions (sum+count per avg) blow past the codegen
+    aggregate fallback thresholds while the explode shape runs small
+    codegen'd aggs. Not a scale hazard either way — partial aggregation
+    collapses the exploded rows to labels x dim per map task before the
+    one narrow exchange, so per-task CPU (which the A/B measures) is
+    the only difference. Kept the explode.
     """
     exploded = df.select(
         F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("i", "v_raw")
