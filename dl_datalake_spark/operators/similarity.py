@@ -103,7 +103,11 @@ def pairwise_topk_join(
     (it ships the WHOLE corpus to every task), so the join routes
     through ann_lsh_topk — hyperplane-bucketed candidate generation +
     exact rerank within buckets, same output schema, approximate recall
-    (recall floor pytest'd). One count() picks the path.
+    (recall floor pytest'd). One count() picks the path — deliberately
+    NOT limit(threshold+1).count(): a GlobalLimit is a single-partition
+    shuffle of up to threshold+1 rows, while count() over a scan reads
+    an EMPTY column set (row-group metadata) and ships one long per
+    task, so the plain count is the cheaper probe at every scale.
     """
     if corpus.count() > max_broadcast_rows:
         if planes is None:

@@ -429,25 +429,38 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big = (
+    # Single-agg shape (r12, guide §2.4): the classic two-pass form
+    # (big-order semi-join + detail re-aggregation) computes the SAME
+    # SUM(l_quantity) per orderkey twice and scans lineitem twice. The
+    # final output is at order grain and orders/customer are unique on
+    # their keys, so aggregating once, filtering, and joining the
+    # survivor set up to orders/customer is equivalent row-for-row
+    # (TPC-H referential integrity: every l_orderkey exists in orders,
+    # which the oracle's own two-pass SQL also relies on). Plan: ONE
+    # lineitem scan and ONE exchange (the partial-agg-reduced orderkey
+    # agg) vs two scans + semi-join + second agg. Measured 6-rep
+    # interleaved A/B at sf0.1: min 0.985 -> 0.615 s, med 1.061 ->
+    # 0.670 (~37% faster), identical rows and schema.
+    # per_order is ~20% of orders (measured at 3 SFs) — linear in the
+    # corpus — so it is deliberately NOT broadcast-hinted: AQE converts
+    # the join to broadcast at bench scale from the observed ~700 KB,
+    # while at 100 TB the planner keeps a shuffle join instead of
+    # shipping a corpus-sized build side to every task.
+    per_order = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        orders.join(per_order, orders.o_orderkey == F.col("l_orderkey"))
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
-            "sum_qty",
+            F.round(F.col("qty"), 2).alias("sum_qty"),
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(100)
