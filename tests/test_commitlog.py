@@ -73,10 +73,18 @@ def test_commits_dir_is_invisible_to_data_checks(tmp_path):
 # cross-process: N real processes, each doing read-modify-write increments
 # through transactions; conflicts must retry, nothing may be lost
 # ---------------------------------------------------------------------------
-def _worker(ds_path: str, n_iters: int, out_q) -> None:
+def _worker(ds_path: str, n_iters: int, out_q, barrier=None) -> None:
     log = CommitLog(ds_path)
     counter = os.path.join(ds_path, "counter.json")
     conflicts = 0
+    if barrier is not None:
+        # All workers reach here only after paying their own interpreter
+        # startup/import cost, then start the transaction loop TOGETHER:
+        # without this, spawn startup skew on a fast box can serialize
+        # the workers entirely (each finishes its 25 pure-filesystem
+        # iterations before the next finishes importing) and the
+        # at-least-one-claim-race assertion below turns flaky.
+        barrier.wait(timeout=120)
     for _ in range(n_iters):
         with log.transaction(timeout=60.0) as meta:
             # read-modify-write under the claimed slot: this is exactly
@@ -101,8 +109,9 @@ def test_two_process_writers_lose_nothing_and_detect_conflicts(tmp_path):
     n_procs, n_iters = 4, 25
     ctx = mp.get_context("spawn")  # no inherited fds/locks: real isolation
     q = ctx.Queue()
+    barrier = ctx.Barrier(n_procs)  # synchronized start => real contention
     procs = [
-        ctx.Process(target=_worker, args=(str(ds), n_iters, q))
+        ctx.Process(target=_worker, args=(str(ds), n_iters, q, barrier))
         for _ in range(n_procs)
     ]
     for p in procs:
