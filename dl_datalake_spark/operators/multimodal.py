@@ -110,9 +110,16 @@ def _pick_codec(snapshot: dict[str, Callable], mime: str | None):
     return best
 
 
-def attach_binary_column(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def attach_binary_column(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Synthesize a media table from a text table (test plumbing):
-    payload = utf-8 bytes, metadata struct populated."""
+    payload = utf-8 bytes, metadata struct populated. `carry_cols`
+    names source columns to keep on the media rows (e.g. lang) so
+    downstream accounting needs no join back to the source table."""
     return df.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
@@ -122,6 +129,7 @@ def attach_binary_column(df: DataFrame, text_col: str = "text", id_col: str = "d
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
+        *[F.col(c) for c in (carry_cols or [])],
     )
 
 
@@ -129,16 +137,27 @@ def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] | None = None,
     feat_dim: int = 8,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     Decoder resolution: explicit `decoder` argument > registered codec
     (register_codec(DECODER, mime_prefix, fn), matched per row against
-    meta.mime) > deterministic stub."""
+    meta.mime) > deterministic stub.
+
+    `carry_cols` names media columns to pass through the Arrow boundary
+    unchanged (r12, guide §2.4/§8: carry small metadata WITH the heavy
+    pass instead of joining it back afterwards — a lang/source tag per
+    row costs a few bytes across the boundary and saves the downstream
+    accounting a second scan of the source table plus a join)."""
     decode = decoder
     dim = feat_dim
+    carry = list(carry_cols or [])
     registered = _codec_snapshot(DECODER)  # captured by value, driver-side
     has_meta = "meta" in media.columns
+    missing = [c for c in carry if c not in media.columns]
+    if missing:
+        raise ValueError(f"carry_cols not in media frame: {missing}")
 
     # NOTE: this closure executes on Python workers, which may not have
     # this package importable (driver-owned sessions started outside the
@@ -184,17 +203,22 @@ def extract_features(
                 [d[i] / 255.0 for i in range(dim)] if fn is fake_decode else fn(p)
                 for fn, p, d in zip(fns, raw, digests)
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": [len(p) for p in raw],
-                    "digest": [d.hex() for d in digests],
-                    "feat_dim": dim,
-                    "features": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "byte_len": [len(p) for p in raw],
+                "digest": [d.hex() for d in digests],
+                "feat_dim": dim,
+                "features": feats,
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in carry]
+    )
+    return media.mapInPandas(run, schema=schema)
 
 
 RESIZED_SCHEMA = T.StructType(

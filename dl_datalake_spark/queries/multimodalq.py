@@ -32,13 +32,15 @@ GROUP BY lang ORDER BY lang
 )
 def media_feature_digest(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    media = attach_binary_column(docs)
-    feats = extract_features(media)
+    # lang rides THROUGH the Arrow boundary (r12, guide §8): the old
+    # shape scanned documents a second time and broadcast-joined it
+    # back onto the features just to re-attach lang; carrying the
+    # 2-byte tag with the payload pass costs nothing and drops the
+    # plan to one scan, zero joins.
+    media = attach_binary_column(docs, carry_cols=["lang"])
+    feats = extract_features(media, carry_cols=["lang"])
     return (
-        feats.join(
-            F.broadcast(docs.select(F.col("doc_id").alias("media_id"), "lang")),
-            "media_id",
-        )
+        feats
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
