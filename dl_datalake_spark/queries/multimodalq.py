@@ -76,10 +76,10 @@ def media_frame_sample(spark: SparkSession, sf_dir: str):
     from dl_datalake_spark.operators.multimodal import frame_sample
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    media = attach_binary_column(docs).join(
-        F.broadcast(docs.select(F.col("doc_id").alias("media_id"), "n_chars")),
-        "media_id",
-    )
+    # n_chars rides through attach_binary_column (r12) instead of a
+    # second docs scan + join-back — same carry pattern as
+    # media_feature_digest.
+    media = attach_binary_column(docs, carry_cols=["n_chars"])
     with_duration = media.withColumn(
         "meta",
         F.struct(
