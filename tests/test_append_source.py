@@ -37,7 +37,11 @@ def _drain(spark, ds, ckpt, name=None, rows_out=None, **kw):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # assert completion: awaitTermination returns False on timeout
+    # WITHOUT raising, so under CPU contention a slow drain used to
+    # surface as confusing partial-row assertion failures downstream
+    # (the round-11/12 "load flake"). Fail loudly at the source instead.
+    assert q.awaitTermination(300), "appends drain timed out"
     return out
 
 
@@ -121,7 +125,7 @@ def test_appends_resume_at_pruned_checkpoint_refuses(tmp_path, spark):
     parts = r.partitions({"version": 10}, {"version": 11})
     assert [p.version for p in parts] == [11] and len(parts[0].files) == 1
 
-def _drain_bounded(spark, ds, ckpt, expected_rows, timeout_s=120, **kw):
+def _drain_bounded(spark, ds, ckpt, expected_rows, timeout_s=300, **kw):
     """processingTime-triggered run collected until `expected_rows`
     arrive (availableNow captures ONE offset per run, so a capped
     catch-up needs a continuous trigger — documented contract).

@@ -30,7 +30,7 @@ def _drain(spark, ds_path, out, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
 
 
 def test_stream_restart_continues_from_checkpoint(spark, tmp_path):
@@ -84,7 +84,7 @@ def test_stream_gap_fails_loudly(spark, tmp_path):
         .start()
     )
     with pytest.raises(Exception, match="no row-level change data"):
-        q.awaitTermination(180)
+        assert q.awaitTermination(300), "stream drain timed out"
         if q.exception() is not None:
             raise q.exception()
 
@@ -104,7 +104,7 @@ def test_stream_after_version_skips_history(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
     rows = spark.table("cdf_after_q").collect()
     assert {(r["commit_version"], r["ts"]) for r in rows} == {(1, JAN + 60000)}
 
@@ -115,7 +115,7 @@ def test_stream_after_version_skips_history(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(300), "stream drain timed out"
     assert spark.table("cdf_caught_q").count() == 0
 
 
@@ -163,7 +163,7 @@ def test_fold_change_feed_preserves_feed_and_drops_files(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
     got = sorted(
         (r["commit_version"], r["ts"], r["_change_type"], r["price"])
         for r in spark.table("cdf_folded_q").collect()
@@ -246,7 +246,7 @@ def test_stream_over_scheme_prefixed_root(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
     got = sorted(
         (r["commit_version"], r["ts"], r["_change_type"], r["price"])
         for r in spark.table("cdf_scheme_q").collect()
@@ -267,7 +267,7 @@ def test_stream_over_scheme_prefixed_root(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(300), "stream drain timed out"
     got2 = sorted(
         (r["commit_version"], r["ts"], r["_change_type"], r["price"])
         for r in spark.table("cdf_scheme_q2").collect()
@@ -340,7 +340,7 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
         spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
         id_col="ts", vec_col="embedding", after_version=0,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream drain timed out"
 
     # streamed index == from-scratch rebuild of the live state
     live = reader.read_dataset(key).select(F.col("ts").alias("vec_id"), "embedding")
@@ -357,7 +357,7 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
         spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
         id_col="ts", vec_col="embedding", after_version=0,
     )
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(300), "stream drain timed out"
     assert _index_content(spark, idx) == expected
     # the skip is visible in the index log: no new cdf_apply commit
     from dl_datalake_spark.operators.ivf_index import _index_log
@@ -373,7 +373,7 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
         spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
         id_col="ts", vec_col="embedding", after_version=0,
     )
-    q3.awaitTermination(180)
+    assert q3.awaitTermination(300), "stream drain timed out"
     assert len(_index_content(spark, idx)) == 13
 
     # a cell-CHANGING update must not leave a stale copy: flip one
@@ -387,7 +387,7 @@ def test_stream_cdf_into_ivf_follows_lake_exactly_once(spark, tmp_path):
         spark, ds, idx, checkpoint_dir=ckpt, app_id="ivfA",
         id_col="ts", vec_col="embedding", after_version=0,
     )
-    q4.awaitTermination(180)
+    assert q4.awaitTermination(300), "stream drain timed out"
     content = _index_content(spark, idx)
     assert len(content) == 13  # still one copy per id
     assert dict(content)[JAN] == (-5.0, -0.1, -0.2, -0.3)
@@ -465,7 +465,7 @@ def test_cdf_admission_control_bounds_catchup(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 120
+        deadline = time.time() + 300
         while len(rows) < 6 and time.time() < deadline:
             time.sleep(0.3)
     finally:
