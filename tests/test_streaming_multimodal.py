@@ -69,6 +69,40 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1]["features"] == again[1]["features"]
 
 
+def test_multimodal_carry_cols_pass_through(spark):
+    """carry_cols (r12): named metadata columns ride through
+    attach_binary_column AND the extract_features Arrow boundary
+    unchanged, so per-metadata accounting needs no join back to the
+    source table; default (no carry) keeps the legacy schema."""
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", 11), (2, "spark engine", "de", 12)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    media = attach_binary_column(docs, carry_cols=["lang", "n_chars"])
+    assert media.columns == ["media_id", "payload", "meta", "lang", "n_chars"]
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(media, feat_dim=4, carry_cols=["lang"]).collect()
+    }
+    assert feats[1]["lang"] == "en" and feats[2]["lang"] == "de"
+    assert len(feats[1]["features"]) == 4
+    # carried column values identical to a post-hoc join-back
+    joined = {
+        r["media_id"]: r["lang"]
+        for r in extract_features(media, feat_dim=4)
+        .join(docs.selectExpr("doc_id as media_id", "lang"), "media_id")
+        .collect()
+    }
+    assert {k: v["lang"] for k, v in feats.items()} == joined
+    # default path unchanged
+    assert "lang" not in extract_features(media).columns
+    # unknown carry column fails loudly at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="carry_cols"):
+        extract_features(media, carry_cols=["nope"])
+
+
 def test_frame_sample(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"v"), ("video/mp4", None, None, 3500))],
