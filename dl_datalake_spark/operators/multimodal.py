@@ -120,6 +120,11 @@ def attach_binary_column(
     payload = utf-8 bytes, metadata struct populated. `carry_cols`
     names source columns to keep on the media rows (e.g. lang) so
     downstream accounting needs no join back to the source table."""
+    clash = [c for c in (carry_cols or []) if c in ("media_id", "payload", "meta")]
+    if clash:
+        raise ValueError(
+            f"carry_cols collide with synthesized media columns: {clash}"
+        )
     return df.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
@@ -158,6 +163,11 @@ def extract_features(
     missing = [c for c in carry if c not in media.columns]
     if missing:
         raise ValueError(f"carry_cols not in media frame: {missing}")
+    clash = [c for c in carry if c in FEATURE_SCHEMA.fieldNames()]
+    if clash:
+        # without this plan-time check the duplicate output field only
+        # surfaces as an opaque worker-side Arrow column-count error
+        raise ValueError(f"carry_cols collide with feature output columns: {clash}")
 
     # NOTE: this closure executes on Python workers, which may not have
     # this package importable (driver-owned sessions started outside the

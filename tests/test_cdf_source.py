@@ -83,10 +83,12 @@ def test_stream_gap_fails_loudly(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
+    # the failed stream surfaces through awaitTermination itself (it
+    # re-raises the StreamingQueryException); a timeout or a clean drain
+    # raises the non-matching TimeoutError below, failing loudly
     with pytest.raises(Exception, match="no row-level change data"):
-        assert q.awaitTermination(300), "stream drain timed out"
-        if q.exception() is not None:
-            raise q.exception()
+        q.awaitTermination(300)
+        raise TimeoutError("stream drained or timed out without the gap error")
 
 
 def test_stream_after_version_skips_history(spark, tmp_path):

@@ -101,6 +101,14 @@ def test_multimodal_carry_cols_pass_through(spark):
 
     with _pytest.raises(ValueError, match="carry_cols"):
         extract_features(media, carry_cols=["nope"])
+    # carry names colliding with feature output columns fail at plan
+    # time instead of as an opaque worker-side Arrow duplicate-name error
+    media_digest = media.withColumn("digest", media["media_id"].cast("string"))
+    with _pytest.raises(ValueError, match="collide"):
+        extract_features(media_digest, carry_cols=["digest"])
+    # same guard on the media-synthesis side
+    with _pytest.raises(ValueError, match="collide"):
+        attach_binary_column(docs.withColumnRenamed("lang", "payload"), carry_cols=["payload"])
 
 
 def test_frame_sample(spark):
