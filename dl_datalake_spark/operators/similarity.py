@@ -308,8 +308,17 @@ def cosine_near_dup_pairs_blas(
     if n == 0:
         return df.sparkSession.createDataFrame([], "a_id long, b_id long, cos_sim double")
     par = df.sparkSession.sparkContext.defaultParallelism
-    # B(B+1)/2 groups ≈ 2·cores for full occupancy; memory-capped blocks
-    n_blocks = max(int(math.ceil(math.sqrt(4.0 * par))), int(math.ceil(n / max_block_rows)))
+    # B(B+1)/2 groups ≈ 2·cores for full occupancy; memory-capped blocks.
+    # r13: the occupancy term only applies while blocks keep >= ~1k rows —
+    # below that the corpus is small enough that B(B+1)/2 applyInPandas
+    # groups cost more in per-group Python-call overhead than the matmul
+    # itself (measured at sf0.1: 12 blocks/78 groups of 167 rows ->
+    # 2 blocks/3 groups, min 1.022 -> 0.862 s, identical pairs). At any
+    # n where parallelism matters the formula is unchanged.
+    n_blocks = max(
+        int(math.ceil(n / max_block_rows)),
+        min(int(math.ceil(math.sqrt(4.0 * par))), max(1, int(math.ceil(n / 1024)))),
+    )
 
     blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
     tagged = slim.withColumn("_blk", blk)

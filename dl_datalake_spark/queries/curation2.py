@@ -107,7 +107,7 @@ GROUP BY d.source
 """,
 )
 def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
-    from dl_datalake_spark.operators.dedup import _pin, shingle_array, tokens
+    from dl_datalake_spark.operators.dedup import shingle_array, tokens
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # r12 (guide §2): the per-doc distinct is row-local
@@ -116,12 +116,23 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str):
     # through the explode instead of being joined back at doc level,
     # and the final coverage join happens on the two per-source AGG
     # results (a handful of rows) instead of on every document row.
-    sh = _pin(
-        docs.select("doc_id", "source", tokens("text").alias("w")).select(
-            "doc_id",
-            "source",
-            F.explode(F.array_distinct(shingle_array(F.col("w"), 3))).alias("shingle"),
-        )
+    # r13: the persist of the exploded table is GONE — interleaved A/B
+    # (3 independent sessions, 6-8 reps) consistently favored
+    # recomputing the row-local lineage for the second consumer over
+    # materializing the exploded intermediate (min 1.143 -> 1.075, med
+    # 1.504 -> 1.298 in the final 8-rep run); at corpus scale the same
+    # trade avoids persisting an unbounded (corpus x shingles) table
+    # that competes with execution memory (guide §5) at the price of a
+    # second scan of the (columnar, pruned) text column.
+    # NOTE: the top-20 tie-break (ORDER BY df, shingle) is load-bearing
+    # at every bench SF (df ties straddle rank 20: sf0.001 28-way at
+    # df=6, sf0.1 16-way at df=22), so the shingle STRING must reach the
+    # top-k agg — a hashed-long top-k would pick a different tied subset
+    # and change n_flagged (r13 negative result, VERDICT r12 #1).
+    sh = docs.select("doc_id", "source", tokens("text").alias("w")).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingle_array(F.col("w"), 3))).alias("shingle"),
     )
     top = (
         sh.groupBy("shingle")
