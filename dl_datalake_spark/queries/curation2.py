@@ -221,7 +221,7 @@ FROM r GROUP BY label
 """,
 )
 def emb_int8_quant_error(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     quant = dequantize_error(quantize_int8(emb))
     return quant.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

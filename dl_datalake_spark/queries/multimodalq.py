@@ -31,7 +31,13 @@ GROUP BY lang ORDER BY lang
 """,
 )
 def media_feature_digest(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # spread="bytes" (r13, guide §2/§4): the Arrow mapInPandas pass is
+    # byte-light per row (sha256 stub), so fanning a sub-MB table to 32
+    # partitions paid ~0.3 s of pure Python-task round-trips — sizing
+    # the fan-out from input bytes (1 partition at sf0.1) measured
+    # 0.867 -> 0.520 s min interleaved with identical results; at real
+    # media scale the scan arrives with many splits and this is a no-op.
+    docs = load_table(spark, sf_dir, "documents", spread="bytes")
     # lang rides THROUGH the Arrow boundary (r12, guide §8): the old
     # shape scanned documents a second time and broadcast-joined it
     # back onto the features just to re-attach lang; carrying the

@@ -48,7 +48,7 @@ LIMIT 10
 """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
     return (
         emb.where(F.col("vec_id") != 0)
@@ -81,7 +81,7 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 """,
 )
 def emb_knn_join(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     q = emb.where(F.col("vec_id") < 20)
     # exact broadcast path here (corpus ≤ max_broadcast_rows); above the
     # guard pairwise_topk_join reroutes through LSH-bucketed rerank
@@ -176,7 +176,7 @@ WHERE cos_sim >= 0.4
 """,
 )
 def dedup_emb_cosine(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     # BLAS block-matmul variant: bit-identical to the fold-based
     # cosine_near_dup_pairs (validated at sf0.01/sf0.1), ~11× faster
     return cosine_near_dup_pairs_blas(emb, threshold=0.4)
@@ -216,7 +216,7 @@ HAVING node <> MIN(r)
 def emb_semantic_dedup_drops(spark: SparkSession, sf_dir: str):
     from dl_datalake_spark.operators.components import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     pairs = cosine_near_dup_pairs_blas(emb, threshold=0.4).select(
         F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
     )
@@ -268,7 +268,7 @@ WHERE rank <= 5
 """,
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings", spread="bytes")
     q = emb.where(F.col("vec_id") < 20)
     return ivf_topk(q, emb, k=5)
 

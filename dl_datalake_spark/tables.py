@@ -57,8 +57,23 @@ def with_tsu(df: DataFrame, col: str = "ts", out: str = "tsu") -> DataFrame:
     return df.withColumn(out, epoch_us(df, col))
 
 
+def _table_bytes(path: str) -> int:
+    """On-disk size of a parquet table (single file or directory)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | str = False
 ) -> DataFrame:
     """Read one testdata table.
 
@@ -68,11 +83,27 @@ def load_table(
     split, which would otherwise serialize the whole pipeline on one
     core; at real scale the scan has many splits and the repartition is
     a no-op (we never shrink partitioning here).
+
+    spread="bytes" sizes the fan-out from the table's on-disk bytes
+    (ceil(bytes / 4 MB), capped at the default parallelism) instead of
+    jumping straight to the core count — the right policy for stages
+    whose per-row work is cheap relative to task overhead (Arrow
+    mapInPandas passes, guide §2: derive partitioning from input size).
+    A 0.6 MB table gets 1 partition instead of 32 (each extra partition
+    is a Python worker task round-trip); a 100 GB table still saturates
+    the cluster because the scan itself arrives with many splits.
     """
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
     if spread:
-        target = spark.sparkContext.defaultParallelism
+        if spread == "bytes":
+            target = max(1, min(
+                spark.sparkContext.defaultParallelism,
+                -(-_table_bytes(path) // (4 << 20)),
+            ))
+        else:
+            target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     return df
