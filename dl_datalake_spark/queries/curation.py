@@ -90,7 +90,10 @@ FROM c GROUP BY lang, window_id
 """,
 )
 def docs_pack_windows(spark: SparkSession, sf_dir: str):
-    docs = with_token_count(load_table(spark, sf_dir, "documents", spread=True))
+    # spread="bytes" (r13): token counting + a per-lang window is
+    # byte-light; the 32-way fan-out was task overhead (interleaved:
+    # 0.373 -> 0.232 s, identical results).
+    docs = with_token_count(load_table(spark, sf_dir, "documents", spread="bytes"))
     packed = pack_token_budget(docs, _BUDGET)
     return packed.groupBy("lang", "window_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

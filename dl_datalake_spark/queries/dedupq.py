@@ -61,7 +61,11 @@ FROM documents
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # spread="bytes" (r13): one md5 per doc is byte-light — the 32-way
+    # fan-out was pure task overhead (interleaved: 0.454 -> 0.270 s).
+    # The shingle-exploding dedups below keep spread=True: their per-row
+    # JVM work measured clearly worth the fan-out (minhash 1.69 vs 2.67).
+    docs = load_table(spark, sf_dir, "documents", spread="bytes")
     groups = exact_dedup(docs)
     return groups.agg(
         F.sum("group_size").alias("n_docs"),
