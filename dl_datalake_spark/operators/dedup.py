@@ -268,10 +268,19 @@ def minhash_lsh_pairs(
     sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     if max_df_frac is not None:
         sh = drop_stop_shingles(sh, df, id_col, max_df_frac, distinct_input=False)
-    # no persist: the banded self-join's two sides are identical
-    # subplans, so the signature agg's exchange is computed once and
-    # served to the other side via ReusedExchange (verified ~15% faster
-    # than MEMORY_AND_DISK persist at sf0.1)
+    # no persist — r13 correction of the r12 note here: with bucket
+    # enumeration there is NO ReusedExchange between the stop-DF branch
+    # and the signature branch (they exchange on different keys), so the
+    # scan→explode lineage does run twice. That is deliberate: r13
+    # measured pinning the exploded table (min 1.599 vs 1.603, med
+    # 1.887 vs 1.721), pinning a repartition("doc_id") that satisfies
+    # both aggs' clustering (1.472/1.888), and an unpinned shared
+    # repartition (1.529/1.635 and 1.381/1.768 across two sessions) —
+    # all within noise or worse locally, and the repartition variants
+    # shuffle shingle STRINGS where this shape shuffles 16-byte
+    # (id, hash) pairs (guide §2.3), so they lose at corpus scale too.
+    # The duplicated lineage is a cheap columnar scan + explode; the
+    # narrow exchanges are the scarce resource.
     sig = minhash_signatures(sh, id_col, num_bands)
     melted = sig.select(
         F.col(id_col),
@@ -397,6 +406,15 @@ def simhash(
     + one hash-agg; builds to a single BIGINT column.
     """
     assert bits % 4 == 0 and bits <= 64
+    # NOTE (r13, negative result): a SWAR-packed vote aggregation
+    # (replicate each 16-bit half of hv once via shift|or, 16 masked
+    # ANDs -> 16 sum buffers + count; per-row expression count ~96 ->
+    # ~22; fingerprints verified bit-identical on all docs) measured
+    # FLAT in two interleaved sessions (fingerprint stage min
+    # 0.823->0.806 then 1.066->1.108) — unlike r12's packed-counter
+    # attempt it did remove the per-row extracts, and it still didn't
+    # move: the explode + md5 and the downstream candidate join
+    # dominate, not this agg. Kept the straightforward 32-sum form.
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     # Hoist ONE hash per token into a projection: the first bits/4 hex
     # chars of md5(tok) as a single integer. Putting md5 inside each of
