@@ -209,7 +209,44 @@ def main() -> None:
         prev = _control_bench(head)
         if prev is not None:
             out["prev_tree"] = prev
+            rerun = _head_rerun()
+            if rerun is not None:
+                out["head_rerun"] = rerun
     print(json.dumps(out))
+
+
+def _head_rerun() -> dict | None:
+    """Symmetric drift calibration (r13): re-bench the HEAD tree in a
+    fresh child process identical to the control child, immediately
+    after it. The in-process head numbers and the prev-tree child run
+    in different phases of the invocation, and host drift between those
+    phases showed up as consistent ±10-30% "regressions" on
+    byte-identical untouched code (two independent r13 control runs:
+    q21 0.72/0.71, agg_rollup 0.70/0.79 with zero code delta). The
+    head_rerun child shares the control child's phase, so
+    prev_tree.queries vs head_rerun.queries is the apples-to-apples
+    comparison and head vs head_rerun measures the drift itself.
+    Additions-only: existing keys keep their exact semantics."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CONTROL="0")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+        )
+        lines = [
+            ln
+            for ln in proc.stdout.replace("\r", "\n").splitlines()
+            if ln.startswith("{")
+        ]
+        if not lines:
+            return None
+        parsed = json.loads(lines[-1])
+        return {"value": parsed.get("value"), "queries": parsed.get("queries")}
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":
