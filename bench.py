@@ -209,9 +209,13 @@ def main() -> None:
         prev = _control_bench(head)
         if prev is not None:
             out["prev_tree"] = prev
-            rerun = _head_rerun()
-            if rerun is not None:
-                out["head_rerun"] = rerun
+            # the drift calibration only informs the headline run; the
+            # low-core scaling invocation skips the third leg so its
+            # wall time stays near the two-leg r12 shape
+            if int(os.environ.get("SPARK_GRAFT_CPUS", "32")) >= 16:
+                rerun = _head_rerun()
+                if rerun is not None:
+                    out["head_rerun"] = rerun
     print(json.dumps(out))
 
 
