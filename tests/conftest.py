@@ -16,7 +16,7 @@ _SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
 
 def pytest_collection_modifyitems(config, items):
     """Mark the measured-slow tests (tests/slow_tests.txt, every test
-    whose call time was >= 3.5 s on a quiet 4-core run) as `slow`, which
+    whose call time was >= 3 s on a quiet 4-core run) as `slow`, which
     pytest.ini deselects by default so the plain suite fits an external
     verify budget. `pytest tests/ -m ''` runs everything."""
     try:
